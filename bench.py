@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the registered headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gmall_spark import queries as q  # noqa: E402
+from gmall_spark.session import get_session  # noqa: E402
+
+# Headline set: the flagship slice + heaviest per-category representatives.
+# Grows as coverage widens; falls back to everything registered.
+HEADLINE = [
+    "dwd_trade_order_detail",
+    "dws_trade_province_order_window",
+    "ads_trade_stats_by_day",
+    "dws_traffic_vc_ch_ar_isnew_page_view_window",
+    "dws_traffic_source_keyword_page_view_window",
+    "ads_user_stats_union",
+    "ads_commodity_stats_full_outer",
+    "ads_user_retention_returning",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_session(app_name="gmall_spark_bench")
+
+    names = [n for n in HEADLINE if n in q.QUERIES] or sorted(q.QUERIES)
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = q.QUERIES[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,269 @@
+"""Deterministic CDC-envelope derivation from the driver's tables.
+
+FIXTURES.md §1: the reference's ODS layer is a Kafka topic ``topic_db``
+of Maxwell CDC envelopes ``{database, table, type, data, old, ts}``
+(ref utils/MyKafkaUtil.java:91-100). The driver provides TPC-H-ish
+parquet instead, so this module derives reference-shaped CDC rows from
+``orders``/``lineitem`` with pure Column expressions — deterministic,
+seedless, and reproducible in ANSI SQL for the DuckDB oracle.
+
+Derivation rules (all modulo-arithmetic on keys, so both engines agree):
+
+- every order  -> one ``order_info`` insert (status from o_orderstatus)
+- o_orderkey%10==0 -> an ``order_info`` cancel update (status '1003',
+  old[order_status] set) 1 h later   [exercises P7 cancel filter]
+- every lineitem -> one ``order_detail`` insert
+- l_orderkey%5==0 -> one ``order_detail_activity`` insert
+- l_orderkey%7==0 -> one ``order_detail_coupon`` insert
+- o_orderkey%3==0 -> a ``payment_info`` pay-success update
+  (payment_status '1602', old set)   [exercises P7 pay-success filter]
+- o_orderkey%10==5 -> an ``order_refund_info`` insert + an
+  ``order_info`` refund update ('1005')  [P7 refund filter]
+- cart rows from lineitem: l_orderkey%4==1 insert; %4==2 update with
+  sku_num increased by 1 (kept, delta rule P4); %4==3 update with
+  sku_num decreased (must be dropped)
+
+Timestamps: ts = epoch(o_orderdate) + key % 86400 (spread across the
+day so tumbling windows get sub-day exercise).
+
+Money discipline: parquet stores 2-decimal money as DOUBLE. Casting a
+*stored* cent value to DECIMAL(16,2) is engine-agnostic (the double is
+within 1e-11 of the cent, nowhere near the .005 boundary), but casting
+a *computed* double (e.g. price*(1-disc)) is not — Spark rounds the
+double's shortest decimal string, DuckDB rounds the exact binary value,
+and half-cent products disagree. So: cast sources to decimal first,
+multiply in exact decimal arithmetic, keep the full scale-4 product,
+never round a computed double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DB = "gmall"
+
+# o_orderstatus -> reference order_status codes
+# 'O' (open) -> 1001 unpaid, 'P' (pending) -> 1002 paid, 'F' (finished) -> 1004 done
+_STATUS = {"O": "1001", "P": "1002", "F": "1004"}
+
+
+def _status_col() -> Column:
+    c = F.col("o_orderstatus")
+    return (
+        F.when(c == "O", F.lit("1001"))
+        .when(c == "P", F.lit("1002"))
+        .otherwise(F.lit("1004"))
+    )
+
+
+def _order_ts() -> Column:
+    return F.unix_timestamp("o_orderdate") + F.col("o_orderkey") % 86400
+
+
+def _detail_ts() -> Column:
+    return (
+        F.unix_timestamp("l_shipdate")
+        + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 86400
+    )
+
+
+def _envelope(table: str, typ: Column | str, data: Column, old: Column, ts: Column):
+    typ_col = F.lit(typ) if isinstance(typ, str) else typ
+    return [
+        F.lit(DB).alias("database"),
+        F.lit(table).alias("table"),
+        typ_col.alias("type"),
+        data.alias("data"),
+        old.alias("old"),
+        ts.cast("long").alias("ts"),
+    ]
+
+
+def _null_map() -> Column:
+    return F.lit(None).cast("map<string,string>")
+
+
+def _fmt_time(ts_seconds: Column) -> Column:
+    return F.from_unixtime(ts_seconds, "yyyy-MM-dd HH:mm:ss")
+
+
+def order_info_cdc(orders: DataFrame) -> DataFrame:
+    """order_info inserts + cancel/refund status updates."""
+    ts = _order_ts()
+    base_data = F.create_map(
+        F.lit("id"), F.col("o_orderkey").cast("string"),
+        F.lit("user_id"), F.col("o_custkey").cast("string"),
+        F.lit("province_id"), (F.col("o_custkey") % 25).cast("string"),
+        F.lit("order_status"), _status_col(),
+        F.lit("original_total_amount"),
+        F.col("o_totalprice").cast("decimal(16,2)").cast("string"),
+        F.lit("create_time"), _fmt_time(ts),
+    )
+    inserts = orders.select(*_envelope("order_info", "insert", base_data, _null_map(), ts))
+
+    def _update(pred: Column, new_status: str, delay: int) -> DataFrame:
+        uts = ts + delay
+        data = F.create_map(
+            F.lit("id"), F.col("o_orderkey").cast("string"),
+            F.lit("user_id"), F.col("o_custkey").cast("string"),
+            F.lit("province_id"), (F.col("o_custkey") % 25).cast("string"),
+            F.lit("order_status"), F.lit(new_status),
+            F.lit("original_total_amount"),
+            F.col("o_totalprice").cast("decimal(16,2)").cast("string"),
+            F.lit("create_time"), _fmt_time(ts),
+            F.lit("operate_time"), _fmt_time(uts),
+        )
+        old = F.create_map(F.lit("order_status"), _status_col())
+        return orders.filter(pred).select(
+            *_envelope("order_info", "update", data, old, uts)
+        )
+
+    cancels = _update(F.col("o_orderkey") % 10 == 0, "1003", 3600)
+    refunds = _update(F.col("o_orderkey") % 10 == 5, "1005", 7200)
+    return inserts.unionByName(cancels).unionByName(refunds)
+
+
+def order_detail_cdc(lineitem: DataFrame) -> DataFrame:
+    """order_detail inserts (one per lineitem; id = orderkey*8+linenumber)."""
+    ts = _detail_ts()
+    data = F.create_map(
+        F.lit("id"), (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string"),
+        F.lit("order_id"), F.col("l_orderkey").cast("string"),
+        F.lit("sku_id"), F.col("l_partkey").cast("string"),
+        F.lit("sku_num"), F.col("l_quantity").cast("int").cast("string"),
+        F.lit("order_price"),
+        F.col("l_extendedprice").cast("decimal(16,2)").cast("string"),
+        F.lit("split_total_amount"),
+        (
+            F.col("l_extendedprice").cast("decimal(16,2)")
+            * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        )
+        .cast("decimal(18,4)")
+        .cast("string"),
+        F.lit("source_type"), F.concat(F.lit("240"), (1 + F.col("l_partkey") % 4).cast("string")),
+        F.lit("create_time"), _fmt_time(ts),
+    )
+    return lineitem.select(*_envelope("order_detail", "insert", data, _null_map(), ts))
+
+
+def order_detail_activity_cdc(lineitem: DataFrame) -> DataFrame:
+    ts = _detail_ts()
+    rows = lineitem.filter(F.col("l_orderkey") % 5 == 0)
+    data = F.create_map(
+        F.lit("order_detail_id"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string"),
+        F.lit("order_id"), F.col("l_orderkey").cast("string"),
+        F.lit("activity_id"), (1 + F.col("l_orderkey") % 3).cast("string"),
+        F.lit("activity_rule_id"), (1 + F.col("l_orderkey") % 6).cast("string"),
+        F.lit("create_time"), _fmt_time(ts),
+    )
+    return rows.select(*_envelope("order_detail_activity", "insert", data, _null_map(), ts))
+
+
+def order_detail_coupon_cdc(lineitem: DataFrame) -> DataFrame:
+    ts = _detail_ts()
+    rows = lineitem.filter(F.col("l_orderkey") % 7 == 0)
+    data = F.create_map(
+        F.lit("order_detail_id"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string"),
+        F.lit("order_id"), F.col("l_orderkey").cast("string"),
+        F.lit("coupon_id"), (1 + F.col("l_orderkey") % 4).cast("string"),
+        F.lit("create_time"), _fmt_time(ts),
+    )
+    return rows.select(*_envelope("order_detail_coupon", "insert", data, _null_map(), ts))
+
+
+def payment_info_cdc(orders: DataFrame) -> DataFrame:
+    """payment_info pay-success updates (payment_status 1602, old set)."""
+    ts = _order_ts() + 1800
+    rows = orders.filter(F.col("o_orderkey") % 3 == 0)
+    data = F.create_map(
+        F.lit("order_id"), F.col("o_orderkey").cast("string"),
+        F.lit("user_id"), F.col("o_custkey").cast("string"),
+        F.lit("payment_type"), F.concat(F.lit("110"), (1 + F.col("o_orderkey") % 3).cast("string")),
+        F.lit("payment_status"), F.lit("1602"),
+        F.lit("callback_time"), _fmt_time(ts),
+        F.lit("total_amount"),
+        F.col("o_totalprice").cast("decimal(16,2)").cast("string"),
+    )
+    old = F.create_map(F.lit("payment_status"), F.lit("1601"))
+    return rows.select(*_envelope("payment_info", "update", data, old, ts))
+
+
+def order_refund_info_cdc(orders: DataFrame) -> DataFrame:
+    ts = _order_ts() + 7200
+    rows = orders.filter(F.col("o_orderkey") % 10 == 5)
+    data = F.create_map(
+        F.lit("id"), F.col("o_orderkey").cast("string"),
+        F.lit("user_id"), F.col("o_custkey").cast("string"),
+        F.lit("order_id"), F.col("o_orderkey").cast("string"),
+        F.lit("sku_id"), (F.col("o_orderkey") % 2000).cast("string"),
+        F.lit("refund_type"), F.concat(F.lit("150"), (1 + F.col("o_orderkey") % 2).cast("string")),
+        F.lit("refund_num"), F.lit("1"),
+        F.lit("refund_amount"),
+        F.col("o_totalprice").cast("decimal(16,2)").cast("string"),
+        F.lit("create_time"), _fmt_time(ts),
+    )
+    return rows.select(*_envelope("order_refund_info", "insert", data, _null_map(), ts))
+
+
+def cart_info_cdc(lineitem: DataFrame) -> DataFrame:
+    """cart_info inserts + sku_num up/down updates (P4 delta rule)."""
+    ts = _detail_ts()
+    mod = F.col("l_orderkey") % 4
+    qty = F.col("l_quantity").cast("int")
+    _id = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string")
+
+    def _data(num: Column) -> Column:
+        return F.create_map(
+            F.lit("id"), _id,
+            F.lit("user_id"), (F.col("l_suppkey") % 500).cast("string"),
+            F.lit("sku_id"), F.col("l_partkey").cast("string"),
+            F.lit("cart_price"),
+            F.col("l_extendedprice").cast("decimal(16,2)").cast("string"),
+            F.lit("sku_num"), num.cast("string"),
+            F.lit("source_type"),
+            F.concat(F.lit("240"), (1 + F.col("l_partkey") % 4).cast("string")),
+            F.lit("create_time"), _fmt_time(ts),
+        )
+
+    inserts = lineitem.filter(mod == 1).select(
+        *_envelope("cart_info", "insert", _data(qty), _null_map(), ts)
+    )
+    ups = lineitem.filter(mod == 2).select(
+        *_envelope(
+            "cart_info",
+            "update",
+            _data(qty + 1),
+            F.create_map(F.lit("sku_num"), qty.cast("string")),
+            ts + 60,
+        )
+    )
+    downs = lineitem.filter((mod == 3) & (qty > 1)).select(
+        *_envelope(
+            "cart_info",
+            "update",
+            _data(qty - 1),
+            F.create_map(F.lit("sku_num"), qty.cast("string")),
+            ts + 60,
+        )
+    )
+    return inserts.unionByName(ups).unionByName(downs)
+
+
+def topic_db(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The full synthetic ``topic_db`` CDC stream (union of all tables)."""
+    parts = [
+        order_info_cdc(orders),
+        order_detail_cdc(lineitem),
+        order_detail_activity_cdc(lineitem),
+        order_detail_coupon_cdc(lineitem),
+        payment_info_cdc(orders),
+        order_refund_info_cdc(orders),
+        cart_info_cdc(lineitem),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
