@@ -24,12 +24,15 @@ from gmall_spark.session import get_session  # noqa: E402
 HEADLINE = [
     "dwd_trade_order_detail",
     "dws_trade_province_order_window",
+    "dws_trade_order_window",
     "ads_trade_stats_by_day",
     "dws_traffic_vc_ch_ar_isnew_page_view_window",
     "dws_traffic_source_keyword_page_view_window",
-    "ads_user_stats_union",
+    "dws_user_user_login_window",
+    "ads_traffic_channel_stats",
     "ads_commodity_stats_full_outer",
-    "ads_user_retention_returning",
+    "cart_changelog_latest",
+    "interval_join_events",
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
     "text_quality_scores",

@@ -56,7 +56,9 @@ def dedup_last(
     return _one_per_key(df, keys, order)
 
 
-def latest_by_key(df: DataFrame, keys: Sequence[str], ts_col: str) -> DataFrame:
+def latest_by_key(
+    df: DataFrame, keys: Sequence[str], ts_col: str, tiebreak: Sequence[str] = ()
+) -> DataFrame:
     """Changelog -> current-state view: latest row per primary key.
 
     Replaces the reference's upsert-kafka PK tables
@@ -64,7 +66,7 @@ def latest_by_key(df: DataFrame, keys: Sequence[str], ts_col: str) -> DataFrame:
     (SURVEY S4/T4): Kafka log compaction's "latest value per key"
     becomes an explicit operator.
     """
-    return dedup_last(df, keys, ts_col)
+    return dedup_last(df, keys, ts_col, tiebreak)
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:

@@ -34,3 +34,192 @@ def trade_stats_by_day(order_detail: DataFrame) -> DataFrame:
             F.col("order_amount").cast("double").alias("order_amount"),
         )
     )
+
+
+def traffic_channel_stats(vc_window: DataFrame) -> DataFrame:
+    """Per (day, channel) rollup with ratio-of-sums metrics + sort.
+
+    Ref mapper/TrafficChannelStatsMapper.java:11-50 (SURVEY A8/A10/O1):
+    ``sum(uv_ct) ... order by uv_ct desc`` plus per-session ratios
+    sum(pv)/sum(sv), sum(dur)/sum(sv), sum(uj)/sum(sv).
+    """
+    rolled = (
+        vc_window.groupBy(F.substring("stt", 1, 10).alias("dt"), "ch")
+        .agg(
+            F.sum("uv_ct").cast("bigint").alias("uv_ct"),
+            F.sum("sv_ct").cast("bigint").alias("sv_ct"),
+            F.sum("pv_ct").cast("bigint").alias("pv_ct"),
+            F.sum("dur_sum").cast("bigint").alias("dur_sum"),
+            F.sum("uj_ct").cast("bigint").alias("uj_ct"),
+        )
+    )
+    sv = F.when(F.col("sv_ct") > 0, F.col("sv_ct").cast("double"))
+    return rolled.select(
+        "dt",
+        "ch",
+        "uv_ct",
+        "sv_ct",
+        "pv_ct",
+        (F.col("pv_ct").cast("double") / sv).alias("pv_per_session"),
+        (F.col("dur_sum").cast("double") / sv).alias("dur_per_session"),
+        (F.col("uj_ct").cast("double") / sv).alias("uj_rate"),
+    ).orderBy(F.desc("uv_ct"), "dt", "ch")
+
+
+def traffic_visitor_stats_by_hour(vc_window: DataFrame) -> DataFrame:
+    """Per (day, hour) visitor stats with conditional new-visitor sum.
+
+    Ref mapper/TrafficVisitorStatsMapper.java:24-30 (SURVEY A11/A14):
+    ``sum(if(is_new='1', uv_ct, 0))`` + ``toHour(stt)`` grouping.
+    """
+    return (
+        vc_window.groupBy(
+            F.substring("stt", 1, 10).alias("dt"),
+            F.substring("stt", 12, 2).cast("bigint").alias("hr"),
+        )
+        .agg(
+            F.sum("uv_ct").cast("bigint").alias("uv_ct"),
+            F.sum(F.when(F.col("is_new") == "1", F.col("uv_ct")).otherwise(0))
+            .cast("bigint")
+            .alias("new_uv_ct"),
+            F.sum("sv_ct").cast("bigint").alias("sv_ct"),
+            F.sum("pv_ct").cast("bigint").alias("pv_ct"),
+        )
+    )
+
+
+def traffic_keywords(searches: DataFrame) -> DataFrame:
+    """Weighted keyword score (ref mapper/TrafficKeywordsMapper.java:12-20,
+    SURVEY A12/O2): sum(count * CASE source ... END) ordered desc.
+
+    ``searches`` = exploded (keyword, ch) rows from the page log.
+    """
+    weight = (
+        F.when(F.col("ch") == "appstore", 10)
+        .when(F.col("ch") == "web", 5)
+        .otherwise(2)
+    )
+    return (
+        searches.groupBy("keyword")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("keyword_ct"),
+            F.sum(weight).cast("bigint").alias("keyword_score"),
+        )
+        .orderBy(F.desc("keyword_score"), "keyword")
+    )
+
+
+def trade_stats_union(
+    order_detail: DataFrame, cancel: DataFrame, refund: DataFrame
+) -> DataFrame:
+    """Label-stacked totals via UNION ALL (ref mapper/TradeStatsMapper.
+    java:18-37, SURVEY U3): one row per metric type with a literal tag.
+    """
+    def _tag(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(F.lit(tag).alias("type"), "order_ct", "order_amount")
+
+    o = order_detail.agg(
+        F.count_distinct("order_id").cast("bigint").alias("order_ct"),
+        F.sum("split_total_amount").cast("double").alias("order_amount"),
+    )
+    c = cancel.agg(
+        F.count_distinct("order_id").cast("bigint").alias("order_ct"),
+        F.sum("cancel_amount").cast("double").alias("order_amount"),
+    )
+    r = refund.agg(
+        F.count_distinct("order_id").cast("bigint").alias("order_ct"),
+        F.sum("refund_amount").cast("double").alias("order_amount"),
+    )
+    return _tag(o, "order").unionByName(_tag(c, "cancel")).unionByName(_tag(r, "refund"))
+
+
+def commodity_stats_full_outer(
+    order_detail: DataFrame, refund: DataFrame, sku_dim: DataFrame
+) -> DataFrame:
+    """Order vs refund aggregates FULL OUTER joined on trademark.
+
+    Ref mapper/CommodityStatsMapper.java:13-36 (SURVEY J8): trademarks
+    with only orders or only refunds surface with NULLs on the other
+    side.
+    """
+    o = (
+        order_detail.join(F.broadcast(sku_dim), "sku_id", "left")
+        .groupBy("trademark_name")
+        .agg(
+            F.count_distinct("order_id").cast("bigint").alias("order_ct"),
+            F.sum("split_total_amount").cast("double").alias("order_amount"),
+        )
+    )
+    r = (
+        refund.join(F.broadcast(sku_dim), "sku_id", "left")
+        .groupBy("trademark_name")
+        .agg(
+            F.count_distinct("order_id").cast("bigint").alias("refund_ct"),
+            F.sum("refund_amount").cast("double").alias("refund_amount"),
+        )
+    )
+    return o.join(r, "trademark_name", "full_outer")
+
+
+def activity_stats(order_detail: DataFrame) -> DataFrame:
+    """Activity subsidy rate (ref mapper/ActivityStatsMapper.java:10-16,
+    SURVEY A13): round(reduce/original, 4)."""
+    agg = (
+        order_detail.filter(F.col("activity_id").isNotNull())
+        .groupBy("activity_id")
+        .agg(
+            F.sum(F.coalesce("split_activity_amount", F.lit(0).cast("decimal(18,4)")))
+            .alias("reduce_amount"),
+            F.sum("split_total_amount").alias("origin_amount"),
+        )
+    )
+    return agg.select(
+        "activity_id",
+        F.col("reduce_amount").cast("double").alias("reduce_amount"),
+        F.col("origin_amount").cast("double").alias("origin_amount"),
+        F.round(
+            F.col("reduce_amount").cast("double") / F.col("origin_amount").cast("double"),
+            4,
+        ).alias("subsidy_rate"),
+    )
+
+
+def coupon_stats(order_detail: DataFrame) -> DataFrame:
+    """Coupon subsidy rate (ref mapper/CouponStatsMapper.java:10-16)."""
+    agg = (
+        order_detail.filter(F.col("coupon_id").isNotNull())
+        .groupBy("coupon_id")
+        .agg(
+            F.sum(F.coalesce("split_coupon_amount", F.lit(0).cast("decimal(18,4)")))
+            .alias("reduce_amount"),
+            F.sum("split_total_amount").alias("origin_amount"),
+        )
+    )
+    return agg.select(
+        "coupon_id",
+        F.col("reduce_amount").cast("double").alias("reduce_amount"),
+        F.col("origin_amount").cast("double").alias("origin_amount"),
+        F.round(
+            F.col("reduce_amount").cast("double") / F.col("origin_amount").cast("double"),
+            4,
+        ).alias("subsidy_rate"),
+    )
+
+
+def user_stats_union(page_log: DataFrame, order_detail: DataFrame) -> DataFrame:
+    """Label-stacked user counters (ref mapper/UserStatsMapper.java:12-63,
+    SURVEY U3): register / active / ordering users as tagged rows.
+    """
+    def _tag(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(F.lit(tag).alias("type"), "user_ct")
+
+    reg = page_log.filter(F.col("page_id") == "register").agg(
+        F.count(F.lit(1)).cast("bigint").alias("user_ct")
+    )
+    active = page_log.agg(F.count_distinct("user_id").cast("bigint").alias("user_ct"))
+    ordering = order_detail.agg(
+        F.count_distinct("user_id").cast("bigint").alias("user_ct")
+    )
+    return _tag(reg, "register").unionByName(_tag(active, "active")).unionByName(
+        _tag(ordering, "order")
+    )

@@ -57,6 +57,8 @@ def dwd_trade_order_detail(topic_db: DataFrame, base_dic: DataFrame) -> DataFram
         _d("sku_num").cast("bigint").alias("sku_num"),
         _d("order_price").cast("decimal(16,2)").alias("order_price"),
         _d("split_total_amount").cast("decimal(18,4)").alias("split_total_amount"),
+        _d("split_activity_amount").cast("decimal(18,4)").alias("split_activity_amount"),
+        _d("split_coupon_amount").cast("decimal(18,4)").alias("split_coupon_amount"),
         _d("source_type").alias("source_type"),
         _d("create_time").alias("create_time"),
         F.col("ts"),
@@ -92,6 +94,8 @@ def dwd_trade_order_detail(topic_db: DataFrame, base_dic: DataFrame) -> DataFram
             "coupon_id",
             "order_price",
             "split_total_amount",
+            "split_activity_amount",
+            "split_coupon_amount",
             "source_type",
             F.col("dic_name").alias("source_type_name"),
             "create_time",

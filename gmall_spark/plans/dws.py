@@ -11,10 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gmall_spark.operators.uv import first_ever_flag, first_of_day_flag
 from gmall_spark.operators.windows import tumble_agg
 from gmall_spark.plans.dwd import with_event_time
 
 WINDOW_SECONDS = 10
+
+
+def _with_dt(df: DataFrame) -> DataFrame:
+    return with_event_time(df).withColumn("dt", F.date_format("rt", "yyyy-MM-dd"))
 
 
 def dws_trade_province_order_window(
@@ -41,29 +46,99 @@ def dws_trade_province_order_window(
             F.sum("split_total_amount").alias("order_amount"),
         ],
     )
-    return (
-        agg.join(F.broadcast(province_dim), "province_id", "left")
-        .select(
-            "stt",
-            "edt",
-            "province_id",
-            F.col("province_name"),
-            F.col("order_count").cast("bigint").alias("order_count"),
-            F.col("order_amount").cast("double").alias("order_amount"),
-        )
+    return agg.join(F.broadcast(province_dim), "province_id", "left").select(
+        "stt",
+        "edt",
+        "province_id",
+        F.col("province_name"),
+        F.col("order_count").cast("bigint").alias("order_count"),
+        F.col("order_amount").cast("double").alias("order_amount"),
     )
 
 
-def dws_trade_trademark_user_order_window(
+def dws_trade_cart_add_uu_window(cart_add: DataFrame) -> DataFrame:
+    """Global 10 s window: distinct cart-add users (first per day).
+
+    Ref DwsTradeCartAddUuWindow.java:79-144 (SURVEY A5 cart variant).
+    """
+    flagged = first_of_day_flag(
+        _with_dt(cart_add), "user_id", "dt", ["ts", "id"], "uu_flag"
+    )
+    return tumble_agg(
+        flagged.filter(F.col("uu_flag") == 1),
+        "rt",
+        WINDOW_SECONDS,
+        keys=[],
+        aggs=[F.count(F.lit(1)).cast("bigint").alias("cart_add_uu_ct")],
+    )
+
+
+def dws_trade_order_window(order_detail: DataFrame) -> DataFrame:
+    """Global 10 s window: unique + first-ever order users, amounts.
+
+    Ref DwsTradeOrderWindow.java:74-160 (SURVEY A7): per-user
+    last-order-date ValueState -> first-of-day / first-ever flags;
+    activity/coupon reductions null->0 coalesced before the sum
+    (DwsTradeOrderWindow.java:109-117).
+    """
+    od = first_of_day_flag(
+        _with_dt(order_detail), "user_id", "dt", ["ts", "id"], "uu_flag"
+    )
+    od = first_ever_flag(od, "user_id", "dt", "fe_flag")
+    return tumble_agg(
+        od,
+        "rt",
+        WINDOW_SECONDS,
+        keys=[],
+        aggs=[
+            F.sum("uu_flag").cast("bigint").alias("order_unique_user_count"),
+            F.sum(F.col("uu_flag") * F.col("fe_flag"))
+            .cast("bigint")
+            .alias("order_new_user_count"),
+            F.sum(F.coalesce(F.col("split_activity_amount"), F.lit(0).cast("decimal(18,4)")))
+            .cast("double")
+            .alias("order_activity_reduce_amount"),
+            F.sum(F.coalesce(F.col("split_coupon_amount"), F.lit(0).cast("decimal(18,4)")))
+            .cast("double")
+            .alias("order_coupon_reduce_amount"),
+            F.sum("order_price").cast("double").alias("order_origin_total_amount"),
+        ],
+    )
+
+
+def dws_trade_payment_suc_window(pay_suc: DataFrame) -> DataFrame:
+    """Global 10 s window: unique + first-ever paying users.
+
+    Ref DwsTradePaymentSucWindow.java:74-180 (SURVEY A7 + T3 dedup).
+    """
+    pay = first_of_day_flag(
+        _with_dt(pay_suc), "user_id", "dt", ["ts", "order_id"], "uu_flag"
+    )
+    pay = first_ever_flag(pay, "user_id", "dt", "fe_flag")
+    return tumble_agg(
+        pay,
+        "rt",
+        WINDOW_SECONDS,
+        keys=[],
+        aggs=[
+            F.sum("uu_flag").cast("bigint").alias("payment_suc_unique_user_count"),
+            F.sum(F.col("uu_flag") * F.col("fe_flag"))
+            .cast("bigint")
+            .alias("payment_new_user_count"),
+        ],
+    )
+
+
+def dws_trade_trademark_category_user_order_window(
     order_detail: DataFrame, sku_dim: DataFrame
 ) -> DataFrame:
-    """Per (trademark, user) 10 s order window.
+    """Per (trademark, category3, user) 10 s order window.
 
     Ref DwsTradeTrademarkCategoryUserSpuOrderWindow.java:88-259 — the
     reference chains 4-6 async Phoenix lookups (SKU→SPU→TM→C3→C2→C1)
-    per record; here the whole dim chain is pre-joined into one
-    broadcast ``sku_dim`` (sku_id -> tm/category/spu attributes), so
-    enrichment is a single broadcast hash join before the window agg.
+    per record (SURVEY J6/T7); here the whole chain is pre-flattened
+    into one broadcast ``sku_dim``, so enrichment is a single
+    broadcast hash join before the window agg.
     """
     od = with_event_time(order_detail)
     enriched = od.join(F.broadcast(sku_dim), "sku_id", "left")
@@ -71,7 +146,7 @@ def dws_trade_trademark_user_order_window(
         enriched,
         "rt",
         WINDOW_SECONDS,
-        keys=["trademark_id", "trademark_name", "user_id"],
+        keys=["trademark_name", "category3_name", "user_id"],
         aggs=[
             F.count_distinct(F.col("order_id")).alias("order_count"),
             F.sum("split_total_amount").alias("order_amount"),
@@ -80,9 +155,38 @@ def dws_trade_trademark_user_order_window(
     return agg.select(
         "stt",
         "edt",
-        "trademark_id",
         "trademark_name",
+        "category3_name",
         "user_id",
         F.col("order_count").cast("bigint").alias("order_count"),
         F.col("order_amount").cast("double").alias("order_amount"),
+    )
+
+
+def dws_trade_trademark_category_user_refund_window(
+    refund: DataFrame, sku_dim: DataFrame
+) -> DataFrame:
+    """Per (trademark, user) 10 s refund window.
+
+    Ref DwsTradeTrademarkCategoryUserRefundWindow.java:71-241.
+    """
+    rf = with_event_time(refund)
+    enriched = rf.join(F.broadcast(sku_dim), "sku_id", "left")
+    agg = tumble_agg(
+        enriched,
+        "rt",
+        WINDOW_SECONDS,
+        keys=["trademark_name", "user_id"],
+        aggs=[
+            F.count_distinct(F.col("order_id")).alias("refund_count"),
+            F.sum("refund_amount").alias("refund_amount"),
+        ],
+    )
+    return agg.select(
+        "stt",
+        "edt",
+        "trademark_name",
+        "user_id",
+        F.col("refund_count").cast("bigint").alias("refund_count"),
+        F.col("refund_amount").cast("double").alias("refund_amount"),
     )

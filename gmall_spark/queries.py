@@ -19,7 +19,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall_spark.plans import ads, dwd, dws, llm, traffic
+from gmall_spark import oracles as O
+from gmall_spark.operators.dedup import dedup_first, latest_by_key
+from gmall_spark.plans import ads, dwd, dws, traffic, user
 from gmall_spark.sources import cdc_gen, dims, log_gen
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -41,54 +43,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _topic_db(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cdc_gen.topic_db(
-        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
-    )
+    return cdc_gen.topic_db(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
 
 
-# ---------------------------------------------------------------------------
-# Shared oracle CTE fragments (mirror cdc_gen + plans/dwd exactly)
-# ---------------------------------------------------------------------------
+def _dwd_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dwd.dwd_trade_order_detail(_topic_db(spark, sf_dir), dims.base_dic(spark))
 
-# dwd_trade_order_detail flattened: CDC derivation ∘ DWD pipeline. The
-# map-envelope plumbing cancels out in SQL.
-SQL_DWD_ORDER_DETAIL = f"""
-WITH od AS (
-  SELECT l_orderkey * 8 + l_linenumber AS id,
-         l_orderkey AS order_id,
-         l_partkey AS sku_id,
-         CAST(CAST(l_quantity AS INT) AS BIGINT) AS sku_num,
-         CAST(CAST(l_extendedprice AS DECIMAL(16,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS split_total_amount,
-         '240' || CAST(1 + l_partkey % 4 AS VARCHAR) AS source_type,
-         strftime(make_timestamp((CAST(epoch(l_shipdate) AS BIGINT) + (l_orderkey * 7 + l_linenumber) % 86400) * 1000000), '%Y-%m-%d %H:%M:%S') AS create_time,
-         CAST(epoch(l_shipdate) AS BIGINT) + (l_orderkey * 7 + l_linenumber) % 86400 AS ts
-  FROM lineitem
-), oi AS (
-  SELECT o_orderkey AS order_id,
-         o_custkey AS user_id,
-         o_custkey % 25 AS province_id,
-         CASE o_orderstatus WHEN 'O' THEN '1001' WHEN 'P' THEN '1002' ELSE '1004' END AS order_status
-  FROM orders
-), act AS (
-  SELECT l_orderkey * 8 + l_linenumber AS id, 1 + l_orderkey % 3 AS activity_id
-  FROM lineitem WHERE l_orderkey % 5 = 0
-), cou AS (
-  SELECT l_orderkey * 8 + l_linenumber AS id, 1 + l_orderkey % 4 AS coupon_id
-  FROM lineitem WHERE l_orderkey % 7 = 0
-), dic AS (
-  SELECT * FROM {dims.base_dic_values_sql()}
-), dwd_order_detail AS (
-  SELECT od.id, od.order_id, oi.user_id, od.sku_id, od.sku_num,
-         oi.province_id, oi.order_status, act.activity_id, cou.coupon_id,
-         od.split_total_amount, od.source_type, dic.dic_name AS source_type_name,
-         od.create_time, od.ts
-  FROM od
-  JOIN oi ON od.order_id = oi.order_id
-  LEFT JOIN act ON od.id = act.id
-  LEFT JOIN cou ON od.id = cou.id
-  LEFT JOIN dic ON od.source_type = dic.dic_code
-)
-"""
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a normalized microsecond TimestampType ``ts``.
+
+    The driver writes ``events.ts`` as parquet TIMESTAMP(NANOS), which
+    Spark only reads as a long behind the legacy flag; truncate to
+    micros with integer division (double division would lose precision
+    at 1.7e18) — DuckDB's TIMESTAMP_NS -> TIMESTAMP read truncates the
+    same way.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _page_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return log_gen.page_log(_events(spark, sf_dir))
 
 
 def _province_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,27 +75,50 @@ def _province_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PROVINCE_DIM = "SELECT CAST(n_nationkey AS BIGINT) AS province_id, n_name AS province_name FROM nation"
+def _sku_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKU -> trademark/category chain flattened from ``part``.
+
+    Replaces the reference's per-record async Phoenix lookup chain
+    (SKU→SPU→TM→C3→C2→C1, DwsTradeTrademarkCategoryUserSpuOrderWindow
+    .java:88-199) with one pre-joined broadcastable dim.
+    """
+    p = _t(spark, sf_dir, "part")
+    c2 = F.concat(F.col("p_type"), F.lit("#"), (F.col("p_size") % 3).cast("string"))
+    c3 = F.concat(c2, F.lit("#"), (F.col("p_size") % 9).cast("string"))
+    return p.select(
+        F.col("p_partkey").alias("sku_id"),
+        F.col("p_brand").alias("trademark_name"),
+        F.col("p_type").alias("category1_name"),
+        c2.alias("category2_name"),
+        c3.alias("category3_name"),
+        F.col("p_name").alias("spu_name"),
+    )
 
 
-# ---------------------------------------------------------------------------
-# Flagship slice: DWD order detail -> DWS province window -> ADS day rollup
-# ---------------------------------------------------------------------------
+_SEC_STT = "strftime(make_timestamp(((ts // 10) * 10) * 1000000), '%Y-%m-%d %H:%M:%S')"
+_SEC_EDT = "strftime(make_timestamp(((ts // 10) * 10 + 10) * 1000000), '%Y-%m-%d %H:%M:%S')"
+
+
+# ===========================================================================
+# Trade domain (CDC envelope -> DWD -> DWS -> ADS)
+# ===========================================================================
 
 
 @query(
     "dwd_trade_order_detail",
-    SQL_DWD_ORDER_DETAIL
+    O.SQL_DWD_ORDER_DETAIL
     + """
 SELECT id, order_id, user_id, sku_id, sku_num, province_id, order_status,
        activity_id, coupon_id,
        CAST(split_total_amount AS DOUBLE) AS split_total_amount,
+       CAST(split_activity_amount AS DOUBLE) AS split_activity_amount,
+       CAST(split_coupon_amount AS DOUBLE) AS split_coupon_amount,
        source_type, source_type_name, create_time, ts
 FROM dwd_order_detail
 """,
 )
-def q_dwd_trade_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = dwd.dwd_trade_order_detail(_topic_db(spark, sf_dir), dims.base_dic(spark))
+def q_dwd_trade_order_detail(spark, sf_dir):
+    df = _dwd_order_detail(spark, sf_dir)
     return df.select(
         "id",
         "order_id",
@@ -130,6 +130,8 @@ def q_dwd_trade_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "activity_id",
         "coupon_id",
         F.col("split_total_amount").cast("double").alias("split_total_amount"),
+        F.col("split_activity_amount").cast("double").alias("split_activity_amount"),
+        F.col("split_coupon_amount").cast("double").alias("split_coupon_amount"),
         "source_type",
         "source_type_name",
         "create_time",
@@ -138,12 +140,140 @@ def q_dwd_trade_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dwd_trade_cancel_detail",
+    """
+SELECT o_orderkey AS order_id,
+       o_custkey AS user_id,
+       o_custkey % 25 AS province_id,
+       CAST(CAST(o_totalprice AS DECIMAL(16,2)) AS DOUBLE) AS cancel_amount,
+       strftime(make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 3600) * 1000000), '%Y-%m-%d %H:%M:%S') AS cancel_time,
+       CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 3600 AS ts
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+)
+def q_dwd_trade_cancel_detail(spark, sf_dir):
+    df = dwd.dwd_trade_cancel_detail(_topic_db(spark, sf_dir))
+    return df.select(
+        "order_id",
+        "user_id",
+        "province_id",
+        F.col("cancel_amount").cast("double").alias("cancel_amount"),
+        "cancel_time",
+        "ts",
+    )
+
+
+@query(
+    "dwd_trade_pay_detail_suc",
+    O.SQL_DWD_PAY_SUC
+    + """
+SELECT order_id, user_id, payment_type, payment_type_name,
+       CAST(pay_amount AS DOUBLE) AS pay_amount, callback_time, ts
+FROM dwd_pay_suc
+""",
+)
+def q_dwd_trade_pay_detail_suc(spark, sf_dir):
+    df = dwd.dwd_trade_pay_detail_suc(_topic_db(spark, sf_dir), dims.base_dic(spark))
+    return df.select(
+        "order_id",
+        "user_id",
+        "payment_type",
+        "payment_type_name",
+        F.col("pay_amount").cast("double").alias("pay_amount"),
+        "callback_time",
+        "ts",
+    )
+
+
+@query(
+    "dwd_trade_order_refund",
+    """
+WITH r AS (
+  SELECT o_orderkey AS id, o_orderkey AS order_id, o_custkey AS user_id,
+         o_orderkey % 2000 AS sku_id,
+         '150' || CAST(1 + o_orderkey % 2 AS VARCHAR) AS refund_type,
+         CAST(CAST(o_totalprice AS DECIMAL(16,2)) AS DOUBLE) AS refund_amount,
+         CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 7200 AS ts
+  FROM orders WHERE o_orderkey % 10 = 5
+), oiu AS (
+  SELECT o_orderkey AS order_id, o_custkey % 25 AS province_id
+  FROM orders WHERE o_orderkey % 10 = 5
+)
+SELECT r.id, r.order_id, r.user_id, r.sku_id, r.refund_type, r.refund_amount,
+       strftime(make_timestamp(r.ts * 1000000), '%Y-%m-%d %H:%M:%S') AS create_time,
+       r.ts, oiu.province_id
+FROM r LEFT JOIN oiu ON r.order_id = oiu.order_id
+""",
+)
+def q_dwd_trade_order_refund(spark, sf_dir):
+    df = dwd.dwd_trade_order_refund(_topic_db(spark, sf_dir))
+    return df.select(
+        "id",
+        "order_id",
+        "user_id",
+        "sku_id",
+        "refund_type",
+        F.col("refund_amount").cast("double").alias("refund_amount"),
+        "create_time",
+        "ts",
+        "province_id",
+    )
+
+
+@query(
+    "dwd_trade_cart_add",
+    O.SQL_DWD_CART_ADD
+    + """
+SELECT id, user_id, sku_id, sku_num, source_type, ts FROM dwd_cart_add
+""",
+)
+def q_dwd_trade_cart_add(spark, sf_dir):
+    df = dwd.dwd_trade_cart_add(_topic_db(spark, sf_dir))
+    return df.select("id", "user_id", "sku_id", "sku_num", "source_type", "ts")
+
+
+def _cart_stream(spark, sf_dir):
+    """All cart_info changelog rows flattened (inserts + both updates)."""
+    tdb = _topic_db(spark, sf_dir).filter(F.col("table") == "cart_info")
+    return tdb.select(
+        F.col("data").getItem("id").cast("bigint").alias("id"),
+        F.col("data").getItem("user_id").cast("bigint").alias("user_id"),
+        F.col("data").getItem("sku_id").cast("bigint").alias("sku_id"),
+        F.col("data").getItem("sku_num").cast("bigint").alias("sku_num"),
+        F.col("ts"),
+    )
+
+
+@query(
+    "cart_changelog_latest",
+    O.SQL_DWD_CART_ADD + "\nSELECT id, user_id, sku_id, sku_num, ts FROM cart_latest",
+)
+def q_cart_changelog_latest(spark, sf_dir):
+    """Last-one-wins changelog resolution (SURVEY T4 / S4):
+    upsert-kafka 'latest per PK' semantics as an explicit operator."""
+    return latest_by_key(
+        _cart_stream(spark, sf_dir), ["id"], "ts", tiebreak=["user_id", "sku_id", "sku_num"]
+    )
+
+
+@query(
+    "cart_changelog_first",
+    O.SQL_DWD_CART_ADD + "\nSELECT id, user_id, sku_id, sku_num, ts FROM cart_first",
+)
+def q_cart_changelog_first(spark, sf_dir):
+    """First-one-wins dedup (SURVEY T3, pay-suc/refund pipelines)."""
+    return dedup_first(
+        _cart_stream(spark, sf_dir), ["id"], "ts", tiebreak=["user_id", "sku_id", "sku_num"]
+    )
+
+
+@query(
     "dws_trade_province_order_window",
-    SQL_DWD_ORDER_DETAIL
+    O.SQL_DWD_ORDER_DETAIL
     + f"""
-, prov AS ({SQL_PROVINCE_DIM})
-SELECT strftime(make_timestamp(((ts // 10) * 10) * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
-       strftime(make_timestamp(((ts // 10) * 10 + 10) * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+, prov AS ({O.SQL_PROVINCE_DIM})
+SELECT {_SEC_STT} AS stt,
+       {_SEC_EDT} AS edt,
        province_id,
        any_value(province_name) AS province_name,
        CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_count,
@@ -152,14 +282,133 @@ FROM dwd_order_detail LEFT JOIN prov USING (province_id)
 GROUP BY (ts // 10) * 10, province_id
 """,
 )
-def q_dws_trade_province_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = dwd.dwd_trade_order_detail(_topic_db(spark, sf_dir), dims.base_dic(spark))
+def q_dws_trade_province_order_window(spark, sf_dir):
+    od = _dwd_order_detail(spark, sf_dir)
     return dws.dws_trade_province_order_window(od, _province_dim(spark, sf_dir))
 
 
 @query(
+    "dws_trade_cart_add_uu_window",
+    O.SQL_DWD_CART_ADD
+    + f"""
+, flagged AS (
+  SELECT *, strftime(make_timestamp(ts * 1000000), '%Y-%m-%d') AS dt,
+         row_number() OVER (PARTITION BY user_id, strftime(make_timestamp(ts * 1000000), '%Y-%m-%d')
+                            ORDER BY ts, id) AS rn
+  FROM dwd_cart_add
+)
+SELECT {_SEC_STT} AS stt, {_SEC_EDT} AS edt,
+       CAST(COUNT(*) AS BIGINT) AS cart_add_uu_ct
+FROM flagged WHERE rn = 1
+GROUP BY (ts // 10) * 10
+""",
+)
+def q_dws_trade_cart_add_uu_window(spark, sf_dir):
+    cart = dwd.dwd_trade_cart_add(_topic_db(spark, sf_dir))
+    return dws.dws_trade_cart_add_uu_window(cart)
+
+
+@query(
+    "dws_trade_order_window",
+    O.SQL_DWD_ORDER_DETAIL
+    + f"""
+, e AS (
+  SELECT *, strftime(make_timestamp(ts * 1000000), '%Y-%m-%d') AS dt
+  FROM dwd_order_detail
+), f AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, dt ORDER BY ts, id) AS rn,
+         min(dt) OVER (PARTITION BY user_id) AS first_dt
+  FROM e
+)
+SELECT {_SEC_STT} AS stt, {_SEC_EDT} AS edt,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS order_unique_user_count,
+       CAST(SUM(CASE WHEN rn = 1 AND dt = first_dt THEN 1 ELSE 0 END) AS BIGINT) AS order_new_user_count,
+       CAST(SUM(COALESCE(split_activity_amount, 0)) AS DOUBLE) AS order_activity_reduce_amount,
+       CAST(SUM(COALESCE(split_coupon_amount, 0)) AS DOUBLE) AS order_coupon_reduce_amount,
+       CAST(SUM(order_price) AS DOUBLE) AS order_origin_total_amount
+FROM f
+GROUP BY (ts // 10) * 10
+""",
+)
+def q_dws_trade_order_window(spark, sf_dir):
+    return dws.dws_trade_order_window(_dwd_order_detail(spark, sf_dir))
+
+
+@query(
+    "dws_trade_payment_suc_window",
+    O.SQL_DWD_PAY_SUC
+    + f"""
+, e AS (
+  SELECT *, strftime(make_timestamp(ts * 1000000), '%Y-%m-%d') AS dt
+  FROM dwd_pay_suc
+), f AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, dt ORDER BY ts, order_id) AS rn,
+         min(dt) OVER (PARTITION BY user_id) AS first_dt
+  FROM e
+)
+SELECT {_SEC_STT} AS stt, {_SEC_EDT} AS edt,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS payment_suc_unique_user_count,
+       CAST(SUM(CASE WHEN rn = 1 AND dt = first_dt THEN 1 ELSE 0 END) AS BIGINT) AS payment_new_user_count
+FROM f
+GROUP BY (ts // 10) * 10
+""",
+)
+def q_dws_trade_payment_suc_window(spark, sf_dir):
+    pay = dwd.dwd_trade_pay_detail_suc(_topic_db(spark, sf_dir), dims.base_dic(spark))
+    return dws.dws_trade_payment_suc_window(pay)
+
+
+@query(
+    "dws_trade_trademark_category_user_order_window",
+    O.SQL_DWD_ORDER_DETAIL
+    + f"""
+, sku AS ({O.SQL_SKU_DIM})
+SELECT {_SEC_STT} AS stt, {_SEC_EDT} AS edt,
+       trademark_name, category3_name, user_id,
+       CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_count,
+       CAST(SUM(split_total_amount) AS DOUBLE) AS order_amount
+FROM dwd_order_detail LEFT JOIN sku USING (sku_id)
+GROUP BY (ts // 10) * 10, trademark_name, category3_name, user_id
+""",
+)
+def q_dws_trade_trademark_category_user_order_window(spark, sf_dir):
+    od = _dwd_order_detail(spark, sf_dir)
+    return dws.dws_trade_trademark_category_user_order_window(
+        od, _sku_dim(spark, sf_dir)
+    )
+
+
+@query(
+    "dws_trade_trademark_category_user_refund_window",
+    f"""
+WITH r AS (
+  SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderkey % 2000 AS sku_id,
+         CAST(CAST(o_totalprice AS DECIMAL(16,2)) AS DECIMAL(18,4)) AS refund_amount,
+         CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 7200 AS ts
+  FROM orders WHERE o_orderkey % 10 = 5
+), sku AS ({O.SQL_SKU_DIM})
+SELECT {_SEC_STT} AS stt, {_SEC_EDT} AS edt,
+       trademark_name, user_id,
+       CAST(COUNT(DISTINCT order_id) AS BIGINT) AS refund_count,
+       CAST(SUM(refund_amount) AS DOUBLE) AS refund_amount
+FROM r LEFT JOIN sku USING (sku_id)
+GROUP BY (ts // 10) * 10, trademark_name, user_id
+""",
+)
+def q_dws_trade_trademark_category_user_refund_window(spark, sf_dir):
+    rf = dwd.dwd_trade_order_refund(_topic_db(spark, sf_dir)).withColumn(
+        "refund_amount", F.col("refund_amount").cast("decimal(18,4)")
+    )
+    return dws.dws_trade_trademark_category_user_refund_window(
+        rf, _sku_dim(spark, sf_dir)
+    )
+
+
+@query(
     "ads_trade_stats_by_day",
-    SQL_DWD_ORDER_DETAIL
+    O.SQL_DWD_ORDER_DETAIL
     + """
 SELECT strftime(make_timestamp(ts * 1000000), '%Y-%m-%d') AS dt,
        CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_count,
@@ -168,7 +417,444 @@ FROM dwd_order_detail
 GROUP BY 1
 """,
 )
-def q_ads_trade_stats_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADS day rollup (ref mapper/TradeStatsMapper.java:12-16, SURVEY A8)."""
-    od = dwd.dwd_trade_order_detail(_topic_db(spark, sf_dir), dims.base_dic(spark))
-    return ads.trade_stats_by_day(od)
+def q_ads_trade_stats_by_day(spark, sf_dir):
+    return ads.trade_stats_by_day(_dwd_order_detail(spark, sf_dir))
+
+
+@query(
+    "ads_trade_stats_union",
+    O.SQL_DWD_ORDER_DETAIL
+    + """
+, cancels AS (
+  SELECT o_orderkey AS order_id, CAST(o_totalprice AS DECIMAL(16,2)) AS cancel_amount
+  FROM orders WHERE o_orderkey % 10 = 0
+), refunds AS (
+  SELECT o_orderkey AS order_id, CAST(o_totalprice AS DECIMAL(16,2)) AS refund_amount
+  FROM orders WHERE o_orderkey % 10 = 5
+)
+SELECT 'order' AS type, CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_ct,
+       CAST(SUM(split_total_amount) AS DOUBLE) AS order_amount
+FROM dwd_order_detail
+UNION ALL
+SELECT 'cancel', CAST(COUNT(DISTINCT order_id) AS BIGINT),
+       CAST(SUM(cancel_amount) AS DOUBLE) FROM cancels
+UNION ALL
+SELECT 'refund', CAST(COUNT(DISTINCT order_id) AS BIGINT),
+       CAST(SUM(refund_amount) AS DOUBLE) FROM refunds
+""",
+)
+def q_ads_trade_stats_union(spark, sf_dir):
+    tdb = _topic_db(spark, sf_dir)
+    od = dwd.dwd_trade_order_detail(tdb, dims.base_dic(spark))
+    return ads.trade_stats_union(
+        od,
+        dwd.dwd_trade_cancel_detail(tdb).withColumn(
+            "cancel_amount", F.col("cancel_amount").cast("decimal(18,4)")
+        ),
+        dwd.dwd_trade_order_refund(tdb).withColumn(
+            "refund_amount", F.col("refund_amount").cast("decimal(18,4)")
+        ),
+    )
+
+
+@query(
+    "ads_commodity_stats_full_outer",
+    O.SQL_DWD_ORDER_DETAIL
+    + f"""
+, sku AS ({O.SQL_SKU_DIM})
+, o AS (
+  SELECT trademark_name, CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_ct,
+         CAST(SUM(split_total_amount) AS DOUBLE) AS order_amount
+  FROM dwd_order_detail LEFT JOIN sku USING (sku_id)
+  GROUP BY trademark_name
+), rf AS (
+  SELECT trademark_name, CAST(COUNT(DISTINCT order_id) AS BIGINT) AS refund_ct,
+         CAST(SUM(refund_amount) AS DOUBLE) AS refund_amount
+  FROM (
+    SELECT o_orderkey AS order_id, o_orderkey % 2000 AS sku_id,
+           CAST(CAST(o_totalprice AS DECIMAL(16,2)) AS DECIMAL(18,4)) AS refund_amount
+    FROM orders WHERE o_orderkey % 10 = 5
+  ) r LEFT JOIN sku USING (sku_id)
+  GROUP BY trademark_name
+)
+SELECT coalesce(o.trademark_name, rf.trademark_name) AS trademark_name,
+       o.order_ct, o.order_amount, rf.refund_ct, rf.refund_amount
+FROM o FULL OUTER JOIN rf ON o.trademark_name = rf.trademark_name
+""",
+)
+def q_ads_commodity_stats_full_outer(spark, sf_dir):
+    tdb = _topic_db(spark, sf_dir)
+    od = dwd.dwd_trade_order_detail(tdb, dims.base_dic(spark))
+    rf = dwd.dwd_trade_order_refund(tdb).withColumn(
+        "refund_amount", F.col("refund_amount").cast("decimal(18,4)")
+    )
+    return ads.commodity_stats_full_outer(od, rf, _sku_dim(spark, sf_dir))
+
+
+@query(
+    "ads_activity_stats",
+    O.SQL_DWD_ORDER_DETAIL
+    + """
+SELECT activity_id,
+       CAST(SUM(COALESCE(split_activity_amount, 0)) AS DOUBLE) AS reduce_amount,
+       CAST(SUM(split_total_amount) AS DOUBLE) AS origin_amount,
+       round(CAST(SUM(COALESCE(split_activity_amount, 0)) AS DOUBLE)
+             / CAST(SUM(split_total_amount) AS DOUBLE), 4) AS subsidy_rate
+FROM dwd_order_detail WHERE activity_id IS NOT NULL
+GROUP BY activity_id
+""",
+)
+def q_ads_activity_stats(spark, sf_dir):
+    return ads.activity_stats(_dwd_order_detail(spark, sf_dir))
+
+
+@query(
+    "ads_coupon_stats",
+    O.SQL_DWD_ORDER_DETAIL
+    + """
+SELECT coupon_id,
+       CAST(SUM(COALESCE(split_coupon_amount, 0)) AS DOUBLE) AS reduce_amount,
+       CAST(SUM(split_total_amount) AS DOUBLE) AS origin_amount,
+       round(CAST(SUM(COALESCE(split_coupon_amount, 0)) AS DOUBLE)
+             / CAST(SUM(split_total_amount) AS DOUBLE), 4) AS subsidy_rate
+FROM dwd_order_detail WHERE coupon_id IS NOT NULL
+GROUP BY coupon_id
+""",
+)
+def q_ads_coupon_stats(spark, sf_dir):
+    return ads.coupon_stats(_dwd_order_detail(spark, sf_dir))
+
+
+# ===========================================================================
+# Traffic domain (log envelope -> DWD -> DWS -> ADS)
+# ===========================================================================
+
+_PAGE_COLS_SQL = (
+    "mid, user_id, vc, ch, ar, is_new, page_id, last_page_id, item, item_type, "
+    "during_time, ts_us, dt, is_session_start, event_id"
+)
+
+
+@query(
+    "dwd_traffic_page_log",
+    O.SQL_PAGE_LOG + f"SELECT {_PAGE_COLS_SQL} FROM page_log",
+)
+def q_dwd_traffic_page_log(spark, sf_dir):
+    return traffic.dwd_traffic_page_log(_page_log(spark, sf_dir))
+
+
+@query(
+    "dwd_traffic_display_log",
+    O.SQL_PAGE_LOG
+    + """
+SELECT mid, page_id,
+       'sku' || CAST(event_id % 100 AS VARCHAR) AS display_item,
+       'sku_id' AS display_item_type,
+       CAST(1 AS BIGINT) AS pos_id, ts_us
+FROM page_log WHERE is_view
+UNION ALL
+SELECT mid, page_id,
+       'sku' || CAST((event_id * 7) % 100 AS VARCHAR),
+       'sku_id', CAST(2 AS BIGINT), ts_us
+FROM page_log WHERE is_view
+""",
+)
+def q_dwd_traffic_display_log(spark, sf_dir):
+    return traffic.dwd_traffic_display_log(_page_log(spark, sf_dir))
+
+
+@query(
+    "dwd_traffic_unique_visitor_detail",
+    O.SQL_PAGE_LOG
+    + f"""
+, flagged AS (
+  SELECT *, row_number() OVER (PARTITION BY mid, dt ORDER BY ts_us, event_id) AS rn
+  FROM page_log
+)
+SELECT {_PAGE_COLS_SQL} FROM flagged WHERE rn = 1
+""",
+)
+def q_dwd_traffic_unique_visitor_detail(spark, sf_dir):
+    return traffic.dwd_traffic_unique_visitor_detail(_page_log(spark, sf_dir))
+
+
+@query(
+    "dwd_traffic_user_jump_detail",
+    O.SQL_PAGE_LOG
+    + f"""
+, led AS (
+  SELECT *, lead(ts_us) OVER w AS nxt_ts, lead(is_session_start) OVER w AS nxt_start
+  FROM page_log
+  WINDOW w AS (PARTITION BY mid ORDER BY ts_us, event_id)
+)
+SELECT {_PAGE_COLS_SQL} FROM led
+WHERE is_session_start = 1
+  AND (nxt_ts IS NULL OR nxt_ts - ts_us > 10000000 OR nxt_start = 1)
+""",
+)
+def q_dwd_traffic_user_jump_detail(spark, sf_dir):
+    return traffic.dwd_traffic_user_jump_detail(_page_log(spark, sf_dir))
+
+
+_SQL_TRAFFIC_FLAGS = (
+    O.SQL_PAGE_LOG
+    + """
+, repaired AS (
+  SELECT *,
+         CASE WHEN is_new = '1' AND dt <> min(dt) OVER (PARTITION BY mid)
+              THEN '0' ELSE is_new END AS is_new_r,
+         row_number() OVER (PARTITION BY mid, dt ORDER BY ts_us, event_id) AS rn
+  FROM page_log
+), jumps AS (
+  SELECT event_id FROM (
+    SELECT event_id, is_session_start, ts_us,
+           lead(ts_us) OVER w AS nxt_ts,
+           lead(is_session_start) OVER w AS nxt_start
+    FROM page_log
+    WINDOW w AS (PARTITION BY mid ORDER BY ts_us, event_id)
+  ) WHERE is_session_start = 1
+      AND (nxt_ts IS NULL OR nxt_ts - ts_us > 10000000 OR nxt_start = 1)
+), flagged AS (
+  SELECT r.*, CASE WHEN j.event_id IS NULL THEN 0 ELSE 1 END AS uj_flag
+  FROM repaired r LEFT JOIN jumps j ON r.event_id = j.event_id
+)
+"""
+)
+
+
+@query(
+    "dws_traffic_vc_ch_ar_isnew_page_view_window",
+    _SQL_TRAFFIC_FLAGS
+    + f"""
+SELECT {O.tumble_stt()} AS stt, {O.tumble_edt()} AS edt,
+       vc, ch, ar, is_new_r AS is_new,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uv_ct,
+       CAST(SUM(is_session_start) AS BIGINT) AS sv_ct,
+       CAST(COUNT(*) AS BIGINT) AS pv_ct,
+       CAST(SUM(during_time) AS BIGINT) AS dur_sum,
+       CAST(SUM(uj_flag) AS BIGINT) AS uj_ct
+FROM flagged
+GROUP BY ts_us // 10000000, vc, ch, ar, is_new_r
+""",
+)
+def q_dws_traffic_vc_ch_ar_isnew_page_view_window(spark, sf_dir):
+    return traffic.dws_traffic_vc_ch_ar_isnew_page_view_window(
+        _page_log(spark, sf_dir)
+    )
+
+
+@query(
+    "dws_traffic_source_keyword_page_view_window",
+    O.SQL_PAGE_LOG
+    + f"""
+, words AS (
+  SELECT unnest(string_split(lower(item), ' ')) AS keyword, ts_us
+  FROM page_log
+  WHERE item_type = 'keyword' AND last_page_id = 'search' AND item IS NOT NULL
+)
+SELECT {O.tumble_stt()} AS stt, {O.tumble_edt()} AS edt, keyword,
+       CAST(COUNT(*) AS BIGINT) AS keyword_count
+FROM words WHERE len(keyword) > 0
+GROUP BY ts_us // 10000000, keyword
+""",
+)
+def q_dws_traffic_source_keyword_page_view_window(spark, sf_dir):
+    return traffic.dws_traffic_source_keyword_page_view_window(
+        _page_log(spark, sf_dir)
+    )
+
+
+@query(
+    "dws_traffic_page_view_window",
+    O.SQL_PAGE_LOG
+    + f"""
+, hp AS (
+  SELECT *, row_number() OVER (PARTITION BY mid, dt, page_id ORDER BY ts_us, event_id) AS rn
+  FROM page_log WHERE page_id IN ('home', 'good_detail')
+)
+SELECT {O.tumble_stt()} AS stt, {O.tumble_edt()} AS edt,
+       CAST(SUM(CASE WHEN page_id = 'home' AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS home_uv_ct,
+       CAST(SUM(CASE WHEN page_id = 'good_detail' AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS good_detail_uv_ct
+FROM hp
+GROUP BY ts_us // 10000000
+""",
+)
+def q_dws_traffic_page_view_window(spark, sf_dir):
+    return traffic.dws_traffic_page_view_window(_page_log(spark, sf_dir))
+
+
+@query(
+    "dws_user_user_login_window",
+    O.SQL_PAGE_LOG
+    + f"""
+, logins AS (
+  SELECT * FROM page_log WHERE is_session_start = 1 AND user_id IS NOT NULL
+), uu AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, dt ORDER BY ts_us, event_id) AS rn
+  FROM logins
+), back AS (
+  SELECT *, lag(dt) OVER (PARTITION BY user_id ORDER BY dt) AS prev_dt
+  FROM uu WHERE rn = 1
+)
+SELECT {O.tumble_stt()} AS stt, {O.tumble_edt()} AS edt,
+       CAST(COUNT(*) AS BIGINT) AS uu_ct,
+       CAST(SUM(CASE WHEN prev_dt IS NOT NULL
+                      AND date_diff('day', CAST(prev_dt AS DATE), CAST(dt AS DATE)) >= 8
+                     THEN 1 ELSE 0 END) AS BIGINT) AS back_ct
+FROM back
+GROUP BY ts_us // 10000000
+""",
+)
+def q_dws_user_user_login_window(spark, sf_dir):
+    return user.dws_user_user_login_window(_page_log(spark, sf_dir))
+
+
+@query(
+    "dws_user_user_register_window",
+    O.SQL_PAGE_LOG
+    + f"""
+SELECT {O.tumble_stt()} AS stt, {O.tumble_edt()} AS edt,
+       CAST(COUNT(*) AS BIGINT) AS register_ct
+FROM page_log WHERE page_id = 'register'
+GROUP BY ts_us // 10000000
+""",
+)
+def q_dws_user_user_register_window(spark, sf_dir):
+    return user.dws_user_user_register_window(_page_log(spark, sf_dir))
+
+
+@query(
+    "ads_traffic_channel_stats",
+    _SQL_TRAFFIC_FLAGS
+    + """
+SELECT dt, ch,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uv_ct,
+       CAST(SUM(is_session_start) AS BIGINT) AS sv_ct,
+       CAST(COUNT(*) AS BIGINT) AS pv_ct,
+       CAST(COUNT(*) AS DOUBLE) / nullif(CAST(SUM(is_session_start) AS DOUBLE), 0) AS pv_per_session,
+       CAST(SUM(during_time) AS DOUBLE) / nullif(CAST(SUM(is_session_start) AS DOUBLE), 0) AS dur_per_session,
+       CAST(SUM(uj_flag) AS DOUBLE) / nullif(CAST(SUM(is_session_start) AS DOUBLE), 0) AS uj_rate
+FROM flagged
+GROUP BY dt, ch
+""",
+)
+def q_ads_traffic_channel_stats(spark, sf_dir):
+    vc = traffic.dws_traffic_vc_ch_ar_isnew_page_view_window(_page_log(spark, sf_dir))
+    return ads.traffic_channel_stats(vc)
+
+
+@query(
+    "ads_traffic_visitor_stats_by_hour",
+    _SQL_TRAFFIC_FLAGS
+    + """
+SELECT dt,
+       CAST(strftime(make_timestamp(ts_us), '%H') AS BIGINT) AS hr,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uv_ct,
+       CAST(SUM(CASE WHEN rn = 1 AND is_new_r = '1' THEN 1 ELSE 0 END) AS BIGINT) AS new_uv_ct,
+       CAST(SUM(is_session_start) AS BIGINT) AS sv_ct,
+       CAST(COUNT(*) AS BIGINT) AS pv_ct
+FROM flagged
+GROUP BY dt, strftime(make_timestamp(ts_us), '%H')
+""",
+)
+def q_ads_traffic_visitor_stats_by_hour(spark, sf_dir):
+    vc = traffic.dws_traffic_vc_ch_ar_isnew_page_view_window(_page_log(spark, sf_dir))
+    return ads.traffic_visitor_stats_by_hour(vc)
+
+
+@query(
+    "ads_traffic_keywords",
+    O.SQL_PAGE_LOG
+    + """
+, words AS (
+  SELECT unnest(string_split(lower(item), ' ')) AS keyword, ch
+  FROM page_log
+  WHERE item_type = 'keyword' AND last_page_id = 'search' AND item IS NOT NULL
+)
+SELECT keyword,
+       CAST(COUNT(*) AS BIGINT) AS keyword_ct,
+       CAST(SUM(CASE ch WHEN 'appstore' THEN 10 WHEN 'web' THEN 5 ELSE 2 END) AS BIGINT) AS keyword_score
+FROM words WHERE len(keyword) > 0
+GROUP BY keyword
+""",
+)
+def q_ads_traffic_keywords(spark, sf_dir):
+    pl = _page_log(spark, sf_dir)
+    searches = pl.filter(
+        (F.col("item_type") == "keyword")
+        & (F.col("last_page_id") == "search")
+        & F.col("item").isNotNull()
+    ).select(
+        F.explode(F.split(F.lower(F.col("item")), "\\s+")).alias("keyword"),
+        "ch",
+    ).filter(F.length("keyword") > 0)
+    return ads.traffic_keywords(searches)
+
+
+@query(
+    "ads_user_stats_union",
+    O.SQL_PAGE_LOG
+    + O.SQL_DWD_ORDER_DETAIL.replace("WITH od AS", ", od AS", 1)
+    + """
+SELECT 'register' AS type, CAST(COUNT(*) AS BIGINT) AS user_ct
+FROM page_log WHERE page_id = 'register'
+UNION ALL
+SELECT 'active', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM page_log
+UNION ALL
+SELECT 'order', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM dwd_order_detail
+""",
+)
+def q_ads_user_stats_union(spark, sf_dir):
+    return ads.user_stats_union(
+        _page_log(spark, sf_dir), _dwd_order_detail(spark, sf_dir)
+    )
+
+
+# ===========================================================================
+# Generic relational operators
+# ===========================================================================
+
+
+@query(
+    "interval_join_events",
+    """
+WITH a AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id AS view_event_id, b.event_id AS purchase_event_id,
+       a.user_id, b.ts_us - a.ts_us AS gap_us
+FROM a JOIN b ON a.user_id = b.user_id
+  AND b.ts_us BETWEEN a.ts_us - 7200000000 AND a.ts_us + 7200000000
+""",
+)
+def q_interval_join_events(spark, sf_dir):
+    """Event-time interval join ±2 h on user (ref DataStreamJoinTest.
+    java:48-56 uses ±5 s, SURVEY J7; widened to the test data's event
+    density): native range-predicate join in Spark."""
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("a_ts_us"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.unix_micros("ts").alias("b_ts_us"),
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user_id)
+            & (b.b_ts_us >= a.a_ts_us - 7_200_000_000)
+            & (b.b_ts_us <= a.a_ts_us + 7_200_000_000),
+        )
+        .select(
+            "view_event_id",
+            "purchase_event_id",
+            "user_id",
+            (F.col("b_ts_us") - F.col("a_ts_us")).alias("gap_us"),
+        )
+    )

@@ -19,9 +19,10 @@ Derivation rules (all modulo-arithmetic on keys, so both engines agree):
   (payment_status '1602', old set)   [exercises P7 pay-success filter]
 - o_orderkey%10==5 -> an ``order_refund_info`` insert + an
   ``order_info`` refund update ('1005')  [P7 refund filter]
-- cart rows from lineitem: l_orderkey%4==1 insert; %4==2 update with
-  sku_num increased by 1 (kept, delta rule P4); %4==3 update with
-  sku_num decreased (must be dropped)
+- cart rows from lineitem (changelog per id): l_orderkey%4 in
+  {1,2,3} -> insert; %4==2 -> + update raising sku_num by 1 (kept,
+  delta rule P4); %4==3 & qty>1 -> + update lowering sku_num (must
+  be dropped by the delta rule; exercises last-one-wins dedup T4)
 
 Timestamps: ts = epoch(o_orderdate) + key % 86400 (spread across the
 day so tumbling windows get sub-day exercise).
@@ -141,6 +142,22 @@ def order_detail_cdc(lineitem: DataFrame) -> DataFrame:
         )
         .cast("decimal(18,4)")
         .cast("string"),
+        F.lit("split_activity_amount"),
+        F.when(
+            F.col("l_orderkey") % 5 == 0,
+            (
+                F.col("l_extendedprice").cast("decimal(16,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            ).cast("decimal(18,4)"),
+        ).cast("string"),
+        F.lit("split_coupon_amount"),
+        F.when(
+            F.col("l_orderkey") % 7 == 0,
+            (
+                F.col("l_extendedprice").cast("decimal(16,2)")
+                * F.col("l_tax").cast("decimal(4,2)")
+            ).cast("decimal(18,4)"),
+        ).cast("string"),
         F.lit("source_type"), F.concat(F.lit("240"), (1 + F.col("l_partkey") % 4).cast("string")),
         F.lit("create_time"), _fmt_time(ts),
     )
@@ -228,7 +245,7 @@ def cart_info_cdc(lineitem: DataFrame) -> DataFrame:
             F.lit("create_time"), _fmt_time(ts),
         )
 
-    inserts = lineitem.filter(mod == 1).select(
+    inserts = lineitem.filter(mod.isin(1, 2, 3)).select(
         *_envelope("cart_info", "insert", _data(qty), _null_map(), ts)
     )
     ups = lineitem.filter(mod == 2).select(
