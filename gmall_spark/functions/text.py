@@ -1,0 +1,107 @@
+"""Text-analysis functions for the training-data pipeline.
+
+All pure Column expressions (JVM-side, codegen'd — no Python UDFs in
+the hot path), each with an exact ANSI-SQL twin so the DuckDB oracle
+can replay them:
+
+- tokenization (whitespace + BPE-ish regex token count)
+- quality scoring (length / punctuation / stopword / alpha ratios)
+- language-ID (marker-word + script heuristic)
+- document fingerprinting (md5 canonical hash + 16-bit SimHash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the heuristic lang-ID. On the
+# synthetic corpus (uniform vocab) the signal is the English articles;
+# real corpora would extend the marker lists.
+EN_MARKERS = r"\b(the|a|of|and|to)\b"
+ES_MARKERS = r"\b(el|la|de|los|las)\b"
+FR_MARKERS = r"\b(le|les|des|une|est)\b"
+DE_MARKERS = r"\b(der|die|das|und|ist)\b"
+# literal CJK chars (not a \\u escape) so the same pattern string works
+# in both Java regex (Spark) and RE2 (DuckDB oracle)
+CJK_RANGE = "[一-鿿]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens (array<string>)."""
+    return F.split(text, r"\s+")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text)).cast("bigint")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens (regexp occurrences)."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN)).cast("bigint")
+
+
+def stopword_count(text: Column) -> Column:
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat)).cast("bigint")
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]")).cast("bigint")
+
+
+def alpha_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[A-Za-z]")).cast("bigint")
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-based language guess (CJK script beats word markers)."""
+    low = F.lower(text)
+    return (
+        F.when(low.rlike(CJK_RANGE), F.lit("zh"))
+        .when(low.rlike(EN_MARKERS), F.lit("en"))
+        .when(low.rlike(ES_MARKERS), F.lit("es"))
+        .when(low.rlike(FR_MARKERS), F.lit("fr"))
+        .when(low.rlike(DE_MARKERS), F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def canonical_hash(text: Column) -> Column:
+    """Fingerprint of whitespace-normalized lowercase text (md5)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def nibble(hexchar: Column) -> Column:
+    """Hex char -> 0..15 without engine-specific conv()."""
+    return F.instr(F.lit("0123456789abcdef"), hexchar) - 1
+
+
+def simhash16(doc_words: Column) -> Column:
+    """16-bit SimHash over a document's word array.
+
+    For each word, md5's first 4 hex chars give 16 bits; each bit
+    votes +1/-1; the sign per position forms the fingerprint. Uses
+    only md5/substring/arithmetic so the oracle SQL is identical —
+    engine hash functions (murmur vs duckdb hash) are avoided on
+    purpose.
+    """
+    def _voter(ch: int, b: int):
+        def _fn(acc: Column, w: Column) -> Column:
+            bit_set = (
+                (nibble(F.substring(F.md5(w), ch + 1, 1)) / (2**b)).cast("int") % 2
+            ) == 1
+            return acc + F.when(bit_set, F.lit(1)).otherwise(F.lit(-1))
+
+        return _fn
+
+    total = F.lit(0)
+    for bit in range(16):
+        vote = F.aggregate(doc_words, F.lit(0), _voter(bit // 4, bit % 4))
+        total = total + F.when(vote > 0, F.lit(2**bit)).otherwise(F.lit(0))
+    return total.cast("bigint")

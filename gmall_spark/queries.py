@@ -858,3 +858,7 @@ def q_interval_join_events(spark, sf_dir):
             (F.col("b_ts_us") - F.col("a_ts_us")).alias("gap_us"),
         )
     )
+
+
+# Register the LLM-data-pipeline queries into the same registry.
+from gmall_spark import queries_llm  # noqa: E402,F401

@@ -1,0 +1,328 @@
+"""LLM-training-data pipeline queries (dedup / similarity / text /
+multimodal) with DuckDB oracle twins.
+
+Registered into the same registry as the warehouse queries
+(gmall_spark.queries imports this module at the end of its body).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_spark.functions import text as TX
+from gmall_spark.operators import llm_dedup, multimodal, similarity
+from gmall_spark.queries import _t, query
+
+NEAR_DUP_THRESHOLD = 0.8
+
+# --- shared oracle fragments ----------------------------------------------
+
+SQL_SHINGLES = r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos FROM ws
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS shingle
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w,4) OVER win IS NOT NULL
+), szs AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+)
+"""
+
+_SIGS = ",\n         ".join(
+    f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(llm_dedup.MINHASH_K)
+)
+_BANDS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {bi} AS band_idx, md5(sig_{a} || sig_{b} || sig_{c} || sig_{d}) AS band_hash FROM sig".format(
+        bi=bi, a=bi * 4, b=bi * 4 + 1, c=bi * 4 + 2, d=bi * 4 + 3
+    )
+    for bi in range(llm_dedup.LSH_BANDS)
+)
+
+SQL_MINHASH = (
+    SQL_SHINGLES
+    + f"""
+, sig AS (
+  SELECT doc_id, {_SIGS}
+  FROM sh GROUP BY doc_id
+), banded AS (
+{_BANDS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+"""
+)
+
+_SQL_JACCARD_VERIFY = f"""
+, inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+       round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN szs sa ON sa.doc_id = i.doc_a
+JOIN szs sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings")
+
+
+# --- text analysis --------------------------------------------------------
+
+
+@query(
+    "text_quality_scores",
+    r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_actual,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT) AS stopword_ct,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_ct,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha_ct
+  FROM documents
+)
+SELECT doc_id, n_chars_actual, n_words, bpe_tokens, stopword_ct, punct_ct, alpha_ct,
+       round(CAST(stopword_ct AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS stopword_ratio,
+       round(CAST(punct_ct AS DOUBLE) / CAST(n_chars_actual AS DOUBLE), 6) AS punct_ratio,
+       round(CAST(alpha_ct AS DOUBLE) / CAST(n_chars_actual AS DOUBLE), 6) AS alpha_ratio
+FROM m
+""",
+)
+def q_text_quality_scores(spark, sf_dir):
+    """Quality scoring: length / token / stopword / punctuation stats
+    (BASELINE text-analysis mandate; all JVM-side regex counts)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    m = d.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_chars_actual"),
+        TX.word_count(t).alias("n_words"),
+        TX.bpe_token_count(t).alias("bpe_tokens"),
+        TX.stopword_count(t).alias("stopword_ct"),
+        TX.punct_count(t).alias("punct_ct"),
+        TX.alpha_count(t).alias("alpha_ct"),
+    )
+    return m.select(
+        "*",
+        F.round(F.col("stopword_ct") / F.col("n_words"), 6).alias("stopword_ratio"),
+        F.round(F.col("punct_ct") / F.col("n_chars_actual"), 6).alias("punct_ratio"),
+        F.round(F.col("alpha_ct") / F.col("n_chars_actual"), 6).alias("alpha_ratio"),
+    )
+
+
+@query(
+    "text_lang_id",
+    f"""
+SELECT doc_id, lang,
+       CASE WHEN regexp_matches(lower(text), '{TX.CJK_RANGE}') THEN 'zh'
+            WHEN regexp_matches(lower(text), '{TX.EN_MARKERS}') THEN 'en'
+            WHEN regexp_matches(lower(text), '{TX.ES_MARKERS}') THEN 'es'
+            WHEN regexp_matches(lower(text), '{TX.FR_MARKERS}') THEN 'fr'
+            WHEN regexp_matches(lower(text), '{TX.DE_MARKERS}') THEN 'de'
+            ELSE 'unknown' END AS lang_pred
+FROM documents
+""",
+)
+def q_text_lang_id(spark, sf_dir):
+    """Heuristic language-ID (marker words + CJK script)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "doc_fingerprint_simhash",
+    None,  # oracle attached below (generated SQL)
+)
+def q_doc_fingerprint_simhash(spark, sf_dir):
+    """Canonical md5 + 16-bit SimHash fingerprints per document."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.canonical_hash(F.col("text")).alias("canonical_md5"),
+        TX.simhash16(TX.words(F.col("text"))).alias("simhash"),
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), {pos}, 1)) - 1) // {div}) % 2 = 1 "
+        "THEN 1 ELSE -1 END) AS v{bit}".format(pos=bit // 4 + 1, div=2 ** (bit % 4), bit=bit)
+        for bit in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN v{bit} > 0 THEN {2**bit} ELSE 0 END" for bit in range(16))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM tok GROUP BY doc_id
+), canon AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS canonical_md5
+  FROM documents
+)
+SELECT c.doc_id, c.canonical_md5, CAST({fp} AS BIGINT) AS simhash
+FROM canon c JOIN votes v ON c.doc_id = v.doc_id
+"""
+
+
+from gmall_spark.queries import ORACLES  # noqa: E402
+
+ORACLES["doc_fingerprint_simhash"] = _simhash_oracle()
+
+
+# --- deduplication --------------------------------------------------------
+
+
+@query(
+    "dedup_exact_documents",
+    r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_exact_documents(spark, sf_dir):
+    """Exact dedup via canonical-hash groupBy (one shuffle of
+    (hash, id) pairs; map-side partial aggregation)."""
+    return llm_dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_prefix_groups",
+    r"""
+WITH p AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split_regex(text, '\s+')[1:8], ' ')) AS prefix_hash
+  FROM documents
+)
+SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+FROM p GROUP BY prefix_hash
+""",
+)
+def q_dedup_prefix_groups(spark, sf_dir):
+    """Leading-boilerplate dedup: group by hash of the first 8 words."""
+    d = _docs(spark, sf_dir)
+    prefix = F.concat_ws(" ", F.slice(TX.words(F.col("text")), 1, 8))
+    return (
+        d.select(F.md5(prefix).alias("prefix_hash"), "doc_id")
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.min("doc_id").cast("bigint").alias("keeper_id"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    SQL_SHINGLES
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+{_SQL_JACCARD_VERIFY}
+""",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard near-dup detection (5-gram
+    shingles, shared-shingle join; threshold 0.8)."""
+    sh = llm_dedup.word_shingles(_docs(spark, sf_dir))
+    return llm_dedup.jaccard_pairs(sh, NEAR_DUP_THRESHOLD)
+
+
+@query("dedup_minhash_lsh", SQL_MINHASH + _SQL_JACCARD_VERIFY)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands) near-dup detection with exact
+    Jaccard verification of candidates — the 100 TB scale path."""
+    return llm_dedup.minhash_lsh_dedup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
+
+
+# --- similarity search ----------------------------------------------------
+
+
+@query(
+    "similarity_topk_cosine",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS nvec FROM embeddings
+), pairs AS (
+  SELECT query_id, neighbor_id,
+         unnest(qvec)::DOUBLE AS qx, unnest(nvec)::DOUBLE AS nx
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))), 6) AS cos_sim
+  FROM pairs GROUP BY query_id, neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= 10
+""",
+)
+def q_similarity_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors (exact ANN
+    baseline; broadcast queries, codegen'd higher-order fold)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query("similarity_lsh_topk")  # no SQL oracle: rows-only driver check
+def q_similarity_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (deterministic hyperplanes) — scale path.
+    Verified in tests against brute force; no compact SQL twin."""
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# --- multimodal plumbing --------------------------------------------------
+
+
+@query(
+    "multimodal_decode_stub",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS header_byte,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
+       'text' AS modality
+FROM documents
+""",
+)
+def q_multimodal_decode_stub(spark, sf_dir):
+    """Binary-column decode plumbing: utf-8 blobs through an
+    Arrow-batched mapInPandas stub decoder (real schema/partitioning,
+    fake features — codecs aren't in this container)."""
+    return multimodal.decode_features(
+        multimodal.documents_as_blobs(_docs(spark, sf_dir))
+    )

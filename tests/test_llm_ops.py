@@ -1,0 +1,58 @@
+"""Unit tests for the LLM-data-pipeline operators beyond oracle parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_spark.operators import llm_dedup, similarity
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    """LSH candidates must recover (essentially all) true near-dup
+    pairs found by the exact all-pairs Jaccard at the 0.8 threshold —
+    at j>=0.8 with 16/4-band minhash, miss probability per pair < 1e-3."""
+    docs = _docs(spark, sf_dir)
+    sh = llm_dedup.word_shingles(docs)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup.jaccard_pairs(sh, 0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup.minhash_lsh_dedup(docs, 0.8).collect()
+    }
+    assert lsh <= exact  # verification guarantees no false positives
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.95, f"LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_lsh_topk_subset_of_brute_force_scores(spark, sf_dir):
+    """Bucketed ANN returns true cosine scores (same scoring fn), and
+    each query's bucket always contains itself -> nonempty results."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    bf = similarity.brute_force_topk(emb, queries, k=50)
+    ann = similarity.lsh_bucketed_topk(emb, queries, k=10)
+    bf_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in bf.collect()}
+    ann_rows = ann.collect()
+    assert ann_rows, "LSH ANN returned nothing"
+    for r in ann_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf_scores:
+            assert abs(bf_scores[key] - r.cos_sim) < 1e-9
+
+
+def test_exact_dedup_total_count(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    groups = llm_dedup.exact_dedup_groups(docs)
+    total = groups.agg(F.sum("doc_count")).collect()[0][0]
+    assert total == docs.count()
