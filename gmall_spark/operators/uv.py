@@ -33,10 +33,26 @@ def first_of_day_flag(
     ts_order: list[str],
     flag_name: str = "is_first_of_day",
 ) -> DataFrame:
-    """1 for each key's first row of each day (per-day UV row), else 0."""
-    w = Window.partitionBy(key, date_col).orderBy(*[F.col(c) for c in ts_order])
+    """1 for each key's first row of each day (per-day UV row), else 0.
+
+    Semantically ``row_number() over (partition by key, date order by
+    ts) = 1``, but computed as a lag() over a single (key) partition
+    ordered by (date, ts): the first row of a day is the one whose
+    predecessor has a different date. Equivalent because date is a
+    monotone function of the ts ordering — and it shares the (key)
+    hash partitioning with ``first_ever_flag``/``returning_flag``, so
+    chaining them costs ONE shuffle instead of one per partitioning
+    (at 100 TB the (key, date) exchange was pure waste).
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(date_col), *[F.col(c) for c in ts_order]
+    )
+    prev_dt = F.lag(date_col).over(w)
     return df.withColumn(
-        flag_name, F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(F.lit(0))
+        flag_name,
+        F.when(prev_dt.isNull() | (prev_dt != F.col(date_col)), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
 
 

@@ -96,7 +96,6 @@ def _with_flags(page_log: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w_mid = Window.partitionBy("mid").orderBy("ts_us", "event_id")
-    w_day = Window.partitionBy("mid", "dt").orderBy("ts_us", "event_id")
     nxt_ts = F.lead("ts_us").over(w_mid)
     nxt_start = F.lead("is_session_start").over(w_mid)
     uj = (
@@ -107,11 +106,13 @@ def _with_flags(page_log: DataFrame) -> DataFrame:
             | (nxt_start == 1)
         )
     ).cast("int")
+    # uv flag via lag(dt) over the same (mid) partitioning as the jump
+    # lead() and the is_new-repair min() — Catalyst plans one exchange
+    prev_dt = F.lag("dt").over(w_mid)
     repaired = repair_is_new(page_log, "mid", "dt", "is_new")
-    return (
-        repaired.withColumn("uv_flag", (F.row_number().over(w_day) == 1).cast("int"))
-        .withColumn("uj_flag", uj)
-    )
+    return repaired.withColumn(
+        "uv_flag", (prev_dt.isNull() | (prev_dt != F.col("dt"))).cast("int")
+    ).withColumn("uj_flag", uj)
 
 
 def dws_traffic_vc_ch_ar_isnew_page_view_window(page_log: DataFrame) -> DataFrame:
