@@ -88,6 +88,56 @@ def traffic_visitor_stats_by_hour(vc_window: DataFrame) -> DataFrame:
     )
 
 
+def trade_province_stats(province_window: DataFrame) -> DataFrame:
+    """Per (day, province) order count + amount rollup.
+
+    Ref mapper/TradeStatsMapper.java selectTradeProvinceOrderCt /
+    selectTradeProvinceOrderAmount (SURVEY A8): ``sum(order_count),
+    sum(order_amount) ... group by province_id, province_name`` over the
+    DWS window table — note the reference sums per-window distinct
+    counts (not day-exact distincts); mirrored faithfully.
+    """
+    return (
+        province_window.groupBy(
+            F.substring("stt", 1, 10).alias("dt"), "province_id"
+        )
+        .agg(
+            F.any_value("province_name").alias("province_name"),
+            F.sum("order_count").cast("bigint").alias("order_count"),
+            F.sum("order_amount").cast("double").alias("order_amount"),
+        )
+    )
+
+
+def uv_by_channel(vc_window: DataFrame) -> DataFrame:
+    """Per (day, channel) UV + jump counters.
+
+    Ref gmall-publisher/.../UvMapper.java selectUvByCh: ``select ch,
+    sum(uv_ct) uv, sum(uj_ct) uj ... group by ch``.
+    """
+    return vc_window.groupBy(F.substring("stt", 1, 10).alias("dt"), "ch").agg(
+        F.sum("uv_ct").cast("bigint").alias("uv"),
+        F.sum("uj_ct").cast("bigint").alias("uj"),
+    )
+
+
+def traffic_visitor_stats_by_isnew(vc_window: DataFrame) -> DataFrame:
+    """Per (day, is_new) visitor stats.
+
+    Ref mapper/TrafficVisitorStatsMapper.java selectVisitorStatsByNewFlag
+    (SURVEY A8): uv/pv/sv/uj/dur sums grouped by the new-visitor flag.
+    """
+    return vc_window.groupBy(
+        F.substring("stt", 1, 10).alias("dt"), "is_new"
+    ).agg(
+        F.sum("uv_ct").cast("bigint").alias("uv_ct"),
+        F.sum("pv_ct").cast("bigint").alias("pv_ct"),
+        F.sum("sv_ct").cast("bigint").alias("sv_ct"),
+        F.sum("uj_ct").cast("bigint").alias("uj_ct"),
+        F.sum("dur_sum").cast("bigint").alias("dur_sum"),
+    )
+
+
 def traffic_keywords(searches: DataFrame) -> DataFrame:
     """Weighted keyword score (ref mapper/TrafficKeywordsMapper.java:12-20,
     SURVEY A12/O2): sum(count * CASE source ... END) ordered desc.

@@ -210,6 +210,141 @@ def dwd_trade_cart_add(topic_db: DataFrame) -> DataFrame:
     )
 
 
+def dwd_trade_order_add(topic_db: DataFrame) -> DataFrame:
+    """Newly-added order details (order-grain columns included).
+
+    Ref DwdTradeOrderAdd.java — the reference re-reads the
+    dwd_trade_order_detail changelog topic and keeps ``type='insert'``
+    rows. In the single-engine design that filter collapses into the
+    build: new-order details are order_detail inserts joined to their
+    order_info *insert* image (order-grain money columns come along).
+    """
+    od = topic_db.filter(_is("order_detail", "insert")).select(
+        _d("id").cast("bigint").alias("order_detail_id"),
+        _d("order_id").cast("bigint").alias("order_id"),
+        _d("sku_id").cast("bigint").alias("sku_id"),
+        _d("sku_num").cast("bigint").alias("sku_num"),
+        _d("split_total_amount").cast("decimal(18,4)").alias("split_total_amount"),
+        _d("source_type").alias("source_type"),
+        _d("create_time").alias("create_time"),
+        F.col("ts"),
+    )
+    oi = topic_db.filter(_is("order_info", "insert")).select(
+        _d("id").cast("bigint").alias("order_id"),
+        _d("user_id").cast("bigint").alias("user_id"),
+        _d("province_id").cast("bigint").alias("province_id"),
+        _d("order_status").alias("order_status"),
+        _d("original_total_amount").cast("decimal(16,2)").alias("original_total_amount"),
+    )
+    return od.join(oi, "order_id")
+
+
+def dwd_interaction_favor_add(topic_db: DataFrame) -> DataFrame:
+    """Favor adds incl. cancel-undo (P11).
+
+    Ref DwdInteractionFavorAdd.java:44-55 — ``type='insert' OR
+    (type='update' AND old['is_cancel']='1' AND data['is_cancel']='0')``.
+    """
+    kept = topic_db.filter(
+        _is("favor_info")
+        & (
+            (F.col("type") == "insert")
+            | (
+                (F.col("type") == "update")
+                & (_o("is_cancel") == "1")
+                & (_d("is_cancel") == "0")
+            )
+        )
+    )
+    return kept.select(
+        _d("id").cast("bigint").alias("id"),
+        _d("user_id").cast("bigint").alias("user_id"),
+        _d("sku_id").cast("bigint").alias("sku_id"),
+        F.substring(_d("create_time"), 1, 10).alias("date_id"),
+        _d("create_time").alias("create_time"),
+        F.col("ts"),
+    )
+
+
+def dwd_interaction_comment(topic_db: DataFrame, base_dic: DataFrame) -> DataFrame:
+    """Comments with appraise-code lookup (J3 left variant).
+
+    Ref DwdInteractionComment.java:36-80 — comment_info inserts left
+    lookup-joined to base_dic on ``appraise``; the processing-time
+    Phoenix/JDBC cache machinery is a broadcast hash join here.
+    """
+    ci = topic_db.filter(_is("comment_info", "insert")).select(
+        _d("id").cast("bigint").alias("id"),
+        _d("user_id").cast("bigint").alias("user_id"),
+        _d("sku_id").cast("bigint").alias("sku_id"),
+        _d("order_id").cast("bigint").alias("order_id"),
+        F.substring(_d("create_time"), 1, 10).alias("date_id"),
+        _d("create_time").alias("create_time"),
+        _d("appraise").alias("appraise_code"),
+        F.col("ts"),
+    )
+    return ci.join(
+        F.broadcast(base_dic), ci.appraise_code == base_dic.dic_code, "left"
+    ).select(
+        "id", "user_id", "sku_id", "order_id", "date_id", "create_time",
+        "appraise_code", F.col("dic_name").alias("appraise_name"), "ts",
+    )
+
+
+def dwd_tool_coupon_get(topic_db: DataFrame) -> DataFrame:
+    """Coupon grants — ref DwdToolCouponGet.java (coupon_use inserts)."""
+    return topic_db.filter(_is("coupon_use", "insert")).select(
+        _d("id").cast("bigint").alias("id"),
+        _d("coupon_id").cast("bigint").alias("coupon_id"),
+        _d("user_id").cast("bigint").alias("user_id"),
+        F.substring(_d("get_time"), 1, 10).alias("date_id"),
+        _d("get_time").alias("get_time"),
+        F.col("ts"),
+    )
+
+
+def _coupon_use_change(topic_db: DataFrame, key: str, out_name: str) -> DataFrame:
+    """coupon_use updates whose ``old`` touched ``key`` (P8).
+
+    Ref DwdToolCouponOrder.java / DwdToolCouponPay.java — the reference
+    declares ``old`` as STRING and round-trips table->stream->table to
+    run a Java JSON-keys filter; with ``old`` kept as a map the filter
+    is one expression (the reference itself demos this idiom in
+    src/test/.../ArrayContainsTest.java:26-28).
+    """
+    rows = topic_db.filter(
+        _is("coupon_use", "update")
+        & F.array_contains(F.map_keys(F.col("old")), key)
+    )
+    return rows.select(
+        _d("id").cast("bigint").alias("id"),
+        _d("coupon_id").cast("bigint").alias("coupon_id"),
+        _d("user_id").cast("bigint").alias("user_id"),
+        _d("order_id").cast("bigint").alias("order_id"),
+        F.substring(_d(key), 1, 10).alias("date_id"),
+        _d(key).alias(out_name),
+        F.col("ts"),
+    )
+
+
+def dwd_tool_coupon_order(topic_db: DataFrame) -> DataFrame:
+    return _coupon_use_change(topic_db, "using_time", "order_time")
+
+
+def dwd_tool_coupon_pay(topic_db: DataFrame) -> DataFrame:
+    return _coupon_use_change(topic_db, "used_time", "payment_time")
+
+
+def dwd_user_register(topic_db: DataFrame) -> DataFrame:
+    """Registrations — ref DwdUserRegister.java (user_info inserts)."""
+    return topic_db.filter(_is("user_info", "insert")).select(
+        _d("id").cast("bigint").alias("user_id"),
+        F.substring(_d("create_time"), 1, 10).alias("date_id"),
+        _d("create_time").alias("create_time"),
+        F.col("ts"),
+    )
+
+
 def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Attach a TimestampType event-time column ``rt`` from epoch seconds."""
     return df.withColumn("rt", epoch_seconds_to_ts(ts_col))

@@ -65,7 +65,9 @@ def _topic_db(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda: cdc_gen.topic_db(
-            _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "customer"),
         ),
     )
 
@@ -261,6 +263,161 @@ SELECT id, user_id, sku_id, sku_num, source_type, ts FROM dwd_cart_add
 def q_dwd_trade_cart_add(spark, sf_dir):
     df = dwd.dwd_trade_cart_add(_topic_db(spark, sf_dir))
     return df.select("id", "user_id", "sku_id", "sku_num", "source_type", "ts")
+
+
+@query(
+    "dwd_trade_order_add",
+    """
+WITH od AS (
+  SELECT l_orderkey * 8 + l_linenumber AS order_detail_id,
+         l_orderkey AS order_id,
+         l_partkey AS sku_id,
+         CAST(CAST(l_quantity AS INT) AS BIGINT) AS sku_num,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(16,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE) AS split_total_amount,
+         '240' || CAST(1 + l_partkey % 4 AS VARCHAR) AS source_type,
+         strftime(make_timestamp((CAST(epoch(l_shipdate) AS BIGINT) + (l_orderkey * 7 + l_linenumber) % 86400) * 1000000), '%Y-%m-%d %H:%M:%S') AS create_time,
+         CAST(epoch(l_shipdate) AS BIGINT) + (l_orderkey * 7 + l_linenumber) % 86400 AS ts
+  FROM lineitem
+), oi AS (
+  SELECT o_orderkey AS order_id, o_custkey AS user_id, o_custkey % 25 AS province_id,
+         CASE o_orderstatus WHEN 'O' THEN '1001' WHEN 'P' THEN '1002' ELSE '1004' END AS order_status,
+         CAST(CAST(o_totalprice AS DECIMAL(16,2)) AS DOUBLE) AS original_total_amount
+  FROM orders
+)
+SELECT od.*, oi.user_id, oi.province_id, oi.order_status, oi.original_total_amount
+FROM od JOIN oi USING (order_id)
+""",
+)
+def q_dwd_trade_order_add(spark, sf_dir):
+    df = dwd.dwd_trade_order_add(_topic_db(spark, sf_dir))
+    return df.select(
+        "order_detail_id",
+        "order_id",
+        "user_id",
+        "sku_id",
+        "sku_num",
+        "province_id",
+        "order_status",
+        F.col("split_total_amount").cast("double").alias("split_total_amount"),
+        F.col("original_total_amount").cast("double").alias("original_total_amount"),
+        "source_type",
+        "create_time",
+        "ts",
+    )
+
+
+@query(
+    "dwd_interaction_favor_add",
+    """
+WITH fav AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id,
+         l_suppkey % 500 AS user_id,
+         l_partkey AS sku_id,
+         CAST(epoch(l_shipdate) AS BIGINT) + (l_orderkey * 7 + l_linenumber) % 86400 AS base_ts,
+         l_orderkey % 6 AS mod6
+  FROM lineitem
+)
+SELECT id, user_id, sku_id,
+       strftime(make_timestamp(base_ts * 1000000), '%Y-%m-%d') AS date_id,
+       strftime(make_timestamp(base_ts * 1000000), '%Y-%m-%d %H:%M:%S') AS create_time,
+       CASE WHEN mod6 = 1 THEN base_ts ELSE base_ts + 120 END AS ts
+FROM fav WHERE mod6 IN (1, 4)
+""",
+)
+def q_dwd_interaction_favor_add(spark, sf_dir):
+    return dwd.dwd_interaction_favor_add(_topic_db(spark, sf_dir))
+
+
+@query(
+    "dwd_interaction_comment",
+    f"""
+WITH ci AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id,
+         l_suppkey % 500 AS user_id,
+         l_partkey AS sku_id,
+         l_orderkey AS order_id,
+         '120' || CAST(1 + l_partkey % 4 AS VARCHAR) AS appraise_code,
+         CAST(epoch(l_shipdate) AS BIGINT) + (l_orderkey * 7 + l_linenumber) % 86400 + 600 AS ts
+  FROM lineitem WHERE l_orderkey % 9 = 0
+), dic AS (SELECT * FROM {{dic}})
+SELECT ci.id, ci.user_id, ci.sku_id, ci.order_id,
+       strftime(make_timestamp(ci.ts * 1000000), '%Y-%m-%d') AS date_id,
+       strftime(make_timestamp(ci.ts * 1000000), '%Y-%m-%d %H:%M:%S') AS create_time,
+       ci.appraise_code, dic.dic_name AS appraise_name, ci.ts
+FROM ci LEFT JOIN dic ON ci.appraise_code = dic.dic_code
+""".format(dic=dims.base_dic_values_sql()),
+)
+def q_dwd_interaction_comment(spark, sf_dir):
+    return dwd.dwd_interaction_comment(_topic_db(spark, sf_dir), dims.base_dic(spark))
+
+
+@query(
+    "dwd_tool_coupon_get",
+    """
+SELECT o_orderkey AS id,
+       1 + o_orderkey % 4 AS coupon_id,
+       o_custkey AS user_id,
+       strftime(make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 300) * 1000000), '%Y-%m-%d') AS date_id,
+       strftime(make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 300) * 1000000), '%Y-%m-%d %H:%M:%S') AS get_time,
+       CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 300 AS ts
+FROM orders WHERE o_orderkey % 4 = 1
+""",
+)
+def q_dwd_tool_coupon_get(spark, sf_dir):
+    return dwd.dwd_tool_coupon_get(_topic_db(spark, sf_dir))
+
+
+@query(
+    "dwd_tool_coupon_order",
+    """
+SELECT o_orderkey AS id,
+       1 + o_orderkey % 4 AS coupon_id,
+       o_custkey AS user_id,
+       o_orderkey AS order_id,
+       strftime(make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 900) * 1000000), '%Y-%m-%d') AS date_id,
+       strftime(make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 900) * 1000000), '%Y-%m-%d %H:%M:%S') AS order_time,
+       CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 900 AS ts
+FROM orders WHERE o_orderkey % 8 = 1
+""",
+)
+def q_dwd_tool_coupon_order(spark, sf_dir):
+    return dwd.dwd_tool_coupon_order(_topic_db(spark, sf_dir))
+
+
+@query(
+    "dwd_tool_coupon_pay",
+    """
+SELECT o_orderkey AS id,
+       1 + o_orderkey % 4 AS coupon_id,
+       o_custkey AS user_id,
+       o_orderkey AS order_id,
+       strftime(make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 1500) * 1000000), '%Y-%m-%d') AS date_id,
+       strftime(make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 1500) * 1000000), '%Y-%m-%d %H:%M:%S') AS payment_time,
+       CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 1500 AS ts
+FROM orders WHERE o_orderkey % 16 = 1
+""",
+)
+def q_dwd_tool_coupon_pay(spark, sf_dir):
+    return dwd.dwd_tool_coupon_pay(_topic_db(spark, sf_dir))
+
+
+@query(
+    "dwd_user_register",
+    """
+WITH u AS (
+  SELECT c_custkey AS user_id,
+         788918400 + (c_custkey % 30) * 86400 + (c_custkey * 13) % 86400 AS ts
+  FROM customer
+)
+SELECT user_id,
+       strftime(make_timestamp(ts * 1000000), '%Y-%m-%d') AS date_id,
+       strftime(make_timestamp(ts * 1000000), '%Y-%m-%d %H:%M:%S') AS create_time,
+       ts
+FROM u
+""",
+)
+def q_dwd_user_register(spark, sf_dir):
+    return dwd.dwd_user_register(_topic_db(spark, sf_dir))
 
 
 def _cart_stream(spark, sf_dir):
@@ -839,6 +996,69 @@ def q_ads_user_stats_union(spark, sf_dir):
     return ads.user_stats_union(
         _page_log(spark, sf_dir), _dwd_order_detail(spark, sf_dir)
     )
+
+
+@query(
+    "ads_trade_province_stats",
+    O.SQL_DWD_ORDER_DETAIL
+    + f"""
+, prov AS ({O.SQL_PROVINCE_DIM})
+, win AS (
+  SELECT (ts // 10) * 10 AS wstart, province_id,
+         any_value(province_name) AS province_name,
+         COUNT(DISTINCT order_id) AS order_count,
+         SUM(split_total_amount) AS order_amount
+  FROM dwd_order_detail LEFT JOIN prov USING (province_id)
+  GROUP BY (ts // 10) * 10, province_id
+)
+SELECT strftime(make_timestamp(wstart * 1000000), '%Y-%m-%d') AS dt,
+       province_id,
+       any_value(province_name) AS province_name,
+       CAST(SUM(order_count) AS BIGINT) AS order_count,
+       CAST(SUM(order_amount) AS DOUBLE) AS order_amount
+FROM win
+GROUP BY strftime(make_timestamp(wstart * 1000000), '%Y-%m-%d'), province_id
+""",
+)
+def q_ads_trade_province_stats(spark, sf_dir):
+    od = _dwd_order_detail(spark, sf_dir)
+    pw = dws.dws_trade_province_order_window(od, _province_dim(spark, sf_dir))
+    return ads.trade_province_stats(pw)
+
+
+@query(
+    "ads_uv_by_channel",
+    _SQL_TRAFFIC_FLAGS
+    + """
+SELECT dt, ch,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uv,
+       CAST(SUM(uj_flag) AS BIGINT) AS uj
+FROM flagged
+GROUP BY dt, ch
+""",
+)
+def q_ads_uv_by_channel(spark, sf_dir):
+    vc = traffic.dws_traffic_vc_ch_ar_isnew_page_view_window(_page_log(spark, sf_dir))
+    return ads.uv_by_channel(vc)
+
+
+@query(
+    "ads_traffic_visitor_stats_by_isnew",
+    _SQL_TRAFFIC_FLAGS
+    + """
+SELECT dt, is_new_r AS is_new,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uv_ct,
+       CAST(COUNT(*) AS BIGINT) AS pv_ct,
+       CAST(SUM(is_session_start) AS BIGINT) AS sv_ct,
+       CAST(SUM(uj_flag) AS BIGINT) AS uj_ct,
+       CAST(SUM(during_time) AS BIGINT) AS dur_sum
+FROM flagged
+GROUP BY dt, is_new_r
+""",
+)
+def q_ads_traffic_visitor_stats_by_isnew(spark, sf_dir):
+    vc = traffic.dws_traffic_vc_ch_ar_isnew_page_view_window(_page_log(spark, sf_dir))
+    return ads.traffic_visitor_stats_by_isnew(vc)
 
 
 # ===========================================================================

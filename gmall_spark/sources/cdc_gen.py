@@ -269,7 +269,135 @@ def cart_info_cdc(lineitem: DataFrame) -> DataFrame:
     return inserts.unionByName(ups).unionByName(downs)
 
 
-def topic_db(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def favor_info_cdc(lineitem: DataFrame) -> DataFrame:
+    """favor_info inserts + cancel-undo/cancel updates (P11 filter food).
+
+    - l_orderkey%6==1 -> insert (kept by DwdInteractionFavorAdd)
+    - l_orderkey%6==4 -> cancel-undo update (old.is_cancel=1 -> 0, KEPT)
+    - l_orderkey%6==5 -> cancel update (0 -> 1, must be DROPPED)
+    """
+    ts = _detail_ts()
+    _id = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string")
+    mod = F.col("l_orderkey") % 6
+
+    def _data(is_cancel: str) -> Column:
+        return F.create_map(
+            F.lit("id"), _id,
+            F.lit("user_id"), (F.col("l_suppkey") % 500).cast("string"),
+            F.lit("sku_id"), F.col("l_partkey").cast("string"),
+            F.lit("is_cancel"), F.lit(is_cancel),
+            F.lit("create_time"), _fmt_time(ts),
+        )
+
+    inserts = lineitem.filter(mod == 1).select(
+        *_envelope("favor_info", "insert", _data("0"), _null_map(), ts)
+    )
+    undo = lineitem.filter(mod == 4).select(
+        *_envelope(
+            "favor_info", "update", _data("0"),
+            F.create_map(F.lit("is_cancel"), F.lit("1")), ts + 120,
+        )
+    )
+    cancel = lineitem.filter(mod == 5).select(
+        *_envelope(
+            "favor_info", "update", _data("1"),
+            F.create_map(F.lit("is_cancel"), F.lit("0")), ts + 120,
+        )
+    )
+    return inserts.unionByName(undo).unionByName(cancel)
+
+
+def comment_info_cdc(lineitem: DataFrame) -> DataFrame:
+    """comment_info inserts (appraise code 120x, looked up in base_dic)."""
+    ts = _detail_ts() + 600
+    rows = lineitem.filter(F.col("l_orderkey") % 9 == 0)
+    data = F.create_map(
+        F.lit("id"), (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string"),
+        F.lit("user_id"), (F.col("l_suppkey") % 500).cast("string"),
+        F.lit("sku_id"), F.col("l_partkey").cast("string"),
+        F.lit("order_id"), F.col("l_orderkey").cast("string"),
+        F.lit("appraise"), F.concat(F.lit("120"), (1 + F.col("l_partkey") % 4).cast("string")),
+        F.lit("create_time"), _fmt_time(ts),
+    )
+    return rows.select(*_envelope("comment_info", "insert", data, _null_map(), ts))
+
+
+def coupon_use_cdc(orders: DataFrame) -> DataFrame:
+    """coupon_use lifecycle: get (insert) -> order (using_time update) ->
+    pay (used_time update).
+
+    The updates carry the touched key in ``old`` so the P8
+    ``array_contains(map_keys(old), 'using_time'/'used_time')``
+    change-detection idiom has something to detect:
+    - o_orderkey%4==1  -> insert (coupon get)
+    - o_orderkey%8==1  -> + update with using_time (coupon order)
+    - o_orderkey%16==1 -> + update with used_time (coupon pay)
+    """
+    base_ts = _order_ts() + 300
+    _id = F.col("o_orderkey").cast("string")
+    coupon_id = (1 + F.col("o_orderkey") % 4).cast("string")
+    user_id = F.col("o_custkey").cast("string")
+
+    def _data(extra: list[Column]) -> Column:
+        return F.create_map(
+            F.lit("id"), _id,
+            F.lit("coupon_id"), coupon_id,
+            F.lit("user_id"), user_id,
+            F.lit("order_id"), F.col("o_orderkey").cast("string"),
+            F.lit("get_time"), _fmt_time(base_ts),
+            *extra,
+        )
+
+    gets = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        *_envelope("coupon_use", "insert", _data([]), _null_map(), base_ts)
+    )
+    uses = orders.filter(F.col("o_orderkey") % 8 == 1).select(
+        *_envelope(
+            "coupon_use", "update",
+            _data([F.lit("using_time"), _fmt_time(base_ts + 600)]),
+            F.create_map(F.lit("using_time"), F.lit("")),
+            base_ts + 600,
+        )
+    )
+    pays = orders.filter(F.col("o_orderkey") % 16 == 1).select(
+        *_envelope(
+            "coupon_use", "update",
+            _data(
+                [
+                    F.lit("using_time"), _fmt_time(base_ts + 600),
+                    F.lit("used_time"), _fmt_time(base_ts + 1200),
+                ]
+            ),
+            F.create_map(F.lit("used_time"), F.lit("")),
+            base_ts + 1200,
+        )
+    )
+    return gets.unionByName(uses).unionByName(pays)
+
+
+# epoch('1995-01-01') — fixed base so Spark and DuckDB agree without
+# consulting the session timezone
+_USER_EPOCH = 788918400
+
+
+def user_info_cdc(customer: DataFrame) -> DataFrame:
+    """user_info inserts (registrations spread over 30 synthetic days)."""
+    ts = (
+        F.lit(_USER_EPOCH)
+        + (F.col("c_custkey") % 30) * 86400
+        + (F.col("c_custkey") * 13) % 86400
+    )
+    data = F.create_map(
+        F.lit("id"), F.col("c_custkey").cast("string"),
+        F.lit("name"), F.col("c_name"),
+        F.lit("create_time"), _fmt_time(ts),
+    )
+    return customer.select(*_envelope("user_info", "insert", data, _null_map(), ts))
+
+
+def topic_db(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame | None = None
+) -> DataFrame:
     """The full synthetic ``topic_db`` CDC stream (union of all tables)."""
     parts = [
         order_info_cdc(orders),
@@ -279,7 +407,12 @@ def topic_db(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         payment_info_cdc(orders),
         order_refund_info_cdc(orders),
         cart_info_cdc(lineitem),
+        favor_info_cdc(lineitem),
+        comment_info_cdc(lineitem),
+        coupon_use_cdc(orders),
     ]
+    if customer is not None:
+        parts.append(user_info_cdc(customer))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

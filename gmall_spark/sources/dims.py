@@ -28,6 +28,10 @@ BASE_DIC_ROWS: list[tuple[str, str]] = [
     ("1103", "unionpay"),
     ("1501", "refund_only"),
     ("1502", "return_and_refund"),
+    ("1201", "good"),
+    ("1202", "medium"),
+    ("1203", "bad"),
+    ("1204", "auto"),
     ("2401", "search"),
     ("2402", "promotion"),
     ("2403", "recommend"),
