@@ -189,6 +189,58 @@ def jaccard_for_pairs(
     )
 
 
+WINNOW_K = 3  # words per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection, as in
+    the MOSS plagiarism detector): hash every k-gram, slide a window
+    of w consecutive hashes, keep the min of each window, emit the
+    distinct selected hashes.
+
+    Guarantees every shared substring of length >= k+w-1 words
+    contributes a common fingerprint, while storing ~2/(w+1) of the
+    k-gram hashes. All codegen: posexplode + lead + windowed min —
+    the (doc_id) window partitioning is one shuffle, reused by both
+    the k-gram and the min pass.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(" ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, k)])
+    # gram and the completeness guard must be projected TOGETHER, before
+    # the filter — a window expr evaluated after the filter would see
+    # the truncated partition and hash short tail grams
+    hashed = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.md5(gram).alias("h"),
+            F.lead("w", k - 1).over(win).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc_id", "pos", "h")
+    )
+    roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        hashed.withColumn("fp", F.min("h").over(roll))
+        .withColumn("__n_follow", F.count("h").over(roll))
+        .filter(F.col("__n_follow") == w)  # complete windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return sel
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float,

@@ -71,3 +71,47 @@ def documents_as_blobs(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("blob"),
         F.lit("text").alias("modality"),
     )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, n_frames bigint, frame_hash string"
+FRAME_CHARS = 16
+
+
+def _frame_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """STUB frame sampler: deterministic evenly-strided "frames".
+
+    A real deployment replaces the body with ffmpeg keyframe
+    extraction; the contract is the real part — one input blob row
+    fans out to n_frames output rows inside the Arrow batch (no
+    driver round-trip, no exploding a giant array column through the
+    shuffle). Frame identity is char-based so the DuckDB oracle can
+    replay it (substr/length are char semantics in both engines).
+    """
+    import hashlib
+
+    out: dict[str, list] = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame_hash": []}
+    for doc_id, blob in zip(batch["doc_id"], batch["blob"]):
+        text = bytes(blob).decode("utf-8")
+        n = len(text) % 4 + 1
+        stride = len(text) // n
+        for i in range(n):
+            sample = text[i * stride : i * stride + FRAME_CHARS]
+            out["doc_id"].append(doc_id)
+            out["frame_idx"].append(i)
+            out["n_frames"].append(n)
+            out["frame_hash"].append(hashlib.md5(sample.encode("utf-8")).hexdigest())
+    return pd.DataFrame(out)
+
+
+def frame_sample(blobs: DataFrame) -> DataFrame:
+    """blob table -> sampled frame rows (video/audio frame plumbing).
+
+    Arrow-batched ``mapInPandas`` with a 1->N row fan-out — the batch
+    shape a real decoder needs (bounded by arrow.maxRecordsPerBatch).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _frame_batch(b)
+
+    return blobs.mapInPandas(gen, schema=FRAME_SCHEMA)

@@ -128,3 +128,33 @@ def lsh_bucketed_topk(
             "cos_sim",
         )
     )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos_sim >= threshold).
+
+    Exact all-pairs formulation: self cross join blocked to the upper
+    triangle (id_a < id_b halves the work); cosine runs as a codegen'd
+    higher-order fold, the filter prunes before any wide row is built.
+    At 100 TB the same verify step runs after an LSH candidate
+    prefilter instead of the cross join: bucket both sides with
+    ``hyperplane_signature`` and equi-join on the bucket (cost tracks
+    duplicate density, not corpus²) at the price of recall < 1.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

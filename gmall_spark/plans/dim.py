@@ -1,0 +1,77 @@
+"""DIM layer: config-driven dimension routing (SURVEY T6/S8/P13).
+
+The reference consumes a MySQL ``table_process`` config table via CDC,
+broadcasts it, and routes matching ``topic_db`` rows into per-table
+Phoenix sinks with config-listed columns and a dynamic DDL
+(app/dim/DimApp.java:58-78, app/func/TableProcessFunction.java:21-163,
+app/func/DimSinkFunction.java:28-75, bean/TableProcess.java:11-17).
+
+Spark-first replacement: the config is a tiny driver-side list (or a
+per-micro-batch JDBC re-read in streaming — T6's broadcast state is
+unnecessary because ``foreachBatch`` re-evaluates the plan anyway).
+Routing is one filtered/pruned DataFrame per sink table; the Phoenix
+"upsert" semantics are the shared latest-per-PK resolution. At scale
+each routed table is an independent write with its own partitioning —
+no fan-out operator state at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gmall_spark.operators.dedup import latest_by_key
+
+# CDC row kinds the DIM pipeline accepts (TableProcessFunction.java:129:
+# insert | update | bootstrap-insert; deletes drop the dim row — modeled
+# here as filtered out before the upsert resolution).
+_DIM_TYPES = ("insert", "update", "bootstrap-insert")
+
+
+@dataclass(frozen=True)
+class TableProcess:
+    """One row of the reference's ``table_process`` config
+    (bean/TableProcess.java:11-17)."""
+
+    source_table: str
+    sink_table: str
+    sink_columns: tuple[str, ...]
+    sink_pk: str
+
+
+DEFAULT_CONFIG: tuple[TableProcess, ...] = (
+    TableProcess("user_info", "dim_user_info", ("id", "name", "create_time"), "id"),
+    TableProcess(
+        "coupon_use",
+        "dim_coupon_use",
+        ("id", "coupon_id", "user_id", "get_time", "using_time", "used_time"),
+        "id",
+    ),
+)
+
+
+def route_dim_table(topic_db: DataFrame, cfg: TableProcess) -> DataFrame:
+    """Filter + prune one source table per the config row.
+
+    The reference's sinkColumns pruning (TableProcessFunction.java:
+    149-163) is a dynamic ``select`` here — Catalyst then pushes the
+    column pruning into the scan. Upsert-to-Phoenix semantics =
+    latest row per PK (ties broken on row payload for determinism).
+    """
+    rows = topic_db.filter(
+        (F.col("table") == cfg.source_table) & F.col("type").isin(*_DIM_TYPES)
+    ).select(
+        *[F.col("data").getItem(c).alias(c) for c in cfg.sink_columns],
+        F.col("ts"),
+    )
+    non_pk = [c for c in cfg.sink_columns if c != cfg.sink_pk]
+    return latest_by_key(rows, [cfg.sink_pk], "ts", tiebreak=non_pk)
+
+
+def route_all(
+    topic_db: DataFrame, config: tuple[TableProcess, ...] = DEFAULT_CONFIG
+) -> dict[str, DataFrame]:
+    """The full DIM fan-out: sink_table -> routed DataFrame."""
+    return {cfg.sink_table: route_dim_table(topic_db, cfg) for cfg in config}

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from gmall_spark import oracles as O
 from gmall_spark.operators.dedup import dedup_first, latest_by_key
-from gmall_spark.plans import ads, dwd, dws, traffic, user
+from gmall_spark.plans import ads, dim, dwd, dws, traffic, user
 from gmall_spark.sources import cdc_gen, dims, log_gen
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -60,15 +60,15 @@ def _materialized(name: str, spark: SparkSession, sf_dir: str, build) -> DataFra
 
 
 def _topic_db(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _materialized(
-        "topic_db",
-        spark,
-        sf_dir,
-        lambda: cdc_gen.topic_db(
-            _t(spark, sf_dir, "orders"),
-            _t(spark, sf_dir, "lineitem"),
-            _t(spark, sf_dir, "customer"),
-        ),
+    # Deliberately NOT persisted: every consumer filters on `table`,
+    # and Catalyst folds that filter into each union branch (constant-
+    # false branches collapse to empty scans), so a lazy topic_db costs
+    # only the branches a query actually reads. Persisting the union
+    # would force materializing all 11 CDC branches up front.
+    return cdc_gen.topic_db(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "customer"),
     )
 
 
@@ -1059,6 +1059,59 @@ GROUP BY dt, is_new_r
 def q_ads_traffic_visitor_stats_by_isnew(spark, sf_dir):
     vc = traffic.dws_traffic_vc_ch_ar_isnew_page_view_window(_page_log(spark, sf_dir))
     return ads.traffic_visitor_stats_by_isnew(vc)
+
+
+# ===========================================================================
+# DIM layer (config-driven routing, SURVEY T6/S8/P13)
+# ===========================================================================
+
+
+@query(
+    "dim_user_info",
+    """
+WITH u AS (
+  SELECT c_custkey, c_name,
+         788918400 + (c_custkey % 30) * 86400 + (c_custkey * 13) % 86400 AS ts
+  FROM customer
+)
+SELECT CAST(c_custkey AS VARCHAR) AS id,
+       c_name AS name,
+       strftime(make_timestamp(ts * 1000000), '%Y-%m-%d %H:%M:%S') AS create_time,
+       ts
+FROM u
+""",
+)
+def q_dim_user_info(spark, sf_dir):
+    """Config-routed dim table: user_info -> dim_user_info with
+    sink_columns pruning + latest-per-PK upsert resolution."""
+    return dim.route_all(_topic_db(spark, sf_dir))["dim_user_info"]
+
+
+@query(
+    "dim_coupon_use",
+    """
+WITH c AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey AS VARCHAR) AS id,
+         CAST(1 + o_orderkey % 4 AS VARCHAR) AS coupon_id,
+         CAST(o_custkey AS VARCHAR) AS user_id,
+         CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 + 300 AS base_ts
+  FROM orders WHERE o_orderkey % 4 = 1
+)
+SELECT id, coupon_id, user_id,
+       strftime(make_timestamp(base_ts * 1000000), '%Y-%m-%d %H:%M:%S') AS get_time,
+       CASE WHEN k % 8 = 1 THEN strftime(make_timestamp((base_ts + 600) * 1000000), '%Y-%m-%d %H:%M:%S') END AS using_time,
+       CASE WHEN k % 16 = 1 THEN strftime(make_timestamp((base_ts + 1200) * 1000000), '%Y-%m-%d %H:%M:%S') END AS used_time,
+       CASE WHEN k % 16 = 1 THEN base_ts + 1200
+            WHEN k % 8 = 1 THEN base_ts + 600
+            ELSE base_ts END AS ts
+FROM c
+""",
+)
+def q_dim_coupon_use(spark, sf_dir):
+    """Config-routed dim with a real changelog: coupon_use upserts
+    resolve to the latest image per PK (get -> using -> used)."""
+    return dim.route_all(_topic_db(spark, sf_dir))["dim_coupon_use"]
 
 
 # ===========================================================================

@@ -263,6 +263,60 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return llm_dedup.minhash_lsh_dedup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
 
 
+EMB_NEAR_DUP_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding)::DOUBLE AS ax, unnest(b.embedding)::DOUBLE AS bx
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+), s AS (
+  SELECT id_a, id_b,
+         round(SUM(ax*bx)/(sqrt(SUM(ax*ax))*sqrt(SUM(bx*bx))), 6) AS cos_sim
+  FROM p GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= {EMB_NEAR_DUP_THRESHOLD}
+""",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact upper-triangle scan;
+    LSH-prefiltered variant is the 100 TB path — see
+    similarity.embedding_near_dup docstring)."""
+    return similarity.embedding_near_dup(_emb(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD)
+
+
+@query(
+    "doc_fingerprint_winnow",
+    r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos FROM ws
+), gram AS (
+  SELECT doc_id, pos,
+         md5(w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win) AS h
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w,2) OVER win IS NOT NULL
+), sel AS (
+  SELECT doc_id,
+         min(h)  OVER roll AS fp,
+         count(h) OVER roll AS cnt
+  FROM gram
+  WINDOW roll AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+)
+SELECT DISTINCT doc_id, fp FROM sel WHERE cnt = 4
+""",
+)
+def q_doc_fingerprint_winnow(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints: min-of-window k-gram
+    hash selection, the MOSS scheme."""
+    return llm_dedup.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 # --- similarity search ----------------------------------------------------
 
 
@@ -324,5 +378,32 @@ def q_multimodal_decode_stub(spark, sf_dir):
     Arrow-batched mapInPandas stub decoder (real schema/partitioning,
     fake features — codecs aren't in this container)."""
     return multimodal.decode_features(
+        multimodal.documents_as_blobs(_docs(spark, sf_dir))
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) % 4 + 1 AS n_frames,
+         length(text) // (length(text) % 4 + 1) AS stride
+  FROM documents
+), frames AS (
+  SELECT doc_id, text, n_frames, stride, unnest(range(0, n_frames)) AS i
+  FROM base
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       md5(substr(text, CAST(i * stride + 1 AS INT), 16)) AS frame_hash
+FROM frames
+""",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: 1 blob -> N frame rows inside an
+    Arrow batch (stub sampler; the fan-out contract is the real part)."""
+    return multimodal.frame_sample(
         multimodal.documents_as_blobs(_docs(spark, sf_dir))
     )
