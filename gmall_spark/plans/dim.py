@@ -75,3 +75,30 @@ def route_all(
 ) -> dict[str, DataFrame]:
     """The full DIM fan-out: sink_table -> routed DataFrame."""
     return {cfg.sink_table: route_dim_table(topic_db, cfg) for cfg in config}
+
+
+def foreach_batch_dim_writer(out_dir: str, config: tuple[TableProcess, ...] = DEFAULT_CONFIG):
+    """Streaming deployment of the DIM fan-out (T6 + S8).
+
+    Returns a ``foreachBatch`` function: each micro-batch of topic_db
+    rows is routed per config and APPENDED to one parquet dir per sink
+    table (the Phoenix upsert analog — appends resolve to latest-per-PK
+    on read via ``read_dim``). Re-evaluating the config each batch is
+    the Spark answer to the reference's broadcast config stream: the
+    plan is rebuilt per micro-batch anyway, so dynamic routing needs no
+    operator state.
+    """
+
+    def _process(batch_df, epoch_id: int) -> None:
+        for cfg in config:
+            routed = route_dim_table(batch_df, cfg)
+            routed.write.mode("append").parquet(f"{out_dir}/{cfg.sink_table}")
+
+    return _process
+
+
+def read_dim(spark, out_dir: str, cfg: TableProcess):
+    """Current-state view of a streamed dim table (latest per PK)."""
+    rows = spark.read.parquet(f"{out_dir}/{cfg.sink_table}")
+    non_pk = [c for c in cfg.sink_columns if c != cfg.sink_pk]
+    return latest_by_key(rows, [cfg.sink_pk], "ts", tiebreak=non_pk)

@@ -69,6 +69,51 @@ def dwd_traffic_display_log(page_log: DataFrame) -> DataFrame:
     )
 
 
+def dwd_traffic_action_log(page_log: DataFrame) -> DataFrame:
+    """Action branch: explode actions[], enrich with page context.
+
+    Ref BaseLogApp.java:154-166 (SURVEY P10): each action element
+    becomes a row carrying page_id + its own action ts.
+    """
+    return (
+        page_log.filter(F.col("actions").isNotNull())
+        .select("mid", "page_id", F.explode("actions").alias("a"))
+        .select(
+            "mid",
+            "page_id",
+            F.col("a.action_id").alias("action_id"),
+            F.col("a.item").alias("action_item"),
+            F.col("a.item_type").alias("action_item_type"),
+            F.col("a.ts").alias("action_ts"),
+        )
+    )
+
+
+def dwd_traffic_start_log(page_log: DataFrame) -> DataFrame:
+    """Start (app-launch) branch — ref BaseLogApp.java:126-136 (P10)."""
+    return page_log.filter(F.col("start").isNotNull()).select(
+        "mid",
+        "vc",
+        "ch",
+        "ar",
+        F.col("start.entry").alias("entry"),
+        F.col("start.loading_time").alias("loading_time"),
+        F.col("start.open_ad_id").alias("open_ad_id"),
+        "ts_us",
+    )
+
+
+def dwd_traffic_error_log(page_log: DataFrame) -> DataFrame:
+    """Error branch — ref BaseLogApp.java:109-125 (P10)."""
+    return page_log.filter(F.col("err").isNotNull()).select(
+        "mid",
+        "page_id",
+        F.col("err.error_code").alias("error_code"),
+        F.col("err.msg").alias("msg"),
+        "ts_us",
+    )
+
+
 def dwd_traffic_unique_visitor_detail(page_log: DataFrame) -> DataFrame:
     """First page view of each mid per day (ref
     DwdTrafficUniqueVisitorDetail.java:55-87, SURVEY A5)."""

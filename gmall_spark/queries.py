@@ -752,6 +752,54 @@ def q_dwd_traffic_display_log(spark, sf_dir):
 
 
 @query(
+    "dwd_traffic_action_log",
+    O.SQL_PAGE_LOG
+    + """
+SELECT mid, page_id,
+       CASE WHEN event_id % 2 = 0 THEN 'cart_add' ELSE 'favor_add' END AS action_id,
+       'sku' || CAST(event_id % 100 AS VARCHAR) AS action_item,
+       'sku_id' AS action_item_type,
+       CAST(ts_us // 1000 + during_time // 2 AS BIGINT) AS action_ts
+FROM page_log
+WHERE page_id = 'home'
+""",
+)
+def q_dwd_traffic_action_log(spark, sf_dir):
+    return traffic.dwd_traffic_action_log(_page_log(spark, sf_dir))
+
+
+@query(
+    "dwd_traffic_start_log",
+    O.SQL_PAGE_LOG
+    + """
+SELECT mid, vc, ch, ar,
+       (['icon','notice','install'])[CAST(1 + event_id % 3 AS INT)] AS entry,
+       CAST(event_id % 2000 AS BIGINT) AS loading_time,
+       CAST(event_id % 10 AS BIGINT) AS open_ad_id,
+       ts_us
+FROM page_log WHERE last_page_id IS NULL
+""",
+)
+def q_dwd_traffic_start_log(spark, sf_dir):
+    return traffic.dwd_traffic_start_log(_page_log(spark, sf_dir))
+
+
+@query(
+    "dwd_traffic_error_log",
+    O.SQL_PAGE_LOG
+    + """
+SELECT mid, page_id,
+       CAST(2001 + event_id % 5 AS BIGINT) AS error_code,
+       'err_' || CAST(event_id % 7 AS VARCHAR) AS msg,
+       ts_us
+FROM page_log WHERE event_id % 31 = 0
+""",
+)
+def q_dwd_traffic_error_log(spark, sf_dir):
+    return traffic.dwd_traffic_error_log(_page_log(spark, sf_dir))
+
+
+@query(
     "dwd_traffic_unique_visitor_detail",
     O.SQL_PAGE_LOG
     + f"""

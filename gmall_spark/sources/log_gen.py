@@ -74,6 +74,38 @@ LOG_WIRE = T.StructType(
                 )
             ),
         ),
+        T.StructField(
+            "actions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("action_id", T.StringType()),
+                        T.StructField("item", T.StringType()),
+                        T.StructField("item_type", T.StringType()),
+                        T.StructField("ts", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "start",
+            T.StructType(
+                [
+                    T.StructField("entry", T.StringType()),
+                    T.StructField("loading_time", T.LongType()),
+                    T.StructField("open_ad_id", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "err",
+            T.StructType(
+                [
+                    T.StructField("error_code", T.LongType()),
+                    T.StructField("msg", T.StringType()),
+                ]
+            ),
+        ),
         T.StructField("ts", T.LongType()),  # epoch millis (reference shape)
         T.StructField("ts_us", T.LongType()),  # micros (exact event time)
         T.StructField("event_id", T.LongType()),
@@ -151,6 +183,41 @@ def raw_topic_log(events: DataFrame) -> DataFrame:
             ),
         ),
     )
+    is_action = (F.col("page_id") == "home") & ~F.col("is_search")
+    actions = F.when(
+        is_action,
+        F.array(
+            F.struct(
+                F.element_at(
+                    F.array(F.lit("cart_add"), F.lit("favor_add")),
+                    (1 + F.col("event_id") % 2).cast("int"),
+                ).alias("action_id"),
+                F.concat(F.lit("sku"), (F.col("event_id") % 100).cast("string")).alias("item"),
+                F.lit("sku_id").alias("item_type"),
+                ((F.col("ts_us") / 1000).cast("long") + F.col("during_time") / 2).cast(
+                    "long"
+                ).alias("ts"),
+            )
+        ),
+    )
+    start = F.when(
+        F.col("last_page_id").isNull(),
+        F.struct(
+            F.element_at(
+                F.array(F.lit("icon"), F.lit("notice"), F.lit("install")),
+                (1 + F.col("event_id") % 3).cast("int"),
+            ).alias("entry"),
+            (F.col("event_id") % 2000).alias("loading_time"),
+            (F.col("event_id") % 10).alias("open_ad_id"),
+        ),
+    )
+    err = F.when(
+        F.col("event_id") % 31 == 0,
+        F.struct(
+            (2001 + F.col("event_id") % 5).alias("error_code"),
+            F.concat(F.lit("err_"), (F.col("event_id") % 7).cast("string")).alias("msg"),
+        ),
+    )
     wire = e.select(
         F.to_json(
             F.struct(
@@ -170,6 +237,9 @@ def raw_topic_log(events: DataFrame) -> DataFrame:
                     F.col("during_time"),
                 ).alias("page"),
                 displays.alias("displays"),
+                actions.alias("actions"),
+                start.alias("start"),
+                err.alias("err"),
                 (F.col("ts_us") / 1000).cast("long").alias("ts"),
                 F.col("ts_us"),
                 F.col("event_id"),
@@ -212,6 +282,9 @@ def parse_topic_log(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("j.page.item_type").alias("item_type"),
             F.col("j.page.during_time").alias("during_time"),
             F.col("j.displays").alias("displays"),
+            F.col("j.actions").alias("actions"),
+            F.col("j.start").alias("start"),
+            F.col("j.err").alias("err"),
             F.col("j.ts_us").alias("ts_us"),
         )
         .withColumn("dt", F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd"))

@@ -149,3 +149,32 @@ def run_foreach_batch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str,
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY J7).
+
+    Ref src/test/.../DataStreamJoinTest.java:48-56 — DataStream
+    ``intervalJoin .between(-5s, +5s)``. Spark supports this natively:
+    an equi-join plus a time-range condition, with watermarks on BOTH
+    sides so each side's join state is evicted once the other side's
+    watermark passes the range bound (Flink's interval-join state
+    cleanup, for free).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return lw.join(rw, cond)

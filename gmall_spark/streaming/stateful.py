@@ -63,3 +63,74 @@ def streaming_unique_visitor(page_log_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+JUMP_GAP_US = 10_000_000  # 10 s, ref DwdTrafficUserJumpDetail.java:72
+JUMP_OUTPUT_SCHEMA = "mid string, ts_us bigint"
+JUMP_STATE_SCHEMA = "pending_ts bigint, pending_is_start integer"
+
+
+def _jump_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """CEP twin (SURVEY T5): a session-start event is a 'jump' if the
+    mid's next event is >10 s away, is itself a session start, or
+    never arrives (timeout side output, ref DwdTrafficUserJumpDetail
+    .java:62-107).
+
+    State = the still-undecided candidate event. The event-time
+    timeout replaces Flink CEP's within(10 s) timeout emission: when
+    the watermark passes candidate_ts + 10 s with no successor seen,
+    the candidate is confirmed a jump.
+    """
+    (mid,) = key
+    pending: int | None = None
+    if state.exists:
+        pending_ts, _ = state.get
+        pending = pending_ts
+    if state.hasTimedOut:
+        state.remove()
+        if pending is not None:
+            yield pd.DataFrame({"mid": [mid], "ts_us": [pending]})
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
+    out: list[int] = []
+    for _, row in rows.iterrows():
+        ts, is_start = int(row["ts_us"]), int(row["is_session_start"])
+        if pending is not None:
+            if ts - pending > JUMP_GAP_US or is_start == 1:
+                out.append(pending)
+            pending = None  # candidate decided either way
+        if is_start == 1:
+            pending = ts
+    if pending is not None:
+        state.update((pending, 1))
+        # confirm-as-jump when the event-time watermark passes ts+10 s
+        state.setTimeoutTimestamp(pending // 1000 + JUMP_GAP_US // 1000)
+    else:
+        state.remove()
+    if out:
+        yield pd.DataFrame({"mid": [mid] * len(out), "ts_us": out})
+
+
+def streaming_user_jump(page_log_stream: DataFrame, watermark: str = "2 seconds") -> DataFrame:
+    """Streaming user-jump detection keyed by mid (T5 streaming twin).
+
+    Requires an event-time column ``rt`` for the watermark that drives
+    the timeout clock; the batch lead()-based formulation
+    (plans/traffic.dwd_traffic_user_jump_detail) stays authoritative.
+    """
+    return (
+        page_log_stream.select("mid", "ts_us", "is_session_start", "rt")
+        .withWatermark("rt", watermark)
+        .groupBy("mid")
+        .applyInPandasWithState(
+            _jump_fn,
+            outputStructType=JUMP_OUTPUT_SCHEMA,
+            stateStructType=JUMP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -117,3 +117,134 @@ def test_stateful_uv_equals_batch(spark, sf_dir, tmpdir):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir, tmpdir):
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.col("ts").alias("rt")
+    )
+    a_path, b_path = f"{tmpdir}/ij_a", f"{tmpdir}/ij_b"
+    a = ev.filter(F.col("event_type") == "view")
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.col("rt").alias("b_rt"),
+    )
+    a.write.mode("overwrite").parquet(a_path)
+    b.write.mode("overwrite").parquet(b_path)
+    sa = runner.stream_from_parquet(spark, a_path, a.schema)
+    sb = runner.stream_from_parquet(spark, b_path, b.schema)
+    joined = runner.streaming_interval_join(
+        sa,
+        sb.withColumn("user_id", F.col("b_user_id")),
+        "user_id",
+        "rt",
+        "b_rt",
+        -3600,
+        3600,
+        "2 seconds",
+    )
+    out = joined.select("event_id", "b_event_id")
+    _run_to_memory(out, "ij_out", f"{tmpdir}/ckpt_ij")
+    got = {(r.event_id, r.b_event_id) for r in spark.sql("SELECT * FROM ij_out").collect()}
+    ba = spark.read.parquet(a_path)
+    bb = spark.read.parquet(b_path)
+    cond = (
+        (ba.user_id == bb.b_user_id)
+        & (bb.b_rt >= ba.rt - F.expr("INTERVAL 3600 SECONDS"))
+        & (bb.b_rt <= ba.rt + F.expr("INTERVAL 3600 SECONDS"))
+    )
+    expected = {
+        (r.event_id, r.b_event_id)
+        for r in ba.join(bb, cond).select("event_id", "b_event_id").collect()
+    }
+    assert got == expected and got, f"interval join mismatch ({len(got)} vs {len(expected)})"
+
+
+def test_streaming_jump_equals_batch(spark, sf_dir, tmpdir):
+    _, batch_df = _page_log_parquet(spark, sf_dir, tmpdir)
+    base = batch_df.select("mid", "ts_us", "is_session_start")
+    max_ts = base.agg(F.max("ts_us")).collect()[0][0]
+    # sentinel non-start event per mid far after everything: decides
+    # every still-pending candidate through the event path (the
+    # timeout path is unit-tested separately)
+    sentinels = (
+        base.select("mid").distinct()
+        .withColumn("ts_us", F.lit(max_ts + 60_000_000))
+        .withColumn("is_session_start", F.lit(0))
+    )
+    full = base.unionByName(sentinels)
+    path = f"{tmpdir}/jump_in"
+    full.write.mode("overwrite").parquet(path)
+    stream = runner.stream_from_parquet(spark, path, full.schema).withColumn(
+        "rt", F.timestamp_micros(F.col("ts_us"))
+    )
+    jumps = stateful.streaming_user_jump(stream)
+    _run_to_memory(jumps, "jump_out", f"{tmpdir}/ckpt_jump")
+    got = {(r.mid, r.ts_us) for r in spark.sql("SELECT * FROM jump_out").collect()}
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("mid").orderBy("ts_us")
+    led = full.withColumn("nxt_ts", F.lead("ts_us").over(w)).withColumn(
+        "nxt_start", F.lead("is_session_start").over(w)
+    )
+    expected = {
+        (r.mid, r.ts_us)
+        for r in led.filter(
+            (F.col("is_session_start") == 1)
+            & (
+                F.col("nxt_ts").isNull()
+                | (F.col("nxt_ts") - F.col("ts_us") > stateful.JUMP_GAP_US)
+                | (F.col("nxt_start") == 1)
+            )
+        ).collect()
+    }
+    assert got == expected and got
+
+
+def test_jump_fn_timeout_path():
+    """The event-time timeout confirms a pending candidate as a jump."""
+
+    class FakeState:
+        exists = True
+        hasTimedOut = True
+        get = (1_000_000, 1)
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            raise AssertionError("timeout path must not update state")
+
+    out = list(stateful._jump_fn(("mid_1",), iter([]), FakeState()))
+    assert len(out) == 1 and out[0]["ts_us"].tolist() == [1_000_000]
+
+
+def test_foreach_batch_dim_router(spark, sf_dir, tmpdir):
+    from gmall_spark.plans import dim
+    from gmall_spark.sources import cdc_gen
+
+    tdb = cdc_gen.topic_db(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+    src = f"{tmpdir}/topic_db"
+    tdb.write.mode("overwrite").parquet(src)
+    stream = runner.stream_from_parquet(spark, src, tdb.schema)
+    writer = dim.foreach_batch_dim_writer(f"{tmpdir}/dims")
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", f"{tmpdir}/ckpt_dim")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    batch = dim.route_all(tdb)
+    for cfg in dim.DEFAULT_CONFIG:
+        got = {
+            tuple(r) for r in dim.read_dim(spark, f"{tmpdir}/dims", cfg).collect()
+        }
+        expected = {tuple(r) for r in batch[cfg.sink_table].collect()}
+        assert got == expected and got, cfg.sink_table
