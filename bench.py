@@ -44,6 +44,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_session(app_name="gmall_spark_bench")
 
+    # Warmup: JVM/codegen init and a first touch of the input files so
+    # per-query timings measure the queries, not cluster boot.
+    spark.range(1_000_000).count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ("orders", "lineitem", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     names = [n for n in HEADLINE if n in q.QUERIES] or sorted(q.QUERIES)
     timings: dict[str, float] = {}
     for name in names:
