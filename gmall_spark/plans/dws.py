@@ -142,11 +142,19 @@ def dws_trade_trademark_category_user_order_window(
     """
     od = with_event_time(order_detail)
     enriched = od.join(F.broadcast(sku_dim), "sku_id", "left")
+    keys = [
+        "trademark_name",
+        "category1_name",
+        "category2_name",
+        "category3_name",
+        "spu_name",
+        "user_id",
+    ]
     agg = tumble_agg(
         enriched,
         "rt",
         WINDOW_SECONDS,
-        keys=["trademark_name", "category3_name", "user_id"],
+        keys=keys,
         aggs=[
             F.count_distinct(F.col("order_id")).alias("order_count"),
             F.sum("split_total_amount").alias("order_amount"),
@@ -155,9 +163,7 @@ def dws_trade_trademark_category_user_order_window(
     return agg.select(
         "stt",
         "edt",
-        "trademark_name",
-        "category3_name",
-        "user_id",
+        *keys,
         F.col("order_count").cast("bigint").alias("order_count"),
         F.col("order_amount").cast("double").alias("order_amount"),
     )
@@ -166,17 +172,26 @@ def dws_trade_trademark_category_user_order_window(
 def dws_trade_trademark_category_user_refund_window(
     refund: DataFrame, sku_dim: DataFrame
 ) -> DataFrame:
-    """Per (trademark, user) 10 s refund window.
+    """Per (sku, trademark, categories, user) 10 s refund window.
 
-    Ref DwsTradeTrademarkCategoryUserRefundWindow.java:71-241.
+    Ref DwsTradeTrademarkCategoryUserRefundWindow.java:71-241 (keys:
+    sku, tm, c1, c2, c3, user).
     """
     rf = with_event_time(refund)
     enriched = rf.join(F.broadcast(sku_dim), "sku_id", "left")
+    keys = [
+        "sku_id",
+        "trademark_name",
+        "category1_name",
+        "category2_name",
+        "category3_name",
+        "user_id",
+    ]
     agg = tumble_agg(
         enriched,
         "rt",
         WINDOW_SECONDS,
-        keys=["trademark_name", "user_id"],
+        keys=keys,
         aggs=[
             F.count_distinct(F.col("order_id")).alias("refund_count"),
             F.sum("refund_amount").alias("refund_amount"),
@@ -185,8 +200,7 @@ def dws_trade_trademark_category_user_refund_window(
     return agg.select(
         "stt",
         "edt",
-        "trademark_name",
-        "user_id",
+        *keys,
         F.col("refund_count").cast("bigint").alias("refund_count"),
         F.col("refund_amount").cast("double").alias("refund_amount"),
     )

@@ -554,11 +554,13 @@ def q_dws_trade_payment_suc_window(spark, sf_dir):
     + f"""
 , sku AS ({O.SQL_SKU_DIM})
 SELECT {_SEC_STT} AS stt, {_SEC_EDT} AS edt,
-       trademark_name, category3_name, user_id,
+       trademark_name, category1_name, category2_name, category3_name,
+       spu_name, user_id,
        CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_count,
        CAST(SUM(split_total_amount) AS DOUBLE) AS order_amount
 FROM dwd_order_detail LEFT JOIN sku USING (sku_id)
-GROUP BY (ts // 10) * 10, trademark_name, category3_name, user_id
+GROUP BY (ts // 10) * 10, trademark_name, category1_name, category2_name,
+         category3_name, spu_name, user_id
 """,
 )
 def q_dws_trade_trademark_category_user_order_window(spark, sf_dir):
@@ -578,11 +580,13 @@ WITH r AS (
   FROM orders WHERE o_orderkey % 10 = 5
 ), sku AS ({O.SQL_SKU_DIM})
 SELECT {_SEC_STT} AS stt, {_SEC_EDT} AS edt,
-       trademark_name, user_id,
+       sku_id, trademark_name, category1_name, category2_name,
+       category3_name, user_id,
        CAST(COUNT(DISTINCT order_id) AS BIGINT) AS refund_count,
        CAST(SUM(refund_amount) AS DOUBLE) AS refund_amount
 FROM r LEFT JOIN sku USING (sku_id)
-GROUP BY (ts // 10) * 10, trademark_name, user_id
+GROUP BY (ts // 10) * 10, sku_id, trademark_name, category1_name,
+         category2_name, category3_name, user_id
 """,
 )
 def q_dws_trade_trademark_category_user_refund_window(spark, sf_dir):
