@@ -1,0 +1,137 @@
+"""Property tests (hypothesis) for the core dedup/UV/fingerprint
+operators: Spark result == a plain-Python reference on small random
+inputs. Complements the DuckDB oracle (which fixes one dataset) with
+adversarial shapes: ts ties, single-key changelogs, repeated text.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from gmall_spark.operators.dedup import dedup_first, dedup_last
+from gmall_spark.operators.llm_dedup import winnow_fingerprints
+from gmall_spark.operators.uv import first_of_day_flag
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # key
+        st.integers(0, 9),  # ts (ties likely)
+        st.integers(0, 99),  # payload (tiebreak)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_dedup_last_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ts int, v int")
+    got = {
+        (r.k, r.ts, r.v) for r in dedup_last(df, ["k"], "ts", tiebreak=["v"]).collect()
+    }
+    expected = set()
+    for k in {r[0] for r in rows}:
+        expected.add(max(((r[1], r[2], r[0]) for r in rows if r[0] == k)))
+    expected = {(k, ts, v) for ts, v, k in expected}
+    assert got == expected
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_dedup_first_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ts int, v int")
+    got = {
+        (r.k, r.ts, r.v) for r in dedup_first(df, ["k"], "ts", tiebreak=["v"]).collect()
+    }
+    expected = set()
+    for k in {r[0] for r in rows}:
+        expected.add(min(((r[1], r[2], r[0]) for r in rows if r[0] == k)))
+    expected = {(k, ts, v) for ts, v, k in expected}
+    assert got == expected
+
+
+uv_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # mid
+        st.integers(0, 2),  # day
+        st.integers(0, 5),  # intra-day ts
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=uv_strategy)
+@settings(**_SETTINGS)
+def test_first_of_day_flag_matches_python(spark, rows):
+    # unique (mid, dt, ts) keys so 'first row of day' is well-defined
+    uniq = sorted({(m, f"2024-01-0{d+1}", t) for m, d, t in rows})
+    df = spark.createDataFrame(
+        [(m, d, t, i) for i, (m, d, t) in enumerate(uniq)],
+        "mid int, dt string, ts int, rid int",
+    )
+    flagged = first_of_day_flag(df, "mid", "dt", ["ts", "rid"], "f")
+    got = {(r.mid, r.dt) for r in flagged.filter(F.col("f") == 1).collect()}
+    per_day_first: dict[tuple, tuple] = {}
+    for m, d, t in uniq:
+        per_day_first.setdefault((m, d), (m, d))
+    assert got == set(per_day_first.values())
+    # exactly one flag per (mid, day)
+    counts = (
+        flagged.filter(F.col("f") == 1).groupBy("mid", "dt").count().collect()
+    )
+    assert all(r["count"] == 1 for r in counts)
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[str]:
+    import hashlib
+    import re
+
+    words = re.split(r"\s+", text)
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cat", "dog", "xy"]), min_size=1, max_size=20)
+        .map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_winnow_matches_python(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got: dict[int, set[str]] = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in enumerate(docs):
+        assert got.get(i, set()) == _py_winnow(t), f"doc {i}: {t!r}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing property: docs sharing >= k+w-1 consecutive words share
+    at least one fingerprint."""
+    shared = "one two three four five six seven"  # 7 words >= 3+4-1 == 6
+    docs = [(0, "xx yy " + shared + " zz"), (1, shared + " qq rr ss tt")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps: dict[int, set[str]] = {0: set(), 1: set()}
+    for r in winnow_fingerprints(df).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1], "no shared fingerprint for overlapping docs"
