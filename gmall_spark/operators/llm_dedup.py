@@ -22,7 +22,7 @@ operator shape is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gmall_spark.functions.text import canonical_hash
@@ -48,27 +48,35 @@ def exact_dedup_groups(
     )
 
 
+def shingle_array(text_col: str, n: int = NGRAM_N) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array.
+
+    Pure higher-order-function expression (split -> transform/slice ->
+    array_distinct): computed per ROW with no exchange at all. The
+    previous formulation (posexplode -> window lead -> distinct) cost
+    two shuffles of every token before any real work; at 100 TB those
+    were the dominant cost of every text-dedup pipeline.
+    """
+    return F.expr(
+        f"""
+        CASE WHEN size(split({text_col}, '\\\\s+')) >= {n}
+             THEN array_distinct(transform(
+                    sequence(1, size(split({text_col}, '\\\\s+')) - {n - 1}),
+                    i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {n}))))
+             ELSE array()
+        END
+        """
+    )
+
+
 def word_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = NGRAM_N
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document.
-
-    posexplode + lead() (not a Python n-gram UDF): stays in codegen,
-    and the (id, pos) window partitioning is the natural key.
-    """
-    toks = docs.select(
+    """Distinct (doc_id, shingle) rows — explode of ``shingle_array``
+    (distinctness is per-document, established before the explode)."""
+    return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    sh = F.concat_ws(" ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, n)])
-    last = F.lead("w", n - 1).over(win)
-    return (
-        toks.withColumn("shingle", sh)
-        .withColumn("__last", last)
-        .filter(F.col("__last").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
+        F.explode(shingle_array(text_col, n)).alias("shingle"),
     )
 
 
@@ -115,6 +123,27 @@ def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
         for i in range(k)
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_from_array(
+    docs_with_shingles: DataFrame, k: int = MINHASH_K, arr_col: str = "shingles"
+) -> DataFrame:
+    """Same signature, computed per ROW from the shingle array.
+
+    ``array_min(transform(...))`` replaces the groupBy aggregate: no
+    exchange — the signature computation is embarrassingly parallel,
+    so the first shuffle of the whole MinHash+LSH pipeline is the
+    (tiny) band-bucket join, not the full shingle relation.
+    """
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col(arr_col), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+            )
+        ).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return docs_with_shingles.select("doc_id", *sigs)
 
 
 def lsh_candidate_pairs(
@@ -207,38 +236,37 @@ def winnow_fingerprints(
 
     Guarantees every shared substring of length >= k+w-1 words
     contributes a common fingerprint, while storing ~2/(w+1) of the
-    k-gram hashes. All codegen: posexplode + lead + windowed min —
-    the (doc_id) window partitioning is one shuffle, reused by both
-    the k-gram and the min pass.
+    k-gram hashes. Entirely per-row array expressions (split ->
+    k-gram md5 transform -> sliding array_min -> array_distinct ->
+    explode): ZERO shuffles — the previous window-function version
+    shuffled and sorted every token twice.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
+    gh = F.expr(
+        f"""
+        CASE WHEN size(__w) >= {k}
+             THEN transform(sequence(1, size(__w) - {k - 1}),
+                            i -> md5(concat_ws(' ', slice(__w, i, {k}))))
+             ELSE array()
+        END
+        """
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(" ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, k)])
-    # gram and the completeness guard must be projected TOGETHER, before
-    # the filter — a window expr evaluated after the filter would see
-    # the truncated partition and hash short tail grams
-    hashed = (
-        toks.select(
-            "doc_id",
-            "pos",
-            F.md5(gram).alias("h"),
-            F.lead("w", k - 1).over(win).alias("__last"),
+    fps = F.expr(
+        f"""
+        CASE WHEN size(__gh) >= {w}
+             THEN array_distinct(transform(sequence(1, size(__gh) - {w - 1}),
+                                           j -> array_min(slice(__gh, j, {w}))))
+             ELSE array()
+        END
+        """
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), r"\s+").alias("__w"),
         )
-        .filter(F.col("__last").isNotNull())
-        .select("doc_id", "pos", "h")
+        .withColumn("__gh", gh)
+        .select("doc_id", F.explode(fps).alias("fp"))
     )
-    roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    sel = (
-        hashed.withColumn("fp", F.min("h").over(roll))
-        .withColumn("__n_follow", F.count("h").over(roll))
-        .filter(F.col("__n_follow") == w)  # complete windows only
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    return sel
 
 
 def minhash_lsh_dedup(
@@ -250,7 +278,16 @@ def minhash_lsh_dedup(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """Full MinHash+LSH pipeline: shingle -> sign -> band -> verify."""
-    sh = word_shingles(docs, id_col, text_col, n)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, k), bands, k)
+    """Full MinHash+LSH pipeline: shingle -> sign -> band -> verify.
+
+    Shingling and signing are per-row array expressions (no exchange);
+    the first shuffle is the band-bucket join over (doc_id, band) —
+    cost tracks duplicate density, not corpus size.
+    """
+    with_arr = docs.select(
+        F.col(id_col).alias("doc_id"), shingle_array(text_col, n).alias("shingles")
+    )
+    sigs = minhash_signatures_from_array(with_arr, k)
+    cand = lsh_candidate_pairs(sigs, bands, k)
+    sh = with_arr.select("doc_id", F.explode("shingles").alias("shingle"))
     return jaccard_for_pairs(cand, sh, threshold)
