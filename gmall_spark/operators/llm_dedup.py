@@ -149,10 +149,24 @@ def minhash_signatures_from_array(
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band hash.
+    """Band the signature and emit candidate pairs per band bucket.
 
-    explode(bands) -> groupBy-free equi-join on (band_idx, band_hash).
-    This is the 100 TB path: no all-pairs comparison ever happens.
+    explode(bands) -> groupBy (band_idx, band_hash) collecting the
+    sorted member ids -> per-row i<j pair expansion (array exprs) ->
+    distinct. This is the 100 TB path: no all-pairs comparison ever
+    happens, and pair count tracks duplicate density, not corpus².
+
+    Deliberately NOT a self-join: grouping buckets costs ONE shuffle
+    (the self-join shuffled both sides plus a distinct), and a
+    banded-with-banded self-join returned silently wrong results
+    under AQE stage reuse in a warmed Spark 4.1.2 session (26/28
+    pairs) — the bucket-grouping lineage has a single exchange and no
+    plan-reuse ambiguity. Bucket width is bounded by duplicate
+    density; a boilerplate-heavy corpus that produces mega-buckets
+    would want a size cap before the pair expansion.
+
+    Null band hashes (docs shorter than one shingle) are dropped,
+    matching the join semantics where NULL never equi-matches.
     """
     rows_per_band = k // bands
     band_cols = []
@@ -161,19 +175,28 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(bi).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_hash"))
         )
-    banded = signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    banded = (
+        signatures.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_hash").alias("band_hash"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .filter(F.col("band_hash").isNotNull())
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

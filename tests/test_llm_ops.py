@@ -51,6 +51,19 @@ def test_lsh_topk_subset_of_brute_force_scores(spark, sf_dir):
             assert abs(bf_scores[key] - r.cos_sim) < 1e-9
 
 
+def test_minhash_lsh_stable_in_warmed_session(spark, sf_dir):
+    """Regression for the r1 AQE wrong-result: the banded self-join
+    returned 26/28 pairs when run after other queries in a long-lived
+    AQE session. The bucket-grouping rewrite must return the same
+    count on consecutive executions in one warmed session."""
+    docs = _docs(spark, sf_dir)
+    first = llm_dedup.minhash_lsh_dedup(docs, 0.8).count()
+    second = llm_dedup.minhash_lsh_dedup(docs, 0.8).count()
+    assert first == second
+    exact = llm_dedup.jaccard_pairs(llm_dedup.word_shingles(docs), 0.8).count()
+    assert first == exact
+
+
 def test_exact_dedup_total_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     groups = llm_dedup.exact_dedup_groups(docs)
