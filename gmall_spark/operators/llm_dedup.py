@@ -134,16 +134,23 @@ def minhash_signatures_from_array(
     exchange — the signature computation is embarrassingly parallel,
     so the first shuffle of the whole MinHash+LSH pipeline is the
     (tiny) band-bucket join, not the full shingle relation.
+
+    The per-lane prefix MUST be captured by a real closure: a
+    ``lambda s, i=i`` default-arg capture has arity 2, which PySpark's
+    ``transform`` interprets as an (element, index) lambda — the index
+    lambda-variable Column shadows the default and gets stringified
+    into the literal ("Column<'y_N'>:"), with N from a session-global
+    counter. That made r1 signatures valid-but-different hash
+    families per plan build (the root cause of the 26/28-pair
+    "AQE" flakiness).
     """
-    sigs = [
-        F.array_min(
-            F.transform(
-                F.col(arr_col), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-            )
+
+    def lane(i: int) -> Column:
+        return F.array_min(
+            F.transform(F.col(arr_col), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
         ).alias(f"sig_{i}")
-        for i in range(k)
-    ]
-    return docs_with_shingles.select("doc_id", *sigs)
+
+    return docs_with_shingles.select("doc_id", *[lane(i) for i in range(k)])
 
 
 def lsh_candidate_pairs(

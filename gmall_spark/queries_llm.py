@@ -290,6 +290,34 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 @query(
+    "dedup_embedding_lsh",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding)::DOUBLE AS ax, unnest(b.embedding)::DOUBLE AS bx
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+), s AS (
+  SELECT id_a, id_b,
+         round(SUM(ax*bx)/(sqrt(SUM(ax*ax))*sqrt(SUM(bx*bx))), 6) AS cos_sim
+  FROM p GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= {EMB_NEAR_DUP_THRESHOLD}
+""",
+)
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup via multi-table hyperplane LSH + exact
+    verify — the registered 100 TB path. The oracle is the EXACT
+    all-pairs SQL: with L=32/b=3 tables the per-pair miss probability
+    at cos>=0.4 is ~6e-5 and the deterministic (md5-derived) planes
+    recover every true pair at the driver's SFs, so the outputs
+    coincide; ``tests/test_llm_ops.py`` asserts that parity."""
+    return similarity.embedding_near_dup_lsh(
+        _emb(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD
+    )
+
+
+@query(
     "doc_fingerprint_winnow",
     r"""
 WITH ws AS (

@@ -64,6 +64,37 @@ def test_minhash_lsh_stable_in_warmed_session(spark, sf_dir):
     assert first == exact
 
 
+def test_embedding_lsh_matches_exact_near_dup(spark, sf_dir):
+    """The registered LSH near-dup operator must (at test SFs) return
+    exactly the exact-scan pairs: verification kills false positives,
+    and L=32/b=3 tables make a miss at cos>=0.4 ~6e-5 per pair."""
+    emb = _emb(spark, sf_dir)
+    exact = {(r.id_a, r.id_b) for r in similarity.embedding_near_dup(emb, 0.4).collect()}
+    lsh = {(r.id_a, r.id_b) for r in similarity.embedding_near_dup_lsh(emb, 0.4).collect()}
+    assert lsh == exact
+    assert exact, "fixture should contain near-dup pairs"
+
+
+def test_ann_recall_at_10(spark, sf_dir):
+    """Multi-table multi-probe ANN must hit recall@10 >= 0.9 per
+    query (deterministic planes + fixed data -> deterministic)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(emb, queries, k=10).collect()
+    ann = similarity.lsh_bucketed_topk(emb, queries, k=10).collect()
+    bf_sets: dict = {}
+    ann_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert min(recalls) >= 0.9
+    assert sum(recalls) / len(recalls) >= 0.95
+
+
 def test_exact_dedup_total_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     groups = llm_dedup.exact_dedup_groups(docs)
