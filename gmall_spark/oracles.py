@@ -98,7 +98,8 @@ WITH od AS (
   SELECT o_orderkey AS order_id,
          o_custkey AS user_id,
          o_custkey % 25 AS province_id,
-         CASE o_orderstatus WHEN 'O' THEN '1001' WHEN 'P' THEN '1002' ELSE '1004' END AS order_status
+         CASE o_orderstatus WHEN 'O' THEN '1001' WHEN 'P' THEN '1002' ELSE '1004' END AS order_status,
+         CAST(o_totalprice AS DECIMAL(16,2)) AS original_total_amount
   FROM orders
 ), act AS (
   SELECT l_orderkey * 8 + l_linenumber AS id, 1 + l_orderkey % 3 AS activity_id
@@ -110,7 +111,8 @@ WITH od AS (
   SELECT * FROM {base_dic_values_sql()}
 ), dwd_order_detail AS (
   SELECT od.id, od.order_id, oi.user_id, od.sku_id, od.sku_num, od.order_price,
-         oi.province_id, oi.order_status, act.activity_id, cou.coupon_id,
+         oi.province_id, oi.order_status, oi.original_total_amount,
+         act.activity_id, cou.coupon_id,
          od.split_total_amount, od.split_activity_amount, od.split_coupon_amount,
          od.source_type, dic.dic_name AS source_type_name,
          od.create_time, od.ts

@@ -256,6 +256,143 @@ def coupon_stats(order_detail: DataFrame) -> DataFrame:
     )
 
 
+def _day(df: DataFrame) -> F.Column:
+    return F.substring("stt", 1, 10).alias("dt")
+
+
+def commodity_stats_trademark(
+    order_window: DataFrame, refund_window: DataFrame
+) -> DataFrame:
+    """Trademark-grain commodity stats with unique-user re-aggregation.
+
+    Ref mapper/CommodityStatsMapper.java:14-37 (selectTrademarkStats):
+    order-side sums + ``count(distinct user_id)`` over the trademark/
+    category/user DWS window table, FULL OUTER joined to the refund
+    side on trademark. The reference filters one day via parameter;
+    here the day is a grouping column (one row per (dt, trademark)).
+    Distinct-user counts re-aggregate the window table's user_id key —
+    sum of per-window counts would overcount repeat users, which is
+    exactly why the reference re-counts at query time.
+    """
+    o = order_window.groupBy(_day(order_window), "trademark_name").agg(
+        F.sum("order_count").cast("bigint").alias("order_count"),
+        F.count_distinct("user_id").cast("bigint").alias("uu_count"),
+        F.sum("order_amount").cast("double").alias("order_amount"),
+    )
+    r = refund_window.groupBy(_day(refund_window), "trademark_name").agg(
+        F.sum("refund_count").cast("bigint").alias("refund_count"),
+        F.count_distinct("user_id").cast("bigint").alias("refund_uu_count"),
+    )
+    return o.join(r, ["dt", "trademark_name"], "full_outer")
+
+
+def commodity_stats_category(
+    order_window: DataFrame, refund_window: DataFrame
+) -> DataFrame:
+    """Category-grain (c1/c2/c3) commodity stats, FULL OUTER on the
+    three category levels.
+
+    Ref mapper/CommodityStatsMapper.java:47-97 (selectCategoryStats).
+    """
+    keys = ["category1_name", "category2_name", "category3_name"]
+    o = order_window.groupBy(_day(order_window), *keys).agg(
+        F.sum("order_count").cast("bigint").alias("order_count"),
+        F.count_distinct("user_id").cast("bigint").alias("uu_count"),
+        F.sum("order_amount").cast("double").alias("order_amount"),
+    )
+    r = refund_window.groupBy(_day(refund_window), *keys).agg(
+        F.sum("refund_count").cast("bigint").alias("refund_count"),
+        F.count_distinct("user_id").cast("bigint").alias("refund_uu_count"),
+    )
+    return o.join(r, ["dt", *keys], "full_outer")
+
+
+def commodity_stats_spu(order_window: DataFrame) -> DataFrame:
+    """SPU-grain order stats with unique users.
+
+    Ref mapper/CommodityStatsMapper.java:99-106 (selectSpuStats).
+    """
+    return order_window.groupBy(_day(order_window), "spu_name").agg(
+        F.sum("order_count").cast("bigint").alias("order_count"),
+        F.count_distinct("user_id").cast("bigint").alias("uu_count"),
+        F.sum("order_amount").cast("double").alias("order_amount"),
+    )
+
+
+def trademark_order_amount_pie(order_window: DataFrame) -> DataFrame:
+    """Trademark order-amount pie slices.
+
+    Ref mapper/CommodityStatsMapper.java:39-45 (selectTmOrderAmtPieGra).
+    """
+    return order_window.groupBy(_day(order_window), "trademark_name").agg(
+        F.sum("order_amount").cast("double").alias("order_amount")
+    )
+
+
+def user_uv_by_page(
+    page_view_window: DataFrame,
+    cart_uu_window: DataFrame,
+    order_window: DataFrame,
+    payment_window: DataFrame,
+) -> DataFrame:
+    """Per-page funnel UVs: 5-branch UNION ALL over four DWS tables.
+
+    Ref mapper/UserStatsMapper.java:12-36 (selectUvByPage): home /
+    good_detail (page-view window), cart (cart-add UU window), trade
+    (order window), payment (payment window), each tagged with a
+    literal page_id.
+    """
+
+    def branch(df: DataFrame, col: str, tag: str) -> DataFrame:
+        return df.groupBy(_day(df)).agg(
+            F.sum(col).cast("bigint").alias("uv_ct")
+        ).select("dt", F.lit(tag).alias("page_id"), "uv_ct")
+
+    return (
+        branch(page_view_window, "home_uv_ct", "home")
+        .unionByName(branch(page_view_window, "good_detail_uv_ct", "good_detail"))
+        .unionByName(branch(cart_uu_window, "cart_add_uu_ct", "cart"))
+        .unionByName(branch(order_window, "order_unique_user_count", "trade"))
+        .unionByName(branch(payment_window, "payment_suc_unique_user_count", "payment"))
+    )
+
+
+def user_change_ct_per_type(
+    login_window: DataFrame, register_window: DataFrame
+) -> DataFrame:
+    """User-change counters per type: backCt / activeUserCt / newUserCt.
+
+    Ref mapper/UserStatsMapper.java:38-55 (selectUserChangeCtPerType).
+    """
+
+    def branch(df: DataFrame, col: str, tag: str) -> DataFrame:
+        return df.groupBy(_day(df)).agg(
+            F.sum(col).cast("bigint").alias("user_ct")
+        ).select("dt", F.lit(tag).alias("type"), "user_ct")
+
+    return (
+        branch(login_window, "back_ct", "backCt")
+        .unionByName(branch(login_window, "uu_ct", "activeUserCt"))
+        .unionByName(branch(register_window, "register_ct", "newUserCt"))
+    )
+
+
+def trade_user_ct(order_window: DataFrame, payment_window: DataFrame) -> DataFrame:
+    """First-ever (new) trading users per trade type.
+
+    Ref mapper/UserStatsMapper.java:57-67 (selectTradeUserCt).
+    """
+
+    def branch(df: DataFrame, col: str, tag: str) -> DataFrame:
+        return df.groupBy(_day(df)).agg(
+            F.sum(col).cast("bigint").alias("new_user_ct")
+        ).select("dt", F.lit(tag).alias("trade_type"), "new_user_ct")
+
+    return branch(order_window, "order_new_user_count", "order").unionByName(
+        branch(payment_window, "payment_new_user_count", "payment")
+    )
+
+
 def user_stats_union(page_log: DataFrame, order_detail: DataFrame) -> DataFrame:
     """Label-stacked user counters (ref mapper/UserStatsMapper.java:12-63,
     SURVEY U3): register / active / ordering users as tagged rows.

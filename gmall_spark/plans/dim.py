@@ -24,10 +24,13 @@ from pyspark.sql import functions as F
 
 from gmall_spark.operators.dedup import latest_by_key
 
-# CDC row kinds the DIM pipeline accepts (TableProcessFunction.java:129:
-# insert | update | bootstrap-insert; deletes drop the dim row — modeled
-# here as filtered out before the upsert resolution).
+# CDC row kinds that upsert a dim row (TableProcessFunction.java:129:
+# insert | update | bootstrap-insert). Deletes participate in the
+# latest-per-PK resolution as tombstones: a key whose LATEST change is a
+# delete is dropped, matching the reference DIM sink executing the
+# delete against Phoenix (DimSinkFunction.java:28-75).
 _DIM_TYPES = ("insert", "update", "bootstrap-insert")
+_DELETE = "delete"
 
 
 @dataclass(frozen=True)
@@ -52,22 +55,37 @@ DEFAULT_CONFIG: tuple[TableProcess, ...] = (
 )
 
 
+def _routed_changelog(topic_db: DataFrame, cfg: TableProcess) -> DataFrame:
+    """One source table's pruned changelog rows (upserts + tombstones)."""
+    return topic_db.filter(
+        (F.col("table") == cfg.source_table)
+        & F.col("type").isin(*_DIM_TYPES, _DELETE)
+    ).select(
+        *[F.col("data").getItem(c).alias(c) for c in cfg.sink_columns],
+        F.col("type").alias("__op"),
+        F.col("ts"),
+    )
+
+
+def _resolve_current(rows: DataFrame, cfg: TableProcess) -> DataFrame:
+    """Latest-per-PK resolution with tombstone semantics: the delete
+    row rides through the resolution; keys whose latest change is a
+    delete disappear from the current-state view."""
+    non_pk = [c for c in cfg.sink_columns if c != cfg.sink_pk]
+    latest = latest_by_key(rows, [cfg.sink_pk], "ts", tiebreak=[*non_pk, "__op"])
+    return latest.filter(F.col("__op") != _DELETE).drop("__op")
+
+
 def route_dim_table(topic_db: DataFrame, cfg: TableProcess) -> DataFrame:
     """Filter + prune one source table per the config row.
 
     The reference's sinkColumns pruning (TableProcessFunction.java:
     149-163) is a dynamic ``select`` here — Catalyst then pushes the
     column pruning into the scan. Upsert-to-Phoenix semantics =
-    latest row per PK (ties broken on row payload for determinism).
+    latest row per PK (ties broken on row payload for determinism),
+    with CDC deletes applied as tombstones.
     """
-    rows = topic_db.filter(
-        (F.col("table") == cfg.source_table) & F.col("type").isin(*_DIM_TYPES)
-    ).select(
-        *[F.col("data").getItem(c).alias(c) for c in cfg.sink_columns],
-        F.col("ts"),
-    )
-    non_pk = [c for c in cfg.sink_columns if c != cfg.sink_pk]
-    return latest_by_key(rows, [cfg.sink_pk], "ts", tiebreak=non_pk)
+    return _resolve_current(_routed_changelog(topic_db, cfg), cfg)
 
 
 def route_all(
@@ -91,14 +109,17 @@ def foreach_batch_dim_writer(out_dir: str, config: tuple[TableProcess, ...] = DE
 
     def _process(batch_df, epoch_id: int) -> None:
         for cfg in config:
-            routed = route_dim_table(batch_df, cfg)
+            # append the pruned CHANGELOG (upserts and tombstones):
+            # resolving per batch would let a later batch's delete miss
+            # rows already appended; read_dim resolves across batches
+            routed = _routed_changelog(batch_df, cfg)
             routed.write.mode("append").parquet(f"{out_dir}/{cfg.sink_table}")
 
     return _process
 
 
 def read_dim(spark, out_dir: str, cfg: TableProcess):
-    """Current-state view of a streamed dim table (latest per PK)."""
+    """Current-state view of a streamed dim table (latest per PK,
+    tombstones applied across all appended micro-batches)."""
     rows = spark.read.parquet(f"{out_dir}/{cfg.sink_table}")
-    non_pk = [c for c in cfg.sink_columns if c != cfg.sink_pk]
-    return latest_by_key(rows, [cfg.sink_pk], "ts", tiebreak=non_pk)
+    return _resolve_current(rows, cfg)

@@ -68,6 +68,12 @@ def dwd_trade_order_detail(topic_db: DataFrame, base_dic: DataFrame) -> DataFram
         _d("user_id").cast("bigint").alias("user_id"),
         _d("province_id").cast("bigint").alias("province_id"),
         _d("order_status").alias("order_status"),
+        # order-grain total carried onto every detail row, as the
+        # reference does (DwdTradeOrderDetail.java:169) — DWS sums it
+        # per detail record (DwsTradeOrderWindow.java:124,138)
+        _d("original_total_amount")
+        .cast("decimal(16,2)")
+        .alias("original_total_amount"),
     )
     act = topic_db.filter(_is("order_detail_activity", "insert")).select(
         _d("order_detail_id").cast("bigint").alias("id"),
@@ -93,6 +99,7 @@ def dwd_trade_order_detail(topic_db: DataFrame, base_dic: DataFrame) -> DataFram
             "activity_id",
             "coupon_id",
             "order_price",
+            "original_total_amount",
             "split_total_amount",
             "split_activity_amount",
             "split_coupon_amount",

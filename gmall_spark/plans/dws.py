@@ -101,7 +101,12 @@ def dws_trade_order_window(order_detail: DataFrame) -> DataFrame:
             F.sum(F.coalesce(F.col("split_coupon_amount"), F.lit(0).cast("decimal(18,4)")))
             .cast("double")
             .alias("order_coupon_reduce_amount"),
-            F.sum("order_price").cast("double").alias("order_origin_total_amount"),
+            # the reference sums the ORDER-grain original_total_amount
+            # carried on each detail record (DwsTradeOrderWindow.java:
+            # 124,138) — not the per-detail order_price
+            F.sum("original_total_amount")
+            .cast("double")
+            .alias("order_origin_total_amount"),
         ],
     )
 

@@ -394,7 +394,11 @@ def q_similarity_lsh_topk(spark, sf_dir):
     """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS header_byte,
+       -- first UTF-8 BYTE (not code point): decode via the hex dump so
+       -- multibyte-leading documents (zh bucket) agree with blob[0]
+       CAST((strpos('0123456789abcdef', substr(lower(to_hex(encode(text))), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(lower(to_hex(encode(text))), 2, 1)) - 1)
+            AS BIGINT) AS header_byte,
        CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
        CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
        'text' AS modality

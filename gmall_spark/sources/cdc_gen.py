@@ -381,7 +381,9 @@ _USER_EPOCH = 788918400
 
 
 def user_info_cdc(customer: DataFrame) -> DataFrame:
-    """user_info inserts (registrations spread over 30 synthetic days)."""
+    """user_info inserts (registrations spread over 30 synthetic days)
+    plus account deletions (every 50th customer, one hour later) so the
+    DIM tombstone path has real delete envelopes to resolve."""
     ts = (
         F.lit(_USER_EPOCH)
         + (F.col("c_custkey") % 30) * 86400
@@ -392,7 +394,14 @@ def user_info_cdc(customer: DataFrame) -> DataFrame:
         F.lit("name"), F.col("c_name"),
         F.lit("create_time"), _fmt_time(ts),
     )
-    return customer.select(*_envelope("user_info", "insert", data, _null_map(), ts))
+    inserts = customer.select(
+        *_envelope("user_info", "insert", data, _null_map(), ts)
+    )
+    # Maxwell-style delete: ``data`` carries the deleted row's image
+    deletes = customer.filter(F.col("c_custkey") % 50 == 0).select(
+        *_envelope("user_info", "delete", data, _null_map(), ts + 3600)
+    )
+    return inserts.unionByName(deletes)
 
 
 def topic_db(

@@ -117,12 +117,17 @@ def windowed_agg_stream(
 def streaming_dedup(df: DataFrame, keys: Sequence[str], ts_col: str, watermark: str) -> DataFrame:
     """First-one-wins streaming dedup (SURVEY T3).
 
-    ``dropDuplicates`` keyed state with a watermark bound replaces the
-    reference's ValueState + 5 s TTL (DwsTradePaymentSucWindow.java:
-    74-102): state for a key is dropped once the watermark passes its
-    event time, which is the same bounded-memory guarantee.
+    ``dropDuplicatesWithinWatermark`` replaces the reference's
+    ValueState + 5 s TTL (DwsTradePaymentSucWindow.java:74-102): a
+    key's state is evicted once the watermark passes its event time
+    plus the delay, so memory stays bounded. Plain ``dropDuplicates``
+    would NOT give that guarantee here — it only evicts state when
+    the watermarked event-time column is part of the dedup key
+    subset, and these pipelines dedup on business keys.
     """
-    return df.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
 
 
 def run_foreach_batch(

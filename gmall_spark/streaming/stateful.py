@@ -40,14 +40,13 @@ def _uv_fn(
         if joined:
             seen = set(joined.split(","))
     rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_us"])
-    out = []
-    for _, row in rows.iterrows():
-        if row["dt"] not in seen:
-            seen.add(row["dt"])
-            out.append(row)
+    # vectorized first-per-new-day: filter already-seen days, keep the
+    # earliest row of each remaining day (rows are ts-sorted)
+    out = rows[~rows["dt"].isin(seen)].drop_duplicates(subset=["dt"], keep="first")
+    seen.update(out["dt"].tolist())
     state.update((",".join(sorted(seen)),))
-    if out:
-        yield pd.DataFrame(out)[["mid", "dt", "ts_us"]]
+    if len(out):
+        yield out[["mid", "dt", "ts_us"]]
 
 
 def streaming_unique_visitor(page_log_stream: DataFrame) -> DataFrame:
@@ -96,19 +95,33 @@ def _jump_fn(
             yield pd.DataFrame({"mid": [mid], "ts_us": [pending]})
         return
     rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
+    wm_ms = state.getCurrentWatermarkMs()
+    # applyInPandasWithState does NOT drop late input: a row behind the
+    # watermark could otherwise re-arm state with an unsatisfiable
+    # timeout. Filter before the candidate logic.
+    if wm_ms > 0:
+        rows = rows[rows["ts_us"] >= wm_ms * 1000]
+    ts = rows["ts_us"].to_numpy()
+    st = rows["is_session_start"].to_numpy()
     out: list[int] = []
-    for _, row in rows.iterrows():
-        ts, is_start = int(row["ts_us"]), int(row["is_session_start"])
-        if pending is not None:
-            if ts - pending > JUMP_GAP_US or is_start == 1:
-                out.append(pending)
-            pending = None  # candidate decided either way
-        if is_start == 1:
-            pending = ts
+    if len(ts) and pending is not None:
+        # the carried-over candidate is decided by this batch's first row
+        if ts[0] - pending > JUMP_GAP_US or st[0] == 1:
+            out.append(int(pending))
+        pending = None
+    if len(ts):
+        # vectorized pairwise decision: a start row is a jump when its
+        # successor is >10 s away or itself a session start
+        is_jump = (st[:-1] == 1) & ((ts[1:] - ts[:-1] > JUMP_GAP_US) | (st[1:] == 1))
+        out.extend(int(t) for t in ts[:-1][is_jump])
+        pending = int(ts[-1]) if st[-1] == 1 else None
     if pending is not None:
         state.update((pending, 1))
-        # confirm-as-jump when the event-time watermark passes ts+10 s
-        state.setTimeoutTimestamp(pending // 1000 + JUMP_GAP_US // 1000)
+        # confirm-as-jump when the event-time watermark passes ts+10 s;
+        # clamp forward — setTimeoutTimestamp raises if the deadline is
+        # at/behind the current watermark (late session-start candidate)
+        deadline_ms = pending // 1000 + JUMP_GAP_US // 1000
+        state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
     else:
         state.remove()
     if out:
