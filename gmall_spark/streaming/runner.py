@@ -89,7 +89,7 @@ def kafka_json_sink(
 def windowed_agg_stream(
     df: DataFrame,
     ts_col: str,
-    watermark: str,
+    watermark: str | None,
     window_seconds: int,
     keys: Sequence[str],
     aggs: Sequence[Column],
@@ -101,11 +101,14 @@ def windowed_agg_stream(
     the watermark are dropped, matching Flink's no-allowed-lateness
     configuration. Append mode emits each window once, on watermark
     passage — the analog of the window-fire in every Dws* job.
+
+    Pass ``watermark=None`` when ``df`` already carries a watermark
+    (chained stateful operators, e.g. dedup -> window agg): Spark
+    forbids redefining it downstream.
     """
     win = F.window(F.col(ts_col), f"{window_seconds} seconds")
-    grouped = (
-        df.withWatermark(ts_col, watermark).groupBy(win.alias("w"), *keys).agg(*aggs)
-    )
+    wdf = df if watermark is None else df.withWatermark(ts_col, watermark)
+    grouped = wdf.groupBy(win.alias("w"), *keys).agg(*aggs)
     return grouped.select(
         to_datetime_str(F.col("w.start")).alias("stt"),
         to_datetime_str(F.col("w.end")).alias("edt"),

@@ -221,6 +221,93 @@ def test_jump_fn_timeout_path():
     assert len(out) == 1 and out[0]["ts_us"].tolist() == [1_000_000]
 
 
+def test_dirty_side_output_counts(spark, sf_dir):
+    """P1: the dirty side output must contain exactly the planted
+    corrupt lines (event_id % DIRTY_MOD == 0) and the clean side the
+    rest — one from_json pass, two filters (BaseLogApp.java:41-62)."""
+    events = _events(spark, sf_dir)
+    raw = log_gen.raw_topic_log(events)
+    clean, dirty = log_gen.parse_topic_log(raw)
+    total = events.count()
+    planted = events.filter(F.col("event_id") % log_gen.DIRTY_MOD == 0).count()
+    assert planted > 0, "fixture should plant corrupt lines"
+    assert dirty.count() == planted
+    assert clean.count() == total - planted
+    # every dirty line is the deliberately broken JSON prefix
+    assert dirty.filter(~F.col("value").startswith("{broken")).count() == 0
+
+
+def test_streaming_dws_pipeline_end_to_end(spark, sf_dir, tmpdir):
+    """Full reference job shape in streaming mode (SURVEY §2.11):
+    CDC topic stream -> foreachBatch DWD (order detail wide fact) ->
+    dwd store -> streaming dedup + 10 s province window -> sink,
+    asserting the emitted windows equal the batch DWS result.
+
+    The exact distinct-order count is streamed as
+    dropDuplicatesWithinWatermark((order_id, window, province)) ->
+    count — the composition that replaces the reference's per-window
+    Set state (DwsTradeProvinceOrderWindow.java:84-134)."""
+    from gmall_spark.operators.windows import tumble_agg
+    from gmall_spark.plans import dwd
+    from gmall_spark.sources import cdc_gen, dims
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    tdb_path = f"{tmpdir}/topic_db"
+    cdc_gen.topic_db(orders, lineitem).coalesce(1).write.mode("overwrite").parquet(tdb_path)
+    tdb_batch = spark.read.parquet(tdb_path)
+
+    # stage 1: topic stream -> DWD wide fact via foreachBatch (the
+    # dict join is broadcast; the dwd parquet dir is the Kafka
+    # dwd_trade_order_detail topic analog)
+    dwd_path = f"{tmpdir}/e2e_dwd_order_detail"
+    q1 = runner.run_foreach_batch(
+        runner.stream_from_parquet(spark, tdb_path, tdb_batch.schema),
+        lambda b: dwd.dwd_trade_order_detail(b, dims.base_dic(spark)),
+        lambda df, _eid: df.write.mode("append").parquet(dwd_path),
+        checkpoint=f"{tmpdir}/ckpt_e2e_dwd",
+    )
+    q1.awaitTermination(180)
+    dwd_batch = spark.read.parquet(dwd_path)
+    assert dwd_batch.count() > 0
+
+    # stage 2: DWD stream -> exact-distinct province order counts
+    dstream = (
+        runner.stream_from_parquet(spark, dwd_path, dwd_batch.schema)
+        .withColumn("rt", F.timestamp_micros(F.col("ts") * 1_000_000))
+        .withColumn("wstart", F.expr("ts div 10 * 10"))
+    )
+    dd = dstream.withWatermark("rt", "2 seconds").dropDuplicatesWithinWatermark(
+        ["order_id", "wstart", "province_id"]
+    )
+    agg = runner.windowed_agg_stream(
+        dd,
+        "rt",
+        None,  # the dedup stage upstream already set the watermark
+        10,
+        ["province_id"],
+        [F.count(F.lit(1)).cast("bigint").alias("order_count")],
+    )
+    _run_to_memory(agg, "e2e_out", f"{tmpdir}/ckpt_e2e_dws")
+    got = {
+        (r.stt, r.province_id): r.order_count
+        for r in spark.sql("SELECT * FROM e2e_out").collect()
+    }
+    expected_df = tumble_agg(
+        dwd_batch.withColumn("rt", F.timestamp_micros(F.col("ts") * 1_000_000)),
+        "rt",
+        10,
+        ["province_id"],
+        [F.count_distinct("order_id").cast("bigint").alias("order_count")],
+    )
+    expected = {(r.stt, r.province_id): r.order_count for r in expected_df.collect()}
+    assert got, "streaming DWS emitted no windows"
+    for k, v in got.items():
+        assert expected.get(k) == v, f"{k}: stream {v} != batch {expected.get(k)}"
+    missing = set(expected) - set(got)
+    assert len(missing) < 25, f"{len(missing)} windows missing from append output"
+
+
 def test_foreach_batch_dim_router(spark, sf_dir, tmpdir):
     from gmall_spark.plans import dim
     from gmall_spark.sources import cdc_gen
