@@ -22,14 +22,43 @@ operator shape is unchanged.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Shingle relations persisted by minhash_lsh_dedup, released by
+# release_persisted() / queries.clear_cache().
+_PERSISTED: list[DataFrame] = []
 
 from gmall_spark.functions.text import canonical_hash
 
 NGRAM_N = 5
 MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
+
+# Numeric MinHash family: each shingle is md5'd ONCE; lane i applies a
+# 2-universal-style mix  (A_i*h1 + B_i*h2 + i) mod P  to the two 32-bit
+# halves of the digest. P = largest prime < 2^32; the multipliers are
+# deterministic 28-bit odd constants (derived from md5 of the lane
+# index so any k works), keeping A*h1 + B*h2 + i far inside int64.
+# Versus one md5 per (lane, shingle) this cuts the dominant expression
+# cost of signing k-fold (k=16), and numeric mins beat string mins.
+MINHASH_P = 4294967291
+
+
+def _lane_const(tag: str, i: int) -> int:
+    """Deterministic 28-bit odd multiplier for lane ``i`` (no RNG, so
+    the Python-built oracle SQL bakes in identical literals)."""
+    return int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:7], 16) | 1
+
+
+def lane_expr_sql(i: int, h1: str = "h1", h2: str = "h2") -> str:
+    """The lane-i mix as engine-portable SQL text over two bigint
+    halves — shared verbatim by the Spark plan and the DuckDB oracle."""
+    a, b = _lane_const("a", i), _lane_const("b", i)
+    return f"({a} * {h1} + {b} * {h2} + {i}) % {MINHASH_P}"
 
 
 def exact_dedup_groups(
@@ -113,44 +142,56 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
 
 
 def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k-column MinHash signature: sig_i = min(md5(i || ':' || shingle)).
+    """k-column MinHash signature from a (doc_id, shingle) relation:
+    sig_i = min over shingles of the lane-i mix of md5(shingle).
 
-    Lexicographic min over md5 hex strings is a valid min-hash family
-    and is engine-portable (same strings everywhere).
+    Shuffle-based alternative to :func:`minhash_signatures_from_array`
+    (one exchange on doc_id, map-side partial mins) for inputs that
+    are already exploded. Same hash family, identical signatures.
     """
+    h1 = F.expr("cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)")
+    h2 = F.expr("cast(conv(substring(md5(shingle), 9, 8), 16, 10) as bigint)")
+    base = shingles.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(k)
+        F.min(F.expr(lane_expr_sql(i))).alias(f"sig_{i}") for i in range(k)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures_from_array(
     docs_with_shingles: DataFrame, k: int = MINHASH_K, arr_col: str = "shingles"
 ) -> DataFrame:
-    """Same signature, computed per ROW from the shingle array.
+    """MinHash signature computed per ROW from the shingle array.
 
-    ``array_min(transform(...))`` replaces the groupBy aggregate: no
+    ``array_min(transform(...))`` replaces a groupBy aggregate: no
     exchange — the signature computation is embarrassingly parallel,
     so the first shuffle of the whole MinHash+LSH pipeline is the
     (tiny) band-bucket join, not the full shingle relation.
 
-    The per-lane prefix MUST be captured by a real closure: a
-    ``lambda s, i=i`` default-arg capture has arity 2, which PySpark's
-    ``transform`` interprets as an (element, index) lambda — the index
-    lambda-variable Column shadows the default and gets stringified
-    into the literal ("Column<'y_N'>:"), with N from a session-global
-    counter. That made r1 signatures valid-but-different hash
-    families per plan build (the root cause of the 26/28-pair
-    "AQE" flakiness).
+    Each shingle is hashed ONCE into two 32-bit halves (a projection
+    the k lane transforms then reuse); the per-lane work is three
+    int64 ops, not an md5. An earlier one-md5-per-lane variant spent
+    k md5 calls per shingle — 16× the hashing — and its
+    ``lambda s, i=i`` default-arg capture had arity 2, which PySpark's
+    ``transform`` interprets as an (element, index) lambda; the index
+    lambda-variable Column shadowed the default and was stringified
+    into the literal with a session-global counter, making signatures
+    valid-but-different hash families per plan build (the root cause
+    of the r1 26/28-pair "AQE" flakiness).
     """
-
-    def lane(i: int) -> Column:
-        return F.array_min(
-            F.transform(F.col(arr_col), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+    hp = F.expr(
+        f"transform({arr_col}, s -> named_struct("
+        "'h1', cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint), "
+        "'h2', cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)))"
+    )
+    base = docs_with_shingles.select("doc_id", hp.alias("__hp"))
+    lanes = [
+        F.array_min(
+            F.expr(f"transform(__hp, p -> {lane_expr_sql(i, 'p.h1', 'p.h2')})")
         ).alias(f"sig_{i}")
-
-    return docs_with_shingles.select("doc_id", *[lane(i) for i in range(k)])
+        for i in range(k)
+    ]
+    return base.select("doc_id", *lanes)
 
 
 def lsh_candidate_pairs(
@@ -178,9 +219,17 @@ def lsh_candidate_pairs(
     rows_per_band = k // bands
     band_cols = []
     for bi in range(bands):
-        parts = [F.col(f"sig_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        # ':'-joined decimal sigs via null-PROPAGATING concat (concat_ws
+        # would turn an all-null signature row into '' and bucket every
+        # shingle-less doc together); F.concat and DuckDB's || both
+        # return NULL when any sig is NULL, and the filter drops those.
+        parts: list[Column] = []
+        for r in range(rows_per_band):
+            if r:
+                parts.append(F.lit(":"))
+            parts.append(F.col(f"sig_{bi * rows_per_band + r}").cast("string"))
         band_cols.append(
-            F.struct(F.lit(bi).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_hash"))
+            F.struct(F.lit(bi).alias("band_idx"), F.concat(*parts).alias("band_hash"))
         )
     banded = (
         signatures.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
@@ -205,6 +254,39 @@ def lsh_candidate_pairs(
         buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def jaccard_for_arrays(
+    pairs: DataFrame, with_arr: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs against per-doc
+    DISTINCT shingle arrays, via ``array_intersect``.
+
+    The (tiny) pair set is broadcast into two hash joins against the
+    corpus — the corpus itself never shuffles, and the intersection is
+    one codegen'd array op per surviving pair. Cost tracks
+    |candidates| x shingles-per-doc, never corpus²."""
+    va = with_arr.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__arr_a"))
+    vb = with_arr.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__arr_b"))
+    joined = F.broadcast(pairs).join(va, "doc_a")
+    joined = F.broadcast(joined).join(vb, "doc_b")
+    out = joined.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("__arr_a", "__arr_b")).cast("bigint").alias("inter"),
+        F.size("__arr_a").alias("__sz_a"),
+        F.size("__arr_b").alias("__sz_b"),
+    ).withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("__sz_a") + F.col("__sz_b") - F.col("inter")).cast("double"),
+            6,
+        ),
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "inter", "jaccard"
     )
 
 
@@ -310,14 +392,39 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle -> sign -> band -> verify.
 
-    Shingling and signing are per-row array expressions (no exchange);
-    the first shuffle is the band-bucket join over (doc_id, band) —
-    cost tracks duplicate density, not corpus size.
+    Shingling is a per-row array expression, computed ONCE and
+    persisted (memory-and-disk) because three downstream passes need
+    it: the signature aggregate and the two verify joins. Signatures
+    are a hash aggregate over the exploded shingles (explode is
+    shuffle-free, the partial min combines map-side, so the exchange
+    carries ONE row per doc per input partition — corpus size never
+    shuffles). The groupBy formulation is deliberate: the per-row
+    ``array_min(transform(...))`` lanes are interpreted (no codegen)
+    and Catalyst's CollapseProject inlines the shared md5 projection
+    into every lane, recomputing the digest k-fold — measured 5x
+    slower end-to-end than this aggregate at sf0.1 (56 s vs 9 s cold).
+    Verification broadcasts the tiny candidate set against the per-doc
+    shingle arrays (``jaccard_for_arrays``), so the corpus is never
+    shuffled at any stage of the pipeline. Call
+    :func:`release_persisted` (or ``queries.clear_cache``) to free the
+    cached shingle relation in a long-lived session.
     """
     with_arr = docs.select(
         F.col(id_col).alias("doc_id"), shingle_array(text_col, n).alias("shingles")
-    )
-    sigs = minhash_signatures_from_array(with_arr, k)
-    cand = lsh_candidate_pairs(sigs, bands, k)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(with_arr)
     sh = with_arr.select("doc_id", F.explode("shingles").alias("shingle"))
-    return jaccard_for_pairs(cand, sh, threshold)
+    sigs = minhash_signatures(sh, k)
+    cand = lsh_candidate_pairs(sigs, bands, k)
+    return jaccard_for_arrays(cand, with_arr, threshold)
+
+
+def release_persisted() -> None:
+    """Unpersist every shingle relation cached by
+    :func:`minhash_lsh_dedup` (idempotent; safe after session stop)."""
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from gmall_spark import oracles as O
 from gmall_spark.operators.dedup import dedup_first, latest_by_key
 from gmall_spark.plans import ads, dim, dwd, dws, traffic, user
+from gmall_spark.session import HEAVY_TABLES, parallel_scan
 from gmall_spark.sources import cdc_gen, dims, log_gen
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -39,7 +40,12 @@ def query(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Heavy tables get their scan parallelism normalized (the driver's
+    # single-row-group files would otherwise pin all per-row derivation
+    # to ONE task until the first shuffle); see session.parallel_scan.
+    return parallel_scan(
+        spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"), name in HEAVY_TABLES
+    )
 
 
 # DWD materialization cache: the reference computes each DWD fact once
@@ -57,6 +63,25 @@ def _materialized(name: str, spark: SparkSession, sf_dir: str, build) -> DataFra
         df = build().persist()
         _MATERIALIZED[key] = df
     return df
+
+
+def clear_cache() -> None:
+    """Unpersist and drop every materialized DWD DataFrame.
+
+    Long-lived services (a REPL, a query server) should call this when
+    a scale-factor directory's data changes or to release executor
+    storage memory; tests and the bench run fine without it because
+    the session dies with the process.
+    """
+    from gmall_spark.operators import llm_dedup
+
+    llm_dedup.release_persisted()
+    while _MATERIALIZED:
+        _, df = _MATERIALIZED.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
 
 
 def _topic_db(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +116,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = parallel_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -34,11 +34,15 @@ WITH ws AS (
 )
 """
 
+# Numeric MinHash twin: one md5 per shingle split into two 32-bit
+# halves; the identical lane-mix SQL text (llm_dedup.lane_expr_sql)
+# is baked into both the Spark plan and this oracle.
 _SIGS = ",\n         ".join(
-    f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(llm_dedup.MINHASH_K)
+    f"min({llm_dedup.lane_expr_sql(i)}) AS sig_{i}"
+    for i in range(llm_dedup.MINHASH_K)
 )
 _BANDS = "\n  UNION ALL\n".join(
-    "  SELECT doc_id, {bi} AS band_idx, md5(sig_{a} || sig_{b} || sig_{c} || sig_{d}) AS band_hash FROM sig".format(
+    "  SELECT doc_id, {bi} AS band_idx, sig_{a}::VARCHAR || ':' || sig_{b}::VARCHAR || ':' || sig_{c}::VARCHAR || ':' || sig_{d}::VARCHAR AS band_hash FROM sig".format(
         bi=bi, a=bi * 4, b=bi * 4 + 1, c=bi * 4 + 2, d=bi * 4 + 3
     )
     for bi in range(llm_dedup.LSH_BANDS)
@@ -47,9 +51,14 @@ _BANDS = "\n  UNION ALL\n".join(
 SQL_MINHASH = (
     SQL_SHINGLES
     + f"""
-, sig AS (
+, shh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+  FROM sh
+), sig AS (
   SELECT doc_id, {_SIGS}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 ), banded AS (
 {_BANDS}
 ), cand AS (

@@ -59,6 +59,40 @@ def get_session(
     return spark
 
 
+# Fact-sized tables whose downstream plans do heavy per-row derivation
+# (CDC envelopes, log JSON, shingling, embedding folds). Dim tables
+# (region/nation/part/supplier) stay un-normalized: they broadcast.
+HEAVY_TABLES = frozenset(
+    {"orders", "lineitem", "events", "customer", "documents", "embeddings"}
+)
+
+
+def parallel_scan(spark: SparkSession, df, heavy: bool = True):
+    """Normalize scan parallelism for small-file inputs.
+
+    A parquet file is splittable only at row-group boundaries; the
+    driver's testdata writes ONE row group per table, so every scan —
+    and all per-row derivation above it, until the first shuffle —
+    runs in a single task regardless of cores. One round-robin
+    repartition fans that work out across the cluster.
+
+    Guarded so it is a no-op at real scale: when the scan already has
+    at least ``defaultParallelism`` splits (any 100 TB table does),
+    no exchange is added. AQE never coalesces an explicit
+    ``repartition(n)``, so the fan-out survives adaptive re-planning.
+    """
+    if not heavy:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic sources without RDD view
+        return df
+    if current < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Load the driver-provided parquet tables as a dict of DataFrames."""
     names = names or (
@@ -73,4 +107,9 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {
+        n: parallel_scan(
+            spark, spark.read.parquet(f"{sf_dir}/{n}.parquet"), n in HEAVY_TABLES
+        )
+        for n in names
+    }
