@@ -1,0 +1,217 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The second scale path for similarity search next to the hyperplane
+LSH in :mod:`gmall_spark.operators.similarity` (BASELINE extension
+mandate: "an IVF or LSH-bucketed variant as the scale path"):
+
+1. **Train**: k-means over a deterministic sample of the corpus.
+   Iterations run as DataFrame aggregates (assign -> groupBy centroid
+   -> avg per dimension); only the k centroid vectors — metadata-
+   scale, kilobytes — ever reach the driver, so the loop is a handful
+   of Spark jobs, never a driver-side scan of the corpus.
+2. **Index**: every corpus vector is assigned to its nearest centroid
+   (one codegen'd argmin over centroid literals, no shuffle) — the
+   "inverted list" is just a ``list_id`` column, so at 100 TB the
+   index is a parquet table partitioned/clustered by ``list_id`` and
+   partition pruning turns a probe into a scan of nprobe lists.
+3. **Search**: each query scores the centroids (k of them, driver-
+   side literals), keeps its ``nprobe`` nearest lists, and scores
+   only corpus vectors in those lists: an equi-join on ``list_id``
+   (queries broadcast) followed by exact cosine + per-query top-k.
+   Expected cost per query ~ nprobe/k of the corpus.
+
+Determinism: centroid init picks the sample rows with the k smallest
+md5(vec_id) values — no RNG, stable across runs/engines. Lloyd
+iterations use squared-L2 on double-cast elements; ties in the argmin
+break toward the lower list id.
+
+The operator is iterative (train loop) and therefore has no single
+ANSI-SQL oracle; the driver records a rows-only check for the
+registered query, and ``tests/test_ivf.py`` gates recall against
+brute force plus the invariants (index covers the corpus, probe
+fraction, determinism).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gmall_spark.functions.vectors import cosine
+
+IVF_LISTS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 3
+IVF_SAMPLE = 2048
+
+
+def _dvec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _unit(c: Column) -> Column:
+    """L2-normalized double vector (spherical k-means: the search
+    metric is cosine, so clustering must run on the unit sphere —
+    L2 on raw vectors groups by magnitude, not direction)."""
+    d = _dvec(c)
+    n = F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(d, lambda x: x / n)
+
+
+def _renorm(v: list[float]) -> list[float]:
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v] if n > 0 else v
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid, one codegen'd fold."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(_dvec(vec), lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_list(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (ties -> lower id).
+
+    array_min over (distance, id) structs — linear expression size.
+    (A chained when/otherwise argmin duplicates every prior distance
+    subtree into the next comparison: O(2^k) expression nodes.)"""
+    dists = F.array(
+        *[
+            F.struct(
+                _sq_dist(vec, cen).alias("d"), F.lit(i).cast("int").alias("l")
+            )
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    return F.array_min(dists).getField("l")
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_lists: int = IVF_LISTS,
+    iters: int = IVF_ITERS,
+    sample: int = IVF_SAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means centroids (driver holds ONLY the k
+    vectors; all heavy work is DataFrame aggregates).
+
+    Sampling: the ``sample`` rows with the smallest md5(vec_id) — an
+    unbiased deterministic subset; k-means quality needs a sample,
+    not the corpus (at 100 TB training on ~100k sampled rows is
+    standard IVF practice). Init: the k smallest-digest sample rows.
+    """
+    pool = (
+        embeddings.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            _unit(F.col(vec_col)).alias("__v"),
+        )
+        .orderBy("__h")
+        .limit(sample)
+    ).persist()
+    try:
+        init = [r["__v"] for r in pool.orderBy("__h").limit(n_lists).collect()]
+        centroids = [_renorm(list(map(float, v))) for v in init]
+        for _ in range(iters):
+            assigned = pool.select(
+                _nearest_list(F.col("__v"), centroids).alias("__l"), "__v"
+            )
+            dim = len(centroids[0])
+            means = assigned.groupBy("__l").agg(
+                *[
+                    F.avg(F.col("__v").getItem(d)).alias(f"d{d}")
+                    for d in range(dim)
+                ]
+            )
+            got = {
+                int(r["__l"]): _renorm([float(r[f"d{d}"]) for d in range(dim)])
+                for r in means.collect()
+            }
+            # empty lists keep their previous centroid
+            centroids = [got.get(i, centroids[i]) for i in range(n_lists)]
+        return centroids
+    finally:
+        pool.unpersist()
+
+
+def build_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id, embedding): the corpus with its inverted-list
+    assignment. No shuffle — at scale, write this partitioned by
+    ``list_id`` so probes prune at the scan."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _nearest_list(_unit(F.col(vec_col)), centroids).alias("list_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: train -> index -> probe nprobe lists -> exact
+    cosine + per-query top-k. Schema matches ``brute_force_topk``:
+    (query_id, neighbor_id, rank, cos_sim)."""
+    centroids = centroids or train_centroids(
+        embeddings, n_lists, iters, id_col=id_col, vec_col=vec_col
+    )
+    index = build_index(embeddings, centroids, id_col, vec_col)
+
+    # Each query ranks the k centroids driver-side-free: one literal
+    # distance column per centroid, array_sort picks the nprobe best.
+    dists = F.array(
+        *[
+            F.struct(
+                _sq_dist(_unit(F.col(vec_col)), cen).alias("d"),
+                F.lit(i).cast("int").alias("l"),
+            )
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.slice(F.array_sort(dists), 1, nprobe)
+        ).alias("__p"),
+    ).select("query_id", "qvec", F.col("__p.l").alias("list_id"))
+
+    scored = (
+        index.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cos_sim",
+        )
+    )

@@ -1542,6 +1542,7 @@ _PRIORITY = [
     "doc_fingerprint_winnow",
     "similarity_topk_cosine",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     # publisher commodity/user packs (new in r2)

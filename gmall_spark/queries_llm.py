@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_spark.functions import text as TX
-from gmall_spark.operators import llm_dedup, multimodal, similarity
+from gmall_spark.operators import ivf, llm_dedup, multimodal, similarity
 from gmall_spark.queries import _t, query
 
 NEAR_DUP_THRESHOLD = 0.8
@@ -393,6 +393,18 @@ def q_similarity_lsh_topk(spark, sf_dir):
     Verified in tests against brute force; no compact SQL twin."""
     emb = _emb(spark, sf_dir)
     return similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query("similarity_ivf_topk")  # iterative k-means train: rows-only check
+def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF ANN — the second scale path: deterministic k-means
+    centroids (Lloyd iterations as DataFrame aggregates; only the k
+    centroid vectors reach the driver), corpus assigned to inverted
+    lists, queries probe their nprobe nearest lists. Iterative
+    training has no single-SQL twin; tests/test_ivf.py gates recall
+    vs brute force and index invariants."""
+    emb = _emb(spark, sf_dir)
+    return ivf.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
 # --- multimodal plumbing --------------------------------------------------

@@ -1,0 +1,68 @@
+"""IVF ANN: recall vs brute force, index invariants, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_spark.operators import ivf, similarity
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ivf_recall_at_10(spark, sf_dir):
+    """IVF(16 lists, nprobe=4) scans 1/4 of the corpus; its recall@10
+    must beat that scan fraction by >= 2x (deterministic centroids +
+    fixed data => a deterministic value, observed 0.54 at sf0.001).
+
+    The fixture embeddings are near-isotropic — the hard case for any
+    partitioned ANN (a cos-0.4 pair is 66 degrees apart; 16 spherical
+    cells at dim 64 cannot concentrate it). On real clustered
+    embedding corpora recall at this scan fraction is far higher; the
+    gate here asserts the index genuinely concentrates neighbors
+    versus random probing, which is the invariant that survives the
+    data distribution."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(emb, queries, k=10).collect()
+    ann = ivf.ivf_topk(emb, queries, k=10).collect()
+    bf_sets: dict = {}
+    ann_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    scan_fraction = ivf.IVF_NPROBE / ivf.IVF_LISTS
+    assert sum(recalls) / len(recalls) >= 2 * scan_fraction, recalls
+    # scores are exact cosines: every returned (q, n, score) must match
+    # the brute-force score for that pair
+    bf_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in bf}
+    for r in ann:
+        if (r.query_id, r.neighbor_id) in bf_scores:
+            assert abs(bf_scores[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_ivf_index_partitions_corpus(spark, sf_dir):
+    """Every corpus vector lands in exactly one list, list ids are in
+    range, and no list holds the whole corpus (the probe actually
+    prunes)."""
+    emb = _emb(spark, sf_dir)
+    total = emb.count()
+    cents = ivf.train_centroids(emb)
+    assert len(cents) == ivf.IVF_LISTS
+    idx = ivf.build_index(emb, cents)
+    assert idx.count() == total
+    per_list = idx.groupBy("list_id").count().collect()
+    assert all(0 <= r["list_id"] < ivf.IVF_LISTS for r in per_list)
+    assert max(r["count"] for r in per_list) < total
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a = ivf.train_centroids(emb, iters=2)
+    b = ivf.train_centroids(emb, iters=2)
+    assert a == b
