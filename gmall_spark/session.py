@@ -49,6 +49,10 @@ def get_session(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""),
+        )
         # At 100 TB: ~128 MB split targets keep scan tasks balanced.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )

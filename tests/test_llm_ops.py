@@ -100,3 +100,29 @@ def test_exact_dedup_total_count(spark, sf_dir):
     groups = llm_dedup.exact_dedup_groups(docs)
     total = groups.agg(F.sum("doc_count")).collect()[0][0]
     assert total == docs.count()
+
+
+def test_bucket_signatures_match_expression_path(spark, sf_dir):
+    """The Arrow/gemm bucket UDF must produce the same buckets as the
+    pure-expression hyperplane_signature (same md5-derived planes,
+    float64 math) — the expression version stays as the documented
+    JVM-side reference implementation."""
+    emb = _emb(spark, sf_dir)
+    dim = similarity.infer_dim(emb)
+    n_tables, n_planes = 4, 3
+    sig = similarity.bucket_signatures(n_tables, n_planes, dim)
+    udf_rows = {
+        r["vec_id"]: list(r["b"])
+        for r in emb.select("vec_id", sig(F.col("embedding")).alias("b")).collect()
+    }
+    expr_cols = [
+        similarity.hyperplane_signature(
+            F.col("embedding"), n_planes, dim, salt=f"t{t}:"
+        ).alias(f"s{t}")
+        for t in range(n_tables)
+    ]
+    expr_rows = {
+        r["vec_id"]: [r[f"s{t}"] for t in range(n_tables)]
+        for r in emb.select("vec_id", *expr_cols).collect()
+    }
+    assert udf_rows == expr_rows
