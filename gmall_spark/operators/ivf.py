@@ -36,8 +36,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 from gmall_spark.functions.vectors import cosine
 
@@ -80,7 +83,9 @@ def _nearest_list(vec: Column, centroids: list[list[float]]) -> Column:
 
     array_min over (distance, id) structs — linear expression size.
     (A chained when/otherwise argmin duplicates every prior distance
-    subtree into the next comparison: O(2^k) expression nodes.)"""
+    subtree into the next comparison: O(2^k) expression nodes.)
+    Kept as the JVM-expression reference; the hot paths use
+    :func:`_nearest_lists_udf` (one gemm per Arrow batch)."""
     dists = F.array(
         *[
             F.struct(
@@ -90,6 +95,33 @@ def _nearest_list(vec: Column, centroids: list[list[float]]) -> Column:
         ]
     )
     return F.array_min(dists).getField("l")
+
+
+def _nearest_lists_udf(centroids: list[list[float]], n: int = 1):
+    """Arrow-batched UDF: the ``n`` nearest centroid ids of each
+    (unit-normalized) vector, one gemm + stable argsort per batch.
+
+    On the unit sphere argmin ||v-c||^2 == argmax (v.c - ||c||^2/2),
+    so one matrix multiply against the centroid matrix ranks all
+    centroids; stable argsort keeps ties at the lower id, matching
+    the expression version's tie rule. Replaces a per-row interpreted
+    expression of k x dim literal nodes (same pathology as the
+    hyperplane signatures — see similarity.bucket_signatures)."""
+    c = np.array(centroids, dtype=np.float64)  # (k, dim)
+    half_sq = (c * c).sum(axis=1) / 2.0
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _nn(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.sqrt((v * v).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        score = (v / norms) @ c.T - half_sq  # maximize
+        order = np.argsort(-score, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype(np.int32) for row in order])
+
+    return _nn
 
 
 def train_centroids(
@@ -120,8 +152,9 @@ def train_centroids(
         init = [r["__v"] for r in pool.orderBy("__h").limit(n_lists).collect()]
         centroids = [_renorm(list(map(float, v))) for v in init]
         for _ in range(iters):
+            nn = _nearest_lists_udf(centroids, 1)
             assigned = pool.select(
-                _nearest_list(F.col("__v"), centroids).alias("__l"), "__v"
+                nn(F.col("__v")).getItem(0).alias("__l"), "__v"
             )
             dim = len(centroids[0])
             means = assigned.groupBy("__l").agg(
@@ -152,7 +185,7 @@ def build_index(
     ``list_id`` so probes prune at the scan."""
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
-        _nearest_list(_unit(F.col(vec_col)), centroids).alias("list_id"),
+        _nearest_lists_udf(centroids, 1)(F.col(vec_col)).getItem(0).alias("list_id"),
         F.col(vec_col).alias("embedding"),
     )
 
@@ -176,24 +209,15 @@ def ivf_topk(
     )
     index = build_index(embeddings, centroids, id_col, vec_col)
 
-    # Each query ranks the k centroids driver-side-free: one literal
-    # distance column per centroid, array_sort picks the nprobe best.
-    dists = F.array(
-        *[
-            F.struct(
-                _sq_dist(_unit(F.col(vec_col)), cen).alias("d"),
-                F.lit(i).cast("int").alias("l"),
-            )
-            for i, cen in enumerate(centroids)
-        ]
-    )
+    # Each query ranks the k centroids in one Arrow-batched gemm and
+    # keeps its nprobe nearest lists.
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.explode(
-            F.slice(F.array_sort(dists), 1, nprobe)
-        ).alias("__p"),
-    ).select("query_id", "qvec", F.col("__p.l").alias("list_id"))
+            _nearest_lists_udf(centroids, nprobe)(F.col(vec_col))
+        ).alias("list_id"),
+    )
 
     scored = (
         index.join(F.broadcast(probes), "list_id")

@@ -375,10 +375,10 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs (cos_sim >= threshold).
 
     Exact all-pairs formulation: self cross join blocked to the upper
-    triangle (id_a < id_b halves the work); cosine runs as a codegen'd
-    higher-order fold, the filter prunes before any wide row is built.
-    O(n²) — this is the correctness oracle for ``embedding_near_dup_
-    lsh``, which is the operator to run at scale.
+    triangle (id_a < id_b halves the work); cosine is the vectorized
+    Arrow batch pass (n² pairs make the per-pair cost the whole
+    budget). O(n²) — this is the correctness oracle for
+    ``embedding_near_dup_lsh``, which is the operator to run at scale.
     """
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -388,7 +388,7 @@ def embedding_near_dup(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(_cos_pairs_udf()(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
