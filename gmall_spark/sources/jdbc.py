@@ -59,6 +59,15 @@ def read_query(
     return spark.read.jdbc(url, f"({query}) AS q", properties=properties or {})
 
 
+def sink_projection(batch_df: DataFrame, transient_cols: Sequence[str] = ()) -> DataFrame:
+    """The @TransientSink column skip (S10) as a pure transformation:
+    columns carried through the pipeline but excluded from the sink
+    row (ref bean/TransientSink.java:9-11, MyClickHouseUtil.java:30-44
+    reads the annotation reflectively; here it is one declarative
+    drop)."""
+    return batch_df.drop(*transient_cols) if transient_cols else batch_df
+
+
 def jdbc_batch_writer(
     url: str,
     table: str,
@@ -66,16 +75,13 @@ def jdbc_batch_writer(
     properties: dict[str, str] | None = None,
     mode: str = "append",
 ):
-    """foreachBatch sink for a JDBC store (S10).
-
-    ``transient_cols`` mirrors the reference's @TransientSink fields
-    (bean/TransientSink.java:9-11): columns carried through the
-    pipeline but excluded from the sink row.
-    """
+    """foreachBatch sink for a JDBC store (S10); row shape in
+    :func:`sink_projection`."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
-        out = batch_df.drop(*transient_cols) if transient_cols else batch_df
-        out.write.mode(mode).jdbc(url, table, properties=properties or {})
+        sink_projection(batch_df, transient_cols).write.mode(mode).jdbc(
+            url, table, properties=properties or {}
+        )
 
     return _write
 

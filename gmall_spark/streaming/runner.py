@@ -63,13 +63,14 @@ def kafka_json_source(
     ).select("j.*", "timestamp")
 
 
-def kafka_json_sink(
-    df: DataFrame, brokers: str, topic: str, checkpoint: str, key_col: str | None = None
-) -> StreamingQuery:
-    """Kafka JSON sink (S2); with ``key_col`` it keys the record like
-    the reference's upsert-kafka PK sink (S4) so compaction/consumers
-    can reconstruct latest-per-key."""
-    out = df.select(
+def kafka_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """The record shaping of the Kafka sink (S2/S4), as a pure
+    transformation so it is testable without a broker: JSON-encode the
+    full row as ``value``; with ``key_col``, key the record like the
+    reference's upsert-kafka PK sink (S4) so compaction/consumers can
+    reconstruct latest-per-key. Round-trips through
+    ``kafka_json_source``'s from_json parse."""
+    return df.select(
         *(
             [F.col(key_col).cast("string").alias("key")]
             if key_col
@@ -77,8 +78,15 @@ def kafka_json_sink(
         ),
         F.to_json(F.struct(*df.columns)).alias("value"),
     )
+
+
+def kafka_json_sink(
+    df: DataFrame, brokers: str, topic: str, checkpoint: str, key_col: str | None = None
+) -> StreamingQuery:
+    """Kafka JSON sink (S2; payload shape in :func:`kafka_payload`)."""
     return (
-        out.writeStream.format("kafka")
+        kafka_payload(df, key_col)
+        .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)

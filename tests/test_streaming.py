@@ -335,3 +335,42 @@ def test_foreach_batch_dim_router(spark, sf_dir, tmpdir):
         }
         expected = {tuple(r) for r in batch[cfg.sink_table].collect()}
         assert got == expected and got, cfg.sink_table
+
+
+def test_kafka_payload_round_trips(spark, sf_dir):
+    """S2/S4 sink record shape: value = full-row JSON, key = PK string;
+    parsing the value with the source's schema recovers every column."""
+    from pyspark.sql import functions as F
+    from gmall_spark.streaming.runner import kafka_payload
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(100)
+    )
+    payload = kafka_payload(df, key_col="o_orderkey")
+    assert payload.columns == ["key", "value"]
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    back = payload.select(
+        F.col("key"), F.from_json("value", schema).alias("j")
+    ).select("key", "j.*")
+    orig = {r["o_orderkey"]: r for r in df.collect()}
+    for r in back.collect():
+        assert r["key"] == str(r["o_orderkey"])
+        o = orig[r["o_orderkey"]]
+        assert r["o_orderstatus"] == o["o_orderstatus"]
+        assert abs(r["o_totalprice"] - o["o_totalprice"]) < 1e-9
+
+
+def test_sink_projection_drops_transient_cols(spark, sf_dir):
+    """S10 @TransientSink analog: transient columns are excluded from
+    the sink row, everything else passes through unchanged."""
+    from gmall_spark.sources.jdbc import sink_projection
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = sink_projection(df, ["o_totalprice"])
+    assert out.columns == ["o_orderkey", "o_orderstatus"]
+    assert sink_projection(df).columns == df.columns
+    assert out.count() == df.count()
