@@ -73,6 +73,57 @@ def documents_as_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_width bigint, src_height bigint, "
+    "out_width bigint, out_height bigint, resized_hash string"
+)
+RESIZE_TARGET_W = 224
+
+
+def _resize_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """STUB resizer: aspect-preserving integer letterbox to width 224.
+
+    A real deployment replaces the body with PIL.Image.resize; the
+    contract (pandas batch in/out, source dims -> target dims + a
+    digest standing in for the resized pixel buffer) is the real
+    part. All-integer math so the DuckDB oracle replays it exactly.
+    """
+    import hashlib
+
+    byte_len = batch["blob"].map(len)
+    src_w = (byte_len % 640).clip(lower=1)
+    src_h = (byte_len % 480).clip(lower=1)
+    out_w = src_w * 0 + RESIZE_TARGET_W
+    out_h = (src_h * RESIZE_TARGET_W // src_w).clip(lower=1)
+    digest = [
+        hashlib.md5(f"{n}:{w}x{h}".encode()).hexdigest()
+        for n, w, h in zip(byte_len, out_w, out_h)
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "src_width": src_w.astype("int64"),
+            "src_height": src_h.astype("int64"),
+            "out_width": out_w.astype("int64"),
+            "out_height": out_h.astype("int64"),
+            "resized_hash": digest,
+        }
+    )
+
+
+def resize_images(blobs: DataFrame) -> DataFrame:
+    """blob table -> resized-image metadata (image resize plumbing).
+
+    Arrow-batched ``mapInPandas``; blobs never leave the executor.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _resize_batch(b)
+
+    return blobs.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, n_frames bigint, frame_hash string"
 FRAME_CHARS = 16
 

@@ -1544,6 +1544,7 @@ _PRIORITY = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "multimodal_decode_stub",
+    "multimodal_resize",
     "multimodal_frame_sample",
     # publisher commodity/user packs (new in r2)
     "ads_commodity_stats_trademark",

@@ -436,6 +436,35 @@ def q_multimodal_decode_stub(spark, sf_dir):
 
 
 @query(
+    "multimodal_resize",
+    """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+), dims AS (
+  SELECT doc_id, n,
+         greatest(n % 640, 1) AS src_width,
+         greatest(n % 480, 1) AS src_height
+  FROM b
+)
+SELECT doc_id,
+       CAST(src_width AS BIGINT) AS src_width,
+       CAST(src_height AS BIGINT) AS src_height,
+       CAST(224 AS BIGINT) AS out_width,
+       CAST(greatest(src_height * 224 // src_width, 1) AS BIGINT) AS out_height,
+       md5(n::VARCHAR || ':' || '224' || 'x' ||
+           greatest(src_height * 224 // src_width, 1)::VARCHAR) AS resized_hash
+FROM dims
+""",
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing: aspect-preserving integer letterbox stub
+    through Arrow mapInPandas (real batch contract, fake pixels)."""
+    return multimodal.resize_images(
+        multimodal.documents_as_blobs(_docs(spark, sf_dir))
+    )
+
+
+@query(
     "multimodal_frame_sample",
     """
 WITH base AS (
