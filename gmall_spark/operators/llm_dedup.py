@@ -263,14 +263,18 @@ def jaccard_for_arrays(
     """Exact Jaccard verification of candidate pairs against per-doc
     DISTINCT shingle arrays, via ``array_intersect``.
 
-    The (tiny) pair set is broadcast into two hash joins against the
-    corpus — the corpus itself never shuffles, and the intersection is
-    one codegen'd array op per surviving pair. Cost tracks
+    The pair set joins twice against the corpus; no broadcast HINT —
+    AQE converts each join to broadcast at runtime when the candidate
+    side is actually small (the common case: candidates track
+    duplicate density), but a duplicate-dense 100 TB corpus whose
+    pair set exceeds broadcast limits degrades gracefully to a
+    shuffle join instead of OOMing the driver. The intersection is
+    one codegen'd array op per surviving pair; cost tracks
     |candidates| x shingles-per-doc, never corpus²."""
     va = with_arr.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__arr_a"))
     vb = with_arr.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__arr_b"))
-    joined = F.broadcast(pairs).join(va, "doc_a")
-    joined = F.broadcast(joined).join(vb, "doc_b")
+    joined = pairs.join(va, "doc_a")
+    joined = joined.join(vb, "doc_b")
     out = joined.select(
         "doc_a",
         "doc_b",
