@@ -1543,6 +1543,7 @@ _PRIORITY = [
     "similarity_topk_cosine",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "llm_corpus_curation",
     "multimodal_decode_stub",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -407,6 +407,96 @@ def q_similarity_ivf_topk(spark, sf_dir):
     return ivf.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+# --- corpus curation (composition capstone) -------------------------------
+
+
+_SQL_CURATION = (
+    SQL_MINHASH
+    + f"""
+, inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+), neardup AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN szs sa ON sa.doc_id = i.doc_a
+  JOIN szs sb ON sb.doc_id = i.doc_b
+  WHERE round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6)
+        >= {NEAR_DUP_THRESHOLD}
+), drops AS (
+  SELECT DISTINCT doc_b AS doc_id FROM neardup
+), canon AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY h
+), feat AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(lower(text), '{{cjk}}') THEN 'zh'
+              WHEN regexp_matches(lower(text), '{{en}}') THEN 'en'
+              WHEN regexp_matches(lower(text), '{{es}}') THEN 'es'
+              WHEN regexp_matches(lower(text), '{{fr}}') THEN 'fr'
+              WHEN regexp_matches(lower(text), '{{de}}') THEN 'de'
+              ELSE 'unknown' END AS lang_pred,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT f.doc_id, f.lang_pred, f.n_words
+FROM feat f
+JOIN keepers k ON f.doc_id = k.doc_id
+LEFT JOIN drops dr ON f.doc_id = dr.doc_id
+WHERE dr.doc_id IS NULL
+  AND f.n_words >= 5 AND f.n_chars >= 20 AND f.lang_pred <> 'unknown'
+""".format(
+        cjk=TX.CJK_RANGE,
+        en=TX.EN_MARKERS,
+        es=TX.ES_MARKERS,
+        fr=TX.FR_MARKERS,
+        de=TX.DE_MARKERS,
+    )
+)
+
+
+@query("llm_corpus_curation", _SQL_CURATION)
+def q_llm_corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation: quality filter (length)
+    -> language filter (keep identified) -> exact dedup (canonical-
+    hash keeper) -> near-dup removal (MinHash+LSH verified pairs,
+    drop the higher doc_id of each pair). One composed DataFrame plan
+    — every stage is an existing oracle-gated operator, demonstrating
+    that the pieces pipeline the way a real curation job runs them."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    feat = d.select(
+        "doc_id",
+        TX.lang_id(t).alias("lang_pred"),
+        TX.word_count(t).alias("n_words"),
+        F.length(t).cast("bigint").alias("n_chars"),
+    )
+    qual = feat.filter(
+        (F.col("n_words") >= 5)
+        & (F.col("n_chars") >= 20)
+        & (F.col("lang_pred") != "unknown")
+    )
+    keepers = llm_dedup.exact_dedup_groups(d).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    drops = (
+        llm_dedup.minhash_lsh_dedup(d, NEAR_DUP_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        qual.join(keepers, "doc_id", "semi")
+        .join(drops, "doc_id", "anti")
+        .select("doc_id", "lang_pred", "n_words")
+    )
+
+
 # --- multimodal plumbing --------------------------------------------------
 
 
