@@ -1555,18 +1555,22 @@ _PRIORITY = [
     "ads_user_uv_by_page",
     "ads_user_change_ct_per_type",
     "ads_trade_user_ct",
-    # trade DWD facts
+    # trade DWD facts (cancel_detail falls to the tail: its P7
+    # status-transition shape is driver-covered by pay/refund)
     "dwd_trade_order_detail",
-    "dwd_trade_cancel_detail",
     "dwd_trade_pay_detail_suc",
     "dwd_trade_order_refund",
     "dwd_trade_cart_add",
-    "dwd_trade_order_add",
     "dwd_interaction_favor_add",
     "dwd_interaction_comment",
     "dwd_tool_coupon_order",
-    "dwd_tool_coupon_pay",
     "dwd_user_register",
+    # DIM routing with the r2 CDC-delete tombstone semantics — keep
+    # driver-verified; their simpler DWD siblings (order_add,
+    # coupon_pay) cover the same predicate shapes and fall to the
+    # locally-gated tail.
+    "dim_user_info",
+    "dim_coupon_use",
     # changelog semantics
     "cart_changelog_latest",
     # DWS windows (all 11)
@@ -1585,10 +1589,9 @@ _PRIORITY = [
     "dwd_traffic_page_log",
     "dwd_traffic_unique_visitor_detail",
     "dwd_traffic_user_jump_detail",
-    # dim + interval join
-    "dim_user_info",
-    "dim_coupon_use",
+    # interval join (J7)
     "interval_join_events",
+    "dwd_trade_cancel_detail",
 ]
 
 
