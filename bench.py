@@ -36,7 +36,16 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
     "text_quality_scores",
+    "doc_fingerprint_simhash",
 ]
+
+# Shared fixtures that several headline queries consume (the analog of
+# the reference's materialized DWD Kafka topics). Timed and reported
+# as separate `materialize` line items so per-query numbers measure
+# the operators, not whichever query happens to run first (the r2
+# bench charged the ~9 s page-log derivation to the first traffic
+# query, which made a 1-2 s window aggregate read as 12 s).
+MATERIALIZE = ["dwd_order_detail", "page_log"]
 
 
 def main() -> None:
@@ -51,6 +60,18 @@ def main() -> None:
     for t in ("orders", "lineitem", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    builders = {
+        "dwd_order_detail": q._dwd_order_detail,
+        "page_log": q._page_log,
+    }
+    materialize: dict[str, float] = {}
+    for name in MATERIALIZE:
+        t0 = time.perf_counter()
+        n = builders[name](spark, sf_dir).count()  # builds + persists
+        dt = time.perf_counter() - t0
+        materialize[name] = round(dt, 3)
+        print(f"# materialize {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
     names = [n for n in HEADLINE if n in q.QUERIES] or sorted(q.QUERIES)
     timings: dict[str, float] = {}
     for name in names:
@@ -61,7 +82,8 @@ def main() -> None:
         timings[name] = round(dt, 3)
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # total stays the honest wall clock: fixture derivation + queries
+    total = round(sum(timings.values()) + sum(materialize.values()), 3)
     print(
         json.dumps(
             {
@@ -69,6 +91,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "materialize": materialize,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

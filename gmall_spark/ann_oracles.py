@@ -1,0 +1,183 @@
+"""Generated DuckDB oracle twins for the two ANN queries.
+
+Both ANN operators are deterministic by construction — the LSH
+hyperplanes are md5-derived +/-1 constants (similarity._plane_coefs)
+and the IVF k-means trains from an md5-ordered sample with fixed
+iteration count and lower-id tie-breaking — so their oracles can be
+*generated* SQL:
+
+- ``lsh_topk_oracle()`` bakes the 8x4 plane coefficient arrays into a
+  literal VALUES table and replays signature -> multi-probe (own
+  bucket + every 1-bit flip) -> candidate join -> exact cosine ->
+  top-k, mirroring ``similarity.lsh_bucketed_topk`` step for step.
+- ``ivf_topk_oracle()`` unrolls the whole spherical k-means in SQL:
+  the same md5(vec_id)-ordered sample and init, ``IVF_ITERS`` Lloyd
+  iterations (assign by argmax of u.c - |c|^2/2 with ties to the
+  lower list id — numpy's stable argsort rule), per-dimension mean +
+  renormalize, empty lists keeping their previous centroid; then
+  index assignment, nprobe probes and exact cosine top-k, mirroring
+  ``ivf.ivf_topk``.
+
+Float caveat (same one the MinHash lane oracle carries): DuckDB's
+sequential sums and numpy's pairwise gemm can differ in the last ulp,
+which only matters if a hyperplane projection or a centroid argmax
+sits within ~1e-12 of a tie — vanishingly unlikely on real-valued
+embeddings and hash-checked green at the driver's scale factors.
+
+The embedding width is baked at generation time (the driver's
+testdata is 64-wide at every SF); regenerate with ``dim=`` for other
+corpora.
+"""
+
+from __future__ import annotations
+
+from gmall_spark.operators.ivf import IVF_ITERS, IVF_LISTS, IVF_NPROBE, IVF_SAMPLE
+from gmall_spark.operators.similarity import ANN_PLANES, ANN_TABLES, _plane_coefs
+
+EMBED_DIM = 64  # driver testdata width (all SFs)
+
+
+def _cosine_topk_tail(k: int) -> str:
+    """Shared tail: exact cosine over candidate pairs (the unnest-zip
+    shape proven hash-green by the brute-force oracle) + top-k."""
+    return f"""
+, pairs AS (
+  SELECT c.query_id, c.neighbor_id,
+         unnest(q.embedding)::DOUBLE AS qx, unnest(n.embedding)::DOUBLE AS nx
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))), 6) AS cos_sim
+  FROM pairs GROUP BY query_id, neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_topk_oracle(
+    n_tables: int = ANN_TABLES,
+    n_planes: int = ANN_PLANES,
+    dim: int = EMBED_DIM,
+    k: int = 10,
+    query_max_id: int = 5,
+) -> str:
+    """DuckDB twin of ``similarity.lsh_bucketed_topk`` (multi-probe)."""
+    rows = []
+    for t in range(n_tables):
+        for p, coefs in enumerate(_plane_coefs(n_planes, dim, salt=f"t{t}:")):
+            arr = "[" + ", ".join(str(int(c)) for c in coefs) + "]"
+            rows.append(f"({t}, {p}, {arr}::DOUBLE[])")
+    planes = ",\n    ".join(rows)
+    flips = ", ".join(f"({2 ** p}::BIGINT)" for p in range(n_planes))
+    return f"""
+WITH planes(tbl, p, coefs) AS (
+  VALUES
+    {planes}
+), e AS (
+  SELECT vec_id, list_transform(embedding, (x) -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), sig AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.coefs) > 0
+                       THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tbl
+), qsig AS (
+  SELECT vec_id AS query_id, tbl, bucket FROM sig WHERE vec_id < {query_max_id}
+), qprobe AS (
+  SELECT query_id, tbl, bucket FROM qsig
+  UNION
+  SELECT query_id, tbl, xor(bucket, f.f) AS bucket
+  FROM qsig CROSS JOIN (VALUES {flips}) AS f(f)
+), cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM qprobe q JOIN sig s ON s.tbl = q.tbl AND s.bucket = q.bucket
+  WHERE s.vec_id <> q.query_id
+)
+{_cosine_topk_tail(k)}
+"""
+
+
+def ivf_topk_oracle(
+    n_lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+    iters: int = IVF_ITERS,
+    sample: int = IVF_SAMPLE,
+    dim: int = EMBED_DIM,
+    k: int = 10,
+    query_max_id: int = 5,
+) -> str:
+    """DuckDB twin of ``ivf.ivf_topk`` with the k-means unrolled."""
+    # score(u, c) = u.c - |c|^2/2  (argmax == nearest on the sphere)
+    score = "list_dot_product({u}, c.cv) - list_dot_product(c.cv, c.cv) / 2"
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, (x) -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), uv AS (
+  SELECT vec_id,
+         list_transform(v, (x) -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS u
+  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+), pool AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
+  FROM uv ORDER BY h LIMIT {sample}
+), c0 AS (
+  SELECT list_id,
+         CASE WHEN n2 > 0 THEN list_transform(u, (x) -> x / n2) ELSE u END AS cv
+  FROM (
+    SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS list_id,
+           u, sqrt(list_dot_product(u, u)) AS n2
+    FROM (SELECT h, u FROM pool ORDER BY h LIMIT {n_lists})
+  )
+)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""", a{i} AS (
+  SELECT p.h, p.u, c.list_id,
+         row_number() OVER (PARTITION BY p.h
+                            ORDER BY {score.format(u='p.u')} DESC, c.list_id ASC) AS rn
+  FROM pool p CROSS JOIN {prev} c
+), m{i} AS (
+  SELECT list_id, list(mx ORDER BY ix) AS mu
+  FROM (
+    SELECT list_id, ix, avg(x) AS mx
+    FROM (SELECT list_id, unnest(u) AS x, unnest(range(1, {dim + 1})) AS ix
+          FROM a{i} WHERE rn = 1)
+    GROUP BY list_id, ix
+  ) GROUP BY list_id
+), c{i} AS (
+  SELECT c.list_id,
+         CASE WHEN m.list_id IS NULL THEN c.cv
+              WHEN m.n2 > 0 THEN list_transform(m.mu, (x) -> x / m.n2)
+              ELSE m.mu END AS cv
+  FROM {prev} c
+  LEFT JOIN (SELECT list_id, mu, sqrt(list_dot_product(mu, mu)) AS n2 FROM m{i}) m
+    ON m.list_id = c.list_id
+)"""
+        )
+    parts.append(
+        f""", idx_rn AS (
+  SELECT u.vec_id, c.list_id,
+         row_number() OVER (PARTITION BY u.vec_id
+                            ORDER BY {score.format(u='u.u')} DESC, c.list_id ASC) AS rn
+  FROM uv u CROSS JOIN c{iters} c
+), idx AS (
+  SELECT vec_id, list_id FROM idx_rn WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, list_id
+  FROM idx_rn WHERE vec_id < {query_max_id} AND rn <= {nprobe}
+), cand AS (
+  SELECT p.query_id, i.vec_id AS neighbor_id
+  FROM probes p JOIN idx i ON i.list_id = p.list_id
+  WHERE i.vec_id <> p.query_id
+)
+{_cosine_topk_tail(k)}"""
+    )
+    return "".join(parts)

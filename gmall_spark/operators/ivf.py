@@ -34,8 +34,6 @@ fraction, determinism).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -57,10 +55,13 @@ def _dvec(c: Column) -> Column:
 def _unit(c: Column) -> Column:
     """L2-normalized double vector (spherical k-means: the search
     metric is cosine, so clustering must run on the unit sphere —
-    L2 on raw vectors groups by magnitude, not direction)."""
+    L2 on raw vectors groups by magnitude, not direction). A zero
+    vector stays zero (divide by 1 — same guard as
+    :func:`_nearest_lists_udf` and the generated SQL oracle)."""
     d = _dvec(c)
     n = F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x))
-    return F.transform(d, lambda x: x / n)
+    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    return F.transform(d, lambda x: x / safe)
 
 
 def _renorm(v: list[float]) -> list[float]:
@@ -150,6 +151,12 @@ def train_centroids(
     ).persist()
     try:
         init = [r["__v"] for r in pool.orderBy("__h").limit(n_lists).collect()]
+        if not init:
+            raise ValueError("cannot train IVF centroids on an empty corpus")
+        # Tiny corpora: fewer sampled rows than requested lists ->
+        # clamp so the empty-list fallback below never indexes past
+        # the init length (ADVICE r2).
+        n_lists = min(n_lists, len(init))
         centroids = [_renorm(list(map(float, v))) for v in init]
         for _ in range(iters):
             nn = _nearest_lists_udf(centroids, 1)

@@ -28,10 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-# Shingle relations persisted by minhash_lsh_dedup, released by
-# release_persisted() / queries.clear_cache().
-_PERSISTED: list[DataFrame] = []
-
+from gmall_spark import persist
 from gmall_spark.functions.text import canonical_hash
 
 NGRAM_N = 5
@@ -194,8 +191,55 @@ def minhash_signatures_from_array(
     return base.select("doc_id", *lanes)
 
 
-def lsh_candidate_pairs(
+# Buckets wider than this switch from all-pairs expansion (quadratic)
+# to an adjacent-id chain (linear). A band bucket only exceeds this
+# when its members are near-identical (same band hash), so the chain
+# still connects the whole duplicate group for connected-components
+# dedup; what's lost is only the explicit pair list inside mega-
+# groups. Far above anything the fixtures produce (their widest
+# bucket is single digits), so oracle parity is unaffected.
+DEFAULT_MAX_BUCKET = 1024
+
+
+def band_signatures(
     signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) rows from a k-column signature.
+
+    ':'-joined decimal sigs via null-PROPAGATING concat (concat_ws
+    would turn an all-null signature row into '' and bucket every
+    shingle-less doc together); F.concat and DuckDB's || both return
+    NULL when any sig is NULL, and the filter drops those. Shared by
+    the batch candidate generation and the incremental (streaming)
+    signature store.
+    """
+    rows_per_band = k // bands
+    band_cols = []
+    for bi in range(bands):
+        parts: list[Column] = []
+        for r in range(rows_per_band):
+            if r:
+                parts.append(F.lit(":"))
+            parts.append(F.col(f"sig_{bi * rows_per_band + r}").cast("string"))
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band_idx"), F.concat(*parts).alias("band_hash"))
+        )
+    return (
+        signatures.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+        .filter(F.col("band_hash").isNotNull())
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = LSH_BANDS,
+    k: int = MINHASH_K,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signature and emit candidate pairs per band bucket.
 
@@ -215,41 +259,34 @@ def lsh_candidate_pairs(
 
     Null band hashes (docs shorter than one shingle) are dropped,
     matching the join semantics where NULL never equi-matches.
+
+    ``max_bucket`` bounds the per-bucket expansion: buckets wider than
+    it (a boilerplate-heavy corpus can put millions of near-identical
+    docs in one band bucket — quadratic pairs) emit the sorted-id
+    adjacent chain instead (size-1 pairs). Pass ``None`` to disable.
     """
-    rows_per_band = k // bands
-    band_cols = []
-    for bi in range(bands):
-        # ':'-joined decimal sigs via null-PROPAGATING concat (concat_ws
-        # would turn an all-null signature row into '' and bucket every
-        # shingle-less doc together); F.concat and DuckDB's || both
-        # return NULL when any sig is NULL, and the filter drops those.
-        parts: list[Column] = []
-        for r in range(rows_per_band):
-            if r:
-                parts.append(F.lit(":"))
-            parts.append(F.col(f"sig_{bi * rows_per_band + r}").cast("string"))
-        band_cols.append(
-            F.struct(F.lit(bi).alias("band_idx"), F.concat(*parts).alias("band_hash"))
-        )
-    banded = (
-        signatures.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
-        .select(
-            "doc_id",
-            F.col("b.band_idx").alias("band_idx"),
-            F.col("b.band_hash").alias("band_hash"),
-        )
-        .filter(F.col("band_hash").isNotNull())
-    )
+    banded = band_signatures(signatures, bands, k)
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_expr = F.expr(
+    all_pairs = (
         "flatten(transform(ids, (x, i) -> transform("
         "slice(ids, i + 2, size(ids) - i - 1), "
         "y -> named_struct('doc_a', x, 'doc_b', y))))"
     )
+    if max_bucket is None:
+        pair_expr = F.expr(all_pairs)
+    else:
+        chain = (
+            "transform(slice(ids, 1, size(ids) - 1), "
+            "(x, i) -> named_struct('doc_a', x, 'doc_b', ids[i + 1]))"
+        )
+        pair_expr = F.expr(
+            f"CASE WHEN size(ids) > {int(max_bucket)} THEN {chain} "
+            f"ELSE {all_pairs} END"
+        )
     return (
         buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -393,6 +430,7 @@ def minhash_lsh_dedup(
     n: int = NGRAM_N,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle -> sign -> band -> verify.
 
@@ -413,22 +451,17 @@ def minhash_lsh_dedup(
     :func:`release_persisted` (or ``queries.clear_cache``) to free the
     cached shingle relation in a long-lived session.
     """
-    with_arr = docs.select(
-        F.col(id_col).alias("doc_id"), shingle_array(text_col, n).alias("shingles")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(with_arr)
+    with_arr = persist.register(
+        docs.select(
+            F.col(id_col).alias("doc_id"), shingle_array(text_col, n).alias("shingles")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sh = with_arr.select("doc_id", F.explode("shingles").alias("shingle"))
     sigs = minhash_signatures(sh, k)
-    cand = lsh_candidate_pairs(sigs, bands, k)
+    cand = lsh_candidate_pairs(sigs, bands, k, max_bucket)
     return jaccard_for_arrays(cand, with_arr, threshold)
 
 
 def release_persisted() -> None:
-    """Unpersist every shingle relation cached by
-    :func:`minhash_lsh_dedup` (idempotent; safe after session stop)."""
-    while _PERSISTED:
-        df = _PERSISTED.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+    """Back-compat alias for :func:`gmall_spark.persist.release_all`."""
+    persist.release_all()

@@ -298,7 +298,17 @@ def _verify_pairs(
     """Exact-cosine verification of (id_a, id_b) candidate pairs
     (vectorized: candidates can approach all-pairs density when the
     corpus is isotropic at a low threshold, so the per-pair cost must
-    be a few flops, not an interpreted fold)."""
+    be a few flops, not an interpreted fold).
+
+    Tolerance assumption (ADVICE r2): ``cos_sim`` is rounded to 6
+    decimals *before* the threshold filter, and numpy's pairwise
+    summation can differ from a sequential SQL SUM in the last ulp —
+    a pair whose cosine lands exactly on a 5e-7 rounding boundary
+    could in principle flip versus the oracle. The parity gates
+    compare floats with 1e-9 relative tolerance (tests/oracle.py),
+    so only a boundary-straddling *threshold* decision could diverge;
+    on real-valued embeddings the probability is ~1e-10 per pair and
+    the fixed fixtures are verified green."""
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -321,6 +331,7 @@ def embedding_near_dup_lsh(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via multi-table hyperplane LSH — the
     100 TB path (registered operator; the all-pairs scan below is the
@@ -338,13 +349,14 @@ def embedding_near_dup_lsh(
     no-self-join shape as the MinHash LSH — one shuffle to bucket,
     one to dedup candidates, never corpus².
     """
-    from gmall_spark.operators import llm_dedup
+    from gmall_spark import persist
 
     dim = dim or infer_dim(embeddings, vec_col)
-    banded = _table_buckets(
-        embeddings, "vid", n_tables, planes_per_table, dim, id_col, vec_col
-    ).persist()
-    llm_dedup._PERSISTED.append(banded)
+    banded = persist.register(
+        _table_buckets(
+            embeddings, "vid", n_tables, planes_per_table, dim, id_col, vec_col
+        ).persist()
+    )
     # Dense-regime candidate generation: at a LOW threshold (the
     # fixture's true pairs sit at cos 0.4-0.5, p1 ~ 0.64/plane) high
     # recall forces coarse buckets, so collisions approach all-pairs
@@ -354,15 +366,45 @@ def embedding_near_dup_lsh(
     # streams the same pairs; distinct dedups the (narrow) pair keys
     # before vectors are attached. At a production dedup threshold
     # (0.8+) buckets are sparse and either shape is cheap.
-    b2 = banded.select(
-        F.col("vid").alias("vid2"), F.col("tbl"), F.col("bucket")
-    )
-    cand = (
-        banded.join(b2, ["tbl", "bucket"])
-        .filter(F.col("vid") < F.col("vid2"))
-        .select(F.col("vid").alias("id_a"), F.col("vid2").alias("id_b"))
-        .distinct()
-    )
+    #
+    # ``max_bucket`` (opt-in) bounds the self-join density: buckets
+    # wider than it emit the sorted-id adjacent chain (linear) via a
+    # window lead instead of the quadratic self-join stream. Off by
+    # default because at a LOW threshold wide buckets are *expected*
+    # and chaining them would under-report pairs (the registered
+    # query's oracle is the exact all-pairs scan); a production dedup
+    # at threshold 0.8+ (sparse buckets, where a wide bucket really
+    # is a mega-group of near-identical vectors) should set it.
+    if max_bucket is None:
+        b2 = banded.select(
+            F.col("vid").alias("vid2"), F.col("tbl"), F.col("bucket")
+        )
+        cand = (
+            banded.join(b2, ["tbl", "bucket"])
+            .filter(F.col("vid") < F.col("vid2"))
+            .select(F.col("vid").alias("id_a"), F.col("vid2").alias("id_b"))
+            .distinct()
+        )
+    else:
+        counts = banded.groupBy("tbl", "bucket").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        bn = banded.join(counts, ["tbl", "bucket"])
+        small = bn.filter(F.col("__n") <= max_bucket)
+        s2 = small.select(F.col("vid").alias("vid2"), "tbl", "bucket")
+        small_pairs = (
+            small.join(s2, ["tbl", "bucket"])
+            .filter(F.col("vid") < F.col("vid2"))
+            .select(F.col("vid").alias("id_a"), F.col("vid2").alias("id_b"))
+        )
+        w = Window.partitionBy("tbl", "bucket").orderBy("vid")
+        big_pairs = (
+            bn.filter(F.col("__n") > max_bucket)
+            .withColumn("__next", F.lead("vid").over(w))
+            .filter(F.col("__next").isNotNull())
+            .select(F.col("vid").alias("id_a"), F.col("__next").alias("id_b"))
+        )
+        cand = small_pairs.unionByName(big_pairs).distinct()
     return _verify_pairs(cand, embeddings, threshold, id_col, vec_col)
 
 

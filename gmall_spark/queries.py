@@ -109,15 +109,19 @@ def _dwd_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with a normalized microsecond TimestampType ``ts``.
 
-    The driver writes ``events.ts`` as parquet TIMESTAMP(NANOS), which
-    Spark only reads as a long behind the legacy flag; truncate to
-    micros with integer division (double division would lose precision
-    at 1.7e18) — DuckDB's TIMESTAMP_NS -> TIMESTAMP read truncates the
-    same way.
+    Driver encodings vary by round: TIMESTAMP(NANOS) (readable only as
+    a long behind the legacy flag; truncate to micros with integer
+    division — double division would lose precision at 1.7e18, and
+    DuckDB's TIMESTAMP_NS -> TIMESTAMP read truncates the same way) or
+    plain TIMESTAMP(MICROS)/NTZ. Normalize all of them to a
+    microsecond TimestampType; the session timezone is UTC, so the
+    NTZ cast keeps the same wall-clock values DuckDB reads.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = parallel_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes)["ts"] == "bigint":  # nanos behind the legacy flag
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _page_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1520,60 +1524,50 @@ from gmall_spark import queries_llm  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registry ordering. The round driver issues CORRECTNESS rows for the FIRST
 # 50 registry entries only (r1 lesson: the LLM queries registered last got
-# no driver row, which hid a real wrong-results bug). Order by verification
-# value: the LLM-pipeline operators and the new publisher packs first, then
-# the core DWD/DWS/dim surface. What falls past the window is the r1-green
-# ADS tail plus per-family siblings (extra log-split branches, coupon_get,
-# cart first-wins) whose operators stay represented inside the window and
-# locally oracle-gated by tests/test_oracle_parity.py.
+# no driver row, which hid a real wrong-results bug). r3 rotation: first the
+# queries whose implementation changed this round (the two ANN queries with
+# their new generated oracles, the hash-agg SimHash, the capped LSH paths),
+# then every query whose only green driver row is from r1 (the r2 tail), then
+# high-value unchanged representatives. What falls past the window this round
+# is r2-green, unchanged since, and still locally oracle-gated by
+# tests/test_oracle_parity.py; the union of r1-r3 driver rows covers all 71.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # LLM data pipeline (SURVEY extension mandate)
-    "text_quality_scores",
-    "text_lang_id",
-    "doc_fingerprint_simhash",
-    "dedup_exact_documents",
-    "dedup_prefix_groups",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "doc_fingerprint_winnow",
-    "similarity_topk_cosine",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "llm_corpus_curation",
-    "multimodal_decode_stub",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # publisher commodity/user packs (new in r2)
-    "ads_commodity_stats_trademark",
-    "ads_commodity_stats_category",
-    "ads_commodity_stats_spu",
-    "ads_trademark_order_amount_pie",
-    "ads_user_uv_by_page",
-    "ads_user_change_ct_per_type",
-    "ads_trade_user_ct",
-    # trade DWD facts (cancel_detail falls to the tail: its P7
-    # status-transition shape is driver-covered by pay/refund)
+    # --- changed this round: verify first ---
+    "similarity_lsh_topk",  # new generated hyperplane oracle
+    "similarity_ivf_topk",  # new unrolled-k-means oracle
+    "doc_fingerprint_simhash",  # hash-aggregate rewrite
+    "dedup_minhash_lsh",  # mega-bucket cap (default on)
+    "dedup_embedding_lsh",  # shared persist registry + cap plumbing
+    "llm_corpus_curation",  # composes the capped minhash path
+    # --- r2 tail rotation: only green row so far is from r1 ---
+    "dwd_trade_cancel_detail",
+    "dwd_trade_order_add",
+    "dwd_tool_coupon_get",
+    "dwd_tool_coupon_pay",
+    "cart_changelog_first",
+    "dwd_traffic_display_log",
+    "dwd_traffic_action_log",
+    "dwd_traffic_start_log",
+    "dwd_traffic_error_log",
+    "ads_trade_stats_by_day",
+    "ads_trade_stats_union",
+    "ads_commodity_stats_full_outer",
+    "ads_activity_stats",
+    "ads_coupon_stats",
+    "ads_traffic_channel_stats",
+    "ads_traffic_visitor_stats_by_hour",
+    "ads_traffic_visitor_stats_by_isnew",
+    "ads_traffic_keywords",
+    "ads_user_stats_union",
+    "ads_trade_province_stats",
+    "ads_uv_by_channel",
+    # --- unchanged high-value representatives (r2-green) ---
     "dwd_trade_order_detail",
-    "dwd_trade_pay_detail_suc",
-    "dwd_trade_order_refund",
-    "dwd_trade_cart_add",
-    "dwd_interaction_favor_add",
-    "dwd_interaction_comment",
-    "dwd_tool_coupon_order",
-    "dwd_user_register",
-    # DIM routing with the r2 CDC-delete tombstone semantics — keep
-    # driver-verified; their simpler DWD siblings (order_add,
-    # coupon_pay) cover the same predicate shapes and fall to the
-    # locally-gated tail.
     "dim_user_info",
     "dim_coupon_use",
-    # changelog semantics
     "cart_changelog_latest",
-    # DWS windows (all 11)
     "dws_trade_province_order_window",
     "dws_trade_cart_add_uu_window",
     "dws_trade_order_window",
@@ -1585,13 +1579,37 @@ _PRIORITY = [
     "dws_traffic_page_view_window",
     "dws_user_user_login_window",
     "dws_user_user_register_window",
-    # traffic DWD (page + the two stateful derivations)
     "dwd_traffic_page_log",
     "dwd_traffic_unique_visitor_detail",
     "dwd_traffic_user_jump_detail",
-    # interval join (J7)
     "interval_join_events",
-    "dwd_trade_cancel_detail",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "doc_fingerprint_winnow",
+    # ---------------- driver window boundary (50) ----------------
+    # r2-green, unchanged; locally gated by tests/test_oracle_parity
+    "text_quality_scores",
+    "text_lang_id",
+    "dedup_prefix_groups",
+    "similarity_topk_cosine",
+    "multimodal_decode_stub",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "ads_commodity_stats_trademark",
+    "ads_commodity_stats_category",
+    "ads_commodity_stats_spu",
+    "ads_trademark_order_amount_pie",
+    "ads_user_uv_by_page",
+    "ads_user_change_ct_per_type",
+    "ads_trade_user_ct",
+    "dwd_trade_pay_detail_suc",
+    "dwd_trade_order_refund",
+    "dwd_trade_cart_add",
+    "dwd_interaction_favor_add",
+    "dwd_interaction_comment",
+    "dwd_tool_coupon_order",
+    "dwd_user_register",
 ]
 
 

@@ -164,13 +164,9 @@ def q_text_lang_id(spark, sf_dir):
     None,  # oracle attached below (generated SQL)
 )
 def q_doc_fingerprint_simhash(spark, sf_dir):
-    """Canonical md5 + 16-bit SimHash fingerprints per document."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        TX.canonical_hash(F.col("text")).alias("canonical_md5"),
-        TX.simhash16(TX.words(F.col("text"))).alias("simhash"),
-    )
+    """Canonical md5 + 16-bit SimHash fingerprints per document
+    (hash-aggregate form — see text.simhash_fingerprints)."""
+    return TX.simhash_fingerprints(_docs(spark, sf_dir))
 
 
 def _simhash_oracle() -> str:
@@ -387,22 +383,30 @@ def q_similarity_topk_cosine(spark, sf_dir):
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-@query("similarity_lsh_topk")  # no SQL oracle: rows-only driver check
+from gmall_spark.ann_oracles import ivf_topk_oracle, lsh_topk_oracle  # noqa: E402
+
+
+@query("similarity_lsh_topk", lsh_topk_oracle())
 def q_similarity_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (deterministic hyperplanes) — scale path.
-    Verified in tests against brute force; no compact SQL twin."""
+    The oracle is generated SQL baking in the same md5-derived plane
+    coefficients (see gmall_spark.ann_oracles); recall vs brute force
+    is additionally gated by tests/test_llm_ops.py."""
     emb = _emb(spark, sf_dir)
     return similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-@query("similarity_ivf_topk")  # iterative k-means train: rows-only check
+@query("similarity_ivf_topk", ivf_topk_oracle())
 def q_similarity_ivf_topk(spark, sf_dir):
     """IVF ANN — the second scale path: deterministic k-means
     centroids (Lloyd iterations as DataFrame aggregates; only the k
     centroid vectors reach the driver), corpus assigned to inverted
-    lists, queries probe their nprobe nearest lists. Iterative
-    training has no single-SQL twin; tests/test_ivf.py gates recall
-    vs brute force and index invariants."""
+    lists, queries probe their nprobe nearest lists. The training is
+    deterministic by construction (md5-ordered sample/init, fixed
+    iterations, lower-id ties), so the oracle unrolls the identical
+    k-means in SQL (gmall_spark.ann_oracles.ivf_topk_oracle);
+    tests/test_ivf.py gates recall vs brute force and the index
+    invariants."""
     emb = _emb(spark, sf_dir)
     return ivf.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 

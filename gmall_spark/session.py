@@ -71,6 +71,14 @@ HEAVY_TABLES = frozenset(
 )
 
 
+# parallel_scan split-probe memo: (input files, parallelism) -> bool.
+# The probe (df.rdd.getNumPartitions) forces an RDD lineage conversion,
+# which is cheap but repeated per _t() call; the decision only depends
+# on the scanned files and the session parallelism, so memoize it
+# (ADVICE r2).
+_SCAN_DECISIONS: dict[tuple[tuple[str, ...], int], bool] = {}
+
+
 def parallel_scan(spark: SparkSession, df, heavy: bool = True):
     """Normalize scan parallelism for small-file inputs.
 
@@ -89,12 +97,19 @@ def parallel_scan(spark: SparkSession, df, heavy: bool = True):
         return df
     target = spark.sparkContext.defaultParallelism
     try:
+        key = (tuple(sorted(df.inputFiles())), target)
+    except Exception:  # pragma: no cover - exotic sources
+        key = None
+    if key is not None and key in _SCAN_DECISIONS:
+        return df.repartition(target) if _SCAN_DECISIONS[key] else df
+    try:
         current = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - exotic sources without RDD view
         return df
-    if current < target:
-        df = df.repartition(target)
-    return df
+    fan_out = current < target
+    if key is not None:
+        _SCAN_DECISIONS[key] = fan_out
+    return df.repartition(target) if fan_out else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):

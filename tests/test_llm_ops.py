@@ -126,3 +126,76 @@ def test_bucket_signatures_match_expression_path(spark, sf_dir):
         for r in emb.select("vec_id", *expr_cols).collect()
     }
     assert udf_rows == expr_rows
+
+
+def test_minhash_mega_bucket_cap_bounds_pairs(spark):
+    """A planted boilerplate corpus (one giant near-identical group)
+    must produce linearly many candidate pairs under the cap, while
+    the uncapped path goes quadratic; and on a mixed corpus the cap
+    must leave normal-sized buckets' output unchanged."""
+    n_big = 300
+    rows = [(i, "the same boilerplate text repeated for every doc in this corpus") for i in range(n_big)]
+    rows += [(1000 + i, f"unique document number {i} with its own distinct words here {i * 7}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = llm_dedup.minhash_signatures(llm_dedup.word_shingles(docs))
+
+    capped = llm_dedup.lsh_candidate_pairs(sigs, max_bucket=100)
+    n_capped = capped.count()
+    # chain: <= bands * (n_big - 1) pairs from the mega-group (the
+    # distinct collapses identical chains across bands)
+    assert n_capped <= llm_dedup.LSH_BANDS * n_big
+    # connectivity: every planted duplicate doc appears in some pair
+    ids = {
+        r[0]
+        for c in ("doc_a", "doc_b")
+        for r in capped.select(F.col(c)).distinct().collect()
+    }
+    assert set(range(n_big)) <= ids
+
+    uncapped = llm_dedup.lsh_candidate_pairs(sigs, max_bucket=None)
+    assert uncapped.count() >= n_big * (n_big - 1) // 2
+
+
+def test_embedding_lsh_cap_bounds_megagroup_and_keeps_connectivity(spark):
+    """The cap's intended regime (production threshold, mega-group of
+    near-identical vectors): a planted group of 200 tiny-perturbation
+    copies must NOT go quadratic under the cap, every verified pair
+    must still be exact (verification forbids false positives), and
+    the mega-group must stay fully connected through the chain pairs
+    (transitive closure == the clique, which is what dedup keep/drop
+    decisions consume)."""
+    import math
+
+    n_big, dim = 200, 16
+    base = [math.sin(i + 1) for i in range(dim)]
+    rows = [
+        (i, [x + 1e-4 * ((i * 31 + j) % 7) for j, x in enumerate(base)])
+        for i in range(n_big)
+    ]
+    # plus a few isolated far-away vectors (one-hot-ish)
+    for i in range(10):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        rows.append((1000 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = similarity.embedding_near_dup_lsh(
+        emb, 0.99, dim=dim, max_bucket=50
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # bounded: way below the ~20k-pair clique
+    assert len(pairs) <= 32 * n_big
+    # no false positives and no leakage outside the planted group
+    assert all(a < n_big and b < n_big for a, b in pairs)
+    # connectivity: union-find over the chain pairs -> one component
+    parent = list(range(n_big))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n_big)}) == 1

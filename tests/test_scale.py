@@ -58,3 +58,97 @@ def test_bucketed_groupby_on_bucket_key_has_no_exchange(spark, bucketed_tables):
     agg = a.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Synthetic-skew smoke (SURVEY scale mandate): one key holding
+    half the fact rows must trigger AQE's skew-join split once the
+    thresholds are scaled down to test-data sizes — evidence the
+    session config actually engages OptimizeSkewedJoin, which is the
+    production answer for a hot order_id at 100 TB."""
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    # coalescing tiny neighbors first can mask the split at test sizes
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        fact = spark.range(2_000_000).select(
+            F.when(F.col("id") < 1_000_000, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            # pad so the skewed map partition clears the (compressed)
+            # size threshold
+            F.concat(
+                F.lit("padpadpadpadpadpadpadpad_"),
+                (F.col("id") % 97).cast("string"),
+            ).alias("v"),
+        )
+        dim = spark.range(0, 2_000_000, 7).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("w")
+        )
+        joined = fact.join(dim, "k")
+        # collect() (not count()) so the inspected DataFrame's own
+        # QueryExecution runs and its adaptive plan finalizes
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:1000]
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_minhash_pair_cost_tracks_duplicate_density(spark):
+    """Structural linearity smoke for the MinHash pipeline: tiling a
+    corpus T times (duplicates only WITHIN a tile — each tile gets a
+    distinguishing token) must scale verified pairs and candidate
+    pairs exactly T times. A super-linear blowup would mean bucket
+    collisions across unrelated tiles — the failure mode that turns
+    LSH quadratic at 100 TB."""
+    from gmall_spark.operators import llm_dedup
+
+    def corpus(tiles: int):
+        rows = []
+        for t in range(tiles):
+            for g in range(5):  # 5 near-dup groups per tile
+                base = " ".join(
+                    f"tile{t} grp{g} tok{(g * 13 + j) % 31} word{j}"
+                    for j in range(12)
+                )
+                rows.append((t * 100 + g * 2, base))
+                rows.append((t * 100 + g * 2 + 1, base + " tail"))
+            for u in range(10):  # unique filler (tile-qualified tokens)
+                rows.append(
+                    (t * 100 + 50 + u, f"tile{t} unique{u} " + " ".join(
+                        f"solo{t}_{u}_{j}" for j in range(12)
+                    ))
+                )
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def counts(tiles: int):
+        docs = corpus(tiles)
+        sigs = llm_dedup.minhash_signatures(
+            llm_dedup.word_shingles(docs)
+        )
+        cand = llm_dedup.lsh_candidate_pairs(sigs).count()
+        pairs = llm_dedup.minhash_lsh_dedup(docs, 0.5).count()
+        return cand, pairs
+
+    c1, p1 = counts(1)
+    c4, p4 = counts(4)
+    assert p1 > 0 and c1 > 0
+    assert p4 == 4 * p1, (p1, p4)
+    assert c4 == 4 * c1, (c1, c4)

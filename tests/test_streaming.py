@@ -29,9 +29,9 @@ def tmpdir():
 
 
 def _events(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from gmall_spark.queries import _events as q_events
+
+    return q_events(spark, sf_dir)
 
 
 def _page_log_parquet(spark, sf_dir, tmpdir):
@@ -374,3 +374,48 @@ def test_sink_projection_drops_transient_cols(spark, sf_dir):
     assert out.columns == ["o_orderkey", "o_orderstatus"]
     assert sink_projection(df).columns == df.columns
     assert out.count() == df.count()
+
+
+def test_incremental_dedup_equals_batch(spark, sf_dir, tmpdir):
+    """Streaming twin of MinHash+LSH dedup (SURVEY X4 extension): the
+    documents table split into two micro-batches, each signed and
+    banded against the persisted signature store via foreachBatch,
+    must emit exactly the pairs the single-batch operator finds on
+    the full corpus — regardless of which batch a pair's members
+    arrive in."""
+    from gmall_spark.streaming import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = f"{tmpdir}/dedup_store"
+    src = f"{tmpdir}/dedup_src"
+    # two source files -> maxFilesPerTrigger=1 forces two micro-batches
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, _eid: incremental_dedup.process_batch(
+            spark, b, store, 0.8
+        ),
+        checkpoint=f"{tmpdir}/ckpt_dedup",
+    )
+    q.awaitTermination(180)
+
+    from gmall_spark.operators import llm_dedup
+
+    got = {
+        (r.doc_a, r.doc_b, r.inter, r.jaccard)
+        for r in incremental_dedup.emitted_pairs(spark, store).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.inter, r.jaccard)
+        for r in llm_dedup.minhash_lsh_dedup(docs, 0.8).collect()
+    }
+    assert got == want and len(want) > 0
