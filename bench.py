@@ -37,6 +37,7 @@ HEADLINE = [
     "similarity_topk_cosine",
     "text_quality_scores",
     "doc_fingerprint_simhash",
+    "dedup_semantic_clusters",
 ]
 
 # Shared fixtures that several headline queries consume (the analog of

@@ -103,16 +103,13 @@ WITH planes(tbl, p, coefs) AS (
 """
 
 
-def ivf_topk_oracle(
-    n_lists: int = IVF_LISTS,
-    nprobe: int = IVF_NPROBE,
-    iters: int = IVF_ITERS,
-    sample: int = IVF_SAMPLE,
-    dim: int = EMBED_DIM,
-    k: int = 10,
-    query_max_id: int = 5,
+def _kmeans_ctes(
+    n_lists: int, iters: int, sample: int, dim: int
 ) -> str:
-    """DuckDB twin of ``ivf.ivf_topk`` with the k-means unrolled."""
+    """The shared unrolled-k-means CTE prefix: normalized corpus
+    (``uv``), md5-ordered sample (``pool``), init + ``iters`` Lloyd
+    iterations (``c0``..``c{iters}``), full-corpus assignment ranking
+    (``idx_rn``) and final inverted index (``idx``)."""
     # score(u, c) = u.c - |c|^2/2  (argmax == nearest on the sphere)
     score = "list_dot_product({u}, c.cv) - list_dot_product(c.cv, c.cv) / 2"
     parts = [
@@ -170,7 +167,24 @@ WITH e AS (
   FROM uv u CROSS JOIN c{iters} c
 ), idx AS (
   SELECT vec_id, list_id FROM idx_rn WHERE rn = 1
-), probes AS (
+)"""
+    )
+    return "".join(parts)
+
+
+def ivf_topk_oracle(
+    n_lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+    iters: int = IVF_ITERS,
+    sample: int = IVF_SAMPLE,
+    dim: int = EMBED_DIM,
+    k: int = 10,
+    query_max_id: int = 5,
+) -> str:
+    """DuckDB twin of ``ivf.ivf_topk`` with the k-means unrolled."""
+    return (
+        _kmeans_ctes(n_lists, iters, sample, dim)
+        + f""", probes AS (
   SELECT vec_id AS query_id, list_id
   FROM idx_rn WHERE vec_id < {query_max_id} AND rn <= {nprobe}
 ), cand AS (
@@ -180,4 +194,33 @@ WITH e AS (
 )
 {_cosine_topk_tail(k)}"""
     )
-    return "".join(parts)
+
+
+def semantic_dedup_oracle(
+    threshold: float,
+    n_lists: int = IVF_LISTS,
+    iters: int = IVF_ITERS,
+    sample: int = IVF_SAMPLE,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of ``semdedup.semantic_dedup_pairs``: the same
+    unrolled k-means, then within-cluster pairs verified by exact
+    cosine (the unnest-zip shape) against the threshold."""
+    return (
+        _kmeans_ctes(n_lists, iters, sample, dim)
+        + f""", cpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM idx a JOIN idx b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+), px AS (
+  SELECT c.id_a, c.id_b,
+         unnest(ea.embedding)::DOUBLE AS ax, unnest(eb.embedding)::DOUBLE AS bx
+  FROM cpairs c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+), sx AS (
+  SELECT id_a, id_b,
+         round(SUM(ax * bx) / (sqrt(SUM(ax * ax)) * sqrt(SUM(bx * bx))), 6) AS cos_sim
+  FROM px GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cos_sim FROM sx WHERE cos_sim >= {threshold}"""
+    )

@@ -59,6 +59,44 @@ def alpha_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"[A-Za-z]")).cast("bigint")
 
 
+# PII patterns (training-corpus scrubbing). Deliberately restricted to
+# the Java-regex ∩ RE2 dialect subset (no lookarounds) so the Spark
+# expressions and the DuckDB oracle run the IDENTICAL pattern strings.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# Redaction order matters (emails/IPs can appear inside URLs): URL
+# first, then email, phone, IP. Shared by redact() and the oracle SQL.
+PII_REDACTIONS = (
+    (PII_URL, "<URL>"),
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_PHONE, "<PHONE>"),
+    (PII_IPV4, "<IP>"),
+)
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-document PII hit counts (emails, urls, phones, ipv4s) —
+    JVM regexp_count, no UDF."""
+    return [
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("bigint").alias("email_ct"),
+        F.regexp_count(text, F.lit(PII_URL)).cast("bigint").alias("url_ct"),
+        F.regexp_count(text, F.lit(PII_PHONE)).cast("bigint").alias("phone_ct"),
+        F.regexp_count(text, F.lit(PII_IPV4)).cast("bigint").alias("ipv4_ct"),
+    ]
+
+
+def pii_redact(text: Column) -> Column:
+    """Text with every PII match replaced by a typed placeholder, in
+    the fixed :data:`PII_REDACTIONS` order."""
+    out = text
+    for pat, repl in PII_REDACTIONS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def lang_id(text: Column) -> Column:
     """Marker-based language guess (CJK script beats word markers)."""
     low = F.lower(text)

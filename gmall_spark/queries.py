@@ -1534,10 +1534,16 @@ from gmall_spark import queries_llm  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # --- changed this round: verify first ---
+    # --- new in r3 / changed this round: verify first ---
     "similarity_lsh_topk",  # new generated hyperplane oracle
     "similarity_ivf_topk",  # new unrolled-k-means oracle
-    "doc_fingerprint_simhash",  # hash-aggregate rewrite
+    "dedup_semantic_clusters",  # new: SemDeDup cluster-then-prune
+    "text_pii_scan",  # new: PII counts + redaction hash
+    "llm_contamination_check",  # new: benchmark n-gram overlap
+    "llm_stratified_sample",  # new: deterministic hash sampling
+    "text_repetition_signals",  # new: Gopher-style repetition stats
+    "llm_corpus_stats",  # new: per-(source,lang) token rollup
+    "doc_fingerprint_simhash",  # one-hash-per-word rewrite
     "dedup_minhash_lsh",  # mega-bucket cap (default on)
     "dedup_embedding_lsh",  # shared persist registry + cap plumbing
     "llm_corpus_curation",  # composes the capped minhash path
@@ -1572,8 +1578,6 @@ _PRIORITY = [
     "dws_trade_cart_add_uu_window",
     "dws_trade_order_window",
     "dws_trade_payment_suc_window",
-    "dws_trade_trademark_category_user_order_window",
-    "dws_trade_trademark_category_user_refund_window",
     "dws_traffic_vc_ch_ar_isnew_page_view_window",
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_page_view_window",
@@ -1583,12 +1587,14 @@ _PRIORITY = [
     "dwd_traffic_unique_visitor_detail",
     "dwd_traffic_user_jump_detail",
     "interval_join_events",
+    # ---------------- driver window boundary (50) ----------------
+    # r2-green, unchanged; locally gated by tests/test_oracle_parity
+    "dws_trade_trademark_category_user_order_window",
+    "dws_trade_trademark_category_user_refund_window",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "doc_fingerprint_winnow",
-    # ---------------- driver window boundary (50) ----------------
-    # r2-green, unchanged; locally gated by tests/test_oracle_parity
     "text_quality_scores",
     "text_lang_id",
     "dedup_prefix_groups",

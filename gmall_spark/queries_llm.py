@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_spark.functions import text as TX
-from gmall_spark.operators import ivf, llm_dedup, multimodal, similarity
+from gmall_spark.operators import ivf, llm_dedup, multimodal, semdedup, similarity
 from gmall_spark.queries import _t, query
 
 NEAR_DUP_THRESHOLD = 0.8
@@ -409,6 +409,241 @@ def q_similarity_ivf_topk(spark, sf_dir):
     invariants."""
     emb = _emb(spark, sf_dir)
     return ivf.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# --- PII / contamination / sampling / repetition --------------------------
+
+
+def _pii_scan_oracle() -> str:
+    # built by concatenation: the regex patterns contain literal {m,n}
+    # braces that f-strings would eat
+    counts = ",\n       ".join(
+        "CAST(len(regexp_extract_all(text, '" + pat + "')) AS BIGINT) AS " + name
+        for name, pat in (
+            ("email_ct", TX.PII_EMAIL),
+            ("url_ct", TX.PII_URL),
+            ("phone_ct", TX.PII_PHONE),
+            ("ipv4_ct", TX.PII_IPV4),
+        )
+    )
+    redacted = "text"
+    for pat, repl in TX.PII_REDACTIONS:
+        redacted = (
+            "regexp_replace(" + redacted + ", '" + pat + "', '" + repl + "', 'g')"
+        )
+    return (
+        "SELECT doc_id,\n       "
+        + counts
+        + ",\n       md5("
+        + redacted
+        + ") AS redacted_md5\nFROM documents"
+    )
+
+
+@query("text_pii_scan", _pii_scan_oracle())
+def q_text_pii_scan(spark, sf_dir):
+    """PII scan + redaction over the corpus: per-doc hit counts for
+    emails/urls/phones/ipv4s and the md5 of the redacted text (typed
+    placeholders, fixed order). All JVM regexp — no UDF; the patterns
+    are restricted to the Java-regex ∩ RE2 subset so the oracle runs
+    the identical strings. Planted-PII behavior is unit-tested (the
+    synthetic corpus itself is PII-free)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        *TX.pii_counts(t),
+        F.md5(TX.pii_redact(t)).alias("redacted_md5"),
+    )
+
+
+CONTAM_GRAM_N = 8
+# deterministic benchmark subset: every doc_id ending in 7 plays the
+# role of an eval-benchmark document
+_CONTAM_SQL_GRAMS = r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos FROM ws
+), gr AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+           || ' ' || lead(w,5) OVER win || ' ' || lead(w,6) OVER win
+           || ' ' || lead(w,7) OVER win AS gram
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w,7) OVER win IS NOT NULL
+)
+SELECT c.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS overlap_ct
+FROM gr c JOIN gr b ON c.gram = b.gram
+WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+GROUP BY c.doc_id, b.doc_id
+"""
+
+
+@query("llm_contamination_check", _CONTAM_SQL_GRAMS)
+def q_llm_contamination_check(spark, sf_dir):
+    """Benchmark-contamination check (the n-gram overlap test run
+    before training): count shared 8-word grams between each corpus
+    document and each document of a benchmark set (here the
+    deterministic doc_id%10==7 subset stands in for an eval set).
+    Scale shape: the benchmark gram set is small by definition ->
+    broadcast hash join against the corpus gram stream; no corpus
+    shuffle."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(llm_dedup.shingle_array("text", CONTAM_GRAM_N)).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    corpus = grams.filter(F.col("doc_id") % 10 != 7)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_ct"))
+    )
+
+
+# per-language keep rates for the deterministic stratified sample
+SAMPLE_RATES = {"en": 0.1, "zh": 0.5, "es": 0.3, "fr": 0.3, "de": 0.3}
+SAMPLE_DEFAULT_RATE = 0.2
+
+
+def _sample_oracle() -> str:
+    cases = "\n            ".join(
+        f"WHEN '{lang}' THEN {int(rate * 65536)}"
+        for lang, rate in SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) <
+      CASE lang
+            {cases}
+            ELSE {int(SAMPLE_DEFAULT_RATE * 65536)} END
+"""
+
+
+@query("llm_stratified_sample", _sample_oracle())
+def q_llm_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: keep each document iff the
+    first 16 bits of md5(doc_id) fall under its language's keep rate.
+    Hash-threshold sampling is reproducible across engines and runs
+    (unlike rand()), needs NO shuffle, and composes with any
+    downstream pipeline — the standard way to cut a 100 TB corpus to
+    a target token budget per stratum."""
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    rate = F.lit(int(SAMPLE_DEFAULT_RATE * 65536))
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(int(r * 65536))).otherwise(rate)
+    return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "text_repetition_signals",
+    r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos FROM ws
+), bg AS (
+  SELECT doc_id, w || ' ' || lead(w,1) OVER win AS gram
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w,1) OVER win IS NOT NULL
+), cnt AS (
+  SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS bigram_total,
+       CAST(COUNT(*) AS BIGINT) AS bigram_distinct,
+       CAST(MAX(c) AS BIGINT) AS top_bigram_ct,
+       round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS rep_ratio,
+       round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_share
+FROM cnt GROUP BY doc_id
+""",
+)
+def q_text_repetition_signals(spark, sf_dir):
+    """Repetition quality signals (the Gopher/C4 family): per-doc
+    bigram totals, distinct counts, the most-repeated bigram's share,
+    and the repeated-bigram ratio. Shape: explode bigrams -> two
+    map-side-combining hash aggregates keyed by doc_id — the exchange
+    carries per-doc partials, never the token stream."""
+    d = _docs(spark, sf_dir)
+    bigrams = F.expr(
+        """
+        CASE WHEN size(split(text, '\\\\s+')) >= 2
+             THEN transform(sequence(1, size(split(text, '\\\\s+')) - 1),
+                            i -> concat_ws(' ', slice(split(text, '\\\\s+'), i, 2)))
+             ELSE array()
+        END
+        """
+    )
+    cnt = (
+        d.select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("bigram_total"),
+        F.count(F.lit(1)).cast("bigint").alias("bigram_distinct"),
+        F.max("c").cast("bigint").alias("top_bigram_ct"),
+        F.round(
+            1.0 - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
+        ).alias("rep_ratio"),
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_share"),
+    )
+
+
+@query(
+    "llm_corpus_stats",
+    r"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS doc_ct,
+       CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_words,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
+       round(AVG(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+FROM documents
+GROUP BY source, lang
+""",
+)
+def q_llm_corpus_stats(spark, sf_dir):
+    """Corpus token-budget rollup per (source, lang): doc counts,
+    whitespace-word and BPE-ish token totals, average length — the
+    reporting layer every corpus-curation run ends with."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_ct"),
+        F.sum(TX.word_count(t)).cast("bigint").alias("total_words"),
+        F.sum(TX.bpe_token_count(t)).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(F.length(t).cast("double")), 6).alias("avg_chars"),
+    )
+
+
+SEMANTIC_DEDUP_THRESHOLD = 0.4
+
+
+@query("dedup_semantic_clusters")  # oracle attached below (generated SQL)
+def q_dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup: spherical k-means clusters
+    (the deterministic IVF trainer), then exact-cosine near-dup pairs
+    WITHIN each cluster — k·(n/k)² instead of n². The oracle unrolls
+    the identical k-means in SQL (ann_oracles.semantic_dedup_oracle)."""
+    return semdedup.semantic_dedup_pairs(
+        _emb(spark, sf_dir), SEMANTIC_DEDUP_THRESHOLD
+    )
+
+
+from gmall_spark.ann_oracles import semantic_dedup_oracle  # noqa: E402
+
+ORACLES["dedup_semantic_clusters"] = semantic_dedup_oracle(SEMANTIC_DEDUP_THRESHOLD)
 
 
 # --- corpus curation (composition capstone) -------------------------------

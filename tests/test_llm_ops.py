@@ -199,3 +199,66 @@ def test_embedding_lsh_cap_bounds_megagroup_and_keeps_connectivity(spark):
     for a, b in pairs:
         parent[find(a)] = find(b)
     assert len({find(i) for i in range(n_big)}) == 1
+
+
+def test_pii_scan_planted(spark):
+    """The synthetic corpus is PII-free (the registered query's oracle
+    hash-checks the zero case); planted PII must be counted and
+    redacted with typed placeholders."""
+    from gmall_spark.functions import text as TX
+
+    rows = [
+        (1, "mail me at alice.smith+x@example.co.uk today"),
+        (2, "see https://example.com/a?b=c and http://x.io/z"),
+        (3, "call 555-123-4567 or visit 10.0.0.1 now"),
+        (4, "nothing sensitive here at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["email_ct"], r["url_ct"], r["phone_ct"], r["ipv4_ct"], r["red"])
+        for r in d.select(
+            "doc_id", *TX.pii_counts(F.col("text")), TX.pii_redact(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert got[1][:4] == (1, 0, 0, 0) and "<EMAIL>" in got[1][4]
+    assert got[2][:4] == (0, 2, 0, 0) and got[2][4].count("<URL>") == 2
+    assert got[3][:4] == (0, 0, 1, 1) and "<PHONE>" in got[3][4] and "<IP>" in got[3][4]
+    assert got[4][:4] == (0, 0, 0, 0) and got[4][4] == rows[3][1]
+
+
+def test_semantic_dedup_subset_of_exact_and_catches_planted(spark):
+    """SemDeDup invariants: every within-cluster pair is a true exact
+    near-dup pair (verification forbids false positives), and a
+    planted tight duplicate pair lands in the same cluster and is
+    caught despite the cluster partition."""
+    from gmall_spark.operators import semdedup
+
+    import math
+
+    dim = 16
+    rows = []
+    for i in range(120):
+        rows.append((i, [math.sin(0.7 * i + j) for j in range(dim)]))
+    # planted near-identical pair, far ids; alternating-sign spiky
+    # base so it is near-orthogonal to the smooth sin family above
+    base = [(-1.0) ** j * (1.0 + 0.1 * j) for j in range(dim)]
+    rows.append((500, base))
+    rows.append((501, [x + 1e-5 for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup.semantic_dedup_pairs(emb, 0.95, n_lists=8).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup(emb, 0.95).collect()
+    }
+    assert pairs <= exact
+    assert (500, 501) in pairs
+
+    keepers = {
+        r["vec_id"]
+        for r in semdedup.semantic_dedup_keepers(emb, 0.95, n_lists=8).collect()
+    }
+    assert 500 in keepers and 501 not in keepers
