@@ -76,6 +76,9 @@ def clear_cache() -> None:
     from gmall_spark.operators import llm_dedup
 
     llm_dedup.release_persisted()
+    from gmall_spark import queries_llm
+
+    queries_llm._CENTROIDS.clear()
     while _MATERIALIZED:
         _, df = _MATERIALIZED.popitem()
         try:
@@ -1543,6 +1546,7 @@ _PRIORITY = [
     "llm_stratified_sample",  # new: deterministic hash sampling
     "text_repetition_signals",  # new: Gopher-style repetition stats
     "llm_corpus_stats",  # new: per-(source,lang) token rollup
+    "llm_sequence_packing",  # new: token-budget chunk assembly
     "doc_fingerprint_simhash",  # one-hash-per-word rewrite
     "dedup_minhash_lsh",  # mega-bucket cap (default on)
     "dedup_embedding_lsh",  # shared persist registry + cap plumbing
@@ -1577,7 +1581,6 @@ _PRIORITY = [
     "dws_trade_province_order_window",
     "dws_trade_cart_add_uu_window",
     "dws_trade_order_window",
-    "dws_trade_payment_suc_window",
     "dws_traffic_vc_ch_ar_isnew_page_view_window",
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_page_view_window",
@@ -1589,6 +1592,7 @@ _PRIORITY = [
     "interval_join_events",
     # ---------------- driver window boundary (50) ----------------
     # r2-green, unchanged; locally gated by tests/test_oracle_parity
+    "dws_trade_payment_suc_window",
     "dws_trade_trademark_category_user_order_window",
     "dws_trade_trademark_category_user_refund_window",
     "dedup_exact_documents",

@@ -7,7 +7,7 @@ Registered into the same registry as the warehouse queries
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_spark.functions import text as TX
@@ -92,6 +92,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "embeddings")
+
+
+# k-means centroids are deterministic per (session, sf_dir) — the IVF
+# index and the SemDeDup clustering train the IDENTICAL model, so one
+# training run serves both queries (the analog of a shared model/
+# index table in a production pipeline). Cleared by queries.clear_cache.
+_CENTROIDS: dict[tuple[int, str], list[list[float]]] = {}
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    key = (id(spark), sf_dir)
+    if key not in _CENTROIDS:
+        _CENTROIDS[key] = ivf.train_centroids(_emb(spark, sf_dir))
+    return _CENTROIDS[key]
 
 
 # --- text analysis --------------------------------------------------------
@@ -408,7 +422,12 @@ def q_similarity_ivf_topk(spark, sf_dir):
     tests/test_ivf.py gates recall vs brute force and the index
     invariants."""
     emb = _emb(spark, sf_dir)
-    return ivf.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return ivf.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        centroids=_trained_centroids(spark, sf_dir),
+    )
 
 
 # --- PII / contamination / sampling / repetition --------------------------
@@ -627,6 +646,55 @@ def q_llm_corpus_stats(spark, sf_dir):
     )
 
 
+PACK_BUDGET = 2048  # tokens per training sequence
+
+
+@query(
+    "llm_sequence_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(prev_cum // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+       CAST(prev_cum % {PACK_BUDGET} AS BIGINT) AS chunk_offset
+FROM c
+""",
+)
+def q_llm_sequence_packing(spark, sf_dir):
+    """Sequence packing (training-batch assembly): stream documents
+    per language stratum in deterministic doc_id order and assign each
+    to the fixed-token-budget chunk its running offset lands in — the
+    contiguous-fill packing used to build pretraining sequences.
+    Shape: one window cumsum per stratum (a single shuffle on lang);
+    at 100 TB the stratum substreams range-partition by the ordering
+    key so each partition packs independently."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id", "lang", TX.bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("prev_cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("prev_cum") / PACK_BUDGET).cast("bigint").alias("chunk_id"),
+        (F.col("prev_cum") % PACK_BUDGET).cast("bigint").alias("chunk_offset"),
+    )
+
+
 SEMANTIC_DEDUP_THRESHOLD = 0.4
 
 
@@ -637,7 +705,9 @@ def q_dedup_semantic_clusters(spark, sf_dir):
     WITHIN each cluster — k·(n/k)² instead of n². The oracle unrolls
     the identical k-means in SQL (ann_oracles.semantic_dedup_oracle)."""
     return semdedup.semantic_dedup_pairs(
-        _emb(spark, sf_dir), SEMANTIC_DEDUP_THRESHOLD
+        _emb(spark, sf_dir),
+        SEMANTIC_DEDUP_THRESHOLD,
+        centroids=_trained_centroids(spark, sf_dir),
     )
 
 
