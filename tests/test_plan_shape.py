@@ -1,0 +1,93 @@
+"""Physical-plan shape guards (the 100 TB contract, pinned).
+
+Each registered operator family has a shuffle budget: per-row
+pipelines must not shuffle at all, aggregations get exactly their
+groupBy exchange, and join-based pipelines must broadcast their small
+side. A regression that adds an exchange (a lost pushdown, a
+de-broadcast, an accidental repartition) fails here long before it
+would show up as a wall-clock regression at scale.
+
+``parallel_scan`` adds one round-robin repartition per heavy-table
+scan on the driver's single-row-group test files (a no-op at real
+scale — see session.parallel_scan), so every budget below includes
+one exchange per scanned heavy table.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gmall_spark import queries as q
+import gmall_spark.queries_llm  # noqa: F401  (registers the LLM queries)
+
+
+def _counts(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    broadcast = plan.count("BroadcastExchange")
+    shuffles = plan.count("Exchange") - broadcast
+    return shuffles, broadcast, plan
+
+
+# (query, max shuffle exchanges incl. the parallel_scan repartition(s),
+#  min broadcast exchanges)
+BUDGETS = [
+    # per-row pipelines: ONLY the scan fan-out, zero real shuffles
+    ("text_quality_scores", 1, 0),
+    ("text_lang_id", 1, 0),
+    ("text_pii_scan", 1, 0),
+    ("doc_fingerprint_simhash", 1, 0),
+    ("doc_fingerprint_winnow", 1, 0),
+    ("llm_stratified_sample", 1, 0),
+    # single-aggregate / single-window pipelines: scan + one exchange
+    ("dedup_exact_documents", 2, 0),
+    ("dedup_prefix_groups", 2, 0),
+    ("llm_corpus_stats", 2, 0),
+    ("llm_sequence_packing", 2, 0),
+    # joins that must broadcast their small side
+    ("llm_contamination_check", 3, 1),
+    ("dedup_semantic_clusters", 5, 1),
+    # the minhash pipeline: shingle scan, signature agg, bucket agg,
+    # candidate distinct (2), verify — candidates/arrays broadcast
+    ("dedup_minhash_lsh", 6, 1),
+]
+
+
+@pytest.mark.parametrize("name,max_shuffles,min_broadcast", BUDGETS)
+def test_shuffle_budget(spark, sf_dir, name, max_shuffles, min_broadcast):
+    df = q.QUERIES[name](spark, sf_dir)
+    shuffles, broadcast, plan = _counts(df)
+    assert shuffles <= max_shuffles, (
+        f"{name}: {shuffles} shuffle exchanges (budget {max_shuffles})\n{plan[:3000]}"
+    )
+    assert broadcast >= min_broadcast, (
+        f"{name}: expected >= {min_broadcast} broadcast exchanges\n{plan[:3000]}"
+    )
+
+
+def test_broadcast_lookup_join_broadcasts(spark, sf_dir):
+    """S7/J3 adapter: the lookup side must enter as a broadcast."""
+    from gmall_spark.sources.jdbc import broadcast_lookup_join
+
+    facts = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    lookup = spark.range(16).select(
+        F.col("id").alias("code"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    joined = broadcast_lookup_join(facts, lookup, "k", "code")
+    _, broadcast, plan = _counts(joined)
+    assert broadcast >= 1 and "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_pushed_filters_reach_the_scan(spark, sf_dir):
+    """Predicate pushdown sanity: a filtered read of a parquet table
+    must carry PushedFilters at the scan node, and column pruning must
+    shrink ReadSchema to the selected columns."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") > 100)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)]" in plan, plan
+    assert "o_orderstatus" not in plan.split("ReadSchema")[-1], plan
