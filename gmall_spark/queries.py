@@ -99,6 +99,7 @@ def clear_cache() -> None:
     from gmall_spark import queries_llm
 
     queries_llm._CENTROIDS.clear()
+    queries_llm._EMB_DIM.clear()
     while _MATERIALIZED:
         _, df = _MATERIALIZED.popitem()
         try:
@@ -1567,6 +1568,7 @@ _PRIORITY = [
     "text_repetition_signals",  # new: Gopher-style repetition stats
     "llm_corpus_stats",  # new: per-(source,lang) token rollup
     "llm_sequence_packing",  # new: token-budget chunk assembly
+    "llm_model_score_stub",  # new: Arrow batch-inference plumbing
     "doc_fingerprint_simhash",  # one-hash-per-word rewrite
     "dedup_minhash_lsh",  # mega-bucket cap (default on)
     "dedup_embedding_lsh",  # shared persist registry + cap plumbing
@@ -1609,9 +1611,9 @@ _PRIORITY = [
     "dwd_traffic_page_log",
     "dwd_traffic_unique_visitor_detail",
     "dwd_traffic_user_jump_detail",
-    "interval_join_events",
     # ---------------- driver window boundary (50) ----------------
     # r2-green, unchanged; locally gated by tests/test_oracle_parity
+    "interval_join_events",
     "dws_trade_payment_suc_window",
     "dws_trade_trademark_category_user_order_window",
     "dws_trade_trademark_category_user_refund_window",

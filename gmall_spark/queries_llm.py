@@ -108,6 +108,18 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return _CENTROIDS[key]
 
 
+# Embedding width per (session, sf_dir): a metadata-scale .first()
+# probe, memoized so repeated query builds don't re-run it (ADVICE r2).
+_EMB_DIM: dict[tuple[int, str], int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    key = (id(spark), sf_dir)
+    if key not in _EMB_DIM:
+        _EMB_DIM[key] = similarity.infer_dim(_emb(spark, sf_dir))
+    return _EMB_DIM[key]
+
+
 # --- text analysis --------------------------------------------------------
 
 
@@ -332,7 +344,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     recover every true pair at the driver's SFs, so the outputs
     coincide; ``tests/test_llm_ops.py`` asserts that parity."""
     return similarity.embedding_near_dup_lsh(
-        _emb(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD
+        _emb(spark, sf_dir), EMB_NEAR_DUP_THRESHOLD, dim=_emb_dim(spark, sf_dir)
     )
 
 
@@ -407,7 +419,9 @@ def q_similarity_lsh_topk(spark, sf_dir):
     coefficients (see gmall_spark.ann_oracles); recall vs brute force
     is additionally gated by tests/test_llm_ops.py."""
     emb = _emb(spark, sf_dir)
-    return similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return similarity.lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, dim=_emb_dim(spark, sf_dir)
+    )
 
 
 @query("similarity_ivf_topk", ivf_topk_oracle())
@@ -644,6 +658,19 @@ def q_llm_corpus_stats(spark, sf_dir):
         F.sum(TX.bpe_token_count(t)).cast("bigint").alias("total_tokens"),
         F.round(F.avg(F.length(t).cast("double")), 6).alias("avg_chars"),
     )
+
+
+from gmall_spark.operators import inference  # noqa: E402
+
+
+@query("llm_model_score_stub", inference.score_oracle_sql())
+def q_llm_model_score_stub(spark, sf_dir):
+    """Batch model-inference plumbing: a (stub) quality classifier
+    scored over every document through Arrow mapInPandas — the
+    broadcast-model / vectorized-batch contract real inference uses;
+    the deterministic stub model makes it oracle-checkable (see
+    operators/inference.py)."""
+    return inference.score_documents(_docs(spark, sf_dir))
 
 
 PACK_BUDGET = 2048  # tokens per training sequence
