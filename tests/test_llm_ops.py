@@ -262,3 +262,25 @@ def test_semantic_dedup_subset_of_exact_and_catches_planted(spark):
         for r in semdedup.semantic_dedup_keepers(emb, 0.95, n_lists=8).collect()
     }
     assert 500 in keepers and 501 not in keepers
+
+
+def test_clear_cache_releases_everything(spark, sf_dir):
+    """clear_cache must drain the DWD materialization cache, the
+    persisted-DataFrame registry, and the per-session model memos
+    (centroids, embedding width) without erroring, and queries must
+    still run (and retrain) afterwards."""
+    from gmall_spark import persist, queries, queries_llm
+
+    queries.QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
+    queries_llm._trained_centroids(spark, sf_dir)
+    queries_llm._emb_dim(spark, sf_dir)
+    assert persist._PERSISTED or queries_llm._CENTROIDS
+
+    queries.clear_cache()
+    assert not persist._PERSISTED
+    assert not queries_llm._CENTROIDS
+    assert not queries_llm._EMB_DIM
+    assert not queries._MATERIALIZED
+
+    # still functional after the drain
+    assert queries.QUERIES["similarity_ivf_topk"](spark, sf_dir).count() > 0

@@ -404,7 +404,10 @@ def test_incremental_dedup_equals_batch(spark, sf_dir, tmpdir):
         write_fn=lambda b, _eid: incremental_dedup.process_batch(
             spark, b, store, 0.8
         ),
-        checkpoint=f"{tmpdir}/ckpt_dedup",
+        # NOT ckpt_dedup: the module-scoped tmpdir is shared with
+        # test_streaming_dedup_equals_batch, and reusing its checkpoint
+        # trips STREAMING_STATEFUL_OPERATOR_NOT_MATCH_IN_STATE_METADATA
+        checkpoint=f"{tmpdir}/ckpt_incr_dedup",
     )
     q.awaitTermination(180)
 
