@@ -56,6 +56,13 @@ BUDGETS = [
 
 @pytest.mark.parametrize("name,max_shuffles,min_broadcast", BUDGETS)
 def test_shuffle_budget(spark, sf_dir, name, max_shuffles, min_broadcast):
+    # Pin the deterministic COLD plan: earlier tests leave persisted
+    # relations in the cache manager, whose statistics can legitimately
+    # flip the AQE-flexible verify joins from broadcast to shuffle
+    # (e.g. minhash 6 -> 9 exchanges in a warmed session). That is AQE
+    # doing its job, not a regression — the budget guards the fresh
+    # plan shape.
+    q.clear_cache()
     df = q.QUERIES[name](spark, sf_dir)
     shuffles, broadcast, plan = _counts(df)
     assert shuffles <= max_shuffles, (
