@@ -191,13 +191,16 @@ def minhash_signatures_from_array(
     return base.select("doc_id", *lanes)
 
 
-# Buckets wider than this switch from all-pairs expansion (quadratic)
-# to an adjacent-id chain (linear). A band bucket only exceeds this
-# when its members are near-identical (same band hash), so the chain
-# still connects the whole duplicate group for connected-components
-# dedup; what's lost is only the explicit pair list inside mega-
-# groups. Far above anything the fixtures produce (their widest
-# bucket is single digits), so oracle parity is unaffected.
+# Opt-in bucket-width cap: buckets wider than this switch from
+# all-pairs expansion (quadratic) to an adjacent-id chain (linear).
+# A band bucket only exceeds this when its members are near-identical
+# (same band hash), so the chain still CONNECTS the whole duplicate
+# group for connected-components dedup (operators/components.py);
+# what's lost is the explicit pair list inside mega-groups, and a
+# chain pair can additionally fail exact-Jaccard verification when
+# only one band agrees — so the cap is OFF by default (ADVICE r3):
+# the registered queries run uncapped, bit-matching their all-pairs
+# oracles, and a boilerplate-heavy 100 TB corpus opts in explicitly.
 DEFAULT_MAX_BUCKET = 1024
 
 
@@ -239,7 +242,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = LSH_BANDS,
     k: int = MINHASH_K,
-    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and emit candidate pairs per band bucket.
 
@@ -263,7 +266,9 @@ def lsh_candidate_pairs(
     ``max_bucket`` bounds the per-bucket expansion: buckets wider than
     it (a boilerplate-heavy corpus can put millions of near-identical
     docs in one band bucket — quadratic pairs) emit the sorted-id
-    adjacent chain instead (size-1 pairs). Pass ``None`` to disable.
+    adjacent chain instead (size-1 pairs). Off (``None``) by default
+    so the output matches the uncapped all-pairs oracle exactly; pass
+    e.g. ``DEFAULT_MAX_BUCKET`` at scale (see its comment).
     """
     banded = band_signatures(signatures, bands, k)
     buckets = (
@@ -430,7 +435,7 @@ def minhash_lsh_dedup(
     n: int = NGRAM_N,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
-    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle -> sign -> band -> verify.
 

@@ -53,14 +53,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # persisting the DWD DataFrame per (session, sf_dir) so DWS/ADS queries
 # in the same process share one computation instead of re-deriving the
 # CDC envelope each time. Correctness is unaffected (plans are pure).
-_MATERIALIZED: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed by applicationId, not id(spark): object ids can be reused after
+# a session is collected, inheriting stale entries (ADVICE r3).
+_MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
 
 
 _INLINE_CONF = "spark.sql.optimizer.collapseProjectAlwaysInline"
 
 
 def _materialized(name: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _MATERIALIZED.get(key)
     if df is None:
         df = build().persist()
@@ -96,10 +98,13 @@ def clear_cache() -> None:
     from gmall_spark.operators import llm_dedup
 
     llm_dedup.release_persisted()
-    from gmall_spark import queries_llm
+    from gmall_spark import queries_llm, session
 
     queries_llm._CENTROIDS.clear()
     queries_llm._EMB_DIM.clear()
+    # scan-fanout decisions are keyed by file paths; the driver
+    # regenerates testdata at the same paths between rounds (ADVICE r3)
+    session._SCAN_DECISIONS.clear()
     while _MATERIALIZED:
         _, df = _MATERIALIZED.popitem()
         try:
@@ -1548,71 +1553,19 @@ from gmall_spark import queries_llm  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registry ordering. The round driver issues CORRECTNESS rows for the FIRST
 # 50 registry entries only (r1 lesson: the LLM queries registered last got
-# no driver row, which hid a real wrong-results bug). r3 rotation: first the
-# queries whose implementation changed this round (the two ANN queries with
-# their new generated oracles, the hash-agg SimHash, the capped LSH paths),
-# then every query whose only green driver row is from r1 (the r2 tail), then
-# high-value unchanged representatives. What falls past the window this round
-# is r2-green, unchanged since, and still locally oracle-gated by
-# tests/test_oracle_parity.py; the union of r1-r3 driver rows covers all 71.
+# no driver row, which hid a real wrong-results bug). r4 rotation (VERDICT
+# r3 task 3): FIRST the 29 queries whose only green row is from r2 — the
+# driver regenerates /root/testdata each round, so their validation is the
+# stalest; THEN this round's new/changed queries (transitive grouping, the
+# connected-components curation rewrite, the uncapped minhash default); THEN
+# high-value r3-green representatives. What falls past the window is
+# r3-green, unchanged since, and still locally oracle-gated by
+# tests/test_oracle_parity.py; the union of r2+r3+r4 driver rows covers all
+# 80 registered queries.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # --- new in r3 / changed this round: verify first ---
-    "similarity_lsh_topk",  # new generated hyperplane oracle
-    "similarity_ivf_topk",  # new unrolled-k-means oracle
-    "dedup_semantic_clusters",  # new: SemDeDup cluster-then-prune
-    "text_pii_scan",  # new: PII counts + redaction hash
-    "llm_contamination_check",  # new: benchmark n-gram overlap
-    "llm_stratified_sample",  # new: deterministic hash sampling
-    "text_repetition_signals",  # new: Gopher-style repetition stats
-    "llm_corpus_stats",  # new: per-(source,lang) token rollup
-    "llm_sequence_packing",  # new: token-budget chunk assembly
-    "llm_model_score_stub",  # new: Arrow batch-inference plumbing
-    "doc_fingerprint_simhash",  # one-hash-per-word rewrite
-    "dedup_minhash_lsh",  # mega-bucket cap (default on)
-    "dedup_embedding_lsh",  # shared persist registry + cap plumbing
-    "llm_corpus_curation",  # composes the capped minhash path
-    # --- r2 tail rotation: only green row so far is from r1 ---
-    "dwd_trade_cancel_detail",
-    "dwd_trade_order_add",
-    "dwd_tool_coupon_get",
-    "dwd_tool_coupon_pay",
-    "cart_changelog_first",
-    "dwd_traffic_display_log",
-    "dwd_traffic_action_log",
-    "dwd_traffic_start_log",
-    "dwd_traffic_error_log",
-    "ads_trade_stats_by_day",
-    "ads_trade_stats_union",
-    "ads_commodity_stats_full_outer",
-    "ads_activity_stats",
-    "ads_coupon_stats",
-    "ads_traffic_channel_stats",
-    "ads_traffic_visitor_stats_by_hour",
-    "ads_traffic_visitor_stats_by_isnew",
-    "ads_traffic_keywords",
-    "ads_user_stats_union",
-    "ads_trade_province_stats",
-    "ads_uv_by_channel",
-    # --- unchanged high-value representatives (r2-green) ---
-    "dwd_trade_order_detail",
-    "dim_user_info",
-    "dim_coupon_use",
-    "cart_changelog_latest",
-    "dws_trade_province_order_window",
-    "dws_trade_cart_add_uu_window",
-    "dws_trade_order_window",
-    "dws_traffic_vc_ch_ar_isnew_page_view_window",
-    "dws_traffic_source_keyword_page_view_window",
-    "dws_traffic_page_view_window",
-    "dws_user_user_login_window",
-    "dws_user_user_register_window",
-    "dwd_traffic_page_log",
-    "dwd_traffic_unique_visitor_detail",
-    "dwd_traffic_user_jump_detail",
-    # ---------------- driver window boundary (50) ----------------
-    # r2-green, unchanged; locally gated by tests/test_oracle_parity
+    # --- r2 tail: only green driver row is from r2 — re-validate first ---
     "interval_join_events",
     "dws_trade_payment_suc_window",
     "dws_trade_trademark_category_user_order_window",
@@ -1642,6 +1595,61 @@ _PRIORITY = [
     "dwd_interaction_comment",
     "dwd_tool_coupon_order",
     "dwd_user_register",
+    # --- new / changed this round: verify next ---
+    "dedup_groups_transitive",  # new: connected-components grouping
+    "llm_corpus_curation",  # rewritten: component-wise drop policy
+    "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
+    # --- unchanged high-value representatives (r3-green) ---
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "dedup_semantic_clusters",
+    "dwd_trade_order_detail",
+    "dim_user_info",
+    "dim_coupon_use",
+    "cart_changelog_latest",
+    "dws_trade_province_order_window",
+    "dws_trade_cart_add_uu_window",
+    "dws_trade_order_window",
+    "dws_traffic_vc_ch_ar_isnew_page_view_window",
+    "dws_traffic_source_keyword_page_view_window",
+    "dws_traffic_page_view_window",
+    "dws_user_user_login_window",
+    "dws_user_user_register_window",
+    "dwd_traffic_page_log",
+    "dwd_traffic_unique_visitor_detail",
+    "dwd_traffic_user_jump_detail",
+    # ---------------- driver window boundary (50) ----------------
+    # r3-green, unchanged; locally gated by tests/test_oracle_parity
+    "text_pii_scan",
+    "llm_contamination_check",
+    "llm_stratified_sample",
+    "text_repetition_signals",
+    "llm_corpus_stats",
+    "llm_sequence_packing",
+    "llm_model_score_stub",
+    "doc_fingerprint_simhash",
+    "dedup_embedding_lsh",
+    "dwd_trade_cancel_detail",
+    "dwd_trade_order_add",
+    "dwd_tool_coupon_get",
+    "dwd_tool_coupon_pay",
+    "cart_changelog_first",
+    "dwd_traffic_display_log",
+    "dwd_traffic_action_log",
+    "dwd_traffic_start_log",
+    "dwd_traffic_error_log",
+    "ads_trade_stats_by_day",
+    "ads_trade_stats_union",
+    "ads_commodity_stats_full_outer",
+    "ads_activity_stats",
+    "ads_coupon_stats",
+    "ads_traffic_channel_stats",
+    "ads_traffic_visitor_stats_by_hour",
+    "ads_traffic_visitor_stats_by_isnew",
+    "ads_traffic_keywords",
+    "ads_user_stats_union",
+    "ads_trade_province_stats",
+    "ads_uv_by_channel",
 ]
 
 

@@ -11,7 +11,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_spark.functions import text as TX
-from gmall_spark.operators import ivf, llm_dedup, multimodal, semdedup, similarity
+from gmall_spark.operators import (
+    components,
+    ivf,
+    llm_dedup,
+    multimodal,
+    semdedup,
+    similarity,
+)
 from gmall_spark.queries import _t, query
 
 NEAR_DUP_THRESHOLD = 0.8
@@ -69,6 +76,49 @@ SQL_MINHASH = (
 """
 )
 
+# The Jaccard-verified near-dup pairs as a CTE (shared by the
+# transitive-grouping and curation oracles; the standalone pair
+# queries use _SQL_JACCARD_VERIFY, the SELECT form of the same).
+_SQL_NEARDUP_CTES = f"""
+, inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+), neardup AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN szs sa ON sa.doc_id = i.doc_a
+  JOIN szs sb ON sb.doc_id = i.doc_b
+  WHERE round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6)
+        >= {NEAR_DUP_THRESHOLD}
+)
+"""
+
+# Min-label transitive closure over the symmetric pair graph: the
+# recursive-CTE twin of operators.components.connected_components
+# (group_id = min doc_id of the component). Needs WITH RECURSIVE on
+# the enclosing statement.
+_SQL_GROUP_CTES = (
+    _SQL_NEARDUP_CTES
+    + """
+, cc_edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM neardup
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM neardup
+), reach(lab, node) AS (
+  SELECT a, a FROM cc_edges
+  UNION
+  SELECT r.lab, e.b FROM reach r JOIN cc_edges e ON e.a = r.node
+), grp AS (
+  SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lab) AS BIGINT) AS group_id
+  FROM reach GROUP BY node
+)
+"""
+)
+
+
 _SQL_JACCARD_VERIFY = f"""
 , inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -94,30 +144,57 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "embeddings")
 
 
+def _session_token(spark: SparkSession) -> str:
+    # applicationId is unique per SparkContext lifetime; id(spark) can
+    # be REUSED after a session is garbage-collected, silently
+    # inheriting stale cached state for the same sf_dir (ADVICE r3).
+    return spark.sparkContext.applicationId
+
+
 # k-means centroids are deterministic per (session, sf_dir) — the IVF
 # index and the SemDeDup clustering train the IDENTICAL model, so one
 # training run serves both queries (the analog of a shared model/
 # index table in a production pipeline). Cleared by queries.clear_cache.
-_CENTROIDS: dict[tuple[int, str], list[list[float]]] = {}
+_CENTROIDS: dict[tuple[str, str], list[list[float]]] = {}
 
 
 def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    key = (id(spark), sf_dir)
+    key = (_session_token(spark), sf_dir)
     if key not in _CENTROIDS:
+        _oracle_dim_check(spark, sf_dir)
         _CENTROIDS[key] = ivf.train_centroids(_emb(spark, sf_dir))
     return _CENTROIDS[key]
 
 
 # Embedding width per (session, sf_dir): a metadata-scale .first()
 # probe, memoized so repeated query builds don't re-run it (ADVICE r2).
-_EMB_DIM: dict[tuple[int, str], int] = {}
+_EMB_DIM: dict[tuple[str, str], int] = {}
 
 
 def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
-    key = (id(spark), sf_dir)
+    key = (_session_token(spark), sf_dir)
     if key not in _EMB_DIM:
         _EMB_DIM[key] = similarity.infer_dim(_emb(spark, sf_dir))
     return _EMB_DIM[key]
+
+
+def _oracle_dim_check(spark: SparkSession, sf_dir: str) -> int:
+    """The generated ANN/SemDeDup oracles bake EMBED_DIM-wide plane
+    and k-means literals into their SQL at import time; if the driver
+    ever regenerates testdata at another width, fail LOUDLY here at
+    query-build time instead of surfacing as a mysterious parity
+    mismatch (ADVICE r3)."""
+    from gmall_spark.ann_oracles import EMBED_DIM
+
+    dim = _emb_dim(spark, sf_dir)
+    if dim != EMBED_DIM:
+        raise RuntimeError(
+            f"embeddings at {sf_dir} are {dim}-wide but the generated "
+            f"ANN oracles bake EMBED_DIM={EMBED_DIM} literals; "
+            "regenerate gmall_spark.ann_oracles with dim="
+            f"{dim} (lsh_topk_oracle/ivf_topk_oracle/semantic_dedup_oracle)"
+        )
+    return dim
 
 
 # --- text analysis --------------------------------------------------------
@@ -294,6 +371,23 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return llm_dedup.minhash_lsh_dedup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
 
 
+@query(
+    "dedup_groups_transitive",
+    SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
+    + _SQL_GROUP_CTES
+    + "SELECT doc_id, group_id FROM grp",
+)
+def q_dedup_groups_transitive(spark, sf_dir):
+    """Transitive near-dup grouping: connected components over the
+    verified MinHash+LSH pair output (large-star/small-star joins, no
+    driver-side union-find — operators/components.py). Emits
+    (doc_id, group_id = min id of the duplicate group) for every doc
+    in at least one pair; the oracle replays the identical pipeline
+    and closes the pair graph with a recursive min-label CTE."""
+    pairs = llm_dedup.minhash_lsh_dedup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
+    return components.connected_components(pairs)
+
+
 EMB_NEAR_DUP_THRESHOLD = 0.4
 
 
@@ -420,7 +514,7 @@ def q_similarity_lsh_topk(spark, sf_dir):
     is additionally gated by tests/test_llm_ops.py."""
     emb = _emb(spark, sf_dir)
     return similarity.lsh_bucketed_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, dim=_emb_dim(spark, sf_dir)
+        emb, emb.filter(F.col("vec_id") < 5), k=10, dim=_oracle_dim_check(spark, sf_dir)
     )
 
 
@@ -747,23 +841,11 @@ ORACLES["dedup_semantic_clusters"] = semantic_dedup_oracle(SEMANTIC_DEDUP_THRESH
 
 
 _SQL_CURATION = (
-    SQL_MINHASH
-    + f"""
-, inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS inter
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-  GROUP BY c.doc_a, c.doc_b
-), neardup AS (
-  SELECT i.doc_a, i.doc_b
-  FROM inter i
-  JOIN szs sa ON sa.doc_id = i.doc_a
-  JOIN szs sb ON sb.doc_id = i.doc_b
-  WHERE round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6)
-        >= {NEAR_DUP_THRESHOLD}
-), drops AS (
-  SELECT DISTINCT doc_b AS doc_id FROM neardup
+    SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
+    + _SQL_GROUP_CTES
+    + """
+, drops AS (
+  SELECT doc_id FROM grp WHERE doc_id <> group_id
 ), canon AS (
   SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
   FROM documents
@@ -771,11 +853,11 @@ _SQL_CURATION = (
   SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY h
 ), feat AS (
   SELECT doc_id,
-         CASE WHEN regexp_matches(lower(text), '{{cjk}}') THEN 'zh'
-              WHEN regexp_matches(lower(text), '{{en}}') THEN 'en'
-              WHEN regexp_matches(lower(text), '{{es}}') THEN 'es'
-              WHEN regexp_matches(lower(text), '{{fr}}') THEN 'fr'
-              WHEN regexp_matches(lower(text), '{{de}}') THEN 'de'
+         CASE WHEN regexp_matches(lower(text), '{cjk}') THEN 'zh'
+              WHEN regexp_matches(lower(text), '{en}') THEN 'en'
+              WHEN regexp_matches(lower(text), '{es}') THEN 'es'
+              WHEN regexp_matches(lower(text), '{fr}') THEN 'fr'
+              WHEN regexp_matches(lower(text), '{de}') THEN 'de'
               ELSE 'unknown' END AS lang_pred,
          CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words,
          CAST(length(text) AS BIGINT) AS n_chars

@@ -55,10 +55,19 @@ _SHINGLES_SCHEMA = T.StructType(
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Read a store table, treating ONLY a missing path as 'first
+    batch: store not created yet'. Any other failure (permissions, a
+    corrupt footer) must surface — swallowing it would silently treat
+    the store as empty and permanently drop cross-batch duplicate
+    pairs (ADVICE r3)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(schema).parquet(path)
-    except Exception:  # first batch: store not created yet
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def process_batch(

@@ -284,3 +284,100 @@ def test_clear_cache_releases_everything(spark, sf_dir):
 
     # still functional after the drain
     assert queries.QUERIES["similarity_ivf_topk"](spark, sf_dir).count() > 0
+
+
+# --- transitive grouping (connected components) ---------------------------
+
+
+def test_connected_components_basic_groups(spark):
+    """Two components, labels = component min, one survivor each."""
+    from gmall_spark.operators import components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 2)], "doc_a long, doc_b long"
+    )
+    groups = {
+        r.doc_id: r.group_id
+        for r in components.connected_components(pairs).collect()
+    }
+    assert groups == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    drops = {
+        r.doc_id
+        for r in components.dedup_drops(
+            components.connected_components(pairs)
+        ).collect()
+    }
+    assert drops == {2, 3, 11}  # exactly one survivor per group
+
+
+def test_connected_components_long_chain_and_star(spark):
+    """A 64-long path (worst-case diameter for min-propagation) and a
+    star must both collapse to min-labeled components within the
+    large-star/small-star round budget."""
+    from gmall_spark.operators import components
+
+    chain = [(i, i + 1) for i in range(100, 164)]
+    star = [(500, 500 + i) for i in range(1, 20)]
+    pairs = spark.createDataFrame(chain + star, "doc_a long, doc_b long")
+    groups = {
+        r.doc_id: r.group_id
+        for r in components.connected_components(pairs).collect()
+    }
+    assert all(groups[i] == 100 for i in range(100, 165))
+    assert all(groups[500 + i] == 500 for i in range(20))
+
+
+def test_transitive_chain_one_survivor(spark):
+    """The A~B~C, A≁C chain (VERDICT r3 #1): pairwise doc_b-drop
+    removes both B and C; the component rule must keep exactly one
+    survivor (A, the min id). Pairs come from the exact Jaccard
+    operator so the fixture is deterministic: each step differs by 3
+    scattered words (J = 181/211 ≈ 0.858 ≥ 0.8), the ends by 6
+    (J = 166/226 ≈ 0.735 < 0.8)."""
+    from gmall_spark.operators import components
+
+    words_a = [f"w{i}" for i in range(200)]
+    words_b = list(words_a)
+    for p in (50, 100, 150):
+        words_b[p] = f"x{p}"
+    words_c = list(words_b)
+    for p in (30, 80, 130):
+        words_c[p] = f"y{p}"
+    docs = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b)), (3, " ".join(words_c))],
+        "doc_id long, text string",
+    )
+    pairs = llm_dedup.jaccard_pairs(llm_dedup.word_shingles(docs), 0.8)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(1, 2), (2, 3)}, got  # chain holds, ends dissimilar
+    groups = components.connected_components(pairs)
+    assert {r.group_id for r in groups.collect()} == {1}
+    survivors = {1, 2, 3} - {
+        r.doc_id for r in components.dedup_drops(groups).collect()
+    }
+    assert survivors == {1}
+
+
+def test_connected_components_consumes_mega_bucket_chain(spark):
+    """The capped LSH path emits adjacent-id chains for mega-buckets;
+    connected components over that output must still recover the full
+    duplicate group as ONE component (the cap's documented contract)."""
+    from gmall_spark.operators import components
+
+    n_big = 300
+    rows = [
+        (i, "the same boilerplate text repeated for every doc in this corpus")
+        for i in range(n_big)
+    ]
+    rows += [
+        (1000 + i, f"unique document number {i} with its own distinct words here {i * 7}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = llm_dedup.minhash_signatures(llm_dedup.word_shingles(docs))
+    capped = llm_dedup.lsh_candidate_pairs(sigs, max_bucket=100)
+    groups = components.connected_components(capped)
+    planted = {
+        r.group_id for r in groups.filter(F.col("doc_id") < n_big).collect()
+    }
+    assert planted == {0}, planted  # one component, min-labeled
