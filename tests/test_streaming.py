@@ -422,3 +422,67 @@ def test_incremental_dedup_equals_batch(spark, sf_dir, tmpdir):
         for r in llm_dedup.minhash_lsh_dedup(docs, 0.8).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_dedup_bucketed_store_equals_batch_and_plan(spark, sf_dir, tmpdir):
+    """X16 composed into X19 (VERDICT r3 task 2): the band store
+    bucketed by band_hash and the shingle store by doc_id. Asserts
+    (a) two-batch streaming over the bucketed store emits exactly the
+    single-batch operator's pairs, and (b) the per-batch probe join is
+    exchange-free on the STORE side — the bucketed scan satisfies the
+    join's clustered distribution, where a plain parquet store needs
+    one more shuffle."""
+    from gmall_spark.operators import llm_dedup
+    from gmall_spark.streaming import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = incremental_dedup.BucketedStore("t_incr_bkt", n_buckets=4)
+    store.drop(spark)
+    try:
+        incremental_dedup.process_batch(
+            spark, docs.filter(F.col("doc_id") <= mid), store, 0.8
+        )
+        incremental_dedup.process_batch(
+            spark, docs.filter(F.col("doc_id") > mid), store, 0.8
+        )
+        got = {
+            (r.doc_a, r.doc_b, r.inter, r.jaccard)
+            for r in incremental_dedup.emitted_pairs(spark, store).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b, r.inter, r.jaccard)
+            for r in llm_dedup.minhash_lsh_dedup(docs, 0.8).collect()
+        }
+        assert got == want and len(want) > 0
+
+        # (b) plan shape: same probe, bucketed store vs plain copy
+        batch = docs.filter(F.col("doc_id") > mid).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            llm_dedup.shingle_array("text").alias("shingles"),
+        )
+        sh = batch.select("doc_id", F.explode("shingles").alias("shingle"))
+        nb = llm_dedup.band_signatures(llm_dedup.minhash_signatures(sh))
+        plain_dir = f"{tmpdir}/plain_bands"
+        store.bands(spark).write.mode("overwrite").parquet(plain_dir)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            def shuffles(df):
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                return plan.count("Exchange") - plan.count("BroadcastExchange"), plan
+
+            n_bkt, plan_bkt = shuffles(
+                incremental_dedup.probe_candidates(nb, store.bands(spark))
+            )
+            n_plain, _ = shuffles(
+                incremental_dedup.probe_candidates(
+                    nb, spark.read.parquet(plain_dir)
+                )
+            )
+            assert "Bucketed: true" in plan_bkt, plan_bkt[:3000]
+            assert n_bkt == n_plain - 1, (n_bkt, n_plain, plan_bkt[:3000])
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        store.drop(spark)
