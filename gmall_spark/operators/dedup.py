@@ -80,6 +80,33 @@ def latest_by_key(
     return dedup_last(df, keys, ts_col, tiebreak)
 
 
+def dedup_first_ttl(
+    df: DataFrame, keys: Sequence[str], ts_col: str, ttl: int
+) -> DataFrame:
+    """Batch twin of the reference's OnReadAndWrite-TTL first-one-wins
+    dedup (DwsTradePaymentSucWindow.java:84-90): with a
+    read-REFRESHING ttl, every event restarts the key's TTL clock, so
+    a row survives iff it is the key's first or arrives >= ttl after
+    the key's PREVIOUS event (any event, kept or dropped). That makes
+    the semantics lag-expressible: one window over (key, ts). Units of
+    ``ttl`` are whatever ``ts_col`` uses.
+
+    Authoritative oracle for streaming.stateful.streaming_dedup_ttl
+    (refresh_on_read=True); the create-only variant is NOT
+    lag-expressible (its clock only resets on emitted rows).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    return (
+        df.withColumn("__prev", F.lag(ts_col).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(ts_col) - F.col("__prev") >= ttl)
+        )
+        .drop("__prev")
+    )
+
+
 def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Exact duplicate removal (hash-groupBy semantics).
 

@@ -39,6 +39,48 @@ def stream_from_parquet(
     return spark.readStream.schema(schema).parquet(path)
 
 
+def kafka_source_options(
+    brokers: str, topic: str, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """The Kafka consumer option dict (ref MyKafkaUtil.java:24-56:
+    bootstrap servers + topic + offset reset; group.id has no Spark
+    analog — Structured Streaming tracks offsets in the checkpoint).
+    Exposed as data so the contract is unit-testable without a broker
+    (tests/test_kafka_contract.py pins the exact keys: a typo'd option
+    key is silently ignored by the connector and would otherwise only
+    surface as wrong runtime behavior on a real cluster)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # the reference's consumer keeps reading after log compaction /
+        # retention kicks in; failOnDataLoss=true would kill the query
+        "failOnDataLoss": "false",
+    }
+
+
+def kafka_sink_options(brokers: str, topic: str, checkpoint: str) -> dict[str, str]:
+    """The Kafka producer option dict (ref MyKafkaUtil.java:58-89)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
+def parse_kafka_value(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """The source's record-parse stage, split out so it is testable on
+    a batch DataFrame shaped like the Kafka wire schema (key/value
+    binary + timestamp): JSON-decode ``value`` against ``schema``.
+
+    Null-tolerant like the reference's custom deserializer: bad JSON
+    yields a null struct which callers filter (P1 side-output split).
+    """
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("j"), "timestamp"
+    ).select("j.*", "timestamp")
+
+
 def kafka_json_source(
     spark: SparkSession,
     brokers: str,
@@ -46,21 +88,13 @@ def kafka_json_source(
     schema: T.StructType,
     starting_offsets: str = "latest",
 ) -> DataFrame:
-    """Kafka JSON source (ref MyKafkaUtil.getKafkaConsumer, S1/S3/S5).
-
-    Null-tolerant like the reference's custom deserializer: bad JSON
-    yields a null struct which callers filter (P1 side-output split).
-    """
+    """Kafka JSON source (ref MyKafkaUtil.getKafkaConsumer, S1/S3/S5)."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(brokers, topic, starting_offsets))
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("j"), "timestamp"
-    ).select("j.*", "timestamp")
+    return parse_kafka_value(raw, schema)
 
 
 def kafka_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
@@ -87,9 +121,7 @@ def kafka_json_sink(
     return (
         kafka_payload(df, key_col)
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        .options(**kafka_sink_options(brokers, topic, checkpoint))
         .start()
     )
 

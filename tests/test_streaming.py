@@ -486,3 +486,62 @@ def test_incremental_dedup_bucketed_store_equals_batch_and_plan(spark, sf_dir, t
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         store.drop(spark)
+
+
+def test_streaming_dedup_ttl_read_refresh_equals_batch(spark, tmpdir):
+    """OnReadAndWrite TTL parity (VERDICT r3 #6, ref
+    DwsTradePaymentSucWindow.java:84-90): the read-refreshing 5 s TTL
+    dedup run over two micro-batches must equal the batch lag oracle
+    (dedup_first_ttl), and must DIVERGE from the create-only mode on
+    the planted refresh chain — the distinction dropDuplicates-style
+    dedup cannot express."""
+    from gmall_spark.operators.dedup import dedup_first_ttl
+
+    S = 1_000_000  # 1 s in us
+    B = 1000 * S  # base offset: an epoch-0 event time sits exactly on
+    # the initial watermark and is filtered as late
+    rows = [
+        # key A: refresh chain 0,3,7 then silence; OnReadAndWrite
+        # emits {0, 20}; OnCreateAndWrite would emit {0, 7, 20}
+        ("A", B + 0 * S), ("A", B + 3 * S), ("A", B + 7 * S), ("A", B + 20 * S),
+        # key B: an isolated event then one past the TTL
+        ("B", B + 1 * S), ("B", B + 9 * S),
+        # key C: duplicates inside one TTL window -> one survivor
+        ("C", B + 2 * S), ("C", B + 4 * S), ("C", B + 5 * S),
+    ]
+    # split mid-chain so A's refresh state crosses the batch boundary
+    first = [(k, t) for k, t in rows if t <= B + 4 * S]
+    second = [(k, t) for k, t in rows if t > B + 4 * S]
+    src = f"{tmpdir}/ttl_src"
+    schema = "k string, ts_us long"
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(f"{src}/b0")
+    spark.createDataFrame(second, schema).coalesce(1).write.parquet(f"{src}/b1")
+
+    def run(refresh_on_read, name):
+        stream = (
+            spark.readStream.schema("k string, ts_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+            .withColumn("rt", F.timestamp_micros(F.col("ts_us")))
+        )
+        out = stateful.streaming_dedup_ttl(
+            stream, "k", "ts_us", 5.0, "rt", refresh_on_read=refresh_on_read
+        )
+        _run_to_memory(out, name, f"{tmpdir}/ckpt_{name}")
+        return {(r.k, r.ts_us) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    got_refresh = run(True, "ttl_refresh_out")
+    batch = spark.createDataFrame(rows, schema)
+    want = {
+        (r.k, r.ts_us)
+        for r in dedup_first_ttl(batch, ["k"], "ts_us", 5 * S).collect()
+    }
+    assert got_refresh == want
+    assert got_refresh == {
+        ("A", B), ("A", B + 20 * S), ("B", B + 1 * S), ("B", B + 9 * S),
+        ("C", B + 2 * S),
+    }
+
+    got_create = run(False, "ttl_create_out")
+    # create-only re-emits A at t=7 (its clock ignored the t=3 read)
+    assert got_create == got_refresh | {("A", B + 7 * S)}
