@@ -68,13 +68,19 @@ def main() -> None:
         "dwd_order_detail": q._dwd_order_detail,
         "page_log": q._page_log,
     }
+    # min of 2 builds (the r4 page_log single-shot read 15 s vs 6 s
+    # real — same box-stall class the query timings guard against);
+    # clear_cache between attempts so the second build is a real build
     materialize: dict[str, float] = {}
-    for name in MATERIALIZE:
-        t0 = time.perf_counter()
-        n = builders[name](spark, sf_dir).count()  # builds + persists
-        dt = time.perf_counter() - t0
-        materialize[name] = round(dt, 3)
-        print(f"# materialize {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    for attempt in range(2):
+        if attempt:
+            q.clear_cache()
+        for name in MATERIALIZE:
+            t0 = time.perf_counter()
+            n = builders[name](spark, sf_dir).count()  # builds + persists
+            dt = round(time.perf_counter() - t0, 3)
+            materialize[name] = min(materialize.get(name, dt), dt)
+            print(f"# materialize {name} (run {attempt}): {dt:.2f}s ({n} rows)", file=sys.stderr)
 
     names = [n for n in HEADLINE if n in q.QUERIES] or sorted(q.QUERIES)
     timings: dict[str, float] = {}

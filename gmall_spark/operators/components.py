@@ -140,3 +140,26 @@ def dedup_drops(groups: DataFrame) -> DataFrame:
     """The docs a component-wise dedup removes: every group member
     that is not its group's representative (the min id)."""
     return groups.filter(F.col("doc_id") != F.col("group_id")).select("doc_id")
+
+
+def keeper_by_score(
+    groups: DataFrame, scores: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """Quality-aware keeper per duplicate group: real curation keeps
+    the highest-quality member (longest text, best classifier score),
+    not the smallest id. Ties break to the LOWER doc_id so the pick is
+    deterministic.
+
+    One ``max_by`` hash aggregate over (group ⋈ score) — map-side
+    combining, one shuffle on group_id; the lexicographic
+    (score, -doc_id) struct ordering picks exactly the row a
+    row_number() OVER (ORDER BY score DESC, doc_id ASC) would rank
+    first, without the window's sort.
+    """
+    j = groups.join(scores.select("doc_id", F.col(score_col).alias("__s")), "doc_id")
+    return j.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.max_by(
+            "doc_id", F.struct(F.col("__s"), (-F.col("doc_id")).alias("__nid"))
+        ).alias("keeper_id"),
+    )

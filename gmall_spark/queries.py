@@ -102,6 +102,7 @@ def clear_cache() -> None:
 
     queries_llm._CENTROIDS.clear()
     queries_llm._EMB_DIM.clear()
+    queries_llm._DEDUP_GROUPS.clear()
     # scan-fanout decisions are keyed by file paths; the driver
     # regenerates testdata at the same paths between rounds (ADVICE r3)
     session._SCAN_DECISIONS.clear()
@@ -1597,6 +1598,7 @@ _PRIORITY = [
     "dwd_user_register",
     # --- new / changed this round: verify next ---
     "dedup_groups_transitive",  # new: connected-components grouping
+    "dedup_groups_keeper",  # new: quality-aware keeper policy
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
     # --- unchanged high-value representatives (r3-green) ---
@@ -1617,9 +1619,9 @@ _PRIORITY = [
     "dws_user_user_register_window",
     "dwd_traffic_page_log",
     "dwd_traffic_unique_visitor_detail",
-    "dwd_traffic_user_jump_detail",
     # ---------------- driver window boundary (50) ----------------
     # r3-green, unchanged; locally gated by tests/test_oracle_parity
+    "dwd_traffic_user_jump_detail",
     "text_pii_scan",
     "llm_contamination_check",
     "llm_stratified_sample",

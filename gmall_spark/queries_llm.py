@@ -178,6 +178,21 @@ def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
     return _EMB_DIM[key]
 
 
+# Transitive dedup groups per (session, sf_dir): three queries consume
+# the SAME connected-components result (transitive, keeper, curation);
+# the CC iterations run driver-side actions, so share one run like the
+# centroids. Cleared by queries.clear_cache.
+_DEDUP_GROUPS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _transitive_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (_session_token(spark), sf_dir)
+    if key not in _DEDUP_GROUPS:
+        pairs = llm_dedup.minhash_lsh_dedup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
+        _DEDUP_GROUPS[key] = components.connected_components(pairs)
+    return _DEDUP_GROUPS[key]
+
+
 def _oracle_dim_check(spark: SparkSession, sf_dir: str) -> int:
     """The generated ANN/SemDeDup oracles bake EMBED_DIM-wide plane
     and k-means literals into their SQL at import time; if the driver
@@ -372,6 +387,39 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "dedup_groups_keeper",
+    SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
+    + _SQL_GROUP_CTES
+    + r"""
+, wc AS (
+  SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words
+  FROM documents
+), ranked AS (
+  SELECT g.group_id, g.doc_id,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY w.n_words DESC, g.doc_id ASC) AS rn
+  FROM grp g JOIN wc w ON w.doc_id = g.doc_id
+), sizes AS (
+  SELECT group_id, CAST(count(*) AS BIGINT) AS group_size FROM grp GROUP BY group_id
+)
+SELECT r.group_id, s.group_size, CAST(r.doc_id AS BIGINT) AS keeper_id
+FROM ranked r JOIN sizes s ON s.group_id = r.group_id
+WHERE r.rn = 1
+""",
+)
+def q_dedup_groups_keeper(spark, sf_dir):
+    """Quality-aware dedup keeper policy: per transitive duplicate
+    group, keep the member with the MOST words (ties to the lower id)
+    — what a real curation run does instead of keep-min-id. One
+    max_by hash aggregate over groups ⋈ word counts; the oracle ranks
+    with a window over the same recursive grouping."""
+    d = _docs(spark, sf_dir)
+    groups = _transitive_groups(spark, sf_dir)
+    scores = d.select("doc_id", TX.word_count(F.col("text")).alias("n_words"))
+    return components.keeper_by_score(groups, scores, "n_words")
+
+
+@query(
     "dedup_groups_transitive",
     SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
     + _SQL_GROUP_CTES
@@ -384,8 +432,7 @@ def q_dedup_groups_transitive(spark, sf_dir):
     (doc_id, group_id = min id of the duplicate group) for every doc
     in at least one pair; the oracle replays the identical pipeline
     and closes the pair graph with a recursive min-label CTE."""
-    pairs = llm_dedup.minhash_lsh_dedup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
-    return components.connected_components(pairs)
+    return _transitive_groups(spark, sf_dir)
 
 
 EMB_NEAR_DUP_THRESHOLD = 0.4
@@ -883,10 +930,13 @@ WHERE dr.doc_id IS NULL
 def q_llm_corpus_curation(spark, sf_dir):
     """End-to-end training-corpus curation: quality filter (length)
     -> language filter (keep identified) -> exact dedup (canonical-
-    hash keeper) -> near-dup removal (MinHash+LSH verified pairs,
-    drop the higher doc_id of each pair). One composed DataFrame plan
-    — every stage is an existing oracle-gated operator, demonstrating
-    that the pieces pipeline the way a real curation job runs them."""
+    hash keeper) -> near-dup removal: connected components over the
+    MinHash+LSH verified pairs, dropping every non-representative
+    member of each duplicate GROUP (keep-one-per-component — the
+    standard policy; the r3 pairwise doc_b drop over/under-dropped on
+    chains). One composed DataFrame plan — every stage is an existing
+    oracle-gated operator, demonstrating that the pieces pipeline the
+    way a real curation job runs them."""
     d = _docs(spark, sf_dir)
     t = F.col("text")
     feat = d.select(
@@ -903,11 +953,7 @@ def q_llm_corpus_curation(spark, sf_dir):
     keepers = llm_dedup.exact_dedup_groups(d).select(
         F.col("keeper_id").alias("doc_id")
     )
-    drops = (
-        llm_dedup.minhash_lsh_dedup(d, NEAR_DUP_THRESHOLD)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    drops = components.dedup_drops(_transitive_groups(spark, sf_dir))
     return (
         qual.join(keepers, "doc_id", "semi")
         .join(drops, "doc_id", "anti")

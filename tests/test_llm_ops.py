@@ -381,3 +381,24 @@ def test_connected_components_consumes_mega_bucket_chain(spark):
         r.group_id for r in groups.filter(F.col("doc_id") < n_big).collect()
     }
     assert planted == {0}, planted  # one component, min-labeled
+
+
+def test_keeper_by_score_prefers_quality_then_min_id(spark):
+    """Keeper policy: highest score wins; ties break to the LOWER id
+    (deterministic); group_size counts all members."""
+    from gmall_spark.operators import components
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, group_id long",
+    )
+    scores = spark.createDataFrame(
+        # group 1: doc 2 longest; group 10: tie -> keep 10
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4)],
+        "doc_id long, score long",
+    )
+    got = {
+        r.group_id: (r.keeper_id, r.group_size)
+        for r in components.keeper_by_score(groups, scores).collect()
+    }
+    assert got == {1: (2, 3), 10: (10, 2)}
