@@ -187,6 +187,72 @@ def train_centroids(
     return [list(map(float, c)) for c in cents]
 
 
+def _source_fingerprint(paths: list[str]) -> dict[str, float | int]:
+    """Cheap identity of the training input: total byte size + max
+    mtime of its files. The round driver REGENERATES testdata in
+    place, so an artifact keyed by path alone would silently serve
+    centroids trained on the previous round's vectors."""
+    import os
+
+    size, mtime = 0, 0.0
+    for p in paths:
+        local = p.removeprefix("file:")
+        if os.path.isdir(local):
+            for root, _dirs, files in os.walk(local):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    size += st.st_size
+                    mtime = max(mtime, st.st_mtime)
+        elif os.path.exists(local):
+            st = os.stat(local)
+            size += st.st_size
+            mtime = max(mtime, st.st_mtime)
+    return {"size": size, "mtime": mtime}
+
+
+def save_centroids(
+    path: str, centroids: list[list[float]], source_paths: list[str]
+) -> None:
+    """Publish the trained coarse quantizer as an on-disk artifact
+    (VERDICT r3 stretch): curation runs spanning several sessions —
+    or IVF + SemDeDup jobs sharing one model — reuse one training run
+    instead of re-collecting the sample. Atomic write; the artifact
+    embeds a fingerprint of the training files so a regenerated
+    corpus invalidates it. (On a cluster this would live on the
+    shared FS / a model registry; the centroid payload is k·dim
+    floats — trivially small either way.)"""
+    import json
+    import os
+
+    payload = {
+        "fingerprint": _source_fingerprint(source_paths),
+        "centroids": centroids,
+    }
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_centroids(path: str, source_paths: list[str]) -> list[list[float]] | None:
+    """Load a published centroid artifact, or None when it is absent
+    or its fingerprint no longer matches the training files."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            payload = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if payload.get("fingerprint") != _source_fingerprint(source_paths):
+        return None
+    cents = payload.get("centroids")
+    return cents if isinstance(cents, list) and cents else None
+
+
 def build_index(
     embeddings: DataFrame,
     centroids: list[list[float]],

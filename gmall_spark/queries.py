@@ -1549,7 +1549,9 @@ def q_interval_join_events(spark, sf_dir):
 
 
 # Register the LLM-data-pipeline queries into the same registry.
-from gmall_spark import queries_llm  # noqa: E402,F401
+# (Import + reorder choreography is at the BOTTOM of this file: the
+# registry finalization must be order-independent — a user importing
+# gmall_spark.queries_llm first re-enters this module mid-import.)
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The round driver issues CORRECTNESS rows for the FIRST
@@ -1655,7 +1657,15 @@ _PRIORITY = [
 ]
 
 
-def _reorder_registry() -> None:
+def _finalize_registry() -> None:
+    """Validate + reorder once every registration module has run.
+
+    Called from whichever module finishes LAST: importing
+    ``gmall_spark.queries`` first runs queries_llm's registrations
+    inline (the import below), while importing ``queries_llm`` first
+    re-enters THIS module before any LLM query is registered — in that
+    order queries_llm's own tail makes the call.
+    """
     global QUERIES
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"priority list names unknown queries: {missing}"
@@ -1664,4 +1674,7 @@ def _reorder_registry() -> None:
     QUERIES = {n: QUERIES[n] for n in [*_PRIORITY, *tail]}
 
 
-_reorder_registry()
+from gmall_spark import queries_llm  # noqa: E402,F401
+
+if getattr(queries_llm, "_REGISTERED", False):
+    _finalize_registry()

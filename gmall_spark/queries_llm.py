@@ -162,7 +162,26 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     key = (_session_token(spark), sf_dir)
     if key not in _CENTROIDS:
         _oracle_dim_check(spark, sf_dir)
+        # Cross-session reuse (VERDICT r3 stretch): with
+        # $SPARK_GRAFT_CENTROID_DIR set, the trained quantizer is
+        # published as a fingerprinted artifact and later sessions
+        # (or parallel jobs) load it instead of retraining.
+        import os
+
+        art_dir = os.environ.get("SPARK_GRAFT_CENTROID_DIR")
+        src = [f"{sf_dir}/embeddings.parquet"]
+        art = None
+        if art_dir:
+            tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+            art = os.path.join(art_dir, f"centroids_{tag}.json")
+            loaded = ivf.load_centroids(art, src)
+            if loaded is not None:
+                _CENTROIDS[key] = loaded
+                return loaded
         _CENTROIDS[key] = ivf.train_centroids(_emb(spark, sf_dir))
+        if art is not None:
+            os.makedirs(art_dir, exist_ok=True)
+            ivf.save_centroids(art, _CENTROIDS[key], src)
     return _CENTROIDS[key]
 
 
@@ -1043,3 +1062,12 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(
         multimodal.documents_as_blobs(_docs(spark, sf_dir))
     )
+
+
+# Registration complete: finalize the shared registry (order-
+# independent choreography — see queries._finalize_registry).
+_REGISTERED = True
+
+from gmall_spark import queries as _queries_mod  # noqa: E402
+
+_queries_mod._finalize_registry()

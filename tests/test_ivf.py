@@ -66,3 +66,50 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     a = ivf.train_centroids(emb, iters=2)
     b = ivf.train_centroids(emb, iters=2)
     assert a == b
+
+
+def test_centroid_artifact_round_trip_and_invalidation(spark, sf_dir, tmp_path):
+    """The published quantizer artifact (VERDICT r3 stretch) loads
+    back exactly, and a fingerprint mismatch (regenerated testdata)
+    invalidates it instead of serving stale centroids."""
+    import json
+
+    from gmall_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf.train_centroids(emb)
+    src = [f"{sf_dir}/embeddings.parquet"]
+    path = str(tmp_path / "centroids.json")
+    ivf.save_centroids(path, cents, src)
+    assert ivf.load_centroids(path, src) == cents
+    # missing artifact -> None
+    assert ivf.load_centroids(str(tmp_path / "nope.json"), src) is None
+    # fingerprint drift -> None (not stale centroids)
+    payload = json.load(open(path))
+    payload["fingerprint"]["size"] += 1
+    json.dump(payload, open(path, "w"))
+    assert ivf.load_centroids(path, src) is None
+
+
+def test_trained_centroids_reuses_published_artifact(spark, sf_dir, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_CENTROID_DIR set, a second (simulated) session
+    must load the artifact instead of retraining: training is
+    monkeypatched to raise after the first run."""
+    from gmall_spark import queries_llm
+    from gmall_spark.operators import ivf
+
+    monkeypatch.setenv("SPARK_GRAFT_CENTROID_DIR", str(tmp_path))
+    queries_llm._DEDUP_GROUPS.clear()
+    queries_llm._CENTROIDS.clear()
+    try:
+        first = queries_llm._trained_centroids(spark, sf_dir)
+        queries_llm._CENTROIDS.clear()  # simulate a fresh session
+
+        def boom(*a, **k):
+            raise AssertionError("retrained despite published artifact")
+
+        monkeypatch.setattr(ivf, "train_centroids", boom)
+        again = queries_llm._trained_centroids(spark, sf_dir)
+        assert again == first
+    finally:
+        queries_llm._CENTROIDS.clear()  # drop artifact-keyed entries
