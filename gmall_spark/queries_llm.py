@@ -903,6 +903,97 @@ from gmall_spark.ann_oracles import semantic_dedup_oracle  # noqa: E402
 ORACLES["dedup_semantic_clusters"] = semantic_dedup_oracle(SEMANTIC_DEDUP_THRESHOLD)
 
 
+SEG_WORDS = 10  # words per block for block-level dedup
+SEG_BOILERPLATE_FREQ = 3  # C4 rule: drop units occurring >= 3 times
+
+
+@query(
+    "llm_segment_dedup",
+    rf"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos FROM ws
+), seg AS (
+  SELECT doc_id, CAST((pos - 1) // {SEG_WORDS} AS BIGINT) AS seg_idx,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS seg_md5
+  FROM tok GROUP BY doc_id, (pos - 1) // {SEG_WORDS}
+), freq AS (
+  SELECT seg_md5, CAST(count(*) AS BIGINT) AS corpus_freq FROM seg GROUP BY seg_md5
+)
+SELECT s.doc_id, s.seg_idx, s.seg_md5, f.corpus_freq,
+       f.corpus_freq < {SEG_BOILERPLATE_FREQ} AS kept
+FROM seg s JOIN freq f ON f.seg_md5 = s.seg_md5
+""",
+)
+def q_llm_segment_dedup(spark, sf_dir):
+    """Block-level boilerplate removal — the C4 rule ("we discarded
+    any line that occurred [three or more times]", arXiv:1910.10683
+    §2.2) at fixed 10-word block granularity (this corpus has
+    no line boundaries): hash every block, count corpus-wide
+    occurrences, mark blocks kept iff their frequency is under the
+    threshold. Shape: per-row block hashing (HOF, zero shuffles), one
+    map-side-combining hash agg on block hash, one equi-join back —
+    at 100 TB the frequency table is block-hash-keyed and joins
+    shuffle-on-hash; nothing is quadratic."""
+    d = _docs(spark, sf_dir)
+    n_seg = (
+        f"cast(ceil(size(split(text, '\\\\s+')) / {SEG_WORDS}.0) as int)"
+    )
+    segs = F.expr(
+        f"""
+        transform(sequence(0, {n_seg} - 1),
+                  i -> md5(concat_ws(' ',
+                         slice(split(text, '\\\\s+'), i * {SEG_WORDS} + 1, {SEG_WORDS}))))
+        """
+    )
+    seg = d.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg_md5")
+    ).select("doc_id", F.col("seg_idx").cast("bigint").alias("seg_idx"), "seg_md5")
+    freq = seg.groupBy("seg_md5").agg(
+        F.count(F.lit(1)).cast("bigint").alias("corpus_freq")
+    )
+    return seg.join(freq, "seg_md5").select(
+        "doc_id",
+        "seg_idx",
+        "seg_md5",
+        "corpus_freq",
+        (F.col("corpus_freq") < SEG_BOILERPLATE_FREQ).alias("kept"),
+    )
+
+
+@query(
+    "llm_doclen_quantiles",
+    r"""
+WITH t AS (
+  SELECT source, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS doc_ct,
+       round(quantile_cont(n_words, 0.5), 6) AS p50,
+       round(quantile_cont(n_words, 0.9), 6) AS p90,
+       round(quantile_cont(n_words, 0.99), 6) AS p99
+FROM t GROUP BY source
+""",
+)
+def q_llm_doclen_quantiles(spark, sf_dir):
+    """Per-source document-length distribution (the reporting layer a
+    curation run uses to pick length cutoffs): exact interpolated
+    p50/p90/p99 of word counts. Spark's exact ``percentile`` and
+    DuckDB's ``quantile_cont`` share the p*(n-1) linear-interpolation
+    definition, so the oracle matches to float tolerance. One hash
+    agg; at 100 TB swap percentile for approx_percentile (t-digest)
+    and the plan shape is unchanged."""
+    d = _docs(spark, sf_dir)
+    t = d.select("source", TX.word_count(F.col("text")).alias("n_words"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_ct"),
+        F.round(F.expr("percentile(n_words, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_words, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_words, 0.99)"), 6).alias("p99"),
+    )
+
+
 # --- corpus curation (composition capstone) -------------------------------
 
 

@@ -45,6 +45,9 @@ BUDGETS = [
     ("dedup_prefix_groups", 2, 0),
     ("llm_corpus_stats", 2, 0),
     ("llm_sequence_packing", 2, 0),
+    ("llm_doclen_quantiles", 2, 0),
+    # block hash -> freq agg -> join back: scan + agg + join exchanges
+    ("llm_segment_dedup", 4, 0),
     # joins that must broadcast their small side
     ("llm_contamination_check", 3, 1),
     ("dedup_semantic_clusters", 5, 1),
