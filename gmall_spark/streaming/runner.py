@@ -126,6 +126,26 @@ def kafka_json_sink(
     )
 
 
+def socket_json_source(
+    spark: SparkSession, host: str, port: int, schema: T.StructType
+) -> DataFrame:
+    """Socket line source (SURVEY S13, ref DataStreamJoinTest.java:21
+    ``env.socketTextStream``): the dev/demo source the reference uses
+    in tests. Lines parse against ``schema`` exactly like the Kafka
+    value path (shared :func:`parse_kafka_value` shape); dev-only —
+    no offsets, no replay, not for production."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value"), schema).alias("j"),
+        F.current_timestamp().alias("timestamp"),
+    ).select("j.*", "timestamp")
+
+
 def windowed_agg_stream(
     df: DataFrame,
     ts_col: str,

@@ -545,3 +545,61 @@ def test_streaming_dedup_ttl_read_refresh_equals_batch(spark, tmpdir):
     got_create = run(False, "ttl_create_out")
     # create-only re-emits A at t=7 (its clock ignored the t=3 read)
     assert got_create == got_refresh | {("A", B + 7 * S)}
+
+
+def test_socket_json_source_end_to_end(spark, tmpdir):
+    """S13 socket source against a real local TCP server: lines stream
+    in, parse against the CDC schema, and land in the sink (dev/demo
+    parity with the reference's socketTextStream tests)."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from gmall_spark import schemas
+    from gmall_spark.streaming.runner import socket_json_source
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    lines = [
+        {"database": "gmall", "table": "t1", "type": "insert",
+         "data": {"id": str(i)}, "old": None, "ts": 1654000000 + i}
+        for i in range(5)
+    ]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            payload = "".join(json.dumps(x) + "\n" for x in lines)
+            conn.sendall(payload.encode())
+            stop.wait(30)  # keep the connection open until the test ends
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = socket_json_source(spark, "127.0.0.1", port, schemas.CDC_ENVELOPE)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sock_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_sock")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = set()
+        while time.time() < deadline and len(got) < len(lines):
+            got = {
+                r["data"]["id"]
+                for r in spark.sql("SELECT * FROM sock_out").collect()
+                if r["data"]
+            }
+            time.sleep(0.5)
+        assert got == {str(i) for i in range(5)}, got
+    finally:
+        stop.set()
+        q.stop()
+        server.close()
