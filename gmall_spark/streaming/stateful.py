@@ -150,6 +150,99 @@ def streaming_dedup_ttl(
     )
 
 
+FALLBACK_WINDOW_OUTPUT_SCHEMA = (
+    "k string, wstart_us bigint, sum_v bigint, fired_by string"
+)
+FALLBACK_WINDOW_STATE_SCHEMA = "sum_v bigint"
+
+
+def _fallback_window_fn(window_us: int, fallback_ms: int):
+    """Keyed tumbling sum that fires at the EARLIER of (a) watermark
+    passing the window end and (b) a wall-clock fallback after the
+    window last saw data — the Spark twin of the reference's custom
+    trigger (bean/MyTrigger.java: onElement fires immediately when the
+    watermark already passed window.maxTimestamp(), else registers an
+    event-time timer at window end AND a processing-time timer at
+    end+5 s; whichever fires first wins). SURVEY W4/F3, previously a
+    declared non-goal.
+
+    Micro-batch mapping: the immediate-fire branch runs when data
+    arrives after the watermark passed (Flink's onElement FIRE); the
+    two timers collapse into one processing-time timeout — at timeout
+    the emission is labeled ``watermark`` when the window end is
+    already behind the watermark (Flink's onEventTime path: on-time
+    result) or ``timeout`` when the watermark is stalled (the 5 s
+    wall-clock rescue, the whole point of the custom trigger). Spark
+    runs no-data micro-batches for pending processing-time timeouts,
+    so a stalled source still fires.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        k, wstart = key
+        total = int(state.get[0]) if state.exists else 0
+        wend_us = int(wstart) + window_us
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.hasTimedOut:
+            state.remove()
+            fired = "watermark" if wm_us >= wend_us else "timeout"
+            yield pd.DataFrame(
+                {"k": [k], "wstart_us": [int(wstart)], "sum_v": [total],
+                 "fired_by": [fired]}
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        total += int(rows["v"].sum())
+        if wm_us >= wend_us:
+            # late-arriving data for an already-closed window: fire now
+            state.remove()
+            yield pd.DataFrame(
+                {"k": [k], "wstart_us": [int(wstart)], "sum_v": [total],
+                 "fired_by": ["watermark"]}
+            )
+            return
+        state.update((total,))
+        state.setTimeoutDuration(fallback_ms)
+
+    return fn
+
+
+def windowed_sum_with_fallback(
+    stream: DataFrame,
+    key_col: str,
+    ts_col_us: str,
+    val_col: str,
+    rt_col: str,
+    window_seconds: int,
+    fallback_seconds: float,
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """Tumbling keyed sum with the custom-trigger fire rule — see
+    :func:`_fallback_window_fn`. Emits one row per (key, window) with
+    ``fired_by`` recording which trigger path closed it."""
+    window_us = window_seconds * 1_000_000
+    return (
+        stream.select(
+            F.col(key_col).cast("string").alias("k"),
+            (F.col(ts_col_us) - F.col(ts_col_us) % window_us).alias("wstart_us"),
+            F.col(val_col).cast("long").alias("v"),
+            F.col(rt_col).alias("rt"),
+        )
+        .withWatermark("rt", watermark)
+        .groupBy("k", "wstart_us")
+        .applyInPandasWithState(
+            _fallback_window_fn(window_us, int(fallback_seconds * 1000)),
+            outputStructType=FALLBACK_WINDOW_OUTPUT_SCHEMA,
+            stateStructType=FALLBACK_WINDOW_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 JUMP_GAP_US = 10_000_000  # 10 s, ref DwdTrafficUserJumpDetail.java:72
 JUMP_OUTPUT_SCHEMA = "mid string, ts_us bigint"
 JUMP_STATE_SCHEMA = "pending_ts bigint, pending_is_start integer"

@@ -589,7 +589,7 @@ def test_socket_json_source_end_to_end(spark, tmpdir):
         .start()
     )
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 90
         got = set()
         while time.time() < deadline and len(got) < len(lines):
             got = {
@@ -603,3 +603,94 @@ def test_socket_json_source_end_to_end(spark, tmpdir):
         stop.set()
         q.stop()
         server.close()
+
+
+def test_windowed_sum_with_fallback_trigger_paths(spark, tmpdir):
+    """W4/F3 custom-trigger twin (ref bean/MyTrigger.java): a window
+    whose end the watermark passes fires as an on-time ('watermark')
+    result; windows the watermark never reaches are rescued by the
+    wall-clock fallback ('timeout') instead of hanging forever."""
+    import time
+
+    S = 1_000_000
+    B = 1000 * S  # epoch-0 watermark edge (see TTL test)
+    b0 = [("A", B + 1 * S, 1), ("A", B + 3 * S, 2)]          # window [B, B+5s)
+    b1 = [("A", B + 12 * S, 5), ("B", B + 11 * S, 7),
+          ("B", B + 12 * S, 9)]                               # window [B+10s, B+15s)
+    src = f"{tmpdir}/fbw_src"
+    schema = "k string, ts_us long, v long"
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/b0")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b1")
+    # ONE data batch (no maxFilesPerTrigger): the watermark advances to
+    # B+10s right after it, so the timed-out groups' labels are
+    # deterministic — no race between file batches and wall-clock
+    # timers (the immediate-fire-on-late-data branch is unit-tested in
+    # test_fallback_window_fn_immediate_fire)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{src}/b*")
+        .withColumn("rt", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = stateful.windowed_sum_with_fallback(
+        stream, "k", "ts_us", "v", "rt", window_seconds=5, fallback_seconds=2.0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fbw_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_fbw")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline and len(got) < 3:
+            got = {
+                (r.k, r.wstart_us): (r.sum_v, r.fired_by)
+                for r in spark.sql("SELECT * FROM fbw_out").collect()
+            }
+            time.sleep(0.5)
+        # A's first window: watermark (B+12s - 2s = B+10s) passed its
+        # end (B+5s) -> on-time fire; the two [B+10s) windows never see
+        # the watermark reach B+15s -> wall-clock fallback rescues them
+        assert got == {
+            ("A", B): (3, "watermark"),
+            ("A", B + 10 * S): (5, "timeout"),
+            ("B", B + 10 * S): (16, "timeout"),
+        }, got
+    finally:
+        q.stop()
+
+
+def test_fallback_window_fn_immediate_fire():
+    """MyTrigger's onElement first branch: data arriving for a window
+    whose end the watermark already passed fires immediately."""
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def getCurrentWatermarkMs(self):
+            return 20_000  # 20 s — far past the window end
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            raise AssertionError("immediate fire must not keep state")
+
+    fn = stateful._fallback_window_fn(5_000_000, 2000)
+    out = list(
+        fn(
+            ("A", 1_000_000),
+            iter([pd.DataFrame({"v": [3, 4]})]),
+            FakeState(),
+        )
+    )
+    assert len(out) == 1
+    r = out[0].iloc[0]
+    assert (r["k"], r["wstart_us"], r["sum_v"], r["fired_by"]) == (
+        "A", 1_000_000, 7, "watermark",
+    )
