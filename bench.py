@@ -35,6 +35,7 @@ HEADLINE = [
     "interval_join_events",
     "dedup_minhash_lsh",
     "dedup_groups_transitive",
+    "llm_segment_dedup",
     "similarity_topk_cosine",
     "text_quality_scores",
     "doc_fingerprint_simhash",
