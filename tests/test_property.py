@@ -200,3 +200,41 @@ def test_minhash_signature_invariant_to_doc_duplication(spark, words, seed):
     assert len(sigs) == 2
     by_id = {r["doc_id"]: [r[f"sig_{i}"] for i in range(16)] for r in sigs}
     assert by_id[1] == by_id[2]
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """Large-star/small-star CC == a plain union-find on random edge
+    lists (self-loops, duplicates, reversed pairs all allowed)."""
+    from gmall_spark.operators.components import connected_components
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "doc_a long, doc_b long")
+    got = {r.doc_id: r.group_id for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+    assert got == expected
