@@ -994,6 +994,68 @@ def q_llm_doclen_quantiles(spark, sf_dir):
     )
 
 
+@query(
+    "llm_domain_mix_weights",
+    r"""
+WITH d AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS domain_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, domain_tokens,
+         SUM(domain_tokens) OVER () AS total_tokens,
+         COUNT(*) OVER () AS n_domains
+  FROM d
+)
+SELECT source, domain_tokens,
+       round(CAST(domain_tokens AS DOUBLE) / total_tokens, 6) AS natural_share,
+       round(1.0 / n_domains, 6) AS target_share,
+       round(least(1.0, (CAST(total_tokens AS DOUBLE) / n_domains) / domain_tokens), 6) AS keep_rate
+FROM t
+""",
+)
+def q_llm_domain_mix_weights(spark, sf_dir):
+    """Domain-mixture rebalancing weights (the data-mixing step of a
+    pretraining pipeline, cf. DoReMi/The Pile's per-source weights):
+    per source, the token count, its natural share of the corpus, a
+    uniform target share, and the downsampling keep-rate that hits the
+    target (capped at 1 — under-represented domains keep everything;
+    upsampling is an epoch decision, not a filter). Compose the rate
+    with the md5-threshold filter of llm_stratified_sample for a
+    deterministic resample. Shape: one hash agg to per-domain tokens
+    (map-side combining), then an unpartitioned window over the HANDFUL
+    of domain rows — the corpus itself is touched once."""
+    d = _docs(spark, sf_dir)
+    agg = (
+        d.select("source", TX.bpe_token_count(F.col("text")).alias("__tok"))
+        .groupBy("source")
+        .agg(F.sum("__tok").cast("bigint").alias("domain_tokens"))
+    )
+    w = Window.partitionBy()
+    t = agg.select(
+        "source",
+        "domain_tokens",
+        F.sum("domain_tokens").over(w).alias("__total"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    return t.select(
+        "source",
+        "domain_tokens",
+        F.round(F.col("domain_tokens").cast("double") / F.col("__total"), 6).alias(
+            "natural_share"
+        ),
+        F.round(F.lit(1.0) / F.col("__n"), 6).alias("target_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("__total").cast("double") / F.col("__n"))
+                / F.col("domain_tokens"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
 # --- corpus curation (composition capstone) -------------------------------
 
 

@@ -46,6 +46,8 @@ BUDGETS = [
     ("llm_corpus_stats", 2, 0),
     ("llm_sequence_packing", 2, 0),
     ("llm_doclen_quantiles", 2, 0),
+    # domain agg + single-partition window over a handful of rows
+    ("llm_domain_mix_weights", 3, 0),
     # block hash -> freq agg -> join back: scan + agg + join exchanges
     ("llm_segment_dedup", 4, 0),
     # joins that must broadcast their small side
