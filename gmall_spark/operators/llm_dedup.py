@@ -376,6 +376,95 @@ def jaccard_for_pairs(
     )
 
 
+SIMHASH_BITS = 16
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming <= chunks-1 -> some chunk equal
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = SIMHASH_CHUNKS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs by hamming distance — the Manku et al.
+    WWW'07 web-dedup algorithm: split the fingerprint into ``chunks``
+    equal bit ranges; any pair within hamming ``chunks - 1`` must
+    agree on at least one chunk (pigeonhole), so candidates come from
+    per-(chunk_idx, chunk_value) buckets and are verified with one
+    integer ``bit_count(xor)`` — no text ever re-read.
+
+    Shape: per-row fingerprints (zero shuffles), ONE bucket-groupBy
+    exchange, bounded i<j expansion (same no-self-join lineage as the
+    MinHash LSH; ``max_bucket`` caps mega-buckets identically), then
+    an integer verify against the (doc_id, simhash) relation — AQE
+    broadcasts it when small. At 100 TB raise SIMHASH_BITS to 64 (the
+    16-bit demo keeps the DuckDB oracle enumerable): bucket width
+    tracks corpus / 2^(bits/chunks), so wider fingerprints keep the
+    buckets sparse exactly as Manku's 64-bit tables do.
+    """
+    from gmall_spark.functions.text import simhash_fingerprints
+
+    assert SIMHASH_BITS % chunks == 0
+    bits_per = SIMHASH_BITS // chunks
+    mask = (1 << bits_per) - 1
+    fp = persist.register(
+        simhash_fingerprints(docs, id_col, text_col)
+        .select("doc_id", "simhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.expr(f"(simhash >> {i * bits_per}) & {mask}").cast("string").alias(
+                "band_hash"
+            ),
+        )
+        for i in range(chunks)
+    ]
+    banded = fp.select(
+        "doc_id", F.explode(F.array(*chunk_structs)).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    all_pairs = (
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )
+    if max_bucket is None:
+        pair_expr = F.expr(all_pairs)
+    else:
+        chain = (
+            "transform(slice(ids, 1, size(ids) - 1), "
+            "(x, i) -> named_struct('doc_a', x, 'doc_b', ids[i + 1]))"
+        )
+        pair_expr = F.expr(
+            f"CASE WHEN size(ids) > {int(max_bucket)} THEN {chain} "
+            f"ELSE {all_pairs} END"
+        )
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__fa"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__fb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "hamming", F.expr("bit_count(__fa ^ __fb)").cast("bigint")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 WINNOW_K = 3  # words per k-gram
 WINNOW_W = 4  # k-gram hashes per winnowing window
 

@@ -1604,6 +1604,7 @@ _PRIORITY = [
     "llm_segment_dedup",  # new: C4-style boilerplate block removal
     "llm_doclen_quantiles",  # new: per-source length distribution
     "llm_domain_mix_weights",  # new: data-mixture rebalancing weights
+    "dedup_simhash_hamming",  # new: Manku pigeonhole hamming pairs
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
     # --- unchanged high-value representatives (r3-green) ---
@@ -1620,9 +1621,9 @@ _PRIORITY = [
     "dws_traffic_vc_ch_ar_isnew_page_view_window",
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_page_view_window",
-    "dws_user_user_login_window",
     # ---------------- driver window boundary (50) ----------------
     # r3-green, unchanged; locally gated by tests/test_oracle_parity
+    "dws_user_user_login_window",
     "dws_user_user_register_window",
     "dwd_traffic_page_log",
     "dwd_traffic_unique_visitor_detail",

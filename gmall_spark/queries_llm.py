@@ -334,6 +334,56 @@ from gmall_spark.queries import ORACLES  # noqa: E402
 ORACLES["doc_fingerprint_simhash"] = _simhash_oracle()
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_pairs_oracle(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """DuckDB twin of llm_dedup.simhash_near_dup_pairs: the same
+    generated fingerprint SQL, the 4x4-bit chunk pigeonhole buckets,
+    and bit_count(xor) verification."""
+    votes = ",\n         ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), {pos}, 1)) - 1) // {div}) % 2 = 1 "
+        "THEN 1 ELSE -1 END) AS v{bit}".format(pos=bit // 4 + 1, div=2 ** (bit % 4), bit=bit)
+        for bit in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN v{bit} > 0 THEN {2**bit} ELSE 0 END" for bit in range(16))
+    bits_per = 16 // llm_dedup.SIMHASH_CHUNKS
+    mask = (1 << bits_per) - 1
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM tok GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+), ch AS (
+  SELECT doc_id, t.i AS chunk_idx, (simhash >> (t.i * {bits_per})) & {mask} AS chunk_val
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {llm_dedup.SIMHASH_CHUNKS})) AS i) t
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ch a JOIN ch b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+"""
+
+
+@query("dedup_simhash_hamming", _simhash_pairs_oracle())
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """SimHash hamming-distance near-dup pairs (Manku et al., WWW'07
+    pigeonhole chunks + integer verify) — upgrades X5 from
+    fingerprint-equality to true hamming<=3 pairing."""
+    return llm_dedup.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), SIMHASH_MAX_HAMMING
+    )
+
+
 # --- deduplication --------------------------------------------------------
 
 

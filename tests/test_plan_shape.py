@@ -56,6 +56,9 @@ BUDGETS = [
     # the minhash pipeline: shingle scan, signature agg, bucket agg,
     # candidate distinct (2), verify — candidates/arrays broadcast
     ("dedup_minhash_lsh", 6, 1),
+    # simhash hamming pairs: per-row fingerprints, one bucket agg,
+    # candidate distinct, integer verify joins
+    ("dedup_simhash_hamming", 6, 0),
 ]
 
 
