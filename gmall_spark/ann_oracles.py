@@ -103,6 +103,54 @@ WITH planes(tbl, p, coefs) AS (
 """
 
 
+def sq_topk_oracle(
+    dim: int = EMBED_DIM,
+    k: int = 10,
+    refine: int = 4,
+    query_max_id: int = 5,
+) -> str:
+    """DuckDB twin of ``sq.sq_topk``: per-dimension min/max quantizer
+    trained by one aggregate, clamp-rounded codes dequantized back,
+    approximate cosine candidate cut (refine*k per query), exact
+    rescore tail. Identical arithmetic step for step."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, (x) -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), ux AS (
+  SELECT vec_id, unnest(v) AS x, unnest(range(1, {dim + 1})) AS ix FROM e
+), st AS (
+  SELECT ix, min(x) AS mn, max(x) AS mx FROM ux GROUP BY ix
+), stats AS (
+  SELECT list(mn ORDER BY ix) AS mins,
+         list(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END ORDER BY ix) AS steps
+  FROM st
+), enc AS (
+  SELECT vec_id,
+         list_transform(range(1, {dim + 1}),
+            (i) -> mins[i] + steps[i] *
+                   least(greatest(round((v[i] - mins[i]) / steps[i], 0), 0), 255)) AS dq
+  FROM e CROSS JOIN stats
+), qd AS (
+  SELECT vec_id AS query_id, dq AS qdq FROM enc WHERE vec_id < {query_max_id}
+), approx AS (
+  SELECT q.query_id, enc.vec_id AS neighbor_id,
+         round(list_dot_product(q.qdq, enc.dq)
+               / (sqrt(list_dot_product(q.qdq, q.qdq)) * sqrt(list_dot_product(enc.dq, enc.dq))),
+               6) AS approx_sim
+  FROM enc CROSS JOIN qd q
+  WHERE enc.vec_id <> q.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_sim DESC, neighbor_id ASC) AS crank
+    FROM approx)
+  WHERE crank <= {refine * k}
+)
+{_cosine_topk_tail(k)}
+"""
+
+
 def _kmeans_ctes(
     n_lists: int, iters: int, sample: int, dim: int
 ) -> str:

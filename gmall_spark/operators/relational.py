@@ -1,0 +1,115 @@
+"""Generic relational operators Spark's DataFrame API lacks as
+single calls: backward as-of join and gap sessionization.
+
+As-of join (``asof_join_backward``): for every left row, the most
+recent right row at-or-before its timestamp on the same key — the
+time-series point-lookup the reference approximates with its
+interval join + lookup-join pair (ref ``DataStreamJoinTest.java``,
+``TableApiJoinTest.java``; SURVEY §2.3 J3/J7). Implemented as a
+tagged UNION + one window pass, NOT a range join: a range join
+explodes to |L|·|matches| intermediate rows and cannot prune, while
+the union plan is one shuffle on the key, a sort within partitions,
+and a running ``last(ignorenulls)`` — linear in |L|+|R| and the
+shape that survives 100 TB (same trick as Flink's temporal join
+state machine, expressed declaratively).
+
+Gap sessionization (``sessionize_gap``): groups a keyed event stream
+into sessions split at inactivity gaps ≥ ``gap_us`` — the batch twin
+of Spark's native ``session_window`` (used by the streaming path) and
+of the reference's 10 s CEP timeout sessions. One shuffle (key), one
+sort, running island-sum; no state beyond the window frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_r"
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+) -> DataFrame:
+    """Left as-of join: each left row picks the right row with the
+    greatest ``ts`` ≤ left's ``ts`` for the same ``key`` (ties on
+    ``ts`` broken by the lexicographically greatest right payload, so
+    the result is deterministic). Left rows with no prior right row
+    keep NULL right columns.
+
+    Contract: ``key`` and ``ts`` exist on both sides with identical
+    types; all other column names are disjoint between the sides.
+    Right's ``ts`` is re-exposed as ``<ts>_right``.
+    """
+    l_cols = [c for c in left.columns if c not in (key, ts)]
+    r_cols = [c for c in right.columns if c not in (key, ts)]
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"asof_join_backward: ambiguous columns {sorted(overlap)}")
+
+    r_ts = f"{ts}_right"
+    # Pack the right payload into ONE struct so last(ignorenulls)
+    # cannot mix fields from different right rows, and so the
+    # tie-break ordering is the whole payload tuple.
+    r_struct = F.struct(F.col(ts).alias(r_ts), *[F.col(c) for c in r_cols])
+    tagged_r = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias(_SIDE),
+        r_struct.alias(_PAYLOAD),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+    )
+    tagged_l = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(tagged_r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *l_cols,
+    )
+    # Right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
+    # right row at exactly left's ts is visible (<= semantics).
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, _SIDE, _PAYLOAD)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        tagged_r.unionByName(tagged_l)
+        .withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+        .filter(F.col(_SIDE) == 1)
+    )
+    return matched.select(
+        key,
+        ts,
+        *l_cols,
+        F.col(f"{_PAYLOAD}.{r_ts}").alias(r_ts),
+        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in r_cols],
+    )
+
+
+def sessionize_gap(
+    events: DataFrame,
+    key: str,
+    ts_us: str,
+    gap_us: int,
+    tie_break: str,
+) -> DataFrame:
+    """Assign a per-key ``session_seq`` (1-based) that increments
+    whenever the gap to the previous event is ≥ ``gap_us`` — matching
+    Spark ``session_window`` merge semantics (an event at exactly
+    ``prev + gap`` starts a NEW session, because session windows are
+    half-open ``[ts, ts+gap)``). ``tie_break`` makes the ordering
+    total for equal timestamps."""
+    w = Window.partitionBy(key).orderBy(ts_us, tie_break)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts_us).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_us) - prev >= F.lit(gap_us)), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_seq", F.sum(is_new).over(run).cast("bigint")
+    )

@@ -1548,6 +1548,106 @@ def q_interval_join_events(spark, sf_dir):
     )
 
 
+@query(
+    "asof_join_events",
+    """
+WITH v AS (
+  SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT p.purchase_event_id, p.user_id, p.ts_us,
+         (SELECT max(v.ts_us) FROM v
+          WHERE v.user_id = p.user_id AND v.ts_us <= p.ts_us) AS m_ts
+  FROM p
+)
+SELECT m.purchase_event_id, m.user_id, m.ts_us AS purchase_ts_us,
+       (SELECT max(v.view_event_id) FROM v
+        WHERE v.user_id = m.user_id AND v.ts_us = m.m_ts) AS view_event_id,
+       m.ts_us - m.m_ts AS gap_us
+FROM m
+""",
+)
+def q_asof_join_events(spark, sf_dir):
+    """Backward as-of join: each purchase picks the most recent view
+    by the same user at-or-before its timestamp (ties: max event_id).
+    The oracle is an independent formulation (correlated max-ts
+    scalar subqueries); Spark runs the union+window plan — one
+    shuffle, linear, no range-join blowup (operators/relational.py)."""
+    from gmall_spark.operators.relational import asof_join_backward
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    out = asof_join_backward(purchases, views, "user_id", "ts_us")
+    return out.select(
+        "purchase_event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "view_event_id",
+        (F.col("ts_us") - F.col("ts_us_right")).alias("gap_us"),
+    )
+
+
+@query(
+    "events_session_window",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+), f AS (
+  SELECT user_id, event_id, ts_us, value,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), g AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+)
+SELECT user_id, min(ts_us) AS stt_us, max(ts_us) + 1800000000 AS edt_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM g GROUP BY user_id, sess
+""",
+)
+def q_events_session_window(spark, sf_dir):
+    """Gap sessionization (30 min inactivity) via Spark's NATIVE
+    session_window aggregation; the oracle derives the same sessions
+    by the independent lag/cumsum-islands formulation — a genuine
+    cross-check of the merge semantics (an event at exactly
+    prev + gap starts a new session: windows are [ts, ts+gap)).
+    Batch twin of the streaming session_window path and of the
+    reference's CEP timeout sessions (SURVEY T5)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("stt_us"),
+            F.unix_micros("session_window.end").alias("edt_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing
@@ -1605,6 +1705,10 @@ _PRIORITY = [
     "llm_doclen_quantiles",  # new: per-source length distribution
     "llm_domain_mix_weights",  # new: data-mixture rebalancing weights
     "dedup_simhash_hamming",  # new: Manku pigeonhole hamming pairs
+    "asof_join_events",  # new: backward as-of join (union+window plan)
+    "events_session_window",  # new: native session_window vs islands oracle
+    "text_bm25_topk",  # new: lexical BM25 retrieval arm
+    "similarity_sq_topk",  # new: int8 scalar-quantized ANN + exact rescore
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
     # --- unchanged high-value representatives (r3-green) ---

@@ -654,6 +654,26 @@ def q_similarity_ivf_topk(spark, sf_dir):
     )
 
 
+from gmall_spark.ann_oracles import sq_topk_oracle  # noqa: E402
+
+
+@query("similarity_sq_topk", sq_topk_oracle())
+def q_similarity_sq_topk(spark, sf_dir):
+    """Scalar-quantized (int8-style) ANN — the memory-bandwidth scale
+    path: per-dimension min/max quantizer trained by one single-row
+    aggregate, 8-bit codes scanned for approximate cosine, exact
+    rescore of the top refine*k candidates per query
+    (operators/sq.py). Oracle is generated SQL replaying the same
+    quantize/dequantize arithmetic; recall vs brute force gated by
+    tests/test_llm_ops.py::test_sq_recall_at_10."""
+    from gmall_spark.operators import sq
+
+    emb = _emb(spark, sf_dir)
+    return sq.sq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, dim=_oracle_dim_check(spark, sf_dir)
+    )
+
+
 # --- PII / contamination / sampling / repetition --------------------------
 
 
@@ -1269,6 +1289,52 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
 # Registration complete: finalize the shared registry (order-
 # independent choreography — see queries._finalize_registry).
+@query(
+    "text_bm25_topk",
+    """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'vector')) AS tf0,
+         len(list_filter(toks, x -> x = 'hash'))   AS tf1,
+         len(list_filter(toks, x -> x = 'merge'))  AS tf2
+  FROM d
+), s AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM t
+), scored AS (
+  SELECT doc_id,
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+           / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+           / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+           / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS raw
+  FROM t, s
+  WHERE tf0 + tf1 + tf2 > 0
+)
+SELECT doc_id, round(raw, 6) AS bm25
+FROM scored ORDER BY raw DESC, doc_id LIMIT 20
+""",
+)
+def q_text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for the fixed term set (vector, hash,
+    merge): the lexical-retrieval arm alongside the ANN operators.
+    Per-row HOF term frequencies (zero shuffle), one single-row
+    stats aggregate broadcast back, TakeOrderedAndProject top-k
+    (operators/ranking.py)."""
+    from gmall_spark.operators import ranking
+
+    return ranking.bm25_topk(_t(spark, sf_dir, "documents"), ("vector", "hash", "merge"))
+
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

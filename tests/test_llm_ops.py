@@ -402,3 +402,25 @@ def test_keeper_by_score_prefers_quality_then_min_id(spark):
         for r in components.keeper_by_score(groups, scores).collect()
     }
     assert got == {1: (2, 3), 10: (10, 2)}
+
+
+def test_sq_recall_at_10(spark, sf_dir):
+    """Scalar-quantized ANN (8-bit codes + exact rescore of refine*k
+    candidates) must hit recall@10 >= 0.9 per query vs brute force."""
+    from gmall_spark.operators import sq
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(emb, queries, k=10).collect()
+    sqr = sq.sq_topk(emb, queries, k=10).collect()
+    bf_sets: dict = {}
+    sq_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in sqr:
+        sq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(bf_sets[q] & sq_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert min(recalls) >= 0.9, recalls
+    assert sum(recalls) / len(recalls) >= 0.95

@@ -1,0 +1,116 @@
+"""Unit tests for the generic relational operators: backward as-of
+join, gap sessionization, BM25 ranking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_spark.operators.ranking import bm25_topk
+from gmall_spark.operators.relational import asof_join_backward, sessionize_gap
+
+
+def test_asof_join_backward_fixture(spark):
+    """Hand fixture: <= semantics, tie-break by max payload, NULL on
+    no-prior-match, later right rows ignored."""
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p2"), (2, 10, "p3"), (1, 200, "p4")],
+        "k bigint, ts bigint, pid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 50, "v_at_50"),     # equal-ts: visible to p2
+            (1, 90, "v_at_90a"),
+            (1, 90, "v_at_90b"),    # tie at ts=90: max payload wins
+            (1, 150, "v_at_150"),
+            (2, 20, "v_late"),      # after p3: not visible
+        ],
+        "k bigint, ts bigint, vid string",
+    )
+    out = {
+        r["pid"]: (r["vid"], r["ts_right"])
+        for r in asof_join_backward(left, right, "k", "ts").collect()
+    }
+    assert out["p1"] == ("v_at_90b", 90)
+    assert out["p2"] == ("v_at_50", 50)
+    assert out["p3"] == (None, None)
+    assert out["p4"] == ("v_at_150", 150)
+
+
+def test_asof_join_rejects_ambiguous_columns(spark):
+    df = spark.createDataFrame([(1, 1, "x")], "k bigint, ts bigint, a string")
+    try:
+        asof_join_backward(df, df, "k", "ts")
+    except ValueError as e:
+        assert "ambiguous" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_sessionize_gap_matches_native_session_window(spark, sf_dir):
+    """Cross-validate the lag/cumsum islands operator against Spark's
+    native session_window on real event data: identical session
+    boundaries (count, min ts, max ts per session)."""
+    from gmall_spark import queries as q
+
+    ev = q._events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    gap_us = 30 * 60 * 1_000_000
+
+    ours = (
+        sessionize_gap(ev, "user_id", "ts_us", gap_us, "event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_us").alias("stt"),
+            F.max("ts_us").alias("edt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("user_id", "stt", "edt", "n")
+    )
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("stt"),
+            (F.unix_micros("session_window.end") - gap_us).alias("edt"),
+            "n",
+        )
+    )
+    assert ours.exceptAll(native).count() == 0
+    assert native.exceptAll(ours).count() == 0
+
+
+def test_sessionize_gap_boundary_is_new_session(spark):
+    """An event at exactly prev + gap starts a NEW session (session
+    windows are half-open)."""
+    ev = spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 500), (1, 3, 1500), (1, 4, 1600)],
+        "k bigint, eid bigint, ts bigint",
+    )
+    out = {
+        r["eid"]: r["session_seq"]
+        for r in sessionize_gap(ev, "k", "ts", 1000, "eid").collect()
+    }
+    # 1500 is exactly 500 + gap: the [500, 1500) window excludes it
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_bm25_ranks_relevant_doc_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "vector vector vector hash"),
+            (2, "vector table scan"),
+            (3, "table scan join filter"),
+            (4, "merge merge vector hash hash"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = bm25_topk(docs, ("vector", "hash"), k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    # doc 3 matches nothing -> excluded; heaviest matches rank first
+    assert 3 not in ids
+    assert set(ids) == {1, 2, 4}
+    assert ids[0] in (1, 4)
+    scores = {r["doc_id"]: r["bm25"] for r in rows}
+    assert scores[2] < scores[1] and scores[2] < scores[4]
