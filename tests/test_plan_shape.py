@@ -59,6 +59,16 @@ BUDGETS = [
     # simhash hamming pairs: per-row fingerprints, one bucket agg,
     # candidate distinct, integer verify joins
     ("dedup_simhash_hamming", 6, 0),
+    # as-of join: two tagged event scans + ONE keyed window pass
+    ("asof_join_events", 3, 0),
+    # native session_window: scan + the session aggregate exchange
+    ("events_session_window", 2, 0),
+    # BM25: two doc scans + single-row stats agg; stats broadcast back
+    ("text_bm25_topk", 3, 1),
+    # SQ ANN: quantizer agg, encode scans, candidate/rescore windows
+    # (both rank<=k windows run as WindowGroupLimit per-partition
+    # heaps); queries + stats + candidates broadcast
+    ("similarity_sq_topk", 9, 3),
 ]
 
 
