@@ -1709,6 +1709,7 @@ _PRIORITY = [
     "events_session_window",  # new: native session_window vs islands oracle
     "text_bm25_topk",  # new: lexical BM25 retrieval arm
     "similarity_sq_topk",  # new: int8 scalar-quantized ANN + exact rescore
+    "text_bigram_lm_score",  # new: CCNet-style char-bigram LM quality score
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
     # --- unchanged high-value representatives (r3-green) ---

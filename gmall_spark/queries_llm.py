@@ -674,6 +674,41 @@ def q_similarity_sq_topk(spark, sf_dir):
     )
 
 
+@query(
+    "text_bigram_lm_score",
+    """
+WITH d AS (
+  SELECT doc_id, lang, lower(text) AS t FROM documents
+), pos AS (
+  SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i
+  FROM d WHERE length(t) >= 2
+), bg AS (
+  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 2) AS b FROM pos
+), model AS (
+  SELECT lang, b, count(*) AS c FROM bg GROUP BY lang, b
+), tot AS (
+  SELECT lang, sum(c) AS total, count(*) AS v FROM model GROUP BY lang
+), scored AS (
+  SELECT bg.doc_id, bg.lang, ln((m.c + 1.0) / (t.total + t.v)) AS lp
+  FROM bg
+  JOIN model m ON m.lang = bg.lang AND m.b = bg.b
+  JOIN tot t ON t.lang = bg.lang
+)
+SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(SUM(lp) / COUNT(*), 6) AS bigram_logprob
+FROM scored GROUP BY doc_id, lang
+""",
+)
+def q_text_bigram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal: per-doc mean log-probability
+    under a corpus-trained per-language character-bigram model with
+    add-one smoothing (operators/lm.py). Low scores mark improbable
+    character sequences — the perplexity-bucket filter."""
+    from gmall_spark.operators import lm
+
+    return lm.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 # --- PII / contamination / sampling / repetition --------------------------
 
 

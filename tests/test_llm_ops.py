@@ -424,3 +424,31 @@ def test_sq_recall_at_10(spark, sf_dir):
     ]
     assert min(recalls) >= 0.9, recalls
     assert sum(recalls) / len(recalls) >= 0.95
+
+
+def test_bigram_lm_flags_mojibake(spark):
+    """A document of improbable character sequences must score a
+    lower mean bigram log-prob than ordinary corpus text."""
+    from gmall_spark.operators import lm
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog again", "en")
+            for i in range(8)]
+    rows.append((99, "zq xv qj wz vx jq zx qq vv xx zj qz", "en"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {r.doc_id: r.bigram_logprob
+           for r in lm.bigram_logprob_scores(docs).collect()}
+    normal = max(v for k, v in got.items() if k != 99)
+    assert got[99] < normal
+
+
+def test_bigram_col_short_text_is_empty(spark):
+    """sequence(1, 0) descends in Spark — the length guard must give
+    short texts an EMPTY bigram array, not a bogus one."""
+    from gmall_spark.operators.lm import _bigram_col
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "ab")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.bg for r in
+           docs.select("doc_id", _bigram_col("text").alias("bg")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == ["ab"]

@@ -69,6 +69,9 @@ BUDGETS = [
     # (both rank<=k windows run as WindowGroupLimit per-partition
     # heaps); queries + stats + candidates broadcast
     ("similarity_sq_topk", 9, 3),
+    # bigram LM: two doc scans + model/totals/per-doc aggregates;
+    # model + totals broadcast into the scoring join
+    ("text_bigram_lm_score", 7, 2),
 ]
 
 
