@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_spark import oracles as O
@@ -1648,6 +1648,110 @@ def q_events_session_window(spark, sf_dir):
     )
 
 
+@query(
+    "orders_top3_per_priority",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+)
+def q_orders_top3_per_priority(spark, sf_dir):
+    """Per-group top-N (top 3 orders by price per priority class) —
+    the classic dashboard shape. Spark executes the rank<=N filter as
+    WindowGroupLimit: per-partition top-N heaps BEFORE the group
+    shuffle, so at 100 TB each partition forwards ≤3 rows per group
+    instead of sorting the whole group."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "orders_rollup_priority_status",
+    """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def q_orders_rollup_priority_status(spark, sf_dir):
+    """Multi-grain aggregation via ROLLUP (priority, status): the
+    per-grain, per-priority, and grand-total rows a ClickHouse-style
+    dashboard reads in one pass. One shuffle; Spark expands the
+    grouping sets map-side so partials still combine."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("order_count"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_amount"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "order_count",
+            "total_amount",
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "events_pivot_value_by_type",
+    """
+SELECT user_id,
+       CAST(coalesce(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS click,
+       CAST(coalesce(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS error,
+       CAST(coalesce(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS purchase,
+       CAST(coalesce(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS signup,
+       CAST(coalesce(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS view
+FROM events GROUP BY user_id
+""",
+)
+def q_events_pivot_value_by_type(spark, sf_dir):
+    """Pivot: per-user spend matrix, one column per event type. The
+    pivot list is FIXED (no value-discovery pre-pass, which would be
+    a second full scan + collect at 100 TB); pivot compiles to
+    conditional aggregates — one shuffle, map-side combined."""
+    ev = _events(spark, sf_dir)
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")))
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t).cast("double"), F.lit(0.0)).alias(t)
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing
@@ -1710,6 +1814,9 @@ _PRIORITY = [
     "text_bm25_topk",  # new: lexical BM25 retrieval arm
     "similarity_sq_topk",  # new: int8 scalar-quantized ANN + exact rescore
     "text_bigram_lm_score",  # new: CCNet-style char-bigram LM quality score
+    "orders_top3_per_priority",  # new: per-group top-N (WindowGroupLimit)
+    "orders_rollup_priority_status",  # new: ROLLUP multi-grain agg
+    "events_pivot_value_by_type",  # new: fixed-list pivot
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
     # --- unchanged high-value representatives (r3-green) ---

@@ -72,6 +72,14 @@ BUDGETS = [
     # bigram LM: two doc scans + model/totals/per-doc aggregates;
     # model + totals broadcast into the scoring join
     ("text_bigram_lm_score", 7, 2),
+    # per-group top-N: scan + window exchange (rank<=3 runs as
+    # WindowGroupLimit per-partition heaps before the shuffle)
+    ("orders_top3_per_priority", 2, 0),
+    # ROLLUP: scan + the grouping-sets aggregate exchange
+    ("orders_rollup_priority_status", 2, 0),
+    # pivot: scan + Spark's two-phase pivot ((keys,type) agg then
+    # pivot agg — the skew-safe shape)
+    ("events_pivot_value_by_type", 3, 0),
 ]
 
 
