@@ -1752,6 +1752,26 @@ def q_events_pivot_value_by_type(spark, sf_dir):
     )
 
 
+# No SQL oracle: HLL estimates are implementation-defined (DuckDB's
+# approx_count_distinct uses different parameters), so the driver
+# records the weaker rows-only check; accuracy and the sketch-merge
+# identity are gated by tests/test_relational.py instead.
+@query("events_uv_sketch_daily")
+def q_events_uv_sketch_daily(spark, sf_dir):
+    """Daily UV via HLL sketches (operators/sketches.py): constant-
+    size mergeable partial state instead of shuffling every distinct
+    key — the 100 TB answer to the exact A9 count_distinct path, and
+    day sketches re-merge to month/period estimates without
+    rescanning the base table."""
+    from gmall_spark.operators import sketches
+
+    ev = _events(spark, sf_dir)
+    sk = sketches.uv_sketch(ev, F.date_format("ts", "yyyy-MM-dd"), "user_id")
+    return sketches.estimate(sk).select(
+        F.col("grain").alias("dt"), "uv_approx"
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing
@@ -1817,6 +1837,7 @@ _PRIORITY = [
     "orders_top3_per_priority",  # new: per-group top-N (WindowGroupLimit)
     "orders_rollup_priority_status",  # new: ROLLUP multi-grain agg
     "events_pivot_value_by_type",  # new: fixed-list pivot
+    "events_uv_sketch_daily",  # new: HLL sketch UV (rows-only check)
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
     # --- unchanged high-value representatives (r3-green) ---

@@ -114,3 +114,46 @@ def test_bm25_ranks_relevant_doc_first(spark):
     assert ids[0] in (1, 4)
     scores = {r["doc_id"]: r["bm25"] for r in rows}
     assert scores[2] < scores[1] and scores[2] < scores[4]
+
+
+def test_hll_sketch_accuracy_and_merge_identity(spark):
+    """HLL UV sketches: <=5% relative error at 200k cardinality at
+    lg_k=12 (~1.6% RSE), and the union of per-group sketches equals
+    the one-pass whole-set sketch EXACTLY (same deterministic sketch
+    of the same key set) — the property that lets day sketches roll
+    up to months without rescanning."""
+    from gmall_spark.operators import sketches
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("k")
+    )
+    sk = sketches.uv_sketch(df, "g", "k")
+    per_group = {r.grain: r.uv_approx for r in sketches.estimate(sk).collect()}
+    for g, est in per_group.items():
+        assert abs(est - 20_000) / 20_000 <= 0.05, (g, est)
+    merged = sketches.merged_estimate(sk).collect()[0][0]
+    direct = df.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("k", F.lit(sketches.LG_K))
+        ).cast("bigint")
+    ).collect()[0][0]
+    assert merged == direct
+    assert abs(merged - 200_000) / 200_000 <= 0.05
+
+
+def test_uv_sketch_exact_at_low_cardinality(spark, sf_dir):
+    """At cardinalities far below 2^lg_k the sketch estimate must be
+    exact — pin it against count_distinct on the events table."""
+    from gmall_spark import queries as q
+    from gmall_spark.operators import sketches
+
+    ev = q._events(spark, sf_dir)
+    sk = sketches.uv_sketch(ev, F.date_format("ts", "yyyy-MM-dd"), "user_id")
+    est = {r.grain: r.uv_approx for r in sketches.estimate(sk).collect()}
+    exact = {
+        r.grain: r.uv
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("grain"))
+        .agg(F.count_distinct("user_id").alias("uv"))
+        .collect()
+    }
+    assert est == exact
