@@ -1752,6 +1752,50 @@ def q_events_pivot_value_by_type(spark, sf_dir):
     )
 
 
+@query(
+    "customers_with_open_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer cu
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = cu.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def q_customers_with_open_orders(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): customers holding at least one open
+    order. The probe side never duplicates — semi join short-circuits
+    on first match, so the output is bounded by the left side
+    regardless of order fan-out."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cu.join(
+        o, cu.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "customers_no_urgent_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer cu
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cu.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def q_customers_no_urgent_orders(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS): customers with no urgent order —
+    the set-difference shape incremental pipelines use to find
+    not-yet-processed keys."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cu.join(
+        o, cu.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
 # No SQL oracle: HLL estimates are implementation-defined (DuckDB's
 # approx_count_distinct uses different parameters), so the driver
 # records the weaker rows-only check; accuracy and the sketch-merge
@@ -1838,10 +1882,15 @@ _PRIORITY = [
     "orders_rollup_priority_status",  # new: ROLLUP multi-grain agg
     "events_pivot_value_by_type",  # new: fixed-list pivot
     "events_uv_sketch_daily",  # new: HLL sketch UV (rows-only check)
+    "customers_with_open_orders",  # new: LEFT SEMI join
+    "customers_no_urgent_orders",  # new: LEFT ANTI join
+    "llm_vocab_topk",  # new: tokenizer vocabulary seed list
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
     # --- unchanged high-value representatives (r3-green) ---
     "similarity_lsh_topk",
+    # ---------------- driver window boundary (50) ----------------
+    # r3-green, unchanged; locally gated by tests/test_oracle_parity
     "similarity_ivf_topk",
     "dedup_semantic_clusters",
     "dwd_trade_order_detail",
@@ -1854,8 +1903,6 @@ _PRIORITY = [
     "dws_traffic_vc_ch_ar_isnew_page_view_window",
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_page_view_window",
-    # ---------------- driver window boundary (50) ----------------
-    # r3-green, unchanged; locally gated by tests/test_oracle_parity
     "dws_user_user_login_window",
     "dws_user_user_register_window",
     "dwd_traffic_page_log",

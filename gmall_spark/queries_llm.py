@@ -675,6 +675,37 @@ def q_similarity_sq_topk(spark, sf_dir):
 
 
 @query(
+    "llm_vocab_topk",
+    """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+)
+SELECT tok, freq FROM counts ORDER BY freq DESC, tok ASC LIMIT 100
+""",
+)
+def q_llm_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by frequency (the seed list
+    a tokenizer trainer starts from). Explode -> hash agg (map-side
+    combine collapses each partition's token stream to its local
+    vocabulary before the exchange) -> TakeOrderedAndProject."""
+    from gmall_spark.operators.ranking import _toks
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(_toks(F.col("text"))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+@query(
     "text_bigram_lm_score",
     """
 WITH d AS (

@@ -80,6 +80,11 @@ BUDGETS = [
     # pivot: scan + Spark's two-phase pivot ((keys,type) agg then
     # pivot agg — the skew-safe shape)
     ("events_pivot_value_by_type", 3, 0),
+    # semi/anti joins: scans + a broadcast hash semi/anti join
+    ("customers_with_open_orders", 2, 1),
+    ("customers_no_urgent_orders", 2, 1),
+    # vocabulary: explode + ONE token hash agg + TakeOrdered
+    ("llm_vocab_topk", 2, 0),
 ]
 
 
