@@ -177,6 +177,34 @@ def windowed_agg_stream(
     )
 
 
+def session_window_stream(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    watermark: str | None,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Streaming twin of the batch ``events_session_window`` query
+    (queries.q_events_session_window): gap sessionization with
+    Spark's native session_window. Sessions merge while events keep
+    arriving within ``gap``; append mode emits a session once the
+    watermark passes its end (last event + gap) — the streaming
+    analog of the reference's CEP timeout sessions (SURVEY T5).
+    State per open session is one (start, end, partial-agg) tuple per
+    key: bounded by active keys, not event volume."""
+    wdf = df if watermark is None else df.withWatermark(ts_col, watermark)
+    grouped = wdf.groupBy(
+        *keys, F.session_window(F.col(ts_col), gap).alias("sw")
+    ).agg(*aggs)
+    return grouped.select(
+        *keys,
+        F.unix_micros("sw.start").alias("stt_us"),
+        F.unix_micros("sw.end").alias("edt_us"),
+        *[c for c in grouped.columns if c not in ("sw", *keys)],
+    )
+
+
 def streaming_dedup(df: DataFrame, keys: Sequence[str], ts_col: str, watermark: str) -> DataFrame:
     """First-one-wins streaming dedup (SURVEY T3).
 

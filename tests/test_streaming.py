@@ -694,3 +694,44 @@ def test_fallback_window_fn_immediate_fire():
     assert (r["k"], r["wstart_us"], r["sum_v"], r["fired_by"]) == (
         "A", 1_000_000, 7, "watermark",
     )
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir, tmpdir):
+    """The streaming session_window twin must emit exactly the batch
+    query's sessions (for sessions whose end the final watermark
+    passed; the tail may be unemitted in append mode)."""
+    from gmall_spark import queries as q
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    path = f"{tmpdir}/sess_events"
+    ev.write.mode("overwrite").parquet(path)
+    batch_df = spark.read.parquet(path)
+
+    stream = runner.stream_from_parquet(spark, path, batch_df.schema)
+    agg = runner.session_window_stream(
+        stream,
+        "ts",
+        "30 minutes",
+        "1 hour",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        ],
+    )
+    _run_to_memory(agg, "sess_out", f"{tmpdir}/ckpt_sess")
+    got = {
+        (r.user_id, r.stt_us): (r.edt_us, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    expected = {
+        (r.user_id, r.stt_us): (r.edt_us, r.n_events, r.total_value)
+        for r in q.QUERIES["events_session_window"](spark, sf_dir).collect()
+    }
+    assert got, "streaming produced no sessions"
+    for k, v in got.items():
+        assert expected.get(k) == v, f"session {k}: stream {v} != batch {expected.get(k)}"
+    missing = set(expected) - set(got)
+    assert len(missing) < 10, f"{len(missing)} sessions missing from append output"
