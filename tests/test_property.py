@@ -238,3 +238,67 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[ra] = rb
     expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
     assert got == expected
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left rows: (key, ts, pid)
+        st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(0, 99)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # right rows: (key, ts, vid)
+        st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(0, 99)),
+        min_size=0, max_size=25,
+    ),
+)
+
+
+@given(lr=asof_strategy)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python(spark, lr):
+    """asof_join_backward == brute force: per left row the right row
+    with max ts <= left ts (ties: lexicographically greatest payload
+    struct = max (ts, vid))."""
+    from gmall_spark.operators.relational import asof_join_backward
+
+    left_rows, right_rows = lr
+    left = spark.createDataFrame(left_rows, "k int, ts int, pid int")
+    right = spark.createDataFrame(right_rows, "k int, ts int, vid int")
+    got = {
+        (r.k, r.ts, r.pid): (r.ts_right, r.vid)
+        for r in asof_join_backward(left, right, "k", "ts").collect()
+    }
+    assert len(got) == len({(r[0], r[1], r[2]) for r in left_rows})
+    for k, ts, pid in left_rows:
+        cands = [(rts, vid) for rk, rts, vid in right_rows if rk == k and rts <= ts]
+        expected = max(cands) if cands else (None, None)
+        assert got[(k, ts, pid)] == expected, (k, ts, pid)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+        min_size=1, max_size=30,
+    ),
+    gap=st.integers(1, 10),
+)
+@settings(**_SETTINGS)
+def test_sessionize_gap_matches_python(spark, rows, gap):
+    """sessionize_gap == brute force islands: sort per key by
+    (ts, tiebreak), split when diff >= gap."""
+    from gmall_spark.operators.relational import sessionize_gap
+
+    # re-enumerate event ids so (k, eid) is a unique row key
+    rows = [(k, ts, i) for i, (k, ts, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k int, ts int, eid int")
+    got = {
+        (r.k, r.eid): r.session_seq
+        for r in sessionize_gap(df, "k", "ts", gap, "eid").collect()
+    }
+    for k in {r[0] for r in rows}:
+        seq = 0
+        prev = None
+        for ts, eid in sorted((ts, eid) for kk, ts, eid in rows if kk == k):
+            if prev is None or ts - prev >= gap:
+                seq += 1
+            prev = ts
+            assert got[(k, eid)] == seq, (k, eid)
