@@ -40,6 +40,12 @@ HEADLINE = [
     "text_quality_scores",
     "doc_fingerprint_simhash",
     "dedup_semantic_clusters",
+    "asof_join_events",
+    "events_session_window",
+    "text_bm25_topk",
+    "similarity_sq_topk",
+    "text_bigram_lm_score",
+    "llm_vocab_topk",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

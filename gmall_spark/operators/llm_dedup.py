@@ -556,6 +556,67 @@ def minhash_lsh_dedup(
     return jaccard_for_arrays(cand, with_arr, threshold)
 
 
+def cross_corpus_near_dups(
+    corpus: DataFrame,
+    ref: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Near-dup DECONTAMINATION: probe ``corpus`` docs against a
+    (small) reference set — held-out benchmarks, eval prompts, a
+    previous dump — and emit (doc_id, ref_id, inter, jaccard) for
+    every corpus doc whose shingle Jaccard with some reference doc
+    meets ``threshold``. The n-gram-EXACT contamination check
+    (queries_llm llm_contamination_check) catches verbatim overlap;
+    this catches paraphrased/whitespace-mangled leakage the same way
+    the in-corpus MinHash dedup catches near-dups.
+
+    Scale shape: the corpus side is signed per-row and banded exactly
+    like minhash_lsh_dedup (signature aggregate, map-side combined);
+    the reference side is tiny, so its banded hashes BROADCAST into
+    the candidate join — the corpus is never shuffled. Verification
+    cost tracks candidate count.
+
+    Id spaces of the two inputs must be disjoint (the verification
+    unions their shingle tables on doc_id).
+    """
+
+    def _prep(df):
+        arr = df.select(
+            F.col(id_col).alias("doc_id"), shingle_array(text_col, n).alias("shingles")
+        )
+        sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
+        return sh, band_signatures(minhash_signatures(sh, k), bands, k)
+
+    corpus_sh, corpus_banded = _prep(corpus)
+    ref_sh, ref_banded = _prep(ref)
+    cand = (
+        corpus_banded.join(
+            F.broadcast(
+                ref_banded.select(
+                    F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+                )
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    verified = jaccard_for_pairs(
+        cand, corpus_sh.unionByName(ref_sh), threshold
+    )
+    return verified.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("ref_id"),
+        "inter",
+        "jaccard",
+    )
+
+
 def release_persisted() -> None:
     """Back-compat alias for :func:`gmall_spark.persist.release_all`."""
     persist.release_all()

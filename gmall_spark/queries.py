@@ -1885,12 +1885,12 @@ _PRIORITY = [
     "customers_with_open_orders",  # new: LEFT SEMI join
     "customers_no_urgent_orders",  # new: LEFT ANTI join
     "llm_vocab_topk",  # new: tokenizer vocabulary seed list
+    "llm_cross_corpus_decontam",  # new: MinHash cross-corpus probe
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
-    # --- unchanged high-value representatives (r3-green) ---
-    "similarity_lsh_topk",
     # ---------------- driver window boundary (50) ----------------
     # r3-green, unchanged; locally gated by tests/test_oracle_parity
+    "similarity_lsh_topk",
     "similarity_ivf_topk",
     "dedup_semantic_clusters",
     "dwd_trade_order_detail",

@@ -55,7 +55,10 @@ _BANDS = "\n  UNION ALL\n".join(
     for bi in range(llm_dedup.LSH_BANDS)
 )
 
-SQL_MINHASH = (
+# shingles -> minhash signatures -> banded hashes, no candidate CTE
+# yet (shared by the self-join dedup oracles and the cross-corpus
+# decontamination oracle, which pair different subsets)
+SQL_BANDED = (
     SQL_SHINGLES
     + f"""
 , shh AS (
@@ -68,7 +71,13 @@ SQL_MINHASH = (
   FROM shh GROUP BY doc_id
 ), banded AS (
 {_BANDS}
-), cand AS (
+)"""
+)
+
+SQL_MINHASH = (
+    SQL_BANDED
+    + """
+, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -671,6 +680,52 @@ def q_similarity_sq_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return sq.sq_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, dim=_oracle_dim_check(spark, sf_dir)
+    )
+
+
+DECONTAM_THRESHOLD = 0.7
+
+# Deterministic benchmark stand-in: every 20th doc plays the held-out
+# reference set; the remaining 95% is the training corpus probed
+# against it.
+_SQL_XCORPUS = (
+    SQL_BANDED
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a AS doc_id, i.doc_b AS ref_id, CAST(i.inter AS BIGINT) AS inter,
+       round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN szs sa ON sa.doc_id = i.doc_a
+JOIN szs sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6)
+      >= {DECONTAM_THRESHOLD}
+"""
+)
+
+
+@query("llm_cross_corpus_decontam", _SQL_XCORPUS)
+def q_llm_cross_corpus_decontam(spark, sf_dir):
+    """Near-dup decontamination: probe the training corpus against a
+    held-out reference set with MinHash+LSH (paraphrase-robust, vs
+    the exact n-gram llm_contamination_check). Reference bands
+    broadcast; the corpus is never shuffled
+    (llm_dedup.cross_corpus_near_dups)."""
+    docs = _docs(spark, sf_dir)
+    return llm_dedup.cross_corpus_near_dups(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        DECONTAM_THRESHOLD,
     )
 
 

@@ -735,3 +735,52 @@ def test_streaming_session_window_equals_batch(spark, sf_dir, tmpdir):
         assert expected.get(k) == v, f"session {k}: stream {v} != batch {expected.get(k)}"
     missing = set(expected) - set(got)
     assert len(missing) < 10, f"{len(missing)} sessions missing from append output"
+
+
+def test_streaming_temporal_join_equals_batch(spark, sf_dir, tmpdir):
+    """The incremental as-of (temporal) join must equal the batch
+    asof_join_backward on the full data when batches arrive in
+    event-time order (a probe's candidate versions are then always in
+    its own or an earlier batch)."""
+    from gmall_spark import queries as q
+    from gmall_spark.streaming import temporal_join as tj
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("view_event_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("purchase_event_id"))
+
+    split = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("view_event_id", T.LongType()),
+    ])
+    store = tj.VersionStore(f"{tmpdir}/tjoin_store", schema)
+    emitted = []
+    for lo, hi in ((None, split), (split, None)):
+        def cut(df):
+            c = df
+            if lo is not None:
+                c = c.filter(F.col("ts_us") > lo)
+            if hi is not None:
+                c = c.filter(F.col("ts_us") <= hi)
+            return c
+        out = tj.process_batch(
+            spark, cut(purchases), cut(views), store, "user_id", "ts_us")
+        emitted.extend(out.collect())
+
+    got = {
+        (r.purchase_event_id): (r.user_id, r.ts_us, r.view_event_id, r.ts_us_right)
+        for r in emitted
+    }
+    from gmall_spark.operators.relational import asof_join_backward
+    expected = {
+        (r.purchase_event_id): (r.user_id, r.ts_us, r.view_event_id, r.ts_us_right)
+        for r in asof_join_backward(purchases, views, "user_id", "ts_us").collect()
+    }
+    assert got == expected
