@@ -53,19 +53,20 @@ def train_minmax(
     )
 
 
-def _dequantized(vec_col, dtype_note: str = "double"):
+def _dequantized(vec_col, mins, steps):
     """Code then immediately dequantize: mins[i] + steps[i]*code_i
     with code_i = clamp(round((x_i - mins[i]) / steps[i]), 0, 255).
-    Expressed as zip_with chains (all codegen'd JVM)."""
+    Expressed as zip_with chains (all codegen'd JVM); ``mins`` and
+    ``steps`` are literal arrays (the trained quantizer)."""
     v = F.transform(vec_col, lambda x: x.cast("double"))
-    shifted = F.zip_with(v, F.col("mins"), lambda x, m: x - m)
+    shifted = F.zip_with(v, mins, lambda x, m: x - m)
     codes = F.zip_with(
         shifted,
-        F.col("steps"),
+        steps,
         lambda y, s: F.least(F.greatest(F.round(y / s, 0), F.lit(0.0)), F.lit(255.0)),
     )
-    scaled = F.zip_with(codes, F.col("steps"), lambda c, s: c * s)
-    return F.zip_with(scaled, F.col("mins"), lambda d, m: d + m)
+    scaled = F.zip_with(codes, steps, lambda c, s: c * s)
+    return F.zip_with(scaled, mins, lambda d, m: d + m)
 
 
 def sq_topk(
@@ -81,13 +82,21 @@ def sq_topk(
     rescore. Output matches the other ANN tiers:
     (query_id, neighbor_id, rank, cos_sim)."""
     dim = dim or infer_dim(embeddings, vec_col)
-    stats = train_minmax(embeddings, dim, vec_col)
+    # the trained quantizer is ONE bounded row (2*dim doubles) — pull
+    # it to the driver and inline it as literals, so encoding is a
+    # pure per-row expression and the stats aggregate runs ONCE
+    # instead of once per consuming branch (the ivf.py:164 precedent:
+    # constant-bounded model state, not data, crosses the driver)
+    row = train_minmax(embeddings, dim, vec_col).collect()[0]
+    mins = F.array(*[F.lit(float(v)) for v in row["mins"]])
+    steps = F.array(*[F.lit(float(v)) for v in row["steps"]])
 
-    enc = embeddings.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col), _dequantized(F.col(vec_col)).alias("dq")
+    enc = embeddings.select(
+        F.col(id_col), _dequantized(F.col(vec_col), mins, steps).alias("dq")
     )
-    q = queries.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col).alias("query_id"), _dequantized(F.col(vec_col)).alias("qdq")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dequantized(F.col(vec_col), mins, steps).alias("qdq"),
     )
     approx = (
         enc.crossJoin(F.broadcast(q))

@@ -65,10 +65,11 @@ BUDGETS = [
     ("events_session_window", 2, 0),
     # BM25: two doc scans + single-row stats agg; stats broadcast back
     ("text_bm25_topk", 3, 1),
-    # SQ ANN: quantizer agg, encode scans, candidate/rescore windows
-    # (both rank<=k windows run as WindowGroupLimit per-partition
-    # heaps); queries + stats + candidates broadcast
-    ("similarity_sq_topk", 9, 3),
+    # SQ ANN: encode scans + candidate/rescore windows (both rank<=k
+    # windows run as WindowGroupLimit per-partition heaps); the
+    # trained quantizer is inlined as literals so the stats aggregate
+    # runs once, outside this plan; queries + candidates broadcast
+    ("similarity_sq_topk", 5, 3),
     # bigram LM: two doc scans + model/totals/per-doc aggregates;
     # model + totals broadcast into the scoring join
     ("text_bigram_lm_score", 7, 2),
