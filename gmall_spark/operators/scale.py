@@ -49,3 +49,21 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table (bucket metadata comes from the catalog,
     so joins/aggregates on the bucket key skip their exchange)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hive-partitioned by ``partition_cols`` (the
+    standard lakehouse date/source layout). A filter on a partition
+    column then prunes whole directories at PLANNING time — at 100 TB
+    a one-day query against a date-partitioned table reads 1/365th of
+    the files, before any row is touched
+    (``tests/test_scale.py::test_partition_pruned_scan`` pins this).
+    Partition columns should be low-cardinality (date, source, lang);
+    high-cardinality keys belong in bucketing instead (small-files
+    explosion otherwise)."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)

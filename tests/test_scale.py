@@ -4,6 +4,7 @@ the physical plan (no Exchange in a join of two bucketed tables)."""
 from __future__ import annotations
 
 import pytest
+import re
 from pyspark.sql import functions as F
 
 from gmall_spark.operators.scale import read_bucketed, write_bucketed
@@ -152,3 +153,32 @@ def test_minhash_pair_cost_tracks_duplicate_density(spark):
     assert p1 > 0 and c1 > 0
     assert p4 == 4 * p1, (p1, p4)
     assert c4 == 4 * c1, (c1, c4)
+
+
+
+def test_partition_pruned_scan(spark, sf_dir, tmp_path_factory):
+    """A filter on the partition column must be consumed by PLANNING-
+    time partition pruning: it appears under the scan's
+    PartitionFilters (whole directories skipped before any row is
+    read), NOT as a post-scan data Filter, and the pruned result is
+    exactly that day's rows."""
+    from gmall_spark.operators.scale import write_partitioned
+    from gmall_spark.queries import _events
+
+    tmp = str(tmp_path_factory.mktemp("part_events"))
+    ev = _events(spark, sf_dir).withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_partitioned(ev, tmp, ["dt"])
+
+    back = spark.read.parquet(tmp)
+    one_day = ev.select("dt").distinct().orderBy("dt").limit(1).collect()[0][0]
+    pruned = back.filter(F.col("dt") == one_day)
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and one_day in pf.group(1), plan[:1500]
+    # the predicate is fully consumed by pruning: no residual Filter
+    # node re-checks dt row-by-row
+    assert not re.search(r"\+- \*?\(?\d*\)? ?Filter .*dt", plan), plan[:1500]
+    assert pruned.count() == ev.filter(F.col("dt") == one_day).count()
