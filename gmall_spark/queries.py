@@ -1816,6 +1816,26 @@ def q_events_uv_sketch_daily(spark, sf_dir):
     )
 
 
+# No SQL oracle: approx_percentile's Greenwald-Khanna summaries are
+# implementation-defined (DuckDB's approx_quantile is a different
+# sketch), so the driver records the rows-only check; the 5%-accuracy
+# gate vs exact percentile lives in tests/test_relational.py. This is
+# the sketch X31's doclen report swaps to at 100 TB: bounded summary
+# state, map-side merged, instead of a full sort per grain.
+@query("events_value_quantiles_approx")
+def q_events_value_quantiles_approx(spark, sf_dir):
+    """Approximate p50/p90/p99 of event value per event type via
+    percentile_approx (GK summaries; accuracy parameter 10000 ⇒
+    error ≤ 1/10000 of rank)."""
+    ev = _events(spark, sf_dir)
+    acc = F.lit(10_000)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), acc).alias("p50"),
+        F.percentile_approx("value", F.lit(0.9), acc).alias("p90"),
+        F.percentile_approx("value", F.lit(0.99), acc).alias("p99"),
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing
@@ -1849,7 +1869,6 @@ _PRIORITY = [
     "text_lang_id",
     "dedup_prefix_groups",
     "similarity_topk_cosine",
-    "multimodal_decode_stub",
     "multimodal_resize",
     "multimodal_frame_sample",
     "ads_commodity_stats_trademark",
@@ -1881,15 +1900,22 @@ _PRIORITY = [
     "orders_top3_per_priority",  # new: per-group top-N (WindowGroupLimit)
     "orders_rollup_priority_status",  # new: ROLLUP multi-grain agg
     "events_pivot_value_by_type",  # new: fixed-list pivot
-    "events_uv_sketch_daily",  # new: HLL sketch UV (rows-only check)
     "customers_with_open_orders",  # new: LEFT SEMI join
     "customers_no_urgent_orders",  # new: LEFT ANTI join
     "llm_vocab_topk",  # new: tokenizer vocabulary seed list
     "llm_cross_corpus_decontam",  # new: MinHash cross-corpus probe
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
+    # the two rows-only sketch checks take the window's last slots
+    # (their accuracy is test-gated locally; hash-checked queries got
+    # priority above)
+    "events_uv_sketch_daily",
+    "events_value_quantiles_approx",
     # ---------------- driver window boundary (50) ----------------
-    # r3-green, unchanged; locally gated by tests/test_oracle_parity
+    # everything below is r3/locally gated (tests/test_oracle_parity);
+    # the decode stub's machinery is covered by its two in-window
+    # multimodal siblings
+    "multimodal_decode_stub",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "dedup_semantic_clusters",

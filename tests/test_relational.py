@@ -157,3 +157,31 @@ def test_uv_sketch_exact_at_low_cardinality(spark, sf_dir):
         .collect()
     }
     assert est == exact
+
+
+
+def test_approx_quantiles_rank_accuracy(spark, sf_dir):
+    """percentile_approx returns an ACTUAL data value (no
+    interpolation); at accuracy 10000 its rank must be within
+    max(1, n/10000) of the target rank per event type."""
+    from bisect import bisect_left, bisect_right
+
+    from gmall_spark import queries as q
+
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in q.QUERIES["events_value_quantiles_approx"](spark, sf_dir).collect()
+    }
+    vals: dict = {}
+    for r in q._events(spark, sf_dir).select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert set(approx) == set(vals)
+    for et, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for p, a in zip((0.5, 0.9, 0.99), approx[et]):
+            lo, hi = bisect_left(xs, a), bisect_right(xs, a) - 1
+            assert lo <= hi, f"{et}: approx {a} not an actual value"
+            target = p * (n - 1)
+            tol = max(1.0, n / 10_000)
+            assert lo - tol <= target <= hi + tol, (et, p, a, lo, hi, target)
