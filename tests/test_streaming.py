@@ -784,3 +784,62 @@ def test_streaming_temporal_join_equals_batch(spark, sf_dir, tmpdir):
         for r in asof_join_backward(purchases, views, "user_id", "ts_us").collect()
     }
     assert got == expected
+
+
+def test_streaming_temporal_join_bucketed_equals_batch_and_plan(spark, sf_dir):
+    """The bucketed-store temporal join (join-then-argmax probe) must
+    match the batch as-of join after an event-time-ordered 2-batch
+    split, with the store side of the probe join exchange-free."""
+    from gmall_spark import queries as q
+    from gmall_spark.streaming import temporal_join as tj
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("view_event_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("purchase_event_id"))
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("view_event_id", T.LongType()),
+    ])
+    store = tj.BucketedVersionStore("tjoin_bucketed_versions", "user_id")
+    store.drop(spark)
+    try:
+        split = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+        emitted = []
+        last_probe = None
+        for lo, hi in ((None, split), (split, None)):
+            def cut(df):
+                c = df
+                if lo is not None:
+                    c = c.filter(F.col("ts_us") > lo)
+                if hi is not None:
+                    c = c.filter(F.col("ts_us") <= hi)
+                return c
+            out = tj.process_batch_bucketed(
+                spark, cut(purchases), cut(views), store, "user_id", "ts_us", schema)
+            last_probe = out
+            emitted.extend(out.collect())
+
+        from gmall_spark.operators.relational import asof_join_backward
+        key = lambda r: (r.purchase_event_id,)
+        got = {key(r): (r.user_id, r.ts_us, r.view_event_id, r.ts_us_right)
+               for r in emitted}
+        expected = {key(r): (r.user_id, r.ts_us, r.view_event_id, r.ts_us_right)
+                    for r in asof_join_backward(
+                        purchases, views, "user_id", "ts_us").collect()}
+        assert got == expected
+
+        # the store scan must engage the bucketed read (Bucketed: true /
+        # SelectedBucketsCount): at scale that makes the store side of
+        # the probe join exchange-free (here AQE broadcasts the tiny
+        # store, which is also exchange-free on the store side)
+        plan = last_probe._jdf.queryExecution().executedPlan().toString()
+        assert "tjoin_bucketed_versions" in plan, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+    finally:
+        store.drop(spark)
