@@ -51,6 +51,12 @@ def asof_join_backward(
     if overlap:
         raise ValueError(f"asof_join_backward: ambiguous columns {sorted(overlap)}")
 
+    # SQL join semantics: a NULL key or NULL ts never matches. Right
+    # rows with either are dropped; left rows with either keep NULL
+    # right columns (they partition together but see no right rows,
+    # and a NULL left ts sorts NULLS FIRST — before every right row).
+    right = right.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
+
     r_ts = f"{ts}_right"
     # Pack the right payload into ONE struct so last(ignorenulls)
     # cannot mix fields from different right rows, and so the

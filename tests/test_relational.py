@@ -185,3 +185,21 @@ def test_approx_quantiles_rank_accuracy(spark, sf_dir):
             target = p * (n - 1)
             tol = max(1.0, n / 10_000)
             assert lo - tol <= target <= hi + tol, (et, p, a, lo, hi, target)
+
+
+def test_asof_join_null_keys_and_ts_never_match(spark):
+    """SQL join semantics: NULL key/ts on the right never matches;
+    NULL key/ts on the left yields NULL right columns."""
+    left = spark.createDataFrame(
+        [(1, 100, "ok"), (None, 100, "nullkey"), (1, None, "nullts")],
+        "k bigint, ts bigint, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 50, "v1"), (None, 10, "vnullkey"), (1, None, "vnullts")],
+        "k bigint, ts bigint, vid string",
+    )
+    from gmall_spark.operators.relational import asof_join_backward
+
+    out = {r["pid"]: r["vid"] for r in
+           asof_join_backward(left, right, "k", "ts").collect()}
+    assert out == {"ok": "v1", "nullkey": None, "nullts": None}
