@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,6 +78,22 @@ def latest_by_key(
     becomes an explicit operator.
     """
     return dedup_last(df, keys, ts_col, tiebreak)
+
+
+def scd2_history(
+    df: DataFrame, keys: Sequence[str], ts_col: str, tiebreak: Sequence[str] = ()
+) -> DataFrame:
+    """Changelog -> type-2 slowly-changing-dimension history: every
+    version row gains ``valid_to`` (the NEXT version's ts, exclusive;
+    NULL while current) and ``is_current``. The latest-state view
+    (:func:`latest_by_key`) is ``WHERE is_current``; as-of dim
+    lookups join ``valid_from <= t < valid_to``. One shuffle (key)
+    + sort; the lead() is a single window pass."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    nxt = F.lead(ts_col).over(w)
+    return df.withColumn("valid_to", nxt).withColumn(
+        "is_current", nxt.isNull()
+    )
 
 
 def dedup_first_ttl(

@@ -515,6 +515,30 @@ def q_cart_changelog_first(spark, sf_dir):
 
 
 @query(
+    "cart_scd2_history",
+    O.SQL_DWD_CART_ADD
+    + """
+SELECT id, user_id, sku_id, sku_num, ts,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM cart_stream
+WINDOW w AS (PARTITION BY id ORDER BY ts, user_id, sku_id, sku_num)
+""",
+)
+def q_cart_scd2_history(spark, sf_dir):
+    """Type-2 SCD history over the cart changelog: every version row
+    with its exclusive valid_to and is_current flag — the warehouse
+    layer the reference's latest-state dim tables (S4/T4) flatten
+    away; as-of dim lookups (X34) join against it."""
+    from gmall_spark.operators.dedup import scd2_history
+
+    return scd2_history(
+        _cart_stream(spark, sf_dir), ["id"], "ts",
+        tiebreak=["user_id", "sku_id", "sku_num"],
+    )
+
+
+@query(
     "dws_trade_province_order_window",
     O.SQL_DWD_ORDER_DETAIL
     + f"""
@@ -1904,14 +1928,16 @@ _PRIORITY = [
     "customers_no_urgent_orders",  # new: LEFT ANTI join
     "llm_vocab_topk",  # new: tokenizer vocabulary seed list
     "llm_cross_corpus_decontam",  # new: MinHash cross-corpus probe
+    "cart_scd2_history",  # new: SCD2 changelog history
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
     # the two rows-only sketch checks take the window's last slots
     # (their accuracy is test-gated locally; hash-checked queries got
     # priority above)
     "events_uv_sketch_daily",
-    "events_value_quantiles_approx",
     # ---------------- driver window boundary (50) ----------------
+    # (events_value_quantiles_approx: rows-only, accuracy test-gated)
+    "events_value_quantiles_approx",
     # everything below is r3/locally gated (tests/test_oracle_parity);
     # the decode stub's machinery is covered by its two in-window
     # multimodal siblings

@@ -203,3 +203,22 @@ def test_asof_join_null_keys_and_ts_never_match(spark):
     out = {r["pid"]: r["vid"] for r in
            asof_join_backward(left, right, "k", "ts").collect()}
     assert out == {"ok": "v1", "nullkey": None, "nullts": None}
+
+
+def test_scd2_history_chains_versions(spark):
+    from gmall_spark.operators.dedup import scd2_history
+
+    ch = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "x")],
+        "id bigint, ts bigint, v string",
+    )
+    got = {
+        (r.id, r.v): (r.valid_to, r.is_current)
+        for r in scd2_history(ch, ["id"], "ts", ["v"]).collect()
+    }
+    assert got == {
+        (1, "a"): (20, False),
+        (1, "b"): (30, False),
+        (1, "c"): (None, True),
+        (2, "x"): (None, True),
+    }
