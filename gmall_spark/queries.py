@@ -1929,14 +1929,12 @@ _PRIORITY = [
     "llm_vocab_topk",  # new: tokenizer vocabulary seed list
     "llm_cross_corpus_decontam",  # new: MinHash cross-corpus probe
     "cart_scd2_history",  # new: SCD2 changelog history
+    "llm_corpus_curation_v2",  # new: curation + decontam + LM signal
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
-    # the two rows-only sketch checks take the window's last slots
-    # (their accuracy is test-gated locally; hash-checked queries got
-    # priority above)
-    "events_uv_sketch_daily",
     # ---------------- driver window boundary (50) ----------------
-    # (events_value_quantiles_approx: rows-only, accuracy test-gated)
+    # (rows-only sketch checks: accuracy test-gated locally)
+    "events_uv_sketch_daily",
     "events_value_quantiles_approx",
     # everything below is r3/locally gated (tests/test_oracle_parity);
     # the decode stub's machinery is covered by its two in-window

@@ -1324,6 +1324,95 @@ def q_llm_corpus_curation(spark, sf_dir):
     )
 
 
+# v2 adds the round's new stages on top: drop docs near-duplicating
+# the held-out reference set (X47 decontamination; the ref subset
+# itself is excluded from a training corpus by definition), and carry
+# the char-bigram LM quality signal (X38) as an output column — a
+# score, not a filter: a data-dependent score CUT would hang corpus
+# membership on a float-percentile boundary (the ADVICE-r2 flake
+# class), so the cut stays a downstream policy choice.
+_SQL_CURATION_V2 = (
+    _SQL_CURATION.replace(
+        "SELECT f.doc_id, f.lang_pred, f.n_words",
+        """SELECT f.doc_id, f.lang_pred, f.n_words, lm.bigram_logprob""",
+    ).replace(
+        "LEFT JOIN drops dr ON f.doc_id = dr.doc_id",
+        """JOIN lmscore lm ON lm.doc_id = f.doc_id
+LEFT JOIN drops dr ON f.doc_id = dr.doc_id
+LEFT JOIN xmatch xm ON f.doc_id = xm.doc_id""",
+    ).replace(
+        "WHERE dr.doc_id IS NULL",
+        "WHERE dr.doc_id IS NULL AND xm.doc_id IS NULL AND f.doc_id % 20 <> 0",
+    ).replace(
+        ", drops AS (",
+        f"""
+, xcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+), xinter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM xcand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+), xmatch AS (
+  SELECT DISTINCT i.doc_a AS doc_id
+  FROM xinter i
+  JOIN szs sa ON sa.doc_id = i.doc_a
+  JOIN szs sb ON sb.doc_id = i.doc_b
+  WHERE round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6)
+        >= {DECONTAM_THRESHOLD}
+), lmd AS (
+  SELECT doc_id, lang, lower(text) AS t FROM documents
+), lmpos AS (
+  SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i
+  FROM lmd WHERE length(t) >= 2
+), lmbg AS (
+  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 2) AS b FROM lmpos
+), lmmodel AS (
+  SELECT lang, b, count(*) AS c FROM lmbg GROUP BY lang, b
+), lmtot AS (
+  SELECT lang, sum(c) AS total, count(*) AS v FROM lmmodel GROUP BY lang
+), lmscored AS (
+  SELECT g.doc_id, ln((m.c + 1.0) / (t.total + t.v)) AS lp
+  FROM lmbg g
+  JOIN lmmodel m ON m.lang = g.lang AND m.b = g.b
+  JOIN lmtot t ON t.lang = g.lang
+), lmscore AS (
+  SELECT doc_id, round(SUM(lp) / COUNT(*), 6) AS bigram_logprob
+  FROM lmscored GROUP BY doc_id
+), drops AS (""",
+    )
+)
+
+
+@query("llm_corpus_curation_v2", _SQL_CURATION_V2)
+def q_llm_corpus_curation_v2(spark, sf_dir):
+    """Curation v1 + this round's stages composed in: the held-out
+    reference subset and every corpus doc near-duplicating it (X47)
+    are dropped, and the char-bigram LM score (X38) rides along as a
+    quality signal column. Same one-DataFrame-plan composition
+    discipline as v1."""
+    from gmall_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    v1 = q_llm_corpus_curation(spark, sf_dir)
+    xmatch = llm_dedup.cross_corpus_near_dups(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        DECONTAM_THRESHOLD,
+    ).select("doc_id").distinct()
+    scores = lm.bigram_logprob_scores(d).select("doc_id", "bigram_logprob")
+    return (
+        v1.filter(F.col("doc_id") % 20 != 0)
+        .join(xmatch, "doc_id", "anti")
+        .join(scores, "doc_id")
+        .select("doc_id", "lang_pred", "n_words", "bigram_logprob")
+    )
+
+
 # --- multimodal plumbing --------------------------------------------------
 
 
