@@ -1840,6 +1840,91 @@ def q_events_uv_sketch_daily(spark, sf_dir):
     )
 
 
+@query(
+    "events_funnel_conversion",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+       CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+       CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                      AND first_purchase > first_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+FROM per_user
+""",
+)
+def q_events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per-user first
+    occurrence of each stage via ONE conditional-min aggregate (no
+    self-joins, no CEP state), then counts of users completing each
+    prefix in order. Two map-side-combining aggregates total."""
+    ev = _events(spark, sf_dir)
+
+    def first(t):
+        return F.min(
+            F.when(F.col("event_type") == t, F.unix_micros("ts"))
+        ).alias(f"first_{t}")
+
+    per_user = ev.groupBy("user_id").agg(
+        first("view"), first("click"), first("purchase")
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(viewed.cast("int")).cast("bigint").alias("viewed"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("clicked_after_view"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("purchased_after_click"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), cohorts AS (
+  SELECT user_id, min(d) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.d) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM cohorts c JOIN activity a ON a.user_id = c.user_id
+WHERE date_diff('day', c.cohort_day, a.d) <= 7
+GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.d)
+""",
+)
+def q_events_retention_cohorts(spark, sf_dir):
+    """Day-N retention matrix: users cohorted by first-active day,
+    counted on each later active day (offsets 0..7). Distinct
+    (user, day) activity first (hash agg), cohort = min day per user,
+    then one join + count-distinct — the A6 returning-user logic
+    generalized to the standard cohort triangle."""
+    ev = _events(spark, sf_dir)
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day").cast("bigint"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+    )
+
+
 # No SQL oracle: approx_percentile's Greenwald-Khanna summaries are
 # implementation-defined (DuckDB's approx_quantile is a different
 # sketch), so the driver records the rows-only check; the 5%-accuracy
@@ -1894,10 +1979,8 @@ _PRIORITY = [
     "dedup_prefix_groups",
     "similarity_topk_cosine",
     "multimodal_resize",
-    "multimodal_frame_sample",
     "ads_commodity_stats_trademark",
     "ads_commodity_stats_category",
-    "ads_commodity_stats_spu",
     "ads_trademark_order_amount_pie",
     "ads_user_uv_by_page",
     "ads_user_change_ct_per_type",
@@ -1929,10 +2012,17 @@ _PRIORITY = [
     "llm_vocab_topk",  # new: tokenizer vocabulary seed list
     "llm_cross_corpus_decontam",  # new: MinHash cross-corpus probe
     "cart_scd2_history",  # new: SCD2 changelog history
+    "events_funnel_conversion",  # new: ordered funnel aggregate
+    "events_retention_cohorts",  # new: day-N cohort retention
     "llm_corpus_curation_v2",  # new: curation + decontam + LM signal
     "llm_corpus_curation",  # rewritten: component-wise drop policy
     "dedup_minhash_lsh",  # mega-bucket cap now opt-in (off)
     # ---------------- driver window boundary (50) ----------------
+    # frame_sample / commodity_spu: machinery fully shared with their
+    # in-window siblings (multimodal_resize; the other 3 commodity
+    # stats), demoted to keep every new hash-checked query in-window
+    "multimodal_frame_sample",
+    "ads_commodity_stats_spu",
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",
