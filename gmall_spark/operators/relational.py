@@ -97,6 +97,40 @@ def asof_join_backward(
     )
 
 
+def funnel_ordered(
+    events: DataFrame,
+    stages: tuple[str, ...],
+    type_col: str = "event_type",
+    key: str = "user_id",
+    ts_us=None,
+) -> DataFrame:
+    """Ordered funnel: for each key, the first occurrence of every
+    stage (ONE conditional-min aggregate — no self-joins, no CEP
+    state), then one global rollup counting keys whose stage-k first
+    occurrence is strictly AFTER stage-(k-1)'s, for every prefix.
+    Output: (n_users, <stage0>ed-style counts aliased per stage)."""
+    ts_us = ts_us if ts_us is not None else F.unix_micros("ts")
+    per_key = events.groupBy(key).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, ts_us)).alias(f"first_{s}")
+            for s in stages
+        ]
+    )
+    conds = []
+    c = F.col(f"first_{stages[0]}").isNotNull()
+    conds.append(c)
+    for prev, cur in zip(stages, stages[1:]):
+        c = c & (F.col(f"first_{cur}") > F.col(f"first_{prev}"))
+        conds.append(c)
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        *[
+            F.sum(cond.cast("int")).cast("bigint").alias(f"stage_{i}_ct")
+            for i, cond in enumerate(conds)
+        ],
+    )
+
+
 def sessionize_gap(
     events: DataFrame,
     key: str,

@@ -1865,24 +1865,14 @@ def q_events_funnel_conversion(spark, sf_dir):
     occurrence of each stage via ONE conditional-min aggregate (no
     self-joins, no CEP state), then counts of users completing each
     prefix in order. Two map-side-combining aggregates total."""
-    ev = _events(spark, sf_dir)
+    from gmall_spark.operators.relational import funnel_ordered
 
-    def first(t):
-        return F.min(
-            F.when(F.col("event_type") == t, F.unix_micros("ts"))
-        ).alias(f"first_{t}")
-
-    per_user = ev.groupBy("user_id").agg(
-        first("view"), first("click"), first("purchase")
-    )
-    viewed = F.col("first_view").isNotNull()
-    clicked = viewed & (F.col("first_click") > F.col("first_view"))
-    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
-    return per_user.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum(viewed.cast("int")).cast("bigint").alias("viewed"),
-        F.sum(clicked.cast("int")).cast("bigint").alias("clicked_after_view"),
-        F.sum(purchased.cast("int")).cast("bigint").alias("purchased_after_click"),
+    out = funnel_ordered(_events(spark, sf_dir), ("view", "click", "purchase"))
+    return out.select(
+        "n_users",
+        F.col("stage_0_ct").alias("viewed"),
+        F.col("stage_1_ct").alias("clicked_after_view"),
+        F.col("stage_2_ct").alias("purchased_after_click"),
     )
 
 

@@ -222,3 +222,22 @@ def test_scd2_history_chains_versions(spark):
         (1, "c"): (None, True),
         (2, "x"): (None, True),
     }
+
+
+
+def test_funnel_requires_stage_order(spark):
+    """A click BEFORE the first view must not count as a completed
+    view->click prefix (the funnel is ordered, not set-membership)."""
+    from gmall_spark.operators.relational import funnel_ordered
+
+    rows = [
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),  # full
+        (2, "click", 50), (2, "view", 100),                          # out of order
+        (3, "view", 10),                                             # view only
+        (4, "purchase", 5),                                          # no view
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, us bigint"
+    ).select("user_id", "event_type", F.timestamp_micros("us").alias("ts"))
+    row = funnel_ordered(ev, ("view", "click", "purchase")).collect()[0]
+    assert (row.n_users, row.stage_0_ct, row.stage_1_ct, row.stage_2_ct) == (4, 3, 1, 1)
