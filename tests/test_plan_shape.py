@@ -86,6 +86,18 @@ BUDGETS = [
     ("customers_no_urgent_orders", 2, 1),
     # vocabulary: explode + ONE token hash agg + TakeOrdered
     ("llm_vocab_topk", 2, 0),
+    # funnel: scan + per-user conditional-min agg + global rollup
+    ("events_funnel_conversion", 3, 0),
+    # retention: scan + distinct-activity agg + cohort agg + join +
+    # count-distinct (2 exchanges)
+    ("events_retention_cohorts", 6, 1),
+    # SCD2: changelog derivation (scan + union branches) + window
+    ("cart_scd2_history", 4, 0),
+    # cross-corpus decontam: both sides' shingle/signature/band aggs
+    # + candidate + verify joins; ref side + candidates broadcast
+    ("llm_cross_corpus_decontam", 14, 5),
+    # HLL UV: scan + the per-day sketch aggregate
+    ("events_uv_sketch_daily", 2, 0),
 ]
 
 
