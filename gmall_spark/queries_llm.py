@@ -1331,19 +1331,34 @@ def q_llm_corpus_curation(spark, sf_dir):
 # score, not a filter: a data-dependent score CUT would hang corpus
 # membership on a float-percentile boundary (the ADVICE-r2 flake
 # class), so the cut stays a downstream policy choice.
-_SQL_CURATION_V2 = (
-    _SQL_CURATION.replace(
+def _replace_must_hit(src: str, old: str, new: str) -> str:
+    """str.replace that REFUSES to silently no-op: the v2 oracle is
+    assembled by splicing CTEs into v1's SQL, and a v1 edit that
+    breaks a splice point must fail loudly at import, not ship a
+    wrong oracle."""
+    assert old in src, f"curation v2 splice point vanished: {old[:60]!r}"
+    return src.replace(old, new)
+
+
+_SQL_CURATION_V2 = _replace_must_hit(
+    _SQL_CURATION,
         "SELECT f.doc_id, f.lang_pred, f.n_words",
         """SELECT f.doc_id, f.lang_pred, f.n_words, lm.bigram_logprob""",
-    ).replace(
+    )
+_SQL_CURATION_V2 = _replace_must_hit(
+    _SQL_CURATION_V2,
         "LEFT JOIN drops dr ON f.doc_id = dr.doc_id",
         """JOIN lmscore lm ON lm.doc_id = f.doc_id
 LEFT JOIN drops dr ON f.doc_id = dr.doc_id
 LEFT JOIN xmatch xm ON f.doc_id = xm.doc_id""",
-    ).replace(
+    )
+_SQL_CURATION_V2 = _replace_must_hit(
+    _SQL_CURATION_V2,
         "WHERE dr.doc_id IS NULL",
         "WHERE dr.doc_id IS NULL AND xm.doc_id IS NULL AND f.doc_id % 20 <> 0",
-    ).replace(
+    )
+_SQL_CURATION_V2 = _replace_must_hit(
+    _SQL_CURATION_V2,
         ", drops AS (",
         f"""
 , xcand AS (
@@ -1385,7 +1400,7 @@ LEFT JOIN xmatch xm ON f.doc_id = xm.doc_id""",
   FROM lmscored GROUP BY doc_id
 ), drops AS (""",
     )
-)
+
 
 
 @query("llm_corpus_curation_v2", _SQL_CURATION_V2)
