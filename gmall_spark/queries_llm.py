@@ -761,6 +761,67 @@ def q_llm_vocab_topk(spark, sf_dir):
 
 
 @query(
+    "text_keyword_tfidf",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok, ln(CAST(n.n AS DOUBLE) / df.df) * tf.tf AS raw
+  FROM tf JOIN dfreq df USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, tok, raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY raw DESC, tok ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, round(raw, 6) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def q_text_keyword_tfidf(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 tokens by tf-idf
+    (tf · ln(N/df)) — corpus doc-tagging for curation reports.
+    Explode -> two map-side-combining hash aggs (per-doc tf, corpus
+    df), df table broadcast back, rank<=3 as WindowGroupLimit heaps."""
+    d = _t(spark, sf_dir, "documents")
+    from gmall_spark.operators.ranking import _toks
+
+    toks = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.log(F.col("n").cast("double") / F.col("df")) * F.col("tf")).alias("raw"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "tok",
+            F.round("raw", 6).alias("tfidf"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@query(
     "text_bigram_lm_score",
     """
 WITH d AS (
