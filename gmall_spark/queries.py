@@ -2014,6 +2014,7 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "ads_commodity_stats_spu",
     "text_keyword_tfidf",  # new (late r4): rotate into the r5 window
+    "text_collocations_pmi",  # new (late r4): rotate into the r5 window
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

@@ -761,6 +761,96 @@ def q_llm_vocab_topk(spark, sf_dir):
 
 
 @query(
+    "text_collocations_pmi",
+    """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w, unnest(range(1, len(toks) + 1)) AS pos
+  FROM ws
+), pairs AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok QUALIFY w2 IS NOT NULL
+), pc AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+), uc AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT (SELECT sum(c) FROM uc) AS t, (SELECT sum(c12) FROM pc) AS p
+), scored AS (
+  SELECT pc.w1, pc.w2, pc.c12,
+         ln((CAST(pc.c12 AS DOUBLE) / tot.p)
+            / ((CAST(u1.c AS DOUBLE) / tot.t) * (CAST(u2.c AS DOUBLE) / tot.t))) AS raw
+  FROM pc
+  JOIN uc u1 ON u1.w = pc.w1
+  JOIN uc u2 ON u2.w = pc.w2
+  CROSS JOIN tot
+  WHERE pc.c12 >= 10
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_ct, round(raw, 6) AS pmi
+FROM scored ORDER BY raw DESC, w1, w2 LIMIT 20
+""",
+)
+def q_text_collocations_pmi(spark, sf_dir):
+    """Collocation extraction: top-20 adjacent word pairs by
+    pointwise mutual information (min pair count 10) — the corpus
+    phrase-mining report. Adjacent pairs are a per-row HOF (no
+    window), then two map-side-combining hash aggs (pair + unigram
+    counts), unigram table broadcast back, TakeOrdered top-k."""
+    from gmall_spark.operators.ranking import _toks
+
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select("doc_id", _toks(F.col("text")).alias("toks"))
+    pairs = ws.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    toks = ws.select(F.explode("toks").alias("w"))
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uc.agg(F.sum("c").alias("t")).crossJoin(
+        pc.agg(F.sum("c12").alias("p"))
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pc.filter(F.col("c12") >= 10)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.log(
+                (F.col("c12").cast("double") / F.col("p"))
+                / (
+                    (F.col("c1").cast("double") / F.col("t"))
+                    * (F.col("c2").cast("double") / F.col("t"))
+                )
+            ).alias("raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("raw"), "w1", "w2")
+        .limit(20)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("pair_ct"),
+            F.round("raw", 6).alias("pmi"),
+        )
+    )
+
+
+@query(
     "text_keyword_tfidf",
     """
 WITH toks AS (
