@@ -2015,6 +2015,8 @@ _PRIORITY = [
     "ads_commodity_stats_spu",
     "text_keyword_tfidf",  # new (late r4): rotate into the r5 window
     "text_collocations_pmi",  # new (late r4): rotate into the r5 window
+    "llm_train_val_test_split",  # new (late r4)
+    "dedup_group_size_report",  # new (late r4)
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

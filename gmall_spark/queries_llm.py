@@ -513,6 +513,28 @@ def q_dedup_groups_transitive(spark, sf_dir):
     return _transitive_groups(spark, sf_dir)
 
 
+@query(
+    "dedup_group_size_report",
+    SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
+    + _SQL_GROUP_CTES
+    + """
+SELECT CAST(sz AS BIGINT) AS group_size, CAST(count(*) AS BIGINT) AS n_groups
+FROM (SELECT group_id, count(*) AS sz FROM grp GROUP BY group_id)
+GROUP BY sz
+""",
+)
+def q_dedup_group_size_report(spark, sf_dir):
+    """Duplicate-group size histogram (how clustered is the corpus'
+    redundancy — the first chart of every dedup report): component
+    sizes from the shared transitive-grouping run, two tiny hash
+    aggs on top."""
+    groups = _transitive_groups(spark, sf_dir)
+    sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("bigint").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups")
+    )
+
+
 EMB_NEAR_DUP_THRESHOLD = 0.4
 
 
@@ -1077,6 +1099,42 @@ def q_llm_stratified_sample(spark, sf_dir):
     for lang, r in SAMPLE_RATES.items():
         rate = F.when(F.col("lang") == lang, F.lit(int(r * 65536))).otherwise(rate)
     return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+# train 90% / val 5% / test 5% by the same 16-bit md5 bucket: the
+# split is a pure per-row expression — reproducible across engines,
+# runs, and cluster sizes, with no shuffle and no rand()
+_SPLIT_TRAIN = int(0.90 * 65536)
+_SPLIT_VAL = int(0.95 * 65536)
+
+
+@query(
+    "llm_train_val_test_split",
+    f"""
+SELECT doc_id, lang, source,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                 < {_SPLIT_TRAIN} THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                 < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_llm_train_val_test_split(spark, sf_dir):
+    """Deterministic 90/5/5 train-val-test assignment by md5 bucket
+    (the llm_stratified_sample hashing, partitioned into three
+    ranges): every engine, run, and re-shard assigns each doc the
+    same split — the property leakage audits depend on."""
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "lang", "source", split.alias("split"))
 
 
 @query(
