@@ -97,6 +97,70 @@ def pii_redact(text: Column) -> Column:
     return out
 
 
+def gopher_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style composite quality rules (Rae et al. 2021 §A1.1):
+    per-rule ratios + the final ``gopher_keep`` verdict. All signals
+    are per-row higher-order-function / regexp Column expressions —
+    whole-stage codegen, zero shuffles; a pure map over the corpus
+    scan at any scale. DuckDB twin lives in the
+    ``text_quality_gopher`` registered oracle."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(t, r"\n"), lambda l: l != "")
+    c = docs.select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.length(F.regexp_replace(t, r"\s", "")).cast("bigint").alias("nonws_chars"),
+        F.regexp_count(t, F.lit(r"(#|\.\.\.|…)")).cast("bigint").alias("symbol_ct"),
+        stopword_count(t).alias("stopword_ct"),
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("alpha_words"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        .cast("bigint")
+        .alias("bullet_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        .cast("bigint")
+        .alias("ellipsis_lines"),
+    )
+
+    def ratio(num, den):
+        return F.when(F.col(den) == 0, F.lit(0.0)).otherwise(
+            F.round(F.col(num).cast("double") / F.col(den), 6)
+        )
+
+    r = c.select(
+        id_col,
+        "n_words",
+        "stopword_ct",
+        ratio("nonws_chars", "n_words").alias("mean_word_len"),
+        ratio("symbol_ct", "n_words").alias("symbol_ratio"),
+        ratio("alpha_words", "n_words").alias("alpha_word_ratio"),
+        ratio("bullet_lines", "n_lines").alias("bullet_line_ratio"),
+        ratio("ellipsis_lines", "n_lines").alias("ellipsis_line_ratio"),
+    )
+    return r.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "stopword_ct",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("symbol_ratio") < 0.1)
+            & (F.col("bullet_line_ratio") < 0.9)
+            & (F.col("ellipsis_line_ratio") < 0.3)
+            & (F.col("alpha_word_ratio") > 0.8)
+            & (F.col("stopword_ct") >= 2)
+        ).alias("gopher_keep"),
+    )
+
+
 def lang_id(text: Column) -> Column:
     """Marker-based language guess (CJK script beats word markers)."""
     low = F.lower(text)

@@ -1935,6 +1935,66 @@ def q_events_value_quantiles_approx(spark, sf_dir):
     )
 
 
+@query(
+    "events_median_by_type",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       round(quantile_cont(value, 0.9), 6) AS p90_exact
+FROM events GROUP BY event_type
+""",
+)
+def q_events_median_by_type(spark, sf_dir):
+    """EXACT per-group percentiles (interpolated, rank = p·(n−1)) —
+    the precise twin of ``events_value_quantiles_approx``: same
+    report, sort-based exact answer instead of GK summaries. Exact
+    percentile sorts each group's values; at 100 TB you pay that only
+    when the group count is modest (here: one group per event type) —
+    otherwise the approx twin is the scale path. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    interpolation definition, so values hash-match at round-6."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
+    )
+
+
+@query(
+    "events_moving_stats",
+    """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta_prev
+FROM events
+""",
+)
+def q_events_moving_stats(spark, sf_dir):
+    """Ordered window FRAMES per user: 3-event moving average (ROWS
+    BETWEEN 2 PRECEDING), running total, and delta vs previous event
+    (lag). The frame clauses Spark's analytic engine evaluates in one
+    pass per partition after a single shuffle on user_id — all three
+    measures share ONE Window spec, so the sort happens once. Order
+    key (ts, event_id) is unique ⇒ deterministic across engines;
+    ``delta_prev`` is NULL on each user's first event in both."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("mov_avg3"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("cum_value"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("delta_prev"),
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing
@@ -2017,6 +2077,9 @@ _PRIORITY = [
     "text_collocations_pmi",  # new (late r4): rotate into the r5 window
     "llm_train_val_test_split",  # new (late r4)
     "dedup_group_size_report",  # new (late r4)
+    "text_quality_gopher",  # new (late r4): Gopher composite rule filter
+    "events_median_by_type",  # new (late r4): exact percentile twin
+    "events_moving_stats",  # new (late r4): window frames / running aggs
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

@@ -1769,6 +1769,65 @@ def q_text_bm25_topk(spark, sf_dir):
     return ranking.bm25_topk(_t(spark, sf_dir, "documents"), ("vector", "hash", "merge"))
 
 
+@query(
+    "text_quality_gopher",
+    r"""
+WITH m AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks,
+         list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nonws_chars,
+         CAST(len(regexp_extract_all(text, '(#|\.\.\.|…)')) AS BIGINT) AS symbol_ct,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT) AS stopword_ct
+  FROM documents
+), c AS (
+  SELECT doc_id, nonws_chars, symbol_ct, stopword_ct,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS ellipsis_lines
+  FROM m
+), r AS (
+  SELECT doc_id, n_words, stopword_ct,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE round(CAST(nonws_chars AS DOUBLE) / n_words, 6) END AS mean_word_len,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE round(CAST(symbol_ct AS DOUBLE) / n_words, 6) END AS symbol_ratio,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE round(CAST(alpha_words AS DOUBLE) / n_words, 6) END AS alpha_word_ratio,
+         CASE WHEN n_lines = 0 THEN 0.0
+              ELSE round(CAST(bullet_lines AS DOUBLE) / n_lines, 6) END AS bullet_line_ratio,
+         CASE WHEN n_lines = 0 THEN 0.0
+              ELSE round(CAST(ellipsis_lines AS DOUBLE) / n_lines, 6) END AS ellipsis_line_ratio
+  FROM c
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+       bullet_line_ratio, ellipsis_line_ratio, stopword_ct,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_ratio < 0.1
+        AND bullet_line_ratio < 0.9
+        AND ellipsis_line_ratio < 0.3
+        AND alpha_word_ratio > 0.8
+        AND stopword_ct >= 2) AS gopher_keep
+FROM r
+""",
+)
+def q_text_quality_gopher(spark, sf_dir):
+    """Gopher-style composite quality rules (Rae et al. 2021 §A1.1),
+    the standard rule-based pre-filter ahead of model scoring:
+    word-count bounds, mean word length 3–10, symbol-to-word ratio
+    (#/ellipsis), bullet-start and ellipsis-end line fractions,
+    alphabetic-word fraction, minimum stopword hits. Unlike
+    ``text_quality_scores`` (raw signals), this emits the per-rule
+    ratios AND the final keep verdict (TX.gopher_signals). All
+    signals are per-row higher-order-function / regexp expressions —
+    whole-stage codegen, zero shuffles, no UDFs; at 100 TB this is a
+    pure map over the corpus scan."""
+    return TX.gopher_signals(_docs(spark, sf_dir))
+
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

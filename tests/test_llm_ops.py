@@ -452,3 +452,32 @@ def test_bigram_col_short_text_is_empty(spark):
     got = {r.doc_id: r.bg for r in
            docs.select("doc_id", _bigram_col("text").alias("bg")).collect()}
     assert got[1] == [] and got[2] == [] and got[3] == ["ab"]
+
+
+def test_gopher_rules_planted(spark):
+    """Each Gopher rule trips on a document planted to violate ONLY a
+    recognizable dimension; the clean document passes every gate."""
+    from gmall_spark.functions.text import gopher_signals
+
+    base = "the quick brown fox jumps of and to in it is"  # 11 words, all alpha
+    good = " ".join([base] * 6)  # 66 words, stopword-rich, mean len ~3.1
+    rows = [
+        (0, good),
+        (1, "the of and is it"),  # < 50 words
+        (2, "\n".join("- " + base for _ in range(8))),  # all lines bullets
+        (3, good + " #" * 30),  # symbol/words > 0.1
+        (4, " ".join([base] * 3) + " " + " ".join(str(n) * 3 for n in range(40))),  # numeric words
+        (5, " ".join(["quick brown fox jumps green stone"] * 10)),  # no stopwords
+        (6, "\n".join(base + " ..." for _ in range(6))),  # lines end in ellipsis
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in gopher_signals(docs).collect()}
+    assert got[0].gopher_keep, got[0]
+    for bad in range(1, 7):
+        assert not got[bad].gopher_keep, got[bad]
+    assert got[1].n_words < 50
+    assert got[2].bullet_line_ratio >= 0.9
+    assert got[3].symbol_ratio > 0.1
+    assert got[4].alpha_word_ratio <= 0.8
+    assert got[5].stopword_ct < 2
+    assert got[6].ellipsis_line_ratio >= 0.3

@@ -98,6 +98,13 @@ BUDGETS = [
     ("llm_cross_corpus_decontam", 14, 5),
     # HLL UV: scan + the per-day sketch aggregate
     ("events_uv_sketch_daily", 2, 0),
+    # Gopher rules: pure per-row HOF/regexp map — scan fan-out only
+    ("text_quality_gopher", 1, 0),
+    # exact percentiles: scan + one sort-aggregate exchange
+    ("events_median_by_type", 2, 0),
+    # window frames: scan + ONE shuffle on user_id (all three
+    # measures share a single Window spec / sort)
+    ("events_moving_stats", 2, 0),
 ]
 
 
