@@ -24,6 +24,7 @@ tables on every join and shuffling them exactly once at write time:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -67,3 +68,49 @@ def write_partitioned(
     high-cardinality keys belong in bucketing instead (small-files
     explosion otherwise)."""
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    big_key: str,
+    dim_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for two LARGE tables with hot keys.
+
+    A plain shuffle join sends every row of a hot key to ONE reducer
+    task — at 100 TB a single skewed key (the null user, the default
+    category, the crawler domain) straggles or OOMs the whole stage.
+    Salting splits each hot key across ``salt`` sub-partitions:
+
+    - big side: a deterministic per-row salt in [0, salt) derived by
+      hashing the whole row (xxhash64 — no rand(), so replays and
+      retries assign identically);
+    - dim side: replicated ``salt`` ways via posexplode of a literal
+      range (a ``salt``× blow-up of the SMALLER big table, the price
+      of the rebalance);
+    - join on (key, salt), then drop the salt.
+
+    The result is row-identical to the unsalted join; only the
+    shuffle distribution changes (each hot key now occupies ``salt``
+    reducers). The ``merge`` hint pins SortMergeJoin so the salted
+    exchange shape is what actually executes even when a test-scale
+    dim would be broadcast. Prefer AQE's skew-join handling
+    (``spark.sql.adaptive.skewJoin``) when it fires — salting is the
+    explicit fallback for aggregation-free plans AQE can't split or
+    when the skew is in the PARTITION KEY of a window function.
+    """
+    b = big.withColumn(
+        "__salt_l", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
+    )
+    d = dim.withColumn(
+        "__salt_r", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = b.join(
+        d.hint("merge"),
+        (b[big_key] == d[dim_key]) & (b["__salt_l"] == d["__salt_r"]),
+        how,
+    )
+    return out.drop("__salt_l", "__salt_r")

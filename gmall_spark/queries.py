@@ -1995,6 +1995,37 @@ def q_events_moving_stats(spark, sf_dir):
     )
 
 
+@query(
+    "events_salted_segment_totals",
+    """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_events_salted_segment_totals(spark, sf_dir):
+    """Skew-salted large-large join (operators/scale.salted_join):
+    events ⋈ customer on the user key with a deterministic 16-way
+    salt, then per-segment totals. Row-identical to the plain join
+    (the oracle IS the plain join) — only the shuffle distribution
+    changes: each hot key spreads across 16 reducers instead of
+    straggling one. Sum runs in DECIMAL (exact, order-independent)
+    and casts to double at the end, so the value hash is safe."""
+    from gmall_spark.operators.scale import salted_join
+
+    ev = _events(spark, sf_dir)
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(ev, cu, "user_id", "c_custkey", salt=16)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing
@@ -2080,6 +2111,7 @@ _PRIORITY = [
     "text_quality_gopher",  # new (late r4): Gopher composite rule filter
     "events_median_by_type",  # new (late r4): exact percentile twin
     "events_moving_stats",  # new (late r4): window frames / running aggs
+    "events_salted_segment_totals",  # new (late r4): skew-salted join
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

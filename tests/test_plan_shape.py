@@ -105,6 +105,9 @@ BUDGETS = [
     # window frames: scan + ONE shuffle on user_id (all three
     # measures share a single Window spec / sort)
     ("events_moving_stats", 2, 0),
+    # skew-salted SMJ: 2 scan fan-outs + both sides' (key, salt)
+    # exchanges + the segment aggregate; deliberately NO broadcast
+    ("events_salted_segment_totals", 5, 0),
 ]
 
 

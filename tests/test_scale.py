@@ -182,3 +182,32 @@ def test_partition_pruned_scan(spark, sf_dir, tmp_path_factory):
     # node re-checks dt row-by-row
     assert not re.search(r"\+- \*?\(?\d*\)? ?Filter .*dt", plan), plan[:1500]
     assert pruned.count() == ev.filter(F.col("dt") == one_day).count()
+
+
+def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
+    """salted_join must be row-identical to the plain join on a
+    skewed fixture (one key holds 80% of the rows) and must execute
+    as a SortMergeJoin on the salted composite key — not a broadcast
+    (which would hide the exchange shape salting exists to fix)."""
+    from gmall_spark.operators.scale import salted_join
+
+    big = spark.createDataFrame(
+        [(1 if i % 10 < 8 else i % 100, float(i)) for i in range(2000)],
+        "k bigint, v double",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "dk bigint, name string"
+    )
+    salted = salted_join(big, dim, "k", "dk", salt=8)
+    plain = big.join(dim, big.k == dim.dk)
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+    got = sorted((r.k, r.v, r.name) for r in salted.collect())
+    want = sorted((r.k, r.v, r.name) for r in plain.collect())
+    assert got == want
+    # determinism across re-evaluation (hash salt, no rand())
+    again = sorted((r.k, r.v, r.name) for r in salted.collect())
+    assert again == got
