@@ -2026,6 +2026,49 @@ def q_events_salted_segment_totals(spark, sf_dir):
     )
 
 
+@query(
+    "events_sliding_window_counts",
+    """
+WITH x AS (
+  SELECT event_type, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+), w AS (
+  SELECT event_type, user_id,
+         unnest([ (ep // 300) * 300, (ep // 300) * 300 - 300 ]) AS ws
+  FROM x
+)
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(make_timestamp((ws + 600) * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+       event_type,
+       CAST(count(*) AS BIGINT) AS event_ct,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uu_ct
+FROM w GROUP BY ws, event_type
+""",
+)
+def q_events_sliding_window_counts(spark, sf_dir):
+    """Sliding (HOP) windows — 10 min wide, 5 min slide: each event
+    lands in exactly width/slide = 2 windows. Spark's ``window(ts,
+    width, slide)`` expands the assignment inline (no self-union), so
+    the plan is one shuffle on (window, event_type); the oracle
+    replays the assignment as an epoch-arithmetic unnest. Completes
+    the window-family coverage next to the tumbling A1/W1-W3 ops and
+    the session windows (events_session_window)."""
+    from gmall_spark.functions.datetime import to_datetime_str
+
+    ev = _events(spark, sf_dir)
+    win = F.window(F.col("ts"), "600 seconds", "300 seconds")
+    g = ev.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("event_ct"),
+        F.count_distinct("user_id").cast("bigint").alias("uu_ct"),
+    )
+    return g.select(
+        to_datetime_str(F.col("w.start")).alias("stt"),
+        to_datetime_str(F.col("w.end")).alias("edt"),
+        "event_type",
+        "event_ct",
+        "uu_ct",
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing
@@ -2112,6 +2155,7 @@ _PRIORITY = [
     "events_median_by_type",  # new (late r4): exact percentile twin
     "events_moving_stats",  # new (late r4): window frames / running aggs
     "events_salted_segment_totals",  # new (late r4): skew-salted join
+    "events_sliding_window_counts",  # new (late r4): HOP windows
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

@@ -108,6 +108,9 @@ BUDGETS = [
     # skew-salted SMJ: 2 scan fan-outs + both sides' (key, salt)
     # exchanges + the segment aggregate; deliberately NO broadcast
     ("events_salted_segment_totals", 5, 0),
+    # HOP windows: scan fan-out + the count_distinct two-phase
+    # aggregate (window expansion is inline — no self-union exchange)
+    ("events_sliding_window_counts", 3, 0),
 ]
 
 
