@@ -2069,6 +2069,37 @@ def q_events_sliding_window_counts(spark, sf_dir):
     )
 
 
+@query(
+    "events_cube_type_day",
+    """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+       CAST(grouping(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+""",
+)
+def q_events_cube_type_day(spark, sf_dir):
+    """CUBE multi-grain aggregate: all four grains (type×day, type,
+    day, grand total) in ONE pass — Spark expands the grouping sets
+    map-side, so the fact table is scanned once and only (sets ×
+    groups) partial rows shuffle. ``grouping_id`` (same MSB-first bit
+    order in Spark and DuckDB) disambiguates a real NULL group value
+    from a rolled-up total. Completes the grouping-sets family next
+    to ROLLUP (orders_rollup_priority_status)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return ev.cube("event_type", "dt").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing
@@ -2156,6 +2187,7 @@ _PRIORITY = [
     "events_moving_stats",  # new (late r4): window frames / running aggs
     "events_salted_segment_totals",  # new (late r4): skew-salted join
     "events_sliding_window_counts",  # new (late r4): HOP windows
+    "events_cube_type_day",  # new (late r4): CUBE multi-grain
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

@@ -111,6 +111,9 @@ BUDGETS = [
     # HOP windows: scan fan-out + the count_distinct two-phase
     # aggregate (window expansion is inline — no self-union exchange)
     ("events_sliding_window_counts", 3, 0),
+    # CUBE: scan fan-out + ONE grouping-sets aggregate exchange
+    # (the 4 grains expand map-side, not as a self-union)
+    ("events_cube_type_day", 2, 0),
 ]
 
 
