@@ -2116,7 +2116,8 @@ def q_events_cube_type_day(spark, sf_dir):
 # high-value r3-green representatives. What falls past the window is
 # r3-green, unchanged since, and still locally oracle-gated by
 # tests/test_oracle_parity.py; the union of r2+r3+r4 driver rows covers all
-# 80 registered queries.
+# pre-r4 registered queries; late-r4 additions sit just past the boundary
+# to rotate into the r5 window.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
