@@ -2100,6 +2100,62 @@ def q_events_cube_type_day(spark, sf_dir):
     )
 
 
+@query(
+    "lineitem_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pricing summary: the canonical scan-heavy single
+    hash aggregate. All money arithmetic runs in DECIMAL (exact,
+    shuffle-order-independent — the only safe way to hash-match a
+    float sum across engines), cast to double only at the very end;
+    averages divide the exact decimal sums as doubles. One map-side-
+    combining aggregate after a pushed-down date filter: at 100 TB
+    only (flag × status) partial rows cross the wire."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    tax = F.col("l_tax").cast("decimal(18,6)")
+    g = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        .cast("double")
+        .alias("sum_charge"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        F.sum(disc).cast("double").alias("__sum_disc"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "count_order",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+        F.round(F.col("__sum_disc") / F.col("count_order"), 6).alias("avg_disc"),
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing
@@ -2189,6 +2245,7 @@ _PRIORITY = [
     "events_salted_segment_totals",  # new (late r4): skew-salted join
     "events_sliding_window_counts",  # new (late r4): HOP windows
     "events_cube_type_day",  # new (late r4): CUBE multi-grain
+    "lineitem_pricing_summary",  # new (late r4): TPC-H Q1 twin
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

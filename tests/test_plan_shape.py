@@ -114,6 +114,9 @@ BUDGETS = [
     # CUBE: scan fan-out + ONE grouping-sets aggregate exchange
     # (the 4 grains expand map-side, not as a self-union)
     ("events_cube_type_day", 2, 0),
+    # TPC-H Q1 twin: scan fan-out + ONE map-side-combining hash agg
+    # behind a pushed-down date filter
+    ("lineitem_pricing_summary", 2, 0),
 ]
 
 
