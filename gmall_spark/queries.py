@@ -2156,6 +2156,120 @@ def q_lineitem_pricing_summary(spark, sf_dir):
     )
 
 
+@query(
+    "orders_shipping_priority",
+    """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-01-01'
+  AND l_shipdate > DATE '1998-01-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_orders_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shipping-priority twin (o_orderpriority stands in for
+    the generator's missing o_shippriority): filtered 3-way join +
+    grouped revenue + top-10. Plan shape at scale: the segment filter
+    prunes customer BEFORE the join (pushed scan predicate), customer
+    is the small side (AQE broadcasts it under the threshold),
+    orders⋈lineitem shuffles on the shared orderkey, and the final
+    ORDER BY+LIMIT is a TakeOrderedAndProject (per-partition top-10
+    heaps, no global sort). Revenue is exact DECIMAL inside, cast to
+    double at the end, with orderkey tiebreak for determinism."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+@query(
+    "nation_revenue_local_suppliers",
+    """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+)
+def q_nation_revenue_local_suppliers(spark, sf_dir):
+    """TPC-H Q5 local-supplier-volume twin: the classic 6-way
+    star join (region→nation→{customer,supplier}→orders→lineitem)
+    with the "local" constraint c_nationkey = s_nationkey. Scale
+    shape: region/nation/supplier are explicitly broadcast (tiny at
+    any SF); customer⋈orders is left to AQE — customer is 10× smaller
+    than orders but NOT broadcastable at 100 TB, so forcing a
+    broadcast there would OOM the executors; the remaining shuffle is
+    orders⋈lineitem on orderkey. The final agg is ≤25 rows.
+    DECIMAL-exact revenue as in Q1/Q3."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing
@@ -2246,6 +2360,9 @@ _PRIORITY = [
     "events_sliding_window_counts",  # new (late r4): HOP windows
     "events_cube_type_day",  # new (late r4): CUBE multi-grain
     "lineitem_pricing_summary",  # new (late r4): TPC-H Q1 twin
+    "orders_shipping_priority",  # new (late r4): TPC-H Q3 twin
+    "nation_revenue_local_suppliers",  # new (late r4): TPC-H Q5 twin
+    "dedup_repeated_ngram_spans",  # new (late r4): ExactSubstr signal
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

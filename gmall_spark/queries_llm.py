@@ -1362,6 +1362,113 @@ def q_llm_segment_dedup(spark, sf_dir):
     )
 
 
+SPAN_N = 8  # word n-gram length for repeated-substring detection
+
+
+@query(
+    "dedup_repeated_ngram_spans",
+    rf"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(w[i + 1 : i + {SPAN_N}], ' ')) AS gh
+  FROM ws, LATERAL unnest(range(0, len(w) - {SPAN_N} + 1)) AS t(i)
+), dup AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2
+), didx AS (
+  SELECT DISTINCT g.doc_id, g.start + u AS idx
+  FROM g JOIN dup USING (gh), LATERAL unnest(range(0, {SPAN_N})) AS t(u)
+), isl AS (
+  SELECT doc_id, idx,
+         CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) = idx - 1
+              THEN 0 ELSE 1 END AS run_start
+  FROM didx
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens,
+         CAST(sum(run_start) AS BIGINT) AS dup_spans
+  FROM isl GROUP BY doc_id
+)
+SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_tokens,
+       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       COALESCE(a.dup_spans, 0) AS dup_spans,
+       round(COALESCE(a.dup_tokens, 0) / CAST(len(ws.w) AS DOUBLE), 6) AS dup_frac
+FROM ws LEFT JOIN agg a ON a.doc_id = ws.doc_id
+""",
+)
+def q_dedup_repeated_ngram_spans(spark, sf_dir):
+    """Repeated-substring dedup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    ExactSubstr): mark, per document, the maximal token spans covered
+    by any SPAN_N(=8)-word n-gram that occurs ≥2 times ANYWHERE in the
+    corpus (including within the same document), reporting the
+    duplicated-token fraction a curation pass would strip. The paper
+    builds a suffix array; the distributed re-expression is the
+    standard fixed-n sliding-gram equivalent: per-row gram hashing
+    (HOF over sequence, zero shuffles), ONE map-side-combining count
+    by gram hash, one shuffle join back on gram hash (duplicate grams
+    only — at real duplication rates the dup side is a small fraction
+    of the gram stream), then per-doc island-counting over duplicated
+    token indices (one window). Nothing is quadratic; cost tracks
+    corpus token count, so the plan survives 100 TB."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), r"\s+")
+    # sequence(0, k) DESCENDS when k < 0, so short docs need an
+    # explicit empty-array branch (CASE coerces array() to the struct
+    # element type of the other side)
+    grams = F.expr(
+        f"""
+        CASE WHEN size(split(text, '\\\\s+')) >= {SPAN_N} THEN
+          transform(sequence(0, size(split(text, '\\\\s+')) - {SPAN_N}),
+                    i -> struct(i AS start,
+                                md5(concat_ws(' ',
+                                  slice(split(text, '\\\\s+'), i + 1, {SPAN_N}))) AS gh))
+        ELSE array() END
+        """
+    )
+    g = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
+    )
+    dup = g.groupBy("gh").count().filter(F.col("count") >= 2).select("gh")
+    didx = (
+        g.join(dup, "gh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + SPAN_N - 1)).alias(
+                "idx"
+            ),
+        )
+        .distinct()
+    )
+    win = Window.partitionBy("doc_id").orderBy("idx")
+    isl = didx.withColumn(
+        "run_start",
+        F.when(F.lag("idx").over(win) == F.col("idx") - 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    agg = isl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_tokens"),
+        F.sum("run_start").cast("bigint").alias("dup_spans"),
+    )
+    return (
+        d.select("doc_id", F.size(w).cast("bigint").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("bigint").alias("dup_spans"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 @query(
     "llm_doclen_quantiles",
     r"""
