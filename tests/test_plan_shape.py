@@ -117,6 +117,17 @@ BUDGETS = [
     # TPC-H Q1 twin: scan fan-out + ONE map-side-combining hash agg
     # behind a pushed-down date filter
     ("lineitem_pricing_summary", 2, 0),
+    # TPC-H Q3 twin: lineitem fan-out + orderkey join + revenue agg;
+    # filtered customer broadcast; top-10 is TakeOrdered (no exchange)
+    ("orders_shipping_priority", 4, 1),
+    # TPC-H Q5 twin: region/nation/supplier MUST broadcast; remaining
+    # exchanges are the scan fan-out + customer⋈orders + orders⋈
+    # lineitem + the ≤25-row agg
+    ("nation_revenue_local_suppliers", 5, 3),
+    # ExactSubstr spans: scan fan-out + gram-hash count + dup join +
+    # distinct + per-doc window + doc-level left join — linear chain,
+    # nothing quadratic
+    ("dedup_repeated_ngram_spans", 6, 0),
 ]
 
 
