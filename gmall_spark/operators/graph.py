@@ -1,0 +1,89 @@
+"""PageRank centrality over a document/embedding neighbor graph.
+
+Curation use: centrality-weighted data selection — rank documents by
+how "central" they are in the kNN similarity graph (TextRank/LexRank
+family: Mihalcea & Tarau 2004, Erkan & Radev 2004 apply PageRank to
+exactly this graph shape; SemDeDup-style pipelines use the same
+centrality to pick cluster representatives). The graph is any edge
+list; the registered query feeds it the exact kNN graph at test SF
+and an LSH/IVF-built kNN graph is the 100 TB path (operators/
+similarity.py, operators/ivf.py produce the same (src, dst) shape).
+
+Determinism contract: ranks are computed in FIXED-POINT integer
+arithmetic (micro-units of 1e-12) — integer division and BIGINT sums
+are shuffle-order-independent and identical across engines, unlike
+float accumulation, so the DuckDB oracle (the same iterations
+unrolled as CTEs, see ann_oracles.pagerank_oracle) hash-matches
+bit-for-bit. Per-iteration cost: one equi-join of the edge list with
+the rank vector (both keyed by node) + one map-side-combining sum —
+the corpus/embedding payload never enters the loop, only (node,
+rank) pairs shuffle. ``localCheckpoint`` per iteration truncates the
+iterative lineage exactly as operators/components.py does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # fixed-point micro-units
+PR_DAMPING_PCT = 85  # damping 0.85 as an exact integer percentage
+PR_ITERATIONS = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = PR_ITERATIONS,
+    damping_pct: int = PR_DAMPING_PCT,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node_id, rank_micro, rank) for every node of the edge list.
+
+    ``rank_micro`` is the exact BIGINT fixed-point rank (1e-12
+    units); ``rank`` is the rounded double convenience view. Nodes
+    with no in-links keep the teleport mass ``(1-d)/N``; dangling
+    nodes (no out-links) simply contribute nothing — the kNN graphs
+    this consumes give every node out-degree k, so no dangling-mass
+    redistribution term is needed (and the oracle omits it too).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast below
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    # out-going rate per edge endpoint: join rank ⋈ outdeg once per
+    # iteration, both keyed by the node id
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node_id", F.expr(f"{PR_SCALE} div n").alias("r")
+    )
+    for _ in range(int(iterations)):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("r div odeg").alias("c"))
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(s.withColumnRenamed("dst", "node_id"), "node_id", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node_id",
+                F.expr(
+                    f"({100 - damping_pct} * {PR_SCALE}) div (100 * n)"
+                    f" + ({damping_pct} * coalesce(s, 0)) div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node_id",
+        F.col("r").cast("bigint").alias("rank_micro"),
+        F.round(F.col("r") / F.lit(float(PR_SCALE)), 6).alias("rank"),
+    )

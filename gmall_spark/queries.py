@@ -2363,6 +2363,7 @@ _PRIORITY = [
     "orders_shipping_priority",  # new (late r4): TPC-H Q3 twin
     "nation_revenue_local_suppliers",  # new (late r4): TPC-H Q5 twin
     "dedup_repeated_ngram_spans",  # new (late r4): ExactSubstr signal
+    "embedding_pagerank_centrality",  # new (late r4): kNN-graph PageRank
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

@@ -650,6 +650,34 @@ def q_similarity_topk_cosine(spark, sf_dir):
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+from gmall_spark.ann_oracles import pagerank_oracle  # noqa: E402
+
+
+PR_KNN_K = 5
+
+
+@query("embedding_pagerank_centrality", pagerank_oracle(k=PR_KNN_K))
+def q_embedding_pagerank_centrality(spark, sf_dir):
+    """PageRank centrality over the embedding kNN(5) cosine graph
+    (TextRank/LexRank family — centrality-weighted data selection;
+    used to pick duplicate-cluster representatives). Registered
+    variant builds the exact kNN graph (brute-force, oracle-matched);
+    at 100 TB the SAME pagerank operator consumes an LSH- or
+    IVF-built kNN edge list (operators/similarity.py, operators/
+    ivf.py) — the iteration only ever shuffles (node, rank) pairs.
+    Ranks are fixed-point BIGINT (micro-units): integer division and
+    exact integer sums are shuffle-order-independent, so the unrolled
+    DuckDB CTE twin hash-matches bit-for-bit."""
+    from gmall_spark.operators.graph import pagerank
+
+    emb = _emb(spark, sf_dir)
+    knn = similarity.brute_force_topk(emb, emb, k=PR_KNN_K)
+    edges = knn.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges)
+
+
 from gmall_spark.ann_oracles import ivf_topk_oracle, lsh_topk_oracle  # noqa: E402
 
 

@@ -481,3 +481,23 @@ def test_gopher_rules_planted(spark):
     assert got[4].alpha_word_ratio <= 0.8
     assert got[5].stopword_ct < 2
     assert got[6].ellipsis_line_ratio >= 0.3
+
+
+def test_pagerank_star_graph_centrality_and_mass(spark):
+    """On a directed star (every leaf -> center, center -> one leaf)
+    the center out-ranks every leaf; total rank mass stays within
+    integer-truncation slack of 1.0."""
+    from gmall_spark.operators.graph import PR_SCALE, pagerank
+
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node_id: r.rank_micro for r in pagerank(e).collect()}
+    assert set(got) == set(range(6))
+    center, leaves = got[0], [got[i] for i in range(1, 6)]
+    assert all(center > lv for lv in leaves), got
+    # leaf 1 receives the center's entire mass, other leaves only teleport
+    assert got[1] > got[2] == got[3] == got[4] == got[5]
+    total = sum(got.values())
+    # each of the 6 nodes loses < iterations * a few units to integer
+    # truncation; anything near PR_SCALE means mass is conserved
+    assert abs(total - PR_SCALE) < 1000, total
