@@ -46,6 +46,10 @@ HEADLINE = [
     "similarity_sq_topk",
     "text_bigram_lm_score",
     "llm_vocab_topk",
+    "orders_shipping_priority",
+    "nation_revenue_local_suppliers",
+    "dedup_repeated_ngram_spans",
+    "embedding_pagerank_centrality",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -326,3 +326,104 @@ SELECT node_id, CAST(r AS BIGINT) AS rank_micro,
        round(r / {float(scale)}, 6) AS rank
 FROM r{iterations}"""
     return head + body + tail
+
+
+def pq_topk_oracle(
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 2,
+    sample: int = 2048,
+    dim: int = EMBED_DIM,
+    k: int = 10,
+    refine: int = 4,
+    query_max_id: int = 5,
+) -> str:
+    """DuckDB twin of ``pq.pq_topk``: per-sub-space Euclidean k-means
+    unrolled (same md5-ordered pool, first-k init, argmax
+    s·c − |c|²/2 with lower-code ties, mean update, empty clusters
+    keep their centroid — NO sub-space re-normalization), full-corpus
+    code assignment, reconstruction by codebook lookup, ADC approx
+    ranking with refine·k cut, exact-cosine rescore tail."""
+    sub = dim // m
+    score = "list_dot_product({s}, c.cv) - list_dot_product(c.cv, c.cv) / 2"
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, (x) -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), uv AS (
+  SELECT vec_id,
+         list_transform(v, (x) -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS u
+  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+), pool AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
+  FROM uv ORDER BY h LIMIT {sample}
+)"""
+    ]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f""", pool{j} AS (
+  SELECT h, u[{lo}:{hi}] AS s FROM pool
+), c{j}_0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cid, s AS cv
+  FROM (SELECT h, s FROM pool{j} ORDER BY h LIMIT {n_codes})
+)"""
+        )
+        for i in range(1, iters + 1):
+            parts.append(
+                f""", a{j}_{i} AS (
+  SELECT p.h, p.s, c.cid,
+         row_number() OVER (PARTITION BY p.h
+                            ORDER BY {score.format(s='p.s')} DESC, c.cid ASC) AS rn
+  FROM pool{j} p CROSS JOIN c{j}_{i - 1} c
+), m{j}_{i} AS (
+  SELECT cid, list(mx ORDER BY ix) AS mu
+  FROM (
+    SELECT cid, ix, avg(x) AS mx
+    FROM (SELECT cid, unnest(s) AS x, unnest(range(1, {sub + 1})) AS ix
+          FROM a{j}_{i} WHERE rn = 1)
+    GROUP BY cid, ix
+  ) GROUP BY cid
+), c{j}_{i} AS (
+  SELECT c.cid, COALESCE(m.mu, c.cv) AS cv
+  FROM c{j}_{i - 1} c LEFT JOIN m{j}_{i} m ON m.cid = c.cid
+)"""
+            )
+        parts.append(
+            f""", enc{j} AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT u.vec_id, c.cid,
+           row_number() OVER (PARTITION BY u.vec_id
+                              ORDER BY {score.format(s=f'u.u[{lo}:{hi}]')} DESC, c.cid ASC) AS rn
+    FROM uv u CROSS JOIN c{j}_{iters} c
+  ) WHERE rn = 1
+)"""
+        )
+    recon_joins = "".join(
+        f"""
+  JOIN enc{j} e{j} ON e{j}.vec_id = e0.vec_id
+  JOIN c{j}_{iters} cb{j} ON cb{j}.cid = e{j}.code"""
+        for j in range(1, m)
+    )
+    dq = " || ".join(f"cb{j}.cv" for j in range(m))
+    parts.append(
+        f""", recon AS (
+  SELECT e0.vec_id, {dq} AS dq
+  FROM enc0 e0
+  JOIN c0_{iters} cb0 ON cb0.cid = e0.code{recon_joins}
+), approx AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round(list_dot_product(q.u, r.dq), 6) AS approx_sim
+  FROM (SELECT vec_id AS query_id, u FROM uv WHERE vec_id < {query_max_id}) q
+  CROSS JOIN recon r WHERE r.vec_id <> q.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_sim DESC, neighbor_id ASC) AS crank
+    FROM approx
+  ) WHERE crank <= {refine * k}
+)
+{_cosine_topk_tail(k)}"""
+    )
+    return "".join(parts)

@@ -1,0 +1,206 @@
+"""Product-quantized (PQ) ANN: sub-vector codebooks + ADC scoring.
+
+Completes the quantization family next to SQ (operators/sq.py — one
+code per DIMENSION) and IVF (operators/ivf.py — a coarse partition
+over candidates): PQ cuts the scanned bytes to ``m`` codes per
+VECTOR (the faiss ``PQ8x8`` design — m=8 sub-spaces, 256 centroids
+each = one byte/sub-space, an 8x compression of a 64-dim float32
+vector). Approximate scores are computed ADC-style (query exact,
+corpus reconstructed from codebook entries), the top ``refine``·k
+candidates per query are re-scored against the exact vectors.
+
+Training follows the ivf.py precedent exactly: the md5-smallest
+``sample`` rows (a CONSTANT-bounded, deterministic subset) cross the
+driver once and Lloyd iterations run as local float64 matrix ops per
+sub-space — Euclidean k-means on unit-normalized sub-vectors (the
+metric is cosine, so vectors are normalized FIRST and the codebooks
+quantize directions; within a sub-space argmin ||s−c||² ==
+argmax s·c − |c|²/2, ties to the lower code — numpy first-max).
+Codes are assigned by one Arrow-batched gemm per batch
+(ivf._nearest_lists_udf pathology note: k·m·dim literal expression
+trees interpret per-row; the gemm is the vectorized path).
+Reconstruction-and-score is a pure JVM expression over LITERAL
+codebook arrays: dq = concat(cb_j[code_j]) and approx = q·dq folds
+left-to-right exactly like the DuckDB twin (ann_oracles precedent).
+
+At 100 TB: the codes relation (m bytes/vector) is what the ADC scan
+reads — the float corpus is touched only by the refine·k·|Q| exact
+rescore rows. Training cost is constant; encoding is one linear
+Arrow pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from gmall_spark.functions.vectors import cosine, dot
+from gmall_spark.operators.ivf import _unit
+from gmall_spark.operators.similarity import infer_dim
+
+PQ_M = 8  # sub-spaces
+PQ_K = 256  # centroids per sub-space (8-bit codes)
+PQ_ITERS = 2
+PQ_SAMPLE = 2048
+PQ_REFINE = 4
+
+
+def train_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    sample: int = PQ_SAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """``m`` codebooks of ``k`` sub-centroids each (shape m×k×(dim/m))
+    from the md5-ordered sample. Init per sub-space = the k
+    smallest-digest rows' sub-vectors (the same rows for every
+    sub-space, mirroring the oracle's shared ``pool`` CTE); empty
+    clusters keep their previous centroid; NO re-normalization of
+    sub-centroids (Euclidean k-means in sub-space — only the full
+    vector lives on the unit sphere)."""
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    rows = (
+        embeddings.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            _unit(F.col(vec_col)).alias("__v"),
+        )
+        .orderBy("__h")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    u = np.array([list(map(float, r["__v"])) for r in rows], dtype=np.float64)
+    k = min(k, len(rows))
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        s = u[:, j * sub : (j + 1) * sub]
+        cents = s[:k].copy()
+        for _ in range(iters):
+            score = s @ cents.T - (cents * cents).sum(axis=1) / 2.0
+            assign = np.argmax(score, axis=1)  # first max == lower code
+            nxt = cents.copy()
+            for c in range(k):
+                members = s[assign == c]
+                if len(members):
+                    nxt[c] = members.mean(axis=0)
+            cents = nxt
+        books.append([list(map(float, c)) for c in cents])
+    return books
+
+
+def _codes_udf(books: list[list[list[float]]]):
+    """Arrow-batched encoder: the m PQ codes of each vector — one
+    gemm per sub-space per batch, stable first-max tie rule."""
+    mats = [np.array(b, dtype=np.float64) for b in books]
+    halves = [(c * c).sum(axis=1) / 2.0 for c in mats]
+    sub = mats[0].shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.sqrt((v * v).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        v = v / norms
+        out = np.empty((len(v), len(mats)), dtype=np.int32)
+        for j, (c, h) in enumerate(zip(mats, halves)):
+            score = v[:, j * sub : (j + 1) * sub] @ c.T - h
+            out[:, j] = np.argmax(score, axis=1)
+        return pd.Series([row for row in out])
+
+    return _codes
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    sample: int = PQ_SAMPLE,
+    refine: int = PQ_REFINE,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors per query: PQ-coded corpus scan (ADC)
+    + exact rescore. Output matches the other ANN tiers:
+    (query_id, neighbor_id, rank, cos_sim)."""
+    dim = dim or infer_dim(embeddings, vec_col)
+    if books is None:
+        books = train_codebooks(
+            embeddings, dim, m, n_codes, iters, sample, id_col, vec_col
+        )
+    sub = dim // m
+    enc = embeddings.select(
+        F.col(id_col), _codes_udf(books)(F.col(vec_col)).alias("codes")
+    )
+    # reconstruction: literal codebook arrays indexed by the codes —
+    # a pure JVM projection, flattened sub-space by sub-space so the
+    # q·dq fold visits dimensions left-to-right like the oracle
+    flat = [
+        F.array(*[F.lit(float(x)) for c in b for x in c]) for b in books
+    ]
+    dq = F.concat(
+        *[
+            F.slice(flat[j], F.element_at("codes", j + 1) * sub + 1, sub)
+            for j in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qu")
+    )
+    approx = (
+        enc.select(F.col(id_col).alias("neighbor_id"), dq.alias("dq"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qu"), F.col("dq")), 6).alias("approx_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    nv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cos_sim",
+        )
+    )

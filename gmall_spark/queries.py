@@ -2364,6 +2364,7 @@ _PRIORITY = [
     "nation_revenue_local_suppliers",  # new (late r4): TPC-H Q5 twin
     "dedup_repeated_ngram_spans",  # new (late r4): ExactSubstr signal
     "embedding_pagerank_centrality",  # new (late r4): kNN-graph PageRank
+    "similarity_pq_topk",  # new (late r4): product-quantized ANN
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

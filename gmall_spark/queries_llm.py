@@ -733,6 +733,27 @@ def q_similarity_sq_topk(spark, sf_dir):
     )
 
 
+from gmall_spark.ann_oracles import pq_topk_oracle  # noqa: E402
+
+
+@query("similarity_pq_topk", pq_topk_oracle())
+def q_similarity_pq_topk(spark, sf_dir):
+    """Product-quantized ANN (faiss PQ8x8 design) — the bytes-per-
+    vector scale path: 8 sub-space codebooks of 256 centroids trained
+    on the constant-bounded md5 sample (the ivf.py precedent), codes
+    assigned by one Arrow gemm pass, ADC approximate ranking against
+    the reconstructed corpus, exact rescore of the top refine·k
+    (operators/pq.py). Oracle is generated SQL with each sub-space's
+    k-means unrolled; recall vs brute force gated by
+    tests/test_llm_ops.py::test_pq_recall_at_10."""
+    from gmall_spark.operators import pq
+
+    emb = _emb(spark, sf_dir)
+    return pq.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, dim=_oracle_dim_check(spark, sf_dir)
+    )
+
+
 DECONTAM_THRESHOLD = 0.7
 
 # Deterministic benchmark stand-in: every 20th doc plays the held-out

@@ -501,3 +501,27 @@ def test_pagerank_star_graph_centrality_and_mass(spark):
     # each of the 6 nodes loses < iterations * a few units to integer
     # truncation; anything near PR_SCALE means mass is conserved
     assert abs(total - PR_SCALE) < 1000, total
+
+
+def test_pq_recall_at_10(spark, sf_dir):
+    """Product-quantized ANN (8 sub-space codebooks, ADC + exact
+    rescore of refine*k candidates) must hit recall@10 >= 0.8 per
+    query vs brute force (coarser than SQ by design: 4 bits/sub-space
+    vs 8 bits/dimension — the refine stage recovers the final order)."""
+    from gmall_spark.operators import pq
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(emb, queries, k=10).collect()
+    pqr = pq.pq_topk(emb, queries, k=10).collect()
+    bf_sets: dict = {}
+    pq_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in pqr:
+        pq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert min(recalls) >= 0.8, recalls
+    assert sum(recalls) / len(recalls) >= 0.9
