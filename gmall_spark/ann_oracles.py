@@ -328,37 +328,17 @@ FROM r{iterations}"""
     return head + body + tail
 
 
-def pq_topk_oracle(
-    m: int = 8,
-    n_codes: int = 256,
-    iters: int = 2,
-    sample: int = 2048,
-    dim: int = EMBED_DIM,
-    k: int = 10,
-    refine: int = 4,
-    query_max_id: int = 5,
-) -> str:
-    """DuckDB twin of ``pq.pq_topk``: per-sub-space Euclidean k-means
-    unrolled (same md5-ordered pool, first-k init, argmax
-    s·c − |c|²/2 with lower-code ties, mean update, empty clusters
-    keep their centroid — NO sub-space re-normalization), full-corpus
-    code assignment, reconstruction by codebook lookup, ADC approx
-    ranking with refine·k cut, exact-cosine rescore tail."""
+def _pq_subspace_parts(m: int, n_codes: int, iters: int, dim: int) -> str:
+    """Per-sub-space unrolled k-means + encoding + reconstruction
+    CTEs (``pool{j}``/``c{j}_{i}``/``enc{j}``/``recon``), appended
+    after any prefix that already defines ``uv`` (normalized corpus)
+    and ``pool`` (md5-ordered sample) — both the standalone PQ prefix
+    and ``_kmeans_ctes`` (whose names c0/a1/m1 don't collide with the
+    sub-space's c0_0/a0_1/m0_1) qualify, which is what lets IVF-PQ
+    share one oracle prefix."""
     sub = dim // m
     score = "list_dot_product({s}, c.cv) - list_dot_product(c.cv, c.cv) / 2"
-    parts = [
-        f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, (x) -> CAST(x AS DOUBLE)) AS v FROM embeddings
-), uv AS (
-  SELECT vec_id,
-         list_transform(v, (x) -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS u
-  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-), pool AS (
-  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
-  FROM uv ORDER BY h LIMIT {sample}
-)"""
-    ]
+    parts = []
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
         parts.append(
@@ -411,7 +391,42 @@ WITH e AS (
   SELECT e0.vec_id, {dq} AS dq
   FROM enc0 e0
   JOIN c0_{iters} cb0 ON cb0.cid = e0.code{recon_joins}
-), approx AS (
+)"""
+    )
+    return "".join(parts)
+
+
+def pq_topk_oracle(
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 2,
+    sample: int = 2048,
+    dim: int = EMBED_DIM,
+    k: int = 10,
+    refine: int = 4,
+    query_max_id: int = 5,
+) -> str:
+    """DuckDB twin of ``pq.pq_topk``: per-sub-space Euclidean k-means
+    unrolled (same md5-ordered pool, first-k init, argmax
+    s·c − |c|²/2 with lower-code ties, mean update, empty clusters
+    keep their centroid — NO sub-space re-normalization), full-corpus
+    code assignment, reconstruction by codebook lookup, ADC approx
+    ranking with refine·k cut, exact-cosine rescore tail."""
+    prefix = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, (x) -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), uv AS (
+  SELECT vec_id,
+         list_transform(v, (x) -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS u
+  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+), pool AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
+  FROM uv ORDER BY h LIMIT {sample}
+)"""
+    return (
+        prefix
+        + _pq_subspace_parts(m, n_codes, iters, dim)
+        + f""", approx AS (
   SELECT q.query_id, r.vec_id AS neighbor_id,
          round(list_dot_product(q.u, r.dq), 6) AS approx_sim
   FROM (SELECT vec_id AS query_id, u FROM uv WHERE vec_id < {query_max_id}) q
@@ -426,4 +441,50 @@ WITH e AS (
 )
 {_cosine_topk_tail(k)}"""
     )
-    return "".join(parts)
+
+
+def ivfpq_topk_oracle(
+    n_lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+    coarse_iters: int = IVF_ITERS,
+    m: int = 8,
+    n_codes: int = 256,
+    pq_iters: int = 2,
+    sample: int = IVF_SAMPLE,
+    dim: int = EMBED_DIM,
+    k: int = 10,
+    refine: int = 4,
+    query_max_id: int = 5,
+) -> str:
+    """DuckDB twin of ``pq.ivfpq_topk`` — faiss IVFPQ (by_residual=
+    false): the shared ``_kmeans_ctes`` coarse quantizer prunes
+    candidates to the nprobe probed lists, the shared PQ sub-space
+    CTEs supply the reconstructed vectors, ADC ranks only the probed
+    candidates, exact rescore finishes. One prefix, both quantizers —
+    the CTE namespaces are disjoint by construction."""
+    return (
+        _kmeans_ctes(n_lists, coarse_iters, sample, dim)
+        + _pq_subspace_parts(m, n_codes, pq_iters, dim)
+        + f""", probes AS (
+  SELECT vec_id AS query_id, list_id
+  FROM idx_rn WHERE vec_id < {query_max_id} AND rn <= {nprobe}
+), qn AS (
+  SELECT vec_id AS query_id, u FROM uv WHERE vec_id < {query_max_id}
+), approx AS (
+  SELECT p.query_id, i.vec_id AS neighbor_id,
+         round(list_dot_product(q.u, r.dq), 6) AS approx_sim
+  FROM probes p
+  JOIN idx i ON i.list_id = p.list_id
+  JOIN recon r ON r.vec_id = i.vec_id
+  JOIN qn q ON q.query_id = p.query_id
+  WHERE i.vec_id <> p.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_sim DESC, neighbor_id ASC) AS crank
+    FROM approx
+  ) WHERE crank <= {refine * k}
+)
+{_cosine_topk_tail(k)}"""
+    )

@@ -204,3 +204,102 @@ def pq_topk(
             "cos_sim",
         )
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    sample: int = PQ_SAMPLE,
+    refine: int = PQ_REFINE,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """faiss-IVFPQ (by_residual=false): the IVF coarse quantizer
+    prunes candidates to ``nprobe`` inverted lists, the PQ codes
+    supply the ADC approximate scores over ONLY those candidates,
+    exact rescore of the top refine·k finishes. This is the full
+    100 TB ANN architecture: the scan touches nprobe/n_lists of the
+    corpus and reads m bytes/vector of it; training of BOTH
+    quantizers is constant-bounded (the shared md5 sample). Schema
+    matches the other ANN tiers: (query_id, neighbor_id, rank,
+    cos_sim)."""
+    from gmall_spark.operators import ivf
+
+    dim = dim or infer_dim(embeddings, vec_col)
+    nprobe = nprobe or ivf.IVF_NPROBE
+    if centroids is None:
+        centroids = ivf.train_centroids(
+            embeddings, id_col=id_col, vec_col=vec_col
+        )
+    if books is None:
+        books = train_codebooks(
+            embeddings, dim, m, n_codes, iters, sample, id_col, vec_col
+        )
+    sub = dim // m
+    index = ivf.build_index(embeddings, centroids, id_col, vec_col)
+    coded = index.select(
+        "vec_id", "list_id", _codes_udf(books)(F.col("embedding")).alias("codes")
+    )
+    flat = [F.array(*[F.lit(float(x)) for c in b for x in c]) for b in books]
+    dq = F.concat(
+        *[
+            F.slice(flat[j], F.element_at("codes", j + 1) * sub + 1, sub)
+            for j in range(m)
+        ]
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit(F.col(vec_col)).alias("qu"),
+        F.explode(
+            ivf._nearest_lists_udf(centroids, nprobe)(F.col(vec_col))
+        ).alias("list_id"),
+    )
+    approx = (
+        coded.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qu"), dq), 6).alias("approx_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    nv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cos_sim",
+        )
+    )

@@ -103,6 +103,7 @@ def clear_cache() -> None:
     queries_llm._CENTROIDS.clear()
     queries_llm._EMB_DIM.clear()
     queries_llm._DEDUP_GROUPS.clear()
+    queries_llm._PQ_BOOKS.clear()
     # scan-fanout decisions are keyed by file paths; the driver
     # regenerates testdata at the same paths between rounds (ADVICE r3)
     session._SCAN_DECISIONS.clear()
@@ -2365,6 +2366,7 @@ _PRIORITY = [
     "dedup_repeated_ngram_spans",  # new (late r4): ExactSubstr signal
     "embedding_pagerank_centrality",  # new (late r4): kNN-graph PageRank
     "similarity_pq_topk",  # new (late r4): product-quantized ANN
+    "similarity_ivfpq_topk",  # new (late r4): IVF+PQ composition
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

@@ -206,6 +206,22 @@ def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
     return _EMB_DIM[key]
 
 
+# PQ codebooks per (session, sf_dir): shared by the PQ and IVF-PQ
+# queries (training collects the same bounded sample either way).
+_PQ_BOOKS: dict[tuple[str, str], list] = {}
+
+
+def _trained_books(spark: SparkSession, sf_dir: str) -> list:
+    from gmall_spark.operators import pq as _pq
+
+    key = (_session_token(spark), sf_dir)
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = _pq.train_codebooks(
+            _emb(spark, sf_dir), _oracle_dim_check(spark, sf_dir)
+        )
+    return _PQ_BOOKS[key]
+
+
 # Transitive dedup groups per (session, sf_dir): three queries consume
 # the SAME connected-components result (transitive, keeper, curation);
 # the CC iterations run driver-side actions, so share one run like the
@@ -750,7 +766,37 @@ def q_similarity_pq_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     return pq.pq_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, dim=_oracle_dim_check(spark, sf_dir)
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        dim=_oracle_dim_check(spark, sf_dir),
+        books=_trained_books(spark, sf_dir),
+    )
+
+
+from gmall_spark.ann_oracles import ivfpq_topk_oracle  # noqa: E402
+
+
+@query("similarity_ivfpq_topk", ivfpq_topk_oracle())
+def q_similarity_ivfpq_topk(spark, sf_dir):
+    """faiss-IVFPQ composition (by_residual=false): IVF coarse lists
+    prune candidates (nprobe/n_lists of the corpus), PQ codes supply
+    ADC scores over only those candidates, exact rescore of the top
+    refine·k finishes — the full 100 TB ANN architecture, reusing the
+    session-shared coarse centroids (IVF/SemDeDup) AND codebooks
+    (PQ), so each trains once. Oracle = the shared _kmeans_ctes +
+    per-sub-space k-means prefixes composed (disjoint CTE
+    namespaces); recall gated by tests/test_llm_ops.py."""
+    from gmall_spark.operators import pq
+
+    emb = _emb(spark, sf_dir)
+    return pq.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        dim=_oracle_dim_check(spark, sf_dir),
+        centroids=_trained_centroids(spark, sf_dir),
+        books=_trained_books(spark, sf_dir),
     )
 
 

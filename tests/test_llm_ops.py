@@ -525,3 +525,33 @@ def test_pq_recall_at_10(spark, sf_dir):
     ]
     assert min(recalls) >= 0.8, recalls
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_ivfpq_recall_matches_ivf_ceiling(spark, sf_dir):
+    """IVFPQ can never out-recall its own coarse quantizer (both see
+    only the nprobe probed lists), but the PQ/ADC stage plus exact
+    refine must recover essentially everything the probes contain:
+    average recall@10 >= 0.9x plain IVF's on the same fixture (the
+    absolute value is capped by the near-isotropic fixture — see
+    test_ivf_recall_at_10's rationale)."""
+    from gmall_spark.operators import ivf, pq
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(emb, queries, k=10).collect()
+    bf_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def _avg_recall(rows):
+        sets: dict = {}
+        for r in rows:
+            sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rec = [
+            len(bf_sets[q] & sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+        ]
+        return sum(rec) / len(rec)
+
+    ivf_avg = _avg_recall(ivf.ivf_topk(emb, queries, k=10).collect())
+    ivfpq_avg = _avg_recall(pq.ivfpq_topk(emb, queries, k=10).collect())
+    assert ivfpq_avg >= 0.9 * ivf_avg, (ivfpq_avg, ivf_avg)
