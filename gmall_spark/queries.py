@@ -2367,6 +2367,7 @@ _PRIORITY = [
     "embedding_pagerank_centrality",  # new (late r4): kNN-graph PageRank
     "similarity_pq_topk",  # new (late r4): product-quantized ANN
     "similarity_ivfpq_topk",  # new (late r4): IVF+PQ composition
+    "hybrid_rrf_fusion",  # new (late r4): BM25 ⊕ ANN reciprocal-rank fusion
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

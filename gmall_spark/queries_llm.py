@@ -1971,6 +1971,110 @@ def q_text_bm25_topk(spark, sf_dir):
     return ranking.bm25_topk(_t(spark, sf_dir, "documents"), ("vector", "hash", "merge"))
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+@query(
+    "hybrid_rrf_fusion",
+    """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'vector')) AS tf0,
+         len(list_filter(toks, x -> x = 'hash'))   AS tf1,
+         len(list_filter(toks, x -> x = 'merge'))  AS tf2
+  FROM d
+), s AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM t
+), scored AS (
+  SELECT doc_id,
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+           / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+           / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+           / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS raw
+  FROM t, s
+  WHERE tf0 + tf1 + tf2 > 0
+), lex AS (
+  SELECT doc_id, round(raw, 6) AS bm25
+  FROM scored ORDER BY raw DESC, doc_id LIMIT 20
+), lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+  FROM lex
+), pairs AS (
+  SELECT b.vec_id AS neighbor_id,
+         unnest(a.embedding)::DOUBLE AS qx, unnest(b.embedding)::DOUBLE AS nx
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id = 0 AND b.vec_id <> 0
+), asc_ AS (
+  SELECT neighbor_id,
+         round(SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))), 6) AS cos_sim
+  FROM pairs GROUP BY neighbor_id
+), annr AS (
+  SELECT neighbor_id AS doc_id, CAST(rnk AS BIGINT) AS ann_rank FROM (
+    SELECT neighbor_id,
+           row_number() OVER (ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+    FROM asc_
+  ) WHERE rnk <= 20
+), f AS (
+  SELECT COALESCE(l.doc_id, a.doc_id) AS doc_id, l.lex_rank, a.ann_rank,
+         round(COALESCE(1.0 / (60 + l.lex_rank), 0)
+             + COALESCE(1.0 / (60 + a.ann_rank), 0), 6) AS rrf
+  FROM lexr l FULL OUTER JOIN annr a ON a.doc_id = l.doc_id
+)
+SELECT doc_id, lex_rank, ann_rank, rrf
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+)
+def q_hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09 — the standard used by every hybrid search stack) of the
+    lexical BM25 arm and the dense ANN arm over the same corpus
+    (``vec_id`` IS the document id — one embedding per document).
+    RRF(d) = Σ_arms 1/(60 + rank_arm(d)); a doc absent from an arm
+    contributes nothing there. Both arms run k=20, fusion keeps the
+    top-10. Shape: each arm is its existing operator (BM25: zero-
+    shuffle scoring + TakeOrdered; ANN: broadcast query); fusion
+    itself is a 20∪20-row full outer join — driver-free, trivially
+    scale-safe, and at 100 TB the dense arm swaps to IVFPQ with the
+    identical (id, rank) contract."""
+    from gmall_spark.operators import ranking
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+    lex = ranking.bm25_topk(docs, ("vector", "hash", "merge"), k=20)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).cast("bigint").alias("lex_rank")
+    )
+    ann = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    ann_r = ann.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("ann_rank"),
+    )
+    fused = lex_r.join(ann_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "ann_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("ann_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
 @query(
     "text_quality_gopher",
     r"""
