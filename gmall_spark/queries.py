@@ -2368,6 +2368,7 @@ _PRIORITY = [
     "similarity_pq_topk",  # new (late r4): product-quantized ANN
     "similarity_ivfpq_topk",  # new (late r4): IVF+PQ composition
     "hybrid_rrf_fusion",  # new (late r4): BM25 ⊕ ANN reciprocal-rank fusion
+    "bloom_decontam_probe",  # new (late r4): capped-broadcast Bloom membership
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

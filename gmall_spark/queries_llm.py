@@ -1971,6 +1971,112 @@ def q_text_bm25_topk(spark, sf_dir):
     return ranking.bm25_topk(_t(spark, sf_dir, "documents"), ("vector", "hash", "merge"))
 
 
+def _bloom_oracle_sql(n_hashes: int, bits: int) -> str:
+    from gmall_spark.operators.bloom import bloom_pos_sql
+
+    pos_list = ", ".join(bloom_pos_sql(i) for i in range(n_hashes))
+    return rf"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos FROM ws
+), gr AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+           || ' ' || lead(w,5) OVER win || ' ' || lead(w,6) OVER win
+           || ' ' || lead(w,7) OVER win AS gram
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w,7) OVER win IS NOT NULL
+), refg AS (
+  SELECT DISTINCT gram FROM gr WHERE doc_id % 10 = 7
+), refh AS (
+  SELECT CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS h2
+  FROM refg
+), bpos AS (
+  SELECT unnest([{pos_list}]) AS bp FROM refh
+), bloom AS (
+  SELECT CAST(bp // 32 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(bp % 32 AS INTEGER)) AS word
+  FROM bpos GROUP BY word_idx
+), pr AS (
+  SELECT doc_id, gram,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS h2
+  FROM gr WHERE doc_id % 10 <> 7
+), ppos AS (
+  SELECT doc_id, gram, unnest([{pos_list}]) AS bp FROM pr
+), chk AS (
+  SELECT p.doc_id, p.gram,
+         CASE WHEN (COALESCE(b.word, 0)
+                    & (CAST(1 AS BIGINT) << CAST(p.bp % 32 AS INTEGER))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM (SELECT doc_id, gram, bp, CAST(bp // 32 AS BIGINT) AS word_idx FROM ppos) p
+  LEFT JOIN bloom b ON b.word_idx = p.word_idx
+), ga AS (
+  SELECT doc_id, gram, (sum(hit) = {n_hashes}) AS bloom_hit
+  FROM chk GROUP BY doc_id, gram
+), ex AS (
+  SELECT pr.doc_id, pr.gram, (r.gram IS NOT NULL) AS exact_hit
+  FROM pr LEFT JOIN refg r ON r.gram = pr.gram
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS probed_grams,
+       CAST(sum(CASE WHEN g.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hit_grams,
+       CAST(sum(CASE WHEN e.exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_hit_grams
+FROM ga g JOIN ex e ON e.doc_id = g.doc_id AND e.gram = g.gram
+GROUP BY g.doc_id
+"""
+
+
+from gmall_spark.operators.bloom import BLOOM_BITS, BLOOM_HASHES  # noqa: E402
+
+
+@query("bloom_decontam_probe", _bloom_oracle_sql(BLOOM_HASHES, BLOOM_BITS))
+def q_bloom_decontam_probe(spark, sf_dir):
+    """Bloom-filter membership pre-filter for decontamination: build
+    a 65536-bit filter over the benchmark split's 8-word grams (the
+    llm_contamination_check convention, doc_id%10==7), probe every
+    training document's grams, and report per doc (probed_grams,
+    bloom_hit_grams, exact_hit_grams) — every exact hit is a bloom
+    hit by construction; the gap between the two counts IS the
+    observable false-positive rate. The point at 100 TB: the
+    broadcast payload is capped at 2048 words NO MATTER how big the
+    benchmark set gets (llm_contamination_check broadcasts the exact
+    gram SET, which grows with it); exact verification then runs only
+    on bloom-positive grams. Build = one map-side-combining bit_or
+    agg; the probe side never shuffles before its per-doc rollup
+    (operators/bloom.py — bit-exact md5 lane-mix family shared with
+    the oracle; 32-bit words because DuckDB raises on 1::BIGINT<<63)."""
+    from gmall_spark.operators import bloom
+
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(llm_dedup.shingle_array("text", CONTAM_GRAM_N)).alias("gram"),
+    )
+    ref = grams.filter(F.col("doc_id") % 10 == 7).select("gram").distinct()
+    probes = grams.filter(F.col("doc_id") % 10 != 7)
+    filt = bloom.bloom_build(ref, "gram")
+    hits = bloom.bloom_probe(filt, probes, "gram", ["doc_id", "gram"])
+    exact = probes.join(
+        F.broadcast(ref.withColumn("__m", F.lit(1))), "gram", "left"
+    ).select("doc_id", "gram", F.col("__m").isNotNull().alias("exact_hit"))
+    return (
+        hits.join(exact, ["doc_id", "gram"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("probed_grams"),
+            F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias(
+                "bloom_hit_grams"
+            ),
+            F.sum(F.col("exact_hit").cast("int")).cast("bigint").alias(
+                "exact_hit_grams"
+            ),
+        )
+    )
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion constant
 
 

@@ -555,3 +555,33 @@ def test_ivfpq_recall_matches_ivf_ceiling(spark, sf_dir):
     ivf_avg = _avg_recall(ivf.ivf_topk(emb, queries, k=10).collect())
     ivfpq_avg = _avg_recall(pq.ivfpq_topk(emb, queries, k=10).collect())
     assert ivfpq_avg >= 0.9 * ivf_avg, (ivfpq_avg, ivf_avg)
+
+
+def test_bloom_no_false_negatives_and_saturation_fps(spark):
+    """Planted membership: every inserted key MUST probe positive
+    (Bloom guarantees zero false negatives); non-members probe
+    negative at a healthy bits/key ratio, and a deliberately
+    saturated 64-bit filter starts returning false positives —
+    the bounded-FPR contract the decontam pre-filter relies on."""
+    from gmall_spark.operators import bloom
+
+    members = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(50)], "key string"
+    )
+    others = spark.createDataFrame(
+        [(i, f"other_{i}") for i in range(200)], "pid bigint, key string"
+    )
+    both = spark.createDataFrame(
+        [(i, f"key_{i}") for i in range(50)]
+        + [(100 + i, f"other_{i}") for i in range(50)],
+        "pid bigint, key string",
+    )
+    filt = bloom.bloom_build(members, "key")
+    got = {r.pid: r.bloom_hit for r in bloom.bloom_probe(filt, both, "key", "pid").collect()}
+    assert all(got[i] for i in range(50)), "false negative!"
+    # 65536 bits / 50 keys -> FPR ~ 0: no non-member should hit
+    assert not any(got[100 + i] for i in range(50)), got
+    # saturate: 64 bits, 200 keys -> nearly every bit set -> FPs
+    sat = bloom.bloom_build(others.select("key"), "key", bits=64)
+    fp = bloom.bloom_probe(sat, both.filter(F.col("pid") < 50), "key", "pid", bits=64)
+    assert sum(1 for r in fp.collect() if r.bloom_hit) > 25
