@@ -2056,24 +2056,23 @@ def q_bloom_decontam_probe(spark, sf_dir):
         F.explode(llm_dedup.shingle_array("text", CONTAM_GRAM_N)).alias("gram"),
     )
     ref = grams.filter(F.col("doc_id") % 10 == 7).select("gram").distinct()
-    probes = grams.filter(F.col("doc_id") % 10 != 7)
+    # exact_hit rides through bloom_probe as a grouping key: one
+    # pipeline, no (doc_id, gram) join-back of a second gram branch
+    probes = (
+        grams.filter(F.col("doc_id") % 10 != 7)
+        .join(F.broadcast(ref.withColumn("__m", F.lit(1))), "gram", "left")
+        .select("doc_id", "gram", F.col("__m").isNotNull().alias("exact_hit"))
+    )
     filt = bloom.bloom_build(ref, "gram")
-    hits = bloom.bloom_probe(filt, probes, "gram", ["doc_id", "gram"])
-    exact = probes.join(
-        F.broadcast(ref.withColumn("__m", F.lit(1))), "gram", "left"
-    ).select("doc_id", "gram", F.col("__m").isNotNull().alias("exact_hit"))
-    return (
-        hits.join(exact, ["doc_id", "gram"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("probed_grams"),
-            F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias(
-                "bloom_hit_grams"
-            ),
-            F.sum(F.col("exact_hit").cast("int")).cast("bigint").alias(
-                "exact_hit_grams"
-            ),
-        )
+    hits = bloom.bloom_probe(filt, probes, "gram", ["doc_id", "gram", "exact_hit"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("probed_grams"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias(
+            "bloom_hit_grams"
+        ),
+        F.sum(F.col("exact_hit").cast("int")).cast("bigint").alias(
+            "exact_hit_grams"
+        ),
     )
 
 

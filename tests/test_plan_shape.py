@@ -128,6 +128,17 @@ BUDGETS = [
     # distinct + per-doc window + doc-level left join — linear chain,
     # nothing quadratic
     ("dedup_repeated_ngram_spans", 6, 0),
+    # PQ / IVFPQ ANN: Arrow-encode scan + candidate/rescore windows
+    # (rank<=k WindowGroupLimit heaps); queries + candidates broadcast
+    ("similarity_pq_topk", 5, 3),
+    ("similarity_ivfpq_topk", 5, 3),
+    # RRF fusion: both arms' aggregates/windows + the 20∪20-row
+    # full-outer fusion join + TakeOrdered; stats + queries broadcast
+    ("hybrid_rrf_fusion", 8, 2),
+    # Bloom decontam: two gram branches (ref build: distinct + bit_or
+    # agg; probe: per-gram then per-doc rollups); filter words + ref
+    # flag broadcast — the probe side itself never pre-shuffles
+    ("bloom_decontam_probe", 8, 2),
 ]
 
 
