@@ -49,3 +49,78 @@ def merged_estimate(sketched: DataFrame, lg_k: int = LG_K) -> DataFrame:
         .cast("bigint")
         .alias("uv_approx")
     )
+
+
+# --- Count-min sketch (Cormode & Muthukrishnan 2005) ----------------------
+#
+# d x w counter matrix; est(x) = min_i cells[i][pos_i(x)] — an
+# OVERESTIMATE-only frequency summary in O(d*w) space regardless of
+# vocabulary size (the heavy-hitter companion to the HLL cardinality
+# and GK quantile sketches above). Positions reuse the repo's md5
+# two-half lane-mix family (operators/llm_dedup._lane_const), so the
+# whole sketch is bit-exact integer arithmetic with a DuckDB twin.
+# Build = ONE map-side-combining hash agg of (lane, col) partial
+# counts (<= d*w result rows); estimation joins each candidate's d
+# positions against the broadcast cell table and takes the min.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_pos_sql(i: int, h1: str = "h1", h2: str = "h2", width: int = CMS_WIDTH) -> str:
+    """Lane-i cell column as engine-portable SQL over the md5 halves."""
+    from gmall_spark.operators.llm_dedup import _lane_const
+
+    a, b = _lane_const("cms_a", i), _lane_const("cms_b", i)
+    return f"({a} * {h1} + {b} * {h2} + {i}) % {width}"
+
+
+def _cms_halves(key: Column) -> list[Column]:
+    md = F.md5(key)
+    return [
+        F.conv(F.substring(md, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(md, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    ]
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(lane, col, cell_ct) rows of the sketch — one occurrence of a
+    key increments one cell per lane."""
+    h = items.select(*_cms_halves(F.col(key_col)))
+    lanes = h.select(
+        F.posexplode(
+            F.array(*[F.expr(cms_pos_sql(i, width=width)) for i in range(depth)])
+        ).alias("lane", "col")
+    )
+    return lanes.groupBy("lane", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_ct")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key_col, est_ct) per DISTINCT candidate key: min over the d
+    probed cells (absent cell -> 0). The sketch table broadcasts
+    (<= d*w rows at ANY corpus size)."""
+    h = candidates.select(F.col(key_col), *_cms_halves(F.col(key_col))).distinct()
+    probes = h.select(
+        key_col,
+        F.posexplode(
+            F.array(*[F.expr(cms_pos_sql(i, width=width)) for i in range(depth)])
+        ).alias("lane", "col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["lane", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cell_ct"), F.lit(0))).alias("est_ct"))
+    )

@@ -2369,6 +2369,7 @@ _PRIORITY = [
     "similarity_ivfpq_topk",  # new (late r4): IVF+PQ composition
     "hybrid_rrf_fusion",  # new (late r4): BM25 ⊕ ANN reciprocal-rank fusion
     "bloom_decontam_probe",  # new (late r4): capped-broadcast Bloom membership
+    "vocab_freq_cms",  # new (late r4): count-min heavy-hitter estimates
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

@@ -2076,6 +2076,79 @@ def q_bloom_decontam_probe(spark, sf_dir):
     )
 
 
+def _cms_oracle_sql(depth: int, width: int, k: int) -> str:
+    from gmall_spark.operators.sketches import cms_pos_sql
+
+    pos_list = ", ".join(cms_pos_sql(i, width=width) for i in range(depth))
+    lane_list = ", ".join(str(i) for i in range(depth))
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), th AS (
+  SELECT tok,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+  FROM toks
+), lanes AS (
+  SELECT unnest([{lane_list}]) AS lane, unnest([{pos_list}]) AS col FROM th
+), cells AS (
+  SELECT lane, col, CAST(count(*) AS BIGINT) AS cell_ct
+  FROM lanes GROUP BY lane, col
+), cand AS (
+  SELECT DISTINCT tok, h1, h2 FROM th
+), probes AS (
+  SELECT tok, unnest([{lane_list}]) AS lane, unnest([{pos_list}]) AS col FROM cand
+), est AS (
+  SELECT p.tok, CAST(min(COALESCE(c.cell_ct, 0)) AS BIGINT) AS est_ct
+  FROM probes p LEFT JOIN cells c ON c.lane = p.lane AND c.col = p.col
+  GROUP BY p.tok
+), exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_ct FROM toks GROUP BY tok
+)
+SELECT e.tok, e.est_ct, x.exact_ct
+FROM est e JOIN exact x ON x.tok = e.tok
+ORDER BY e.est_ct DESC, e.tok ASC LIMIT {k}
+"""
+
+
+from gmall_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH  # noqa: E402
+
+
+@query("vocab_freq_cms", _cms_oracle_sql(CMS_DEPTH, CMS_WIDTH, 25))
+def q_vocab_freq_cms(spark, sf_dir):
+    """Count-min-sketch token frequencies (Cormode & Muthukrishnan
+    2005) with the exact count carried beside: est_ct >= exact_ct
+    ALWAYS (overestimate-only — collisions add, never subtract), and
+    the top-25 shows how tight the d=4 x w=1024 sketch is on this
+    vocabulary. The 100 TB story this demonstrates: the frequency
+    summary is <= d*w cells NO MATTER the vocabulary size — one
+    map-side-combining (lane, col) hash agg over the token stream,
+    then candidate estimation joins against the BROADCAST cell table
+    (the exact top-k path shuffles the full vocabulary instead).
+    Bit-exact vs the oracle: cells and estimates are pure integer
+    arithmetic over the shared md5 lane-mix family
+    (operators/sketches.py cms_build/cms_estimate)."""
+    from gmall_spark.operators.ranking import _toks
+    from gmall_spark.operators.sketches import cms_build, cms_estimate
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(_toks(F.col("text"))).alias("tok")
+    )
+    sketch = cms_build(toks, "tok")
+    est = cms_estimate(sketch, toks, "tok")
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_ct")
+    )
+    return (
+        est.join(exact, "tok")
+        .select("tok", F.col("est_ct").cast("bigint").alias("est_ct"), "exact_ct")
+        .orderBy(F.desc("est_ct"), F.asc("tok"))
+        .limit(25)
+    )
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion constant
 
 

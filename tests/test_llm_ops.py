@@ -585,3 +585,24 @@ def test_bloom_no_false_negatives_and_saturation_fps(spark):
     sat = bloom.bloom_build(others.select("key"), "key", bits=64)
     fp = bloom.bloom_probe(sat, both.filter(F.col("pid") < 50), "key", "pid", bits=64)
     assert sum(1 for r in fp.collect() if r.bloom_hit) > 25
+
+
+def test_cms_overestimates_only_and_is_exact_when_wide(spark):
+    """Count-min contract on a planted stream: estimates NEVER
+    undercount; a saturated (tiny-width) sketch overcounts the rare
+    keys, a wide sketch is exact for every key."""
+    from gmall_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [("hot",)] * 100 + [(f"rare_{i}",) for i in range(50)]
+    items = spark.createDataFrame(rows, "tok string")
+    truth = {"hot": 100, **{f"rare_{i}": 1 for i in range(50)}}
+
+    wide = cms_estimate(cms_build(items, "tok"), items, "tok").collect()
+    assert {r.tok: r.est_ct for r in wide} == truth
+
+    tiny = cms_estimate(
+        cms_build(items, "tok", width=8), items, "tok", width=8
+    ).collect()
+    est = {r.tok: r.est_ct for r in tiny}
+    assert all(est[t] >= c for t, c in truth.items()), est
+    assert sum(est.values()) > sum(truth.values())  # saturation overcounts
