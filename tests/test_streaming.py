@@ -843,3 +843,45 @@ def test_streaming_temporal_join_bucketed_equals_batch_and_plan(spark, sf_dir):
         assert "Bucketed: true" in plan, plan[:2000]
     finally:
         store.drop(spark)
+
+
+def test_incremental_bloom_equals_batch(spark, sf_dir, tmpdir):
+    """bit_or is associative+commutative, so after ANY batch split the
+    persisted filter must equal bloom_build over the union — word for
+    word — and probing the incrementally-built filter must answer
+    exactly like the batch one (SURVEY X71 streaming extension)."""
+    from gmall_spark.operators import bloom, llm_dedup
+    from gmall_spark.streaming import incremental_bloom as ib
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = d.select(
+        "doc_id",
+        F.explode(llm_dedup.shingle_array("text", 8)).alias("gram"),
+    )
+    ref = grams.filter(F.col("doc_id") % 10 == 7).select("gram").distinct()
+    store = str(tmpdir.join("bloom_store"))
+    # three uneven batches
+    for lo, hi in ((0, 60), (60, 61), (61, 10_000_000)):
+        batch = ref.filter(
+            (F.crc32("gram") % 100 >= lo) & (F.crc32("gram") % 100 < hi)
+        )
+        ib.process_batch(spark, batch, "gram", store)
+    got = {
+        (r.word_idx, r.word) for r in ib.current_filter(spark, store).collect()
+    }
+    want = {(r.word_idx, r.word) for r in bloom.bloom_build(ref, "gram").collect()}
+    assert got == want
+    probes = grams.filter(F.col("doc_id") % 10 != 7).limit(500)
+    a = {
+        tuple(r)
+        for r in bloom.bloom_probe(
+            ib.current_filter(spark, store), probes, "gram", ["doc_id", "gram"]
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in bloom.bloom_probe(
+            bloom.bloom_build(ref, "gram"), probes, "gram", ["doc_id", "gram"]
+        ).collect()
+    }
+    assert a == b
