@@ -114,3 +114,49 @@ def salted_join(
         how,
     )
     return out.drop("__salt_l", "__salt_r")
+
+
+def morton_key(col_a: str, col_b: str, bits: int = 16):
+    """Z-order (Morton) interleave of two pre-quantized non-negative
+    integer columns (each < 2^bits): bit i of ``col_a`` lands at
+    position 2i, bit i of ``col_b`` at 2i+1. Pure integer JVM
+    expression — deterministic, codegen'd, no UDF."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({col_a}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({col_b}, {i}) & 1, {2 * i + 1})")
+    return F.expr(" | ".join(terms)).cast("bigint")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` Z-ordered on two dimensions (the Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` layout, expressed with vanilla Spark).
+
+    Linear sort layouts cluster ONE dimension: a file range prunes
+    predicates on the sort key and nothing else. Interleaving the
+    bits of two dimensions makes every file cover a compact 2-D tile,
+    so parquet min/max stats prune 2-D box predicates on EITHER (or
+    both) dimensions — at 100 TB this is the difference between
+    scanning 1/√N and 1/N of the files for a selective box.
+    ``repartitionByRange`` on the Morton key splits the curve into
+    ``n_files`` contiguous segments (one range shuffle at write
+    time, the X16 trade); ``sortWithinPartitions`` tightens each
+    file's stats further. tests/test_scale.py measures the pruning:
+    the fraction of files whose (a, b) bounding box intersects a 2-D
+    query box must be far below a 1-D-sorted layout's."""
+    keyed = df.withColumn("__z", morton_key(col_a, col_b, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -211,3 +211,62 @@ def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
     # determinism across re-evaluation (hash salt, no rand())
     again = sorted((r.k, r.v, r.name) for r in salted.collect())
     assert again == got
+
+
+def test_zorder_layout_prunes_2d_boxes(spark, sf_dir, tmp_path_factory):
+    """Z-order vs 1-D sort: for a 2-D box predicate, far fewer files'
+    (a, b) bounding boxes intersect the box under the Morton layout —
+    the min/max pruning a lakehouse scan performs. Also: the layout
+    must not lose or duplicate rows."""
+    from gmall_spark.operators.scale import morton_key, write_zordered
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo = ev.agg(
+        F.min("user_id").alias("u0"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t0"),
+    ).collect()[0]
+    # quantize both dims to 16 bits
+    q = ev.select(
+        ((F.col("user_id") - lo.u0) % 65536).cast("bigint").alias("a"),
+        (
+            ((F.unix_micros(F.col("ts").cast("timestamp")) - lo.t0) / 60_000_000).cast("bigint")
+            % 65536
+        ).alias("b"),
+    )
+    n = q.count()
+    base = tmp_path_factory.mktemp("zorder")
+    z_dir, lin_dir = str(base / "z"), str(base / "lin")
+    write_zordered(q, z_dir, "a", "b", n_files=32)
+    # 1-D comparison layout: same file count, sorted by a alone
+    q.repartitionByRange(32, "a").sortWithinPartitions("a").write.mode(
+        "overwrite"
+    ).parquet(lin_dir)
+
+    def hit_fraction(path, a0, a1, b0, b1):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("a").alias("amn"), F.max("a").alias("amx"),
+                F.min("b").alias("bmn"), F.max("b").alias("bmx"),
+            )
+        ).collect()
+        hits = sum(
+            1 for r in per_file
+            if r.amx >= a0 and r.amn <= a1 and r.bmx >= b0 and r.bmn <= b1
+        )
+        return hits / len(per_file)
+
+    # a box ~1/8 wide in each dimension
+    amax, bmax = q.agg(F.max("a"), F.max("b")).collect()[0]
+    box = (0, amax // 8, 0, bmax // 8)
+    z_frac, lin_frac = hit_fraction(z_dir, *box), hit_fraction(lin_dir, *box)
+    # 1-D layout: the b-restriction prunes nothing inside the matching
+    # a-range files; z-order tiles both dimensions
+    assert z_frac < lin_frac, (z_frac, lin_frac)
+    assert z_frac <= 0.5, z_frac
+    assert spark.read.parquet(z_dir).count() == n
+    # the morton key itself is deterministic pure-integer arithmetic
+    k = q.select(morton_key("a", "b").alias("z")).agg(F.sum("z")).collect()[0][0]
+    k2 = q.select(morton_key("a", "b").alias("z")).agg(F.sum("z")).collect()[0][0]
+    assert k == k2
