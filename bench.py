@@ -50,6 +50,11 @@ HEADLINE = [
     "nation_revenue_local_suppliers",
     "dedup_repeated_ngram_spans",
     "embedding_pagerank_centrality",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "hybrid_rrf_fusion",
+    "bloom_decontam_probe",
+    "vocab_freq_cms",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

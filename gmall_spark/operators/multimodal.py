@@ -349,3 +349,107 @@ def resize_bmp_real(blobs: DataFrame, target_w: int = RESIZE_TARGET_W) -> DataFr
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(gen, schema=RESIZE_REAL_SCHEMA)
+
+
+PNG_SCHEMA = (
+    "doc_id bigint, decode_ok boolean, width bigint, height bigint, "
+    "channels bigint, mean_r double, mean_g double, mean_b double"
+)
+
+
+def _parse_png(b: bytes):
+    """Real PNG parser (stdlib zlib): chunk walk -> IHDR + IDAT,
+    inflate, un-filter all five scanline filter types (None/Sub/Up/
+    Average/Paeth). Supports the common web cases: 8-bit RGB
+    (color type 2) and RGBA (6), non-interlaced. Returns an
+    (h, w, channels) uint8 array or None for anything else/corrupt."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    try:
+        while pos + 8 <= len(b):
+            (ln,) = struct.unpack(">I", b[pos : pos + 4])
+            typ = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            if len(data) < ln:
+                return None
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # len + type + data + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = ihdr
+        if depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        ch = 3 if ctype == 2 else 4
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+            ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+            if ftype == 0:
+                cur = line
+            elif ftype == 2:  # Up
+                cur = (line.astype(np.int16) + prev).astype(np.uint8)
+            elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+                cur = np.zeros(stride, dtype=np.uint8)
+                for x in range(stride):
+                    a = int(cur[x - ch]) if x >= ch else 0
+                    up = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    if ftype == 1:
+                        pred = a
+                    elif ftype == 3:
+                        pred = (a + up) // 2
+                    else:
+                        p = a + up - c
+                        pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+            else:
+                return None
+            out[y] = cur
+            prev = cur
+        return out.reshape(h, w, ch)
+    except Exception:
+        return None
+
+
+def decode_png(blobs: DataFrame) -> DataFrame:
+    """REAL PNG decode over (doc_id, blob): dimensions + per-channel
+    means from the actual inflated, un-filtered pixel buffer."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["blob"]):
+                img = _parse_png(bytes(blob))
+                if img is None:
+                    rows.append({"doc_id": doc_id, "decode_ok": False,
+                                 "width": None, "height": None, "channels": None,
+                                 "mean_r": None, "mean_g": None, "mean_b": None})
+                else:
+                    m = img.reshape(-1, img.shape[2]).mean(axis=0, dtype=np.float64)
+                    rows.append({"doc_id": doc_id, "decode_ok": True,
+                                 "width": img.shape[1], "height": img.shape[0],
+                                 "channels": img.shape[2],
+                                 "mean_r": round(float(m[0]), 6),
+                                 "mean_g": round(float(m[1]), 6),
+                                 "mean_b": round(float(m[2]), 6)})
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(gen, schema=PNG_SCHEMA)

@@ -87,3 +87,72 @@ def test_bmp_resize_real_is_deterministic_and_content_sensitive(spark):
     assert (a.out_width, a.out_height) == (4, 2)
     assert a.resized_sha256 == got[1000].resized_sha256  # same bytes, same hash
     assert a.resized_sha256 != got[2].resized_sha256  # content-sensitive
+
+
+def make_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal in-test PNG encoder (stdlib zlib) so the decoder is
+    checked against known pixels; ``filters`` picks each scanline's
+    filter type to exercise Sub/Up/Average/Paeth reconstruction."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    ctype = 2 if ch == 3 else 6
+    filters = filters or [0] * h
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y, ft in zip(range(h), filters):
+        line = img[y].reshape(-1).astype(np.int16)
+        raw.append(ft)
+        for x in range(w * ch):
+            a = int(line[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            pred = {0: 0, 1: a, 2: up, 3: (a + up) // 2, 4: paeth(a, up, c)}[ft]
+            raw.append((int(line[x]) - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_exact_means_all_filter_types(spark):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8).astype(np.uint8)
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8).astype(np.uint8)
+    rows = [
+        (1, make_png(img)),  # all filter-0 rows
+        (2, make_png(img, filters=[0, 1, 2, 3, 4])),  # every filter type
+        (3, make_png(rgba)),  # RGBA
+        (4, b"\x89PNG\r\n\x1a\nbogus"),  # corrupt
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    got = {r.doc_id: r for r in M.decode_png(df).collect()}
+    want = img.reshape(-1, 3).mean(axis=0)
+    for did in (1, 2):
+        r = got[did]
+        assert r.decode_ok and (r.width, r.height, r.channels) == (6, 5, 3)
+        assert (r.mean_r, r.mean_g, r.mean_b) == tuple(round(float(x), 6) for x in want)
+    r = got[3]
+    wanta = rgba.reshape(-1, 4).mean(axis=0)
+    assert r.decode_ok and r.channels == 4
+    assert (r.mean_r, r.mean_g, r.mean_b) == tuple(round(float(x), 6) for x in wanta[:3])
+    assert not got[4].decode_ok
