@@ -19,9 +19,11 @@ argmax s·c − |c|²/2, ties to the lower code — numpy first-max).
 Codes are assigned by one Arrow-batched gemm per batch
 (ivf._nearest_lists_udf pathology note: k·m·dim literal expression
 trees interpret per-row; the gemm is the vectorized path).
-Reconstruction-and-score is a pure JVM expression over LITERAL
-codebook arrays: dq = concat(cb_j[code_j]) and approx = q·dq folds
-left-to-right exactly like the DuckDB twin (ann_oracles precedent).
+Reconstruction (dq = concat(cb_j[code_j])) happens INSIDE the same
+Arrow pass as a vectorized numpy gather — at k=256 a JVM literal-
+array formulation is a 16k-literal expression tree that drops out of
+codegen (see _recon_udf); the q·dq scoring fold stays JVM-side and
+visits dimensions left-to-right exactly like the DuckDB twin.
 
 At 100 TB: the codes relation (m bytes/vector) is what the ADC scan
 reads — the float corpus is touched only by the refine·k·|Q| exact
@@ -35,7 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 from gmall_spark.functions.vectors import cosine, dot
 from gmall_spark.operators.ivf import _unit
@@ -97,28 +99,58 @@ def train_codebooks(
     return books
 
 
-def _codes_udf(books: list[list[list[float]]]):
-    """Arrow-batched encoder: the m PQ codes of each vector — one
-    gemm per sub-space per batch, stable first-max tie rule."""
+def _encode_batch(books, vs: pd.Series) -> np.ndarray:
+    """(n, m) int32 code matrix for a batch of vectors: one gemm per
+    sub-space, stable first-max tie rule, on unit-normalized rows."""
     mats = [np.array(b, dtype=np.float64) for b in books]
     halves = [(c * c).sum(axis=1) / 2.0 for c in mats]
     sub = mats[0].shape[1]
+    v = np.array(vs.tolist(), dtype=np.float64)
+    norms = np.sqrt((v * v).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    v = v / norms
+    out = np.empty((len(v), len(mats)), dtype=np.int32)
+    for j, (c, h) in enumerate(zip(mats, halves)):
+        score = v[:, j * sub : (j + 1) * sub] @ c.T - h
+        out[:, j] = np.argmax(score, axis=1)
+    return out
+
+
+def _codes_udf(books: list[list[list[float]]]):
+    """Arrow-batched encoder: the m PQ codes of each vector."""
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _codes(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        v = np.array(vs.tolist(), dtype=np.float64)
-        norms = np.sqrt((v * v).sum(axis=1, keepdims=True))
-        norms[norms == 0.0] = 1.0
-        v = v / norms
-        out = np.empty((len(v), len(mats)), dtype=np.int32)
-        for j, (c, h) in enumerate(zip(mats, halves)):
-            score = v[:, j * sub : (j + 1) * sub] @ c.T - h
-            out[:, j] = np.argmax(score, axis=1)
-        return pd.Series([row for row in out])
+        return pd.Series([row for row in _encode_batch(books, vs)])
 
     return _codes
+
+
+def _recon_udf(books: list[list[list[float]]]):
+    """Arrow-batched encode-and-reconstruct: dq = concat of the m
+    codebook entries the vector encodes to — a vectorized numpy
+    gather. An earlier formulation reconstructed JVM-side by slicing
+    m LITERAL k·(dim/m)-float arrays per row; at k=256 that is a
+    16k-literal expression tree, which drops out of codegen and
+    interprets per-row (the ivf._nearest_lists_udf pathology, ~6 s
+    of pure expression overhead at sf0.1). The gather emits float64
+    values IDENTICAL to the literal-slice version, so the oracle
+    parity is unchanged."""
+    mats = [np.array(b, dtype=np.float64) for b in books]
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _recon(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        codes = _encode_batch(books, vs)
+        dq = np.concatenate(
+            [mats[j][codes[:, j]] for j in range(len(mats))], axis=1
+        )
+        return pd.Series([row for row in dq])
+
+    return _recon
 
 
 def pq_topk(
@@ -143,28 +175,15 @@ def pq_topk(
         books = train_codebooks(
             embeddings, dim, m, n_codes, iters, sample, id_col, vec_col
         )
-    sub = dim // m
-    enc = embeddings.select(
-        F.col(id_col), _codes_udf(books)(F.col(vec_col)).alias("codes")
-    )
-    # reconstruction: literal codebook arrays indexed by the codes —
-    # a pure JVM projection, flattened sub-space by sub-space so the
-    # q·dq fold visits dimensions left-to-right like the oracle
-    flat = [
-        F.array(*[F.lit(float(x)) for c in b for x in c]) for b in books
-    ]
-    dq = F.concat(
-        *[
-            F.slice(flat[j], F.element_at("codes", j + 1) * sub + 1, sub)
-            for j in range(m)
-        ]
+    recon = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _recon_udf(books)(F.col(vec_col)).alias("dq"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qu")
     )
     approx = (
-        enc.select(F.col(id_col).alias("neighbor_id"), dq.alias("dq"))
-        .crossJoin(F.broadcast(q))
+        recon.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -243,17 +262,9 @@ def ivfpq_topk(
         books = train_codebooks(
             embeddings, dim, m, n_codes, iters, sample, id_col, vec_col
         )
-    sub = dim // m
     index = ivf.build_index(embeddings, centroids, id_col, vec_col)
     coded = index.select(
-        "vec_id", "list_id", _codes_udf(books)(F.col("embedding")).alias("codes")
-    )
-    flat = [F.array(*[F.lit(float(x)) for c in b for x in c]) for b in books]
-    dq = F.concat(
-        *[
-            F.slice(flat[j], F.element_at("codes", j + 1) * sub + 1, sub)
-            for j in range(m)
-        ]
+        "vec_id", "list_id", _recon_udf(books)(F.col("embedding")).alias("dq")
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
@@ -268,7 +279,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot(F.col("qu"), dq), 6).alias("approx_sim"),
+            F.round(dot(F.col("qu"), F.col("dq")), 6).alias("approx_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
