@@ -274,3 +274,20 @@ def streaming_interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper_s} SECONDS"))
     )
     return lw.join(rw, cond)
+
+
+def idempotent_parquet_write(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """A ``write_fn`` for :func:`run_foreach_batch` with REPLAY-SAFE
+    semantics: each epoch lands in its own ``epoch=<id>`` partition
+    directory in overwrite mode. foreachBatch only guarantees
+    AT-LEAST-ONCE invocation (after a failure the last epoch replays
+    from the checkpoint) — rewriting the same partition makes the
+    replay idempotent, so at-least-once delivery + idempotent write =
+    exactly-once OUTPUT (the Phoenix/ClickHouse upsert-sink analog,
+    S8/S10, for plain parquet). Readers see the union of epoch
+    partitions via ordinary partition discovery."""
+
+    def _write(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return _write

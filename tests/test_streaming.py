@@ -885,3 +885,53 @@ def test_incremental_bloom_equals_batch(spark, sf_dir, tmpdir):
         ).collect()
     }
     assert a == b
+
+
+def test_foreach_batch_replay_is_idempotent(spark, tmpdir):
+    """The exactly-once-output contract: replaying an epoch (the
+    at-least-once failure mode of foreachBatch) must NOT duplicate
+    rows, because the epoch partition is overwritten, not appended."""
+    from gmall_spark.streaming.runner import idempotent_parquet_write
+
+    out = str(tmpdir.join("sink"))
+    write = idempotent_parquet_write(out)
+    b0 = spark.range(0, 10).withColumnRenamed("id", "k")
+    b1 = spark.range(10, 15).withColumnRenamed("id", "k")
+    write(b0, 0)
+    write(b0, 0)  # replay of epoch 0 after a simulated failure
+    write(b1, 1)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == list(range(15))
+
+
+def test_incremental_cms_equals_batch(spark, sf_dir, tmpdir):
+    """Sum-merge associativity: after three uneven batch splits the
+    persisted CMS cells equal cms_build over the union cell-for-cell,
+    and estimates probed against it match the batch sketch exactly."""
+    from gmall_spark.operators.ranking import _toks
+    from gmall_spark.operators.sketches import cms_build, cms_estimate
+    from gmall_spark.streaming import incremental_cms as ic
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(_toks(F.col("text"))).alias("tok"))
+    )
+    store = str(tmpdir.join("cms_store"))
+    for lo, hi in ((0, 40), (40, 41), (41, 100)):
+        batch = toks.filter(
+            (F.crc32("tok") % 100 >= lo) & (F.crc32("tok") % 100 < hi)
+        )
+        ic.process_batch(spark, batch, "tok", store)
+    got = {
+        (r.lane, r.col): r.cell_ct
+        for r in ic.current_sketch(spark, store).collect()
+    }
+    want = {(r.lane, r.col): r.cell_ct for r in cms_build(toks, "tok").collect()}
+    assert got == want
+    cand = toks.limit(300)
+    a = {
+        r.tok: r.est_ct
+        for r in cms_estimate(ic.current_sketch(spark, store), cand, "tok").collect()
+    }
+    b = {r.tok: r.est_ct for r in cms_estimate(cms_build(toks, "tok"), cand, "tok").collect()}
+    assert a == b
