@@ -2158,6 +2158,101 @@ def q_lineitem_pricing_summary(spark, sf_dir):
 
 
 @query(
+    "customers_retained_9697",
+    """
+SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+INTERSECT
+SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+""",
+)
+def q_customers_retained_9697(spark, sf_dir):
+    """INTERSECT set-op coverage: customers active in BOTH 1996 and
+    1997 (the set-algebra twin of events_retention_cohorts). Spark
+    plans INTERSECT as a distinct-aggregated left-semi join — one
+    exchange per branch + the semi join, no row explosion."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+
+    def active(y0: str, y1: str):
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("date"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("date"))
+            )
+            .select("c_custkey")
+        )
+
+    return active("1996-01-01", "1997-01-01").intersect(
+        active("1997-01-01", "1998-01-01")
+    )
+
+
+@query(
+    "customers_churned_9697",
+    """
+SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+EXCEPT
+SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+""",
+)
+def q_customers_churned_9697(spark, sf_dir):
+    """EXCEPT set-op coverage: customers active in 1996 but gone in
+    1997 — churn as set algebra (Spark: distinct left-anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+
+    def active(y0: str, y1: str):
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("date"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("date"))
+            )
+            .select("c_custkey")
+        )
+
+    return active("1996-01-01", "1997-01-01").subtract(
+        active("1997-01-01", "1998-01-01")
+    )
+
+
+@query(
+    "events_per_user_sample",
+    """
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def q_events_per_user_sample(spark, sf_dir):
+    """Deterministic bounded per-key sample: ≤3 events per user,
+    chosen by md5(event_id) order — the debugging/eval-set sampler
+    every pipeline needs, reproducible across engines/runs/shards
+    (no rand(), the llm_train_val_test_split hashing discipline
+    applied per group). rank≤3 runs as WindowGroupLimit per-partition
+    heaps, so each task forwards at most 3 rows per user to the one
+    exchange."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@query(
     "orders_shipping_priority",
     """
 SELECT l_orderkey,
@@ -2370,6 +2465,10 @@ _PRIORITY = [
     "hybrid_rrf_fusion",  # new (late r4): BM25 ⊕ ANN reciprocal-rank fusion
     "bloom_decontam_probe",  # new (late r4): capped-broadcast Bloom membership
     "vocab_freq_cms",  # new (late r4): count-min heavy-hitter estimates
+    "customers_retained_9697",  # new (late r4): INTERSECT set op
+    "customers_churned_9697",  # new (late r4): EXCEPT set op
+    "events_per_user_sample",  # new (late r4): deterministic per-key sample
+    "dedup_fuzzy_titles",  # new (late r4): blocking + edit-distance dedup
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

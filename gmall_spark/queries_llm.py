@@ -2149,6 +2149,61 @@ def q_vocab_freq_cms(spark, sf_dir):
     )
 
 
+FUZZY_PREFIX = 40  # pseudo-title length
+FUZZY_BLOCK = 8  # exact-prefix blocking key length
+FUZZY_MAX_EDITS = 5
+
+
+@query(
+    "dedup_fuzzy_titles",
+    f"""
+WITH t AS (
+  SELECT doc_id, lower(substr(text, 1, {FUZZY_PREFIX})) AS title FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS edit_dist
+FROM t a JOIN t b
+  ON substr(a.title, 1, {FUZZY_BLOCK}) = substr(b.title, 1, {FUZZY_BLOCK})
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_EDITS}
+""",
+)
+def q_dedup_fuzzy_titles(spark, sf_dir):
+    """Entity-resolution-style fuzzy dedup: BLOCK on an exact 8-char
+    title prefix, then verify candidate pairs by Levenshtein edit
+    distance ≤5 over the 40-char pseudo-title — the classic
+    blocking+verify shape record-linkage systems use (and a
+    textual-noise complement to MinHash: edit distance catches
+    character-level corruption that word-shingle Jaccard misses).
+    Scale shape: the self-join pairs ONLY within a block (one shuffle
+    on the block key); blocks are bounded by prefix diversity, and a
+    boilerplate-prefix mega-block would get the same cap-to-chain
+    treatment as LSH mega-buckets (operators/llm_dedup.py:204).
+    Edit distance is integer-exact in both engines — no float
+    tolerance anywhere. Pairs feed the same connected-components
+    grouping (X28) as every other dedup operator."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.substring("text", 1, FUZZY_PREFIX)).alias("title")
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+        F.substring("title", 1, FUZZY_BLOCK).alias("blk"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+        F.substring("title", 1, FUZZY_BLOCK).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("title_a", "title_b").cast("bigint"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_EDITS)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion constant
 
 
