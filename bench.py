@@ -55,6 +55,7 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "bloom_decontam_probe",
     "vocab_freq_cms",
+    "dedup_fuzzy_titles",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

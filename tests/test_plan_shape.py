@@ -139,6 +139,14 @@ BUDGETS = [
     # agg; probe: per-gram then per-doc rollups); filter words + ref
     # flag broadcast — the probe side itself never pre-shuffles
     ("bloom_decontam_probe", 8, 2),
+    # set ops: distinct-agg per branch + broadcast semi/anti join
+    ("customers_retained_9697", 5, 2),
+    ("customers_churned_9697", 5, 2),
+    # per-key sample: scan fan-out + ONE window exchange (rank<=3
+    # runs as WindowGroupLimit per-partition heaps)
+    ("events_per_user_sample", 2, 0),
+    # fuzzy dedup: scan fan-out + the block-key self-join exchange
+    ("dedup_fuzzy_titles", 2, 1),
 ]
 
 
