@@ -935,3 +935,34 @@ def test_incremental_cms_equals_batch(spark, sf_dir, tmpdir):
     }
     b = {r.tok: r.est_ct for r in cms_estimate(cms_build(toks, "tok"), cand, "tok").collect()}
     assert a == b
+
+
+def test_incremental_ivf_index_equals_batch_and_prunes(spark, sf_dir, tmpdir):
+    """Fixed-centroid assignment is pure per-row: the union of
+    per-batch index appends equals the batch-built index row for row,
+    top-k from the store equals ivf_topk on the full corpus with the
+    same centroids, and the probed list_ids prune the partitioned
+    store scan."""
+    from gmall_spark.operators import ivf
+    from gmall_spark.streaming import incremental_ivf as ii
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ivf.train_centroids(emb)
+    store = str(tmpdir.join("ivf_store"))
+    for lo, hi in ((0, 200), (200, 350), (350, 10_000_000)):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        ii.process_batch(batch, centroids, store)
+    got = {
+        (r.vec_id, r.list_id) for r in ii.read_index(spark, store).collect()
+    }
+    want = {
+        (r.vec_id, r.list_id)
+        for r in ivf.build_index(emb, centroids).collect()
+    }
+    assert got == want
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = ii.topk_from_store(spark, store, queries, centroids)
+    b = ivf.ivf_topk(emb, queries, k=10, centroids=centroids)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(list_id" in plan, plan[:2000]
