@@ -2469,6 +2469,7 @@ _PRIORITY = [
     "customers_churned_9697",  # new (late r4): EXCEPT set op
     "events_per_user_sample",  # new (late r4): deterministic per-key sample
     "dedup_fuzzy_titles",  # new (late r4): blocking + edit-distance dedup
+    "dedup_groups_multi_signal",  # new (late r4): union-of-signals grouping
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

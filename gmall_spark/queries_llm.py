@@ -2204,6 +2204,62 @@ def q_dedup_fuzzy_titles(spark, sf_dir):
     )
 
 
+_SQL_MULTI_SIGNAL_GROUPS = f"""
+, fz AS (
+  SELECT doc_id, lower(substr(text, 1, {FUZZY_PREFIX})) AS title FROM documents
+), fpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fz a JOIN fz b
+    ON substr(a.title, 1, {FUZZY_BLOCK}) = substr(b.title, 1, {FUZZY_BLOCK})
+   AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_EDITS}
+), all_pairs AS (
+  SELECT doc_a, doc_b FROM neardup
+  UNION
+  SELECT doc_a, doc_b FROM fpairs
+), cc_edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM all_pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM all_pairs
+), reach(lab, node) AS (
+  SELECT a, a FROM cc_edges
+  UNION
+  SELECT r.lab, e.b FROM reach r JOIN cc_edges e ON e.a = r.node
+), grp AS (
+  SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lab) AS BIGINT) AS group_id
+  FROM reach GROUP BY node
+)
+"""
+
+
+@query(
+    "dedup_groups_multi_signal",
+    SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
+    + _SQL_NEARDUP_CTES
+    + _SQL_MULTI_SIGNAL_GROUPS
+    + "SELECT doc_id, group_id FROM grp",
+)
+def q_dedup_groups_multi_signal(spark, sf_dir):
+    """Multi-signal duplicate grouping — what a production dedup pass
+    actually runs: the pair streams of SEVERAL detectors (here
+    MinHash+LSH word-level near-dups ∪ blocking+Levenshtein
+    character-level fuzzy matches; any other pair source unions in
+    identically) merged into ONE edge set, closed transitively by the
+    shared connected-components operator. A doc pair missed by
+    shingle Jaccard but caught by edit distance (or vice versa) still
+    lands in the same group — per-signal grouping would keep both
+    copies. Edges are (id, id) pairs regardless of signal count, so
+    the union costs one distinct; the closure is the same
+    large-star/small-star join loop as X28."""
+    d = _docs(spark, sf_dir)
+    minhash_pairs = llm_dedup.minhash_lsh_dedup(d, NEAR_DUP_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    fuzzy_pairs = q_dedup_fuzzy_titles(spark, sf_dir).select("doc_a", "doc_b")
+    edges = minhash_pairs.unionByName(fuzzy_pairs).distinct()
+    return components.connected_components(edges)
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion constant
 
 
