@@ -107,6 +107,7 @@ def clear_cache() -> None:
     # scan-fanout decisions are keyed by file paths; the driver
     # regenerates testdata at the same paths between rounds (ADVICE r3)
     session._SCAN_DECISIONS.clear()
+    _TOPIC_DB_PLANS.clear()
     while _MATERIALIZED:
         _, df = _MATERIALIZED.popitem()
         try:
@@ -115,17 +116,32 @@ def clear_cache() -> None:
             pass  # session already stopped
 
 
+_TOPIC_DB_PLANS: dict[tuple[str, str], DataFrame] = {}
+
+
 def _topic_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deliberately NOT persisted: every consumer filters on `table`,
     # and Catalyst folds that filter into each union branch (constant-
     # false branches collapse to empty scans), so a lazy topic_db costs
     # only the branches a query actually reads. Persisting the union
     # would force materializing all 11 CDC branches up front.
-    return cdc_gen.topic_db(
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "lineitem"),
-        _t(spark, sf_dir, "customer"),
-    )
+    #
+    # The PLAN, however, IS memoized: building the 11-branch envelope
+    # expression tree crosses py4j thousands of times (~5 s of pure
+    # driver time at any SF — measured: the bulk of the bench's
+    # "materialize dwd_order_detail" line item was plan construction,
+    # not execution). DataFrames are immutable, so reusing the object
+    # is free and changes nothing downstream.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TOPIC_DB_PLANS.get(key)
+    if df is None:
+        df = cdc_gen.topic_db(
+            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "customer"),
+        )
+        _TOPIC_DB_PLANS[key] = df
+    return df
 
 
 def _dwd_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
