@@ -2486,6 +2486,8 @@ _PRIORITY = [
     "events_per_user_sample",  # new (late r4): deterministic per-key sample
     "dedup_fuzzy_titles",  # new (late r4): blocking + edit-distance dedup
     "dedup_groups_multi_signal",  # new (late r4): union-of-signals grouping
+    "llm_exact_substr_trim",  # new (late r4): ExactSubstr action step
+    "text_langid_confusion",  # new (late r4): heuristic eval matrix
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

@@ -1565,6 +1565,132 @@ def q_dedup_repeated_ngram_spans(spark, sf_dir):
 
 
 @query(
+    "llm_exact_substr_trim",
+    rf"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(0, len(w))) AS idx FROM ws
+), g AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(w[i + 1 : i + {SPAN_N}], ' ')) AS gh
+  FROM ws, LATERAL unnest(range(0, len(w) - {SPAN_N} + 1)) AS t(i)
+), dup AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2
+), didx AS (
+  SELECT DISTINCT g.doc_id, g.start + u AS idx
+  FROM g JOIN dup USING (gh), LATERAL unnest(range(0, {SPAN_N})) AS t(u)
+), kept AS (
+  SELECT t.doc_id, t.idx, t.w
+  FROM tok t LEFT JOIN didx d ON d.doc_id = t.doc_id AND d.idx = t.idx
+  WHERE d.idx IS NULL
+), trimmed AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY idx) AS trimmed_text,
+         CAST(count(*) AS BIGINT) AS trimmed_tokens
+  FROM kept GROUP BY doc_id
+)
+SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_tokens,
+       COALESCE(t.trimmed_tokens, 0) AS trimmed_tokens,
+       COALESCE(t.trimmed_text, '') AS trimmed_text
+FROM ws LEFT JOIN trimmed t ON t.doc_id = ws.doc_id
+""",
+)
+def q_llm_exact_substr_trim(spark, sf_dir):
+    """The ACTION step of ExactSubstr dedup (arXiv:2107.06499 removes
+    the duplicated substring itself, not the whole document):
+    reconstruct each document WITHOUT the tokens covered by any
+    corpus-duplicated 8-gram — dedup_repeated_ngram_spans is the
+    report, this emits the cleaned text a training pipeline actually
+    feeds forward. Shape: the same linear gram chain (per-row gram
+    HOF → one gram count → join back on duplicated hashes only) plus
+    one anti-join of the token stream against duplicated indices and
+    one order-preserving per-doc re-assembly (array_sort over
+    collected (idx, token) structs — deterministic, matching
+    string_agg ORDER BY); nothing quadratic, text payload shuffles
+    once for the reassembly."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), r"\s+")
+    toks = d.select(
+        "doc_id", F.posexplode(w).alias("idx", "w")
+    )
+    grams = F.expr(
+        f"""
+        CASE WHEN size(split(text, '\\\\s+')) >= {SPAN_N} THEN
+          transform(sequence(0, size(split(text, '\\\\s+')) - {SPAN_N}),
+                    i -> struct(i AS start,
+                                md5(concat_ws(' ',
+                                  slice(split(text, '\\\\s+'), i + 1, {SPAN_N}))) AS gh))
+        ELSE array() END
+        """
+    )
+    g = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.start").alias("start"), F.col("g.gh").alias("gh")
+    )
+    dup = g.groupBy("gh").count().filter(F.col("count") >= 2).select("gh")
+    didx = (
+        g.join(dup, "gh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + SPAN_N - 1)).alias(
+                "idx"
+            ),
+        )
+        .distinct()
+    )
+    kept = toks.join(didx, ["doc_id", "idx"], "left_anti")
+    trimmed = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("trimmed_text"),
+        F.count(F.lit(1)).cast("bigint").alias("trimmed_tokens"),
+    )
+    return (
+        d.select("doc_id", F.size(w).cast("bigint").alias("n_tokens"))
+        .join(trimmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("trimmed_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("trimmed_tokens"),
+            F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
+        )
+    )
+
+
+@query(
+    "text_langid_confusion",
+    f"""
+SELECT lang,
+       CASE WHEN regexp_matches(lower(text), '{TX.CJK_RANGE}') THEN 'zh'
+            WHEN regexp_matches(lower(text), '{TX.EN_MARKERS}') THEN 'en'
+            WHEN regexp_matches(lower(text), '{TX.ES_MARKERS}') THEN 'es'
+            WHEN regexp_matches(lower(text), '{TX.FR_MARKERS}') THEN 'fr'
+            WHEN regexp_matches(lower(text), '{TX.DE_MARKERS}') THEN 'de'
+            ELSE 'unknown' END AS lang_pred,
+       CAST(count(*) AS BIGINT) AS doc_ct
+FROM documents
+GROUP BY lang, lang_pred
+""",
+)
+def q_text_langid_confusion(spark, sf_dir):
+    """Heuristic-quality evaluation: the lang-ID rule's confusion
+    matrix against the labeled ``lang`` column — the eval loop every
+    heuristic classifier in the pipeline needs (X12's rule chain IS
+    the predictor here, marker-for-marker). One hash agg; the matrix
+    is at most |langs|² rows."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_ct"))
+    )
+
+
+@query(
     "llm_doclen_quantiles",
     r"""
 WITH t AS (
