@@ -2174,6 +2174,43 @@ def q_lineitem_pricing_summary(spark, sf_dir):
 
 
 @query(
+    "sql_tumble_event_counts",
+    """
+WITH x AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+)
+SELECT strftime(make_timestamp((ep // 600) * 600 * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(make_timestamp(((ep // 600) * 600 + 600) * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+       event_type,
+       CAST(count(*) AS BIGINT) AS event_ct
+FROM x GROUP BY (ep // 600), event_type
+""",
+)
+def q_sql_tumble_event_counts(spark, sf_dir):
+    """The Flink-SQL TUMBLE job expressed through Spark's SQL FRONT
+    DOOR (ref KeywordTableApp-style `GROUP BY TUMBLE(...)`): a temp
+    view + ``spark.sql`` with ``GROUP BY window(ts, '10 minutes')``.
+    Every other twin here uses the DataFrame API — this one pins the
+    parity of the SQL surface itself (same Catalyst plan: the window
+    assignment is an inline projection feeding one hash aggregate;
+    Spark window() and DuckDB epoch//600 both align to the unix
+    epoch)."""
+    ev = _events(spark, sf_dir)
+    view = "events_sql_tumble_v"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS edt,
+               event_type,
+               CAST(count(*) AS BIGINT) AS event_ct
+        FROM {view}
+        GROUP BY window(ts, '10 minutes'), event_type
+        """
+    )
+
+
+@query(
     "customers_retained_9697",
     """
 SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
@@ -2488,6 +2525,7 @@ _PRIORITY = [
     "dedup_groups_multi_signal",  # new (late r4): union-of-signals grouping
     "llm_exact_substr_trim",  # new (late r4): ExactSubstr action step
     "text_langid_confusion",  # new (late r4): heuristic eval matrix
+    "sql_tumble_event_counts",  # new (late r4): SQL-front-door TUMBLE
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",
