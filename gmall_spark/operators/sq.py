@@ -77,17 +77,22 @@ def sq_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: tuple[list[float], list[float]] | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors per query via quantized scan + exact
     rescore. Output matches the other ANN tiers:
-    (query_id, neighbor_id, rank, cos_sim)."""
+    (query_id, neighbor_id, rank, cos_sim). Pass ``stats`` (mins,
+    steps — e.g. a cached earlier training) to skip retraining."""
     dim = dim or infer_dim(embeddings, vec_col)
     # the trained quantizer is ONE bounded row (2*dim doubles) — pull
     # it to the driver and inline it as literals, so encoding is a
     # pure per-row expression and the stats aggregate runs ONCE
     # instead of once per consuming branch (the ivf.py:164 precedent:
     # constant-bounded model state, not data, crosses the driver)
-    row = train_minmax(embeddings, dim, vec_col).collect()[0]
+    if stats is not None:
+        row = {"mins": stats[0], "steps": stats[1]}
+    else:
+        row = train_minmax(embeddings, dim, vec_col).collect()[0]
     mins = F.array(*[F.lit(float(v)) for v in row["mins"]])
     steps = F.array(*[F.lit(float(v)) for v in row["steps"]])
 

@@ -104,6 +104,7 @@ def clear_cache() -> None:
     queries_llm._EMB_DIM.clear()
     queries_llm._DEDUP_GROUPS.clear()
     queries_llm._PQ_BOOKS.clear()
+    queries_llm._SQ_STATS.clear()
     # scan-fanout decisions are keyed by file paths; the driver
     # regenerates testdata at the same paths between rounds (ADVICE r3)
     session._SCAN_DECISIONS.clear()

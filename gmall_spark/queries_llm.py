@@ -210,6 +210,10 @@ def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
 # queries (training collects the same bounded sample either way).
 _PQ_BOOKS: dict[tuple[str, str], list] = {}
 
+# SQ quantizer (mins, steps) per (session, sf_dir) — one single-row
+# aggregate, skipped on repeat runs.
+_SQ_STATS: dict[tuple[str, str], tuple[list, list]] = {}
+
 
 def _trained_books(spark: SparkSession, sf_dir: str) -> list:
     from gmall_spark.operators import pq as _pq
@@ -740,12 +744,26 @@ def q_similarity_sq_topk(spark, sf_dir):
     rescore of the top refine*k candidates per query
     (operators/sq.py). Oracle is generated SQL replaying the same
     quantize/dequantize arithmetic; recall vs brute force gated by
-    tests/test_llm_ops.py::test_sq_recall_at_10."""
+    tests/test_llm_ops.py::test_sq_recall_at_10. The trained
+    (mins, steps) row is cached per (session, sf_dir) like the PQ
+    codebooks, so repeated runs skip the training aggregate."""
     from gmall_spark.operators import sq
 
     emb = _emb(spark, sf_dir)
+    key = (_session_token(spark), sf_dir)
+    if key not in _SQ_STATS:
+        dim = _oracle_dim_check(spark, sf_dir)
+        row = sq.train_minmax(emb, dim).collect()[0]
+        _SQ_STATS[key] = (
+            [float(v) for v in row["mins"]],
+            [float(v) for v in row["steps"]],
+        )
     return sq.sq_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, dim=_oracle_dim_check(spark, sf_dir)
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        dim=_oracle_dim_check(spark, sf_dir),
+        stats=_SQ_STATS[key],
     )
 
 
