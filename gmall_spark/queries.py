@@ -2175,6 +2175,42 @@ def q_lineitem_pricing_summary(spark, sf_dir):
 
 
 @query(
+    "events_value_equidepth_hist",
+    """
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type, value, event_id,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+  FROM events
+)
+GROUP BY event_type, bucket
+""",
+)
+def q_events_value_equidepth_hist(spark, sf_dir):
+    """Equi-depth (NTILE) histogram of event values per type — the
+    bucket-bounds profile a cost model or drift monitor reads.
+    Deterministic ties (value, event_id) so both engines cut the
+    buckets identically; one window exchange + one hash agg. At
+    100 TB the exact-sort ntile swaps for the GK-sketch quantile cuts
+    (events_value_quantiles_approx) — this is the exact twin,
+    completing the window family next to frames (X59) and group
+    limits."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", "event_id", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("event_type", F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+@query(
     "sql_tumble_event_counts",
     """
 WITH x AS (
@@ -2527,6 +2563,7 @@ _PRIORITY = [
     "llm_exact_substr_trim",  # new (late r4): ExactSubstr action step
     "text_langid_confusion",  # new (late r4): heuristic eval matrix
     "sql_tumble_event_counts",  # new (late r4): SQL-front-door TUMBLE
+    "events_value_equidepth_hist",  # new (late r4): NTILE exact histogram
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",
