@@ -2233,7 +2233,11 @@ def q_sql_tumble_event_counts(spark, sf_dir):
     Spark window() and DuckDB epoch//600 both align to the unix
     epoch)."""
     ev = _events(spark, sf_dir)
-    view = "events_sql_tumble_v"
+    # view name carries the sf tag: a fixed name would alias two
+    # sf_dirs if a second query were built before the first's plan is
+    # executed (lazy DataFrames hold the view by NAME)
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    view = f"events_sql_tumble_{tag}"
     ev.createOrReplaceTempView(view)
     return spark.sql(
         f"""
