@@ -160,3 +160,24 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def overwrite_day_partition(
+    df: DataFrame, path: str, day_col: str = "dt"
+) -> None:
+    """Backfill/repair write: replace ONLY the day partitions present
+    in ``df``, leaving every other partition untouched — Spark's
+    dynamic partition-overwrite mode, the batch repair path every
+    streaming warehouse needs (a late-data reprocess or a bug fix
+    recomputes one day and swaps it atomically per partition; the
+    reference's ClickHouse ReplacingMergeTree absorbs re-writes the
+    same way). Static overwrite mode would TRUNCATE the whole table —
+    the conf scoping here is the difference between repairing a day
+    and deleting a year."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(day_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -270,3 +270,29 @@ def test_zorder_layout_prunes_2d_boxes(spark, sf_dir, tmp_path_factory):
     k = q.select(morton_key("a", "b").alias("z")).agg(F.sum("z")).collect()[0][0]
     k2 = q.select(morton_key("a", "b").alias("z")).agg(F.sum("z")).collect()[0][0]
     assert k == k2
+
+
+def test_overwrite_day_partition_repairs_only_target_days(spark, tmp_path_factory):
+    """Dynamic partition overwrite: rewriting one day's rows must not
+    touch the other days (static mode would truncate everything)."""
+    from gmall_spark.operators.scale import overwrite_day_partition
+
+    out = str(tmp_path_factory.mktemp("repair") / "t")
+    full = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+         for i in range(10)],
+        "dt string, k int, v double",
+    )
+    overwrite_day_partition(full, out)
+    # repair day 2 with corrected values (and fewer rows)
+    fixed = spark.createDataFrame(
+        [("2024-01-02", i, float(i) * 100) for i in range(5)],
+        "dt string, k int, v double",
+    )
+    overwrite_day_partition(fixed, out)
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("dt") != "2024-01-02").count() == 20  # untouched
+    d2 = {r.k: r.v for r in got.filter(F.col("dt") == "2024-01-02").collect()}
+    assert d2 == {i: float(i) * 100 for i in range(5)}
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") in ("static", "STATIC")

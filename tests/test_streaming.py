@@ -859,7 +859,7 @@ def test_incremental_bloom_equals_batch(spark, sf_dir, tmpdir):
         F.explode(llm_dedup.shingle_array("text", 8)).alias("gram"),
     )
     ref = grams.filter(F.col("doc_id") % 10 == 7).select("gram").distinct()
-    store = str(tmpdir.join("bloom_store"))
+    store = f"{tmpdir}/bloom_store"
     # three uneven batches
     for lo, hi in ((0, 60), (60, 61), (61, 10_000_000)):
         batch = ref.filter(
@@ -893,7 +893,7 @@ def test_foreach_batch_replay_is_idempotent(spark, tmpdir):
     rows, because the epoch partition is overwritten, not appended."""
     from gmall_spark.streaming.runner import idempotent_parquet_write
 
-    out = str(tmpdir.join("sink"))
+    out = f"{tmpdir}/idem_sink"
     write = idempotent_parquet_write(out)
     b0 = spark.range(0, 10).withColumnRenamed("id", "k")
     b1 = spark.range(10, 15).withColumnRenamed("id", "k")
@@ -916,7 +916,7 @@ def test_incremental_cms_equals_batch(spark, sf_dir, tmpdir):
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(F.explode(_toks(F.col("text"))).alias("tok"))
     )
-    store = str(tmpdir.join("cms_store"))
+    store = f"{tmpdir}/cms_store"
     for lo, hi in ((0, 40), (40, 41), (41, 100)):
         batch = toks.filter(
             (F.crc32("tok") % 100 >= lo) & (F.crc32("tok") % 100 < hi)
@@ -948,7 +948,7 @@ def test_incremental_ivf_index_equals_batch_and_prunes(spark, sf_dir, tmpdir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = ivf.train_centroids(emb)
-    store = str(tmpdir.join("ivf_store"))
+    store = f"{tmpdir}/ivf_store"
     for lo, hi in ((0, 200), (200, 350), (350, 10_000_000)):
         batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
         ii.process_batch(batch, centroids, store)
@@ -966,3 +966,41 @@ def test_incremental_ivf_index_equals_batch_and_prunes(spark, sf_dir, tmpdir):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(list_id" in plan, plan[:2000]
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, tmpdir):
+    """T10 beyond setting the option: a SECOND streaming query started
+    on the SAME checkpoint must resume from the recorded file-source
+    offsets — batch-1 files are not reprocessed (append-mode sink
+    would show duplicates if they were), batch-2 files are picked up."""
+    from gmall_spark.streaming import runner
+
+    import os
+
+    src = f"{tmpdir}/restart_src"
+    os.makedirs(src, exist_ok=True)
+    sink = f"{tmpdir}/restart_sink"
+    ckpt = f"{tmpdir}/restart_ckpt"
+    b1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+
+    def run_once():
+        stream = spark.readStream.schema("k bigint").option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(r.k for r in spark.read.parquet(sink).collect()) == list(range(10))
+    b2 = spark.range(10, 15).withColumnRenamed("id", "k")
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+    run_once()  # restart from the same checkpoint
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got == list(range(15)), got  # no b1 duplicates, b2 present
