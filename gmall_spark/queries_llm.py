@@ -1708,6 +1708,58 @@ def q_text_langid_confusion(spark, sf_dir):
     )
 
 
+WSAMPLE_K = 100
+
+
+@query(
+    "llm_weighted_sample",
+    rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, n_tokens,
+         round(pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0,
+                   1.0 / GREATEST(n_tokens, 1)), 6) AS es_key
+  FROM t
+)
+SELECT doc_id, source, n_tokens, es_key
+FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT {WSAMPLE_K}
+""",
+)
+def q_llm_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis 2006: key = u^(1/w), take the top-k keys)
+    with weight = BPE token count — the sampler a mixture builder
+    uses to draw token-proportional subsets. u is an md5-derived
+    rational (no rand(): the llm_train_val_test_split discipline), so
+    the draw is identical across engines/runs/shards; keys round to
+    6 dp with doc_id tiebreak before ranking (the ANN convention for
+    float-ordered selections). One per-row projection +
+    TakeOrderedAndProject — no shuffle beyond the scan fan-out."""
+    d = _docs(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(16777216.0)
+    n_tokens = TX.bpe_token_count(F.col("text"))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.greatest(n_tokens, F.lit(1)).cast("double")), 6
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+
+
 @query(
     "llm_doclen_quantiles",
     r"""
