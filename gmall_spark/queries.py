@@ -2569,6 +2569,7 @@ _PRIORITY = [
     "sql_tumble_event_counts",  # new (late r4): SQL-front-door TUMBLE
     "events_value_equidepth_hist",  # new (late r4): NTILE exact histogram
     "llm_weighted_sample",  # new (late r4): Efraimidis-Spirakis draw
+    "llm_doc_chunking",  # new (late r4): overlapping RAG/train chunks
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

@@ -1708,6 +1708,49 @@ def q_text_langid_confusion(spark, sf_dir):
     )
 
 
+CHUNK_N = 64  # tokens per chunk
+CHUNK_S = 48  # stride (25% overlap)
+
+
+@query(
+    "llm_doc_chunking",
+    rf"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+)
+SELECT doc_id, CAST(s // {CHUNK_S} AS BIGINT) AS chunk_idx,
+       array_to_string(w[s + 1 : s + {CHUNK_N}], ' ') AS chunk_text,
+       CAST(len(w[s + 1 : s + {CHUNK_N}]) AS BIGINT) AS chunk_tokens
+FROM ws, LATERAL unnest(range(0, greatest(len(w), 1), {CHUNK_S})) AS t(s)
+""",
+)
+def q_llm_doc_chunking(spark, sf_dir):
+    """Overlapping document chunking (64-token windows, stride 48 —
+    25% overlap): the splitter feeding a RAG embedder or a
+    fixed-context training tokenizer, the inverse companion of
+    sequence packing (X26 packs short docs together; this splits
+    long ones). Pure per-row HOF (transform over a stride sequence +
+    slices) and one explode — zero shuffles beyond the scan fan-out;
+    the chunk stream inherits the doc's partitioning, ready for
+    X27-style batch inference."""
+    d = _docs(spark, sf_dir)
+    chunks = F.expr(
+        f"""
+        transform(sequence(0, greatest(size(split(text, '\\\\s+')), 1) - 1, {CHUNK_S}),
+                  s -> struct(
+                    CAST(s div {CHUNK_S} AS BIGINT) AS chunk_idx,
+                    concat_ws(' ', slice(split(text, '\\\\s+'), s + 1, {CHUNK_N})) AS chunk_text,
+                    CAST(size(slice(split(text, '\\\\s+'), s + 1, {CHUNK_N})) AS BIGINT) AS chunk_tokens))
+        """
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+    )
+
+
 WSAMPLE_K = 100
 
 
