@@ -2211,6 +2211,61 @@ def q_events_value_equidepth_hist(spark, sf_dir):
 
 
 @query(
+    "events_value_outliers",
+    """
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+), st AS (
+  SELECT event_type, n, s1 / n AS mu,
+         sqrt((s2 - s1 * s1 / n) / n) AS sigma
+  FROM s
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - st.mu) / st.sigma, 6) AS z
+FROM events e JOIN st ON st.event_type = e.event_type
+WHERE abs(e.value - st.mu) > 3 * st.sigma
+""",
+)
+def q_events_value_outliers(spark, sf_dir):
+    """Rule-based anomaly detection (3-sigma per event type) with
+    DETERMINISTIC statistics: a naive stddev_samp aggregate is a
+    float sum whose value depends on shuffle order — instead mean and
+    sigma derive from EXACT decimal Σv and Σv² (shuffle-order-
+    independent), so the flag boundary and z-scores are bit-identical
+    across engines and runs. Shape: one map-side-combining aggregate
+    to a ≤|types|-row stats table, broadcast back into a per-row
+    filter — the monitoring pass that runs after every ingest."""
+    ev = _events(spark, sf_dir)
+    dv = F.col("value").cast("decimal(28,10)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dv).cast("double").alias("s1"),
+        F.sum(dv * dv).cast("double").alias("s2"),
+    )
+    st = s.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")).alias(
+            "sigma"
+        ),
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+    )
+
+
+@query(
     "sql_tumble_event_counts",
     """
 WITH x AS (
@@ -2570,6 +2625,7 @@ _PRIORITY = [
     "events_value_equidepth_hist",  # new (late r4): NTILE exact histogram
     "llm_weighted_sample",  # new (late r4): Efraimidis-Spirakis draw
     "llm_doc_chunking",  # new (late r4): overlapping RAG/train chunks
+    "events_value_outliers",  # new (late r4): deterministic 3-sigma flags
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",
