@@ -2227,7 +2227,7 @@ WITH s AS (
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - st.mu) / st.sigma, 6) AS z
 FROM events e JOIN st ON st.event_type = e.event_type
-WHERE abs(e.value - st.mu) > 3 * st.sigma
+WHERE st.sigma > 0 AND abs(e.value - st.mu) > 3 * st.sigma
 """,
 )
 def q_events_value_outliers(spark, sf_dir):
@@ -2255,7 +2255,12 @@ def q_events_value_outliers(spark, sf_dir):
     )
     return (
         ev.join(F.broadcast(st), "event_type")
-        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        # sigma == 0 (a constant-valued type) must flag NOTHING, not
+        # every row (|v - mu| > 0 would)
+        .filter(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        )
         .select(
             "event_id",
             "event_type",
