@@ -1004,3 +1004,47 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, tmpdir):
     run_once()  # restart from the same checkpoint
     got = sorted(r.k for r in spark.read.parquet(sink).collect())
     assert got == list(range(15)), got  # no b1 duplicates, b2 present
+
+
+def test_purge_doc_ids_removes_from_every_store(spark, sf_dir, tmpdir):
+    """Takedown propagation: after purging a doc involved in verified
+    pairs, NO store row references it (bands, shingles, or either
+    side of a pair), every other row survives, and re-probing the
+    purged store finds no pair with the deleted doc."""
+    from gmall_spark.streaming import incremental_dedup as idd
+    from gmall_spark.streaming.retention import purge_doc_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_dir = f"{tmpdir}/purge_store"
+    store = idd.ParquetStore(store_dir)
+    idd.process_batch(spark, docs, store, 0.8)
+    pairs = store.pairs(spark).collect()
+    assert pairs, "fixture corpus must contain near-dup pairs"
+    victim = int(pairs[0].doc_a)
+    before = {
+        "bands": store.bands(spark).count(),
+        "shingles": store.shingles(spark).count(),
+        "pairs": store.pairs(spark).count(),
+    }
+    removed = purge_doc_ids(
+        spark,
+        [victim],
+        {
+            f"{store_dir}/bands": ["doc_id"],
+            f"{store_dir}/shingles": ["doc_id"],
+            f"{store_dir}/pairs": ["doc_a", "doc_b"],
+        },
+    )
+    assert store.bands(spark).filter(F.col("doc_id") == victim).count() == 0
+    assert store.shingles(spark).filter(F.col("doc_id") == victim).count() == 0
+    assert (
+        store.pairs(spark)
+        .filter((F.col("doc_a") == victim) | (F.col("doc_b") == victim))
+        .count()
+        == 0
+    )
+    # only the victim's rows were removed
+    assert store.bands(spark).count() == before["bands"] - removed[f"{store_dir}/bands"]
+    assert removed[f"{store_dir}/bands"] > 0
+    assert removed[f"{store_dir}/pairs"] >= 1
+    assert store.pairs(spark).count() == before["pairs"] - removed[f"{store_dir}/pairs"]
