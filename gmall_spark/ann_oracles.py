@@ -328,14 +328,23 @@ FROM r{iterations}"""
     return head + body + tail
 
 
-def _pq_subspace_parts(m: int, n_codes: int, iters: int, dim: int) -> str:
+def _pq_subspace_parts(
+    m: int,
+    n_codes: int,
+    iters: int,
+    dim: int,
+    pool: str = "pool",
+    corpus: str = "uv",
+) -> str:
     """Per-sub-space unrolled k-means + encoding + reconstruction
     CTEs (``pool{j}``/``c{j}_{i}``/``enc{j}``/``recon``), appended
     after any prefix that already defines ``uv`` (normalized corpus)
     and ``pool`` (md5-ordered sample) — both the standalone PQ prefix
     and ``_kmeans_ctes`` (whose names c0/a1/m1 don't collide with the
     sub-space's c0_0/a0_1/m0_1) qualify, which is what lets IVF-PQ
-    share one oracle prefix."""
+    share one oracle prefix. ``pool``/``corpus`` rebind the training
+    sample / encoded relation — the residual variant points them at
+    residual CTEs (same (h, u) / (vec_id, u) shape)."""
     sub = dim // m
     score = "list_dot_product({s}, c.cv) - list_dot_product(c.cv, c.cv) / 2"
     parts = []
@@ -343,7 +352,7 @@ def _pq_subspace_parts(m: int, n_codes: int, iters: int, dim: int) -> str:
         lo, hi = j * sub + 1, (j + 1) * sub
         parts.append(
             f""", pool{j} AS (
-  SELECT h, u[{lo}:{hi}] AS s FROM pool
+  SELECT h, u[{lo}:{hi}] AS s FROM {pool}
 ), c{j}_0 AS (
   SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cid, s AS cv
   FROM (SELECT h, s FROM pool{j} ORDER BY h LIMIT {n_codes})
@@ -375,7 +384,7 @@ def _pq_subspace_parts(m: int, n_codes: int, iters: int, dim: int) -> str:
     SELECT u.vec_id, c.cid,
            row_number() OVER (PARTITION BY u.vec_id
                               ORDER BY {score.format(s=f'u.u[{lo}:{hi}]')} DESC, c.cid ASC) AS rn
-    FROM uv u CROSS JOIN c{j}_{iters} c
+    FROM {corpus} u CROSS JOIN c{j}_{iters} c
   ) WHERE rn = 1
 )"""
         )
@@ -476,6 +485,80 @@ def ivfpq_topk_oracle(
   FROM probes p
   JOIN idx i ON i.list_id = p.list_id
   JOIN recon r ON r.vec_id = i.vec_id
+  JOIN qn q ON q.query_id = p.query_id
+  WHERE i.vec_id <> p.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_sim DESC, neighbor_id ASC) AS crank
+    FROM approx
+  ) WHERE crank <= {refine * k}
+)
+{_cosine_topk_tail(k)}"""
+    )
+
+
+def ivfpq_residual_topk_oracle(
+    n_lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+    coarse_iters: int = IVF_ITERS,
+    m: int = 8,
+    n_codes: int = 256,
+    pq_iters: int = 2,
+    sample: int = IVF_SAMPLE,
+    dim: int = EMBED_DIM,
+    k: int = 10,
+    refine: int = 4,
+    query_max_id: int = 5,
+) -> str:
+    """DuckDB twin of ``pq.ivfpq_topk(by_residual=True)`` — the faiss
+    DEFAULT: codebooks quantize the RESIDUAL u − c_coarse(u) (far
+    lower variance than raw directions, so the same code budget
+    reconstructs tighter), and dq = c_coarse + residual-reconstruction.
+    Structure: the shared coarse k-means, residual CTEs for the
+    sample (``pool_r``) and the corpus (``uv_r``) using the SAME
+    assignment rule, the shared sub-space parts rebound onto them,
+    and a ``recon_full`` that re-adds the coarse centroid before ADC."""
+    ci = f"c{coarse_iters}"
+    score = "list_dot_product(p.u, c.cv) - list_dot_product(c.cv, c.cv) / 2"
+    residual_ctes = f""", pool_assign AS (
+  SELECT p.h, p.u, c.list_id,
+         row_number() OVER (PARTITION BY p.h
+                            ORDER BY {score} DESC, c.list_id ASC) AS rn
+  FROM pool p CROSS JOIN {ci} c
+), pool_r AS (
+  SELECT a.h,
+         list_transform(range(1, {dim + 1}), (i) -> a.u[i] - c.cv[i]) AS u
+  FROM pool_assign a JOIN {ci} c ON c.list_id = a.list_id WHERE a.rn = 1
+), uv_r AS (
+  SELECT u.vec_id,
+         list_transform(range(1, {dim + 1}), (i) -> u.u[i] - c.cv[i]) AS u
+  FROM uv u JOIN idx x ON x.vec_id = u.vec_id
+  JOIN {ci} c ON c.list_id = x.list_id
+)"""
+    recon_full = f""", recon_full AS (
+  SELECT r.vec_id,
+         list_transform(range(1, {dim + 1}), (i) -> r.dq[i] + c.cv[i]) AS dq
+  FROM recon r JOIN idx x ON x.vec_id = r.vec_id
+  JOIN {ci} c ON c.list_id = x.list_id
+)"""
+    return (
+        _kmeans_ctes(n_lists, coarse_iters, sample, dim)
+        + residual_ctes
+        + _pq_subspace_parts(m, n_codes, pq_iters, dim, pool="pool_r", corpus="uv_r")
+        + recon_full
+        + f""", probes AS (
+  SELECT vec_id AS query_id, list_id
+  FROM idx_rn WHERE vec_id < {query_max_id} AND rn <= {nprobe}
+), qn AS (
+  SELECT vec_id AS query_id, u FROM uv WHERE vec_id < {query_max_id}
+), approx AS (
+  SELECT p.query_id, i.vec_id AS neighbor_id,
+         round(list_dot_product(q.u, r.dq), 6) AS approx_sim
+  FROM probes p
+  JOIN idx i ON i.list_id = p.list_id
+  JOIN recon_full r ON r.vec_id = i.vec_id
   JOIN qn q ON q.query_id = p.query_id
   WHERE i.vec_id <> p.query_id
 ), cand AS (

@@ -240,16 +240,21 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     books: list[list[list[float]]] | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
-    """faiss-IVFPQ (by_residual=false): the IVF coarse quantizer
-    prunes candidates to ``nprobe`` inverted lists, the PQ codes
-    supply the ADC approximate scores over ONLY those candidates,
-    exact rescore of the top refine·k finishes. This is the full
-    100 TB ANN architecture: the scan touches nprobe/n_lists of the
-    corpus and reads m bytes/vector of it; training of BOTH
-    quantizers is constant-bounded (the shared md5 sample). Schema
-    matches the other ANN tiers: (query_id, neighbor_id, rank,
-    cos_sim)."""
+    """faiss-IVFPQ: the IVF coarse quantizer prunes candidates to
+    ``nprobe`` inverted lists, the PQ codes supply the ADC
+    approximate scores over ONLY those candidates, exact rescore of
+    the top refine·k finishes. This is the full 100 TB ANN
+    architecture: the scan touches nprobe/n_lists of the corpus and
+    reads m bytes/vector of it; training of BOTH quantizers is
+    constant-bounded (the shared md5 sample).
+    ``by_residual=True`` (the faiss default) trains the codebooks on
+    and encodes u − c_coarse(u) instead of the raw direction —
+    residuals have far lower variance, so the same code budget
+    reconstructs tighter; dq = c_coarse + residual reconstruction.
+    Schema matches the other ANN tiers: (query_id, neighbor_id,
+    rank, cos_sim)."""
     from gmall_spark.operators import ivf
 
     dim = dim or infer_dim(embeddings, vec_col)
@@ -259,12 +264,20 @@ def ivfpq_topk(
             embeddings, id_col=id_col, vec_col=vec_col
         )
     if books is None:
-        books = train_codebooks(
-            embeddings, dim, m, n_codes, iters, sample, id_col, vec_col
-        )
+        if by_residual:
+            books = train_codebooks_residual(
+                embeddings, centroids, dim, m, n_codes, iters, sample, id_col, vec_col
+            )
+        else:
+            books = train_codebooks(
+                embeddings, dim, m, n_codes, iters, sample, id_col, vec_col
+            )
+    recon = (
+        _recon_residual_udf(books, centroids) if by_residual else _recon_udf(books)
+    )
     index = ivf.build_index(embeddings, centroids, id_col, vec_col)
     coded = index.select(
-        "vec_id", "list_id", _recon_udf(books)(F.col("embedding")).alias("dq")
+        "vec_id", "list_id", recon(F.col("embedding")).alias("dq")
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
@@ -314,3 +327,95 @@ def ivfpq_topk(
             "cos_sim",
         )
     )
+
+
+def _coarse_assign(centroids: list[list[float]], v: np.ndarray) -> np.ndarray:
+    """Nearest coarse list per unit row — the _nearest_lists_udf rule
+    (argmax of u·c − |c|²/2, first max == lower list id)."""
+    c = np.array(centroids, dtype=np.float64)
+    score = v @ c.T - (c * c).sum(axis=1) / 2.0
+    return np.argmax(score, axis=1)
+
+
+def train_codebooks_residual(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    sample: int = PQ_SAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Codebooks over RESIDUALS u − c_coarse(u) (faiss by_residual):
+    the same md5-ordered sample, coarse-assigned with the index's own
+    rule, residual-subtracted, then the per-sub-space Lloyd loop of
+    :func:`train_codebooks` verbatim. Residuals have far lower
+    variance than raw directions, so the same code budget
+    reconstructs tighter."""
+    assert dim % m == 0
+    sub = dim // m
+    rows = (
+        embeddings.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            _unit(F.col(vec_col)).alias("__v"),
+        )
+        .orderBy("__h")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train residual codebooks on an empty corpus")
+    u = np.array([list(map(float, r["__v"])) for r in rows], dtype=np.float64)
+    cents = np.array(centroids, dtype=np.float64)
+    resid = u - cents[_coarse_assign(centroids, u)]
+    k = min(k, len(rows))
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        s = resid[:, j * sub : (j + 1) * sub]
+        cb = s[:k].copy()
+        for _ in range(iters):
+            score = s @ cb.T - (cb * cb).sum(axis=1) / 2.0
+            assign = np.argmax(score, axis=1)
+            nxt = cb.copy()
+            for c in range(k):
+                members = s[assign == c]
+                if len(members):
+                    nxt[c] = members.mean(axis=0)
+            cb = nxt
+        books.append([list(map(float, c)) for c in cb])
+    return books
+
+
+def _recon_residual_udf(
+    books: list[list[list[float]]], centroids: list[list[float]]
+):
+    """Arrow-batched residual encode-and-reconstruct:
+    dq = c_coarse + concat(cb_j[code_j(residual)]) — the faiss
+    by_residual decode, vectorized like :func:`_recon_udf`."""
+    mats = [np.array(b, dtype=np.float64) for b in books]
+    cents = np.array(centroids, dtype=np.float64)
+    halves = [(c * c).sum(axis=1) / 2.0 for c in mats]
+    sub = mats[0].shape[1]
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _recon(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.sqrt((v * v).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        v = v / norms
+        assign = _coarse_assign([list(c) for c in cents], v)
+        resid = v - cents[assign]
+        codes = np.empty((len(v), len(mats)), dtype=np.int64)
+        for j, (c, h) in enumerate(zip(mats, halves)):
+            score = resid[:, j * sub : (j + 1) * sub] @ c.T - h
+            codes[:, j] = np.argmax(score, axis=1)
+        dq = cents[assign] + np.concatenate(
+            [mats[j][codes[:, j]] for j in range(len(mats))], axis=1
+        )
+        return pd.Series([row for row in dq])
+
+    return _recon

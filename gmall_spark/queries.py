@@ -105,6 +105,7 @@ def clear_cache() -> None:
     queries_llm._DEDUP_GROUPS.clear()
     queries_llm._PQ_BOOKS.clear()
     queries_llm._SQ_STATS.clear()
+    queries_llm._PQ_RESIDUAL_BOOKS.clear()
     # scan-fanout decisions are keyed by file paths; the driver
     # regenerates testdata at the same paths between rounds (ADVICE r3)
     session._SCAN_DECISIONS.clear()
@@ -2631,6 +2632,7 @@ _PRIORITY = [
     "llm_weighted_sample",  # new (late r4): Efraimidis-Spirakis draw
     "llm_doc_chunking",  # new (late r4): overlapping RAG/train chunks
     "events_value_outliers",  # new (late r4): deterministic 3-sigma flags
+    "similarity_ivfpq_residual_topk",  # new (late r4): faiss by_residual default
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

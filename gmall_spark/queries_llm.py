@@ -818,6 +818,45 @@ def q_similarity_ivfpq_topk(spark, sf_dir):
     )
 
 
+_PQ_RESIDUAL_BOOKS: dict[tuple[str, str], list] = {}
+
+
+from gmall_spark.ann_oracles import ivfpq_residual_topk_oracle  # noqa: E402
+
+
+@query("similarity_ivfpq_residual_topk", ivfpq_residual_topk_oracle())
+def q_similarity_ivfpq_residual_topk(spark, sf_dir):
+    """faiss-IVFPQ with by_residual=true — the faiss DEFAULT: the
+    codebooks quantize u − c_coarse(u) and dq re-adds the coarse
+    centroid before ADC. Residual variance = WITHIN-cluster variance,
+    so the same code budget reconstructs tighter exactly when the
+    coarse clusters concentrate — decisively on clustered corpora
+    (planted-cluster MSE test), ≈ parity on this near-isotropic
+    fixture (both variants sit on the IVF recall ceiling either way;
+    tests/test_llm_ops.py gates both facts). Same pruning/scan
+    economics as similarity_ivfpq_topk; the oracle rebinds the shared
+    per-sub-space k-means CTEs onto residual sample/corpus relations
+    and re-adds the centroid in recon_full."""
+    from gmall_spark.operators import pq
+
+    emb = _emb(spark, sf_dir)
+    cents = _trained_centroids(spark, sf_dir)
+    key = (_session_token(spark), sf_dir)
+    if key not in _PQ_RESIDUAL_BOOKS:
+        _PQ_RESIDUAL_BOOKS[key] = pq.train_codebooks_residual(
+            emb, cents, _oracle_dim_check(spark, sf_dir)
+        )
+    return pq.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        dim=_oracle_dim_check(spark, sf_dir),
+        centroids=cents,
+        books=_PQ_RESIDUAL_BOOKS[key],
+        by_residual=True,
+    )
+
+
 DECONTAM_THRESHOLD = 0.7
 
 # Deterministic benchmark stand-in: every 20th doc plays the held-out

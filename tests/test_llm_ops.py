@@ -606,3 +606,88 @@ def test_cms_overestimates_only_and_is_exact_when_wide(spark):
     est = {r.tok: r.est_ct for r in tiny}
     assert all(est[t] >= c for t, c in truth.items()), est
     assert sum(est.values()) > sum(truth.values())  # saturation overcounts
+
+
+def test_residual_pq_reconstructs_tighter_on_clustered_data(spark):
+    """by_residual's claim is RECONSTRUCTION on CLUSTERED corpora
+    (residual variance = within-cluster variance, which is small only
+    when the coarse clusters concentrate — on the near-isotropic
+    driver fixture residual ≈ plain, which is why this test plants a
+    genuinely clustered corpus): mean ||u − dq||² must be clearly
+    lower when codebooks quantize residuals. Coarse codebook size is
+    dropped to 16 so neither variant can simply memorize the sample."""
+    import numpy as np
+
+    from gmall_spark.operators import ivf, pq
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, 30, axis=0) + 0.05 * rng.normal(size=(480, 64))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = ivf.train_centroids(emb)
+    plain_books = pq.train_codebooks(emb, 64, k=16)
+    resid_books = pq.train_codebooks_residual(emb, cents, 64, k=16)
+    plain = {
+        r.vec_id: r.dq
+        for r in emb.select(
+            "vec_id", pq._recon_udf(plain_books)(F.col("embedding")).alias("dq")
+        ).collect()
+    }
+    resid = {
+        r.vec_id: r.dq
+        for r in emb.select(
+            "vec_id",
+            pq._recon_residual_udf(resid_books, cents)(F.col("embedding")).alias("dq"),
+        ).collect()
+    }
+    rows = emb.collect()
+
+    def mse(recon):
+        errs = []
+        for r in rows:
+            v = np.array([float(x) for x in r.embedding])
+            n = np.linalg.norm(v)
+            u = v / n if n > 0 else v
+            errs.append(float(((u - np.array(recon[r.vec_id])) ** 2).sum()))
+        return sum(errs) / len(errs)
+
+    plain_mse, resid_mse = mse(plain), mse(resid)
+    assert resid_mse < 0.8 * plain_mse, (resid_mse, plain_mse)
+
+
+def test_residual_ivfpq_keeps_recall_on_fixture(spark, sf_dir):
+    """On the driver fixture the residual variant must still recover
+    what the IVF probes contain — recall ≥ 0.9× plain IVF's."""
+    from gmall_spark.operators import ivf, pq
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf.train_centroids(emb)
+    resid_books = pq.train_codebooks_residual(
+        emb, cents, similarity.infer_dim(emb)
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(emb, queries, k=10).collect()
+    bf_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def _avg(rows_):
+        s: dict = {}
+        for r in rows_:
+            s.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rec = [
+            len(bf_sets[q] & s.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+        ]
+        return sum(rec) / len(rec)
+
+    ivf_avg = _avg(ivf.ivf_topk(emb, queries, k=10, centroids=cents).collect())
+    res_avg = _avg(
+        pq.ivfpq_topk(
+            emb, queries, k=10, centroids=cents, books=resid_books, by_residual=True
+        ).collect()
+    )
+    assert res_avg >= 0.9 * ivf_avg, (res_avg, ivf_avg)
