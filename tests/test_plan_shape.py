@@ -132,6 +132,7 @@ BUDGETS = [
     # (rank<=k WindowGroupLimit heaps); queries + candidates broadcast
     ("similarity_pq_topk", 5, 3),
     ("similarity_ivfpq_topk", 5, 3),
+    ("similarity_ivfpq_residual_topk", 5, 3),
     # RRF fusion: both arms' aggregates/windows + the 20∪20-row
     # full-outer fusion join + TakeOrdered; stats + queries broadcast
     ("hybrid_rrf_fusion", 8, 2),
