@@ -2313,6 +2313,101 @@ def q_sql_tumble_event_counts(spark, sf_dir):
 
 
 @query(
+    "returned_item_customers",
+    """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 returned-item-reporting twin: which customers
+    returned the most revenue last half-year. Scale shape: date
+    filter pushed to the orders scan, returnflag filter pushed to
+    lineitem, nation broadcast; orders⋈lineitem shuffles on orderkey,
+    customer⋈ left to AQE (not broadcastable at 100 TB); TakeOrdered
+    top-20. DECIMAL-exact revenue with custkey tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS total_revenue,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 6) AS promo_pct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY strftime(o_orderdate, '%Y-%m')
+""",
+)
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 promotion-effect twin, widened to a per-month
+    report: share of revenue from PROMO parts. Conditional decimal
+    sums inside one hash aggregate (the A11 conditional-sum pattern
+    on the TPC-H side); part is the broadcast dim; the percentage
+    divides two exact decimal sums as doubles at the very end."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    rev = price * (F.lit(1) - disc)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    g = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return g.select(
+        "month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+@query(
     "customers_retained_9697",
     """
 SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
@@ -2633,6 +2728,8 @@ _PRIORITY = [
     "llm_doc_chunking",  # new (late r4): overlapping RAG/train chunks
     "events_value_outliers",  # new (late r4): deterministic 3-sigma flags
     "similarity_ivfpq_residual_topk",  # new (late r4): faiss by_residual default
+    "returned_item_customers",  # new (late r4): TPC-H Q10 twin
+    "promo_revenue_share",  # new (late r4): TPC-H Q14 twin
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

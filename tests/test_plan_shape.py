@@ -148,6 +148,12 @@ BUDGETS = [
     ("events_per_user_sample", 2, 0),
     # fuzzy dedup: scan fan-out + the block-key self-join exchange
     ("dedup_fuzzy_titles", 2, 1),
+    # TPC-H Q10 twin: lineitem fan-out + orderkey join + revenue agg;
+    # nation (+ filtered sides at test SF) broadcast; TakeOrdered
+    ("returned_item_customers", 4, 1),
+    # TPC-H Q14 twin: lineitem fan-out + orderkey join + month agg;
+    # part broadcast
+    ("promo_revenue_share", 3, 1),
 ]
 
 
