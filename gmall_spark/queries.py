@@ -2408,6 +2408,152 @@ def q_promo_revenue_share(spark, sf_dir):
 
 
 @query(
+    "order_priority_checking",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q_order_priority_checking(spark, sf_dir):
+    """TPC-H Q4 order-priority-checking twin: correlated EXISTS —
+    Spark plans it as a LEFT SEMI join on orderkey with the
+    l_shipdate > o_orderdate residual condition, so no row
+    multiplication from multi-line orders; date filter pushed to the
+    orders scan; ≤5-row final agg."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 10
+""",
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue-change twin: the purest
+    pushdown test — three range predicates all reach the parquet
+    scan (PushedFilters), ONE map-side-combining global agg, a
+    single row crosses the wire. DECIMAL-exact product sum."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 10)
+    )
+    return l.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * F.col("l_discount").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "shipmode_priority_counts",
+    """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q_shipmode_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shipping-modes twin (l_linestatus stands in for the
+    generator's missing l_shipmode): conditional counts by priority
+    class inside ONE hash aggregate after the orderkey join — the
+    A11 conditional-sum pattern over a join."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "large_volume_customers",
+    """
+SELECT c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150
+) q
+JOIN orders ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 20
+""",
+)
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 large-volume-customer twin: HAVING over a grouped
+    sum feeding a join — the qualified aggregate runs FIRST (one
+    map-side-combining agg + the HAVING filter, shrinking the join
+    input to only big orders), then orderkey/custkey joins and
+    TakeOrdered top-20. Exact decimal quantity sum; cast to double
+    only at output."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__qty"))
+        .filter(F.col("__qty") > 150)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@query(
     "customers_retained_9697",
     """
 SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
@@ -2730,6 +2876,10 @@ _PRIORITY = [
     "similarity_ivfpq_residual_topk",  # new (late r4): faiss by_residual default
     "returned_item_customers",  # new (late r4): TPC-H Q10 twin
     "promo_revenue_share",  # new (late r4): TPC-H Q14 twin
+    "order_priority_checking",  # new (late r4): TPC-H Q4 twin (EXISTS)
+    "forecast_revenue_change",  # new (late r4): TPC-H Q6 twin (pushdown)
+    "shipmode_priority_counts",  # new (late r4): TPC-H Q12 twin
+    "large_volume_customers",  # new (late r4): TPC-H Q18 twin (HAVING)
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",

@@ -154,6 +154,16 @@ BUDGETS = [
     # TPC-H Q14 twin: lineitem fan-out + orderkey join + month agg;
     # part broadcast
     ("promo_revenue_share", 3, 1),
+    # TPC-H Q4 twin: left-semi on orderkey (no row multiplication)
+    # + the <=5-row priority agg
+    ("order_priority_checking", 3, 1),
+    # TPC-H Q6 twin: pure pushdown scan + ONE global agg, 1 row out
+    ("forecast_revenue_change", 2, 0),
+    # TPC-H Q12 twin: orderkey join + conditional-count agg
+    ("shipmode_priority_counts", 3, 1),
+    # TPC-H Q18 twin: qualified agg FIRST (shrinks the join input),
+    # then orderkey/custkey joins + TakeOrdered
+    ("large_volume_customers", 4, 1),
 ]
 
 
