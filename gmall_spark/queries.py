@@ -2554,6 +2554,72 @@ def q_large_volume_customers(spark, sf_dir):
 
 
 @query(
+    "events_column_stats",
+    """
+SELECT CAST(count(*) AS BIGINT) AS row_ct,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_user,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS ndv_type,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+       CAST(min(user_id) AS BIGINT) AS min_user,
+       CAST(max(user_id) AS BIGINT) AS max_user,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+""",
+)
+def q_events_column_stats(spark, sf_dir):
+    """ANALYZE TABLE twin: the column-statistics pass (row count,
+    exact NDVs, null counts, min/max) a cost-based optimizer or data
+    catalog collects per ingest. Spark computes the multiple
+    count_distincts in one aggregate via Expand (one shuffle, one
+    scan); at 100 TB the exact NDVs swap for the HLL sketches of X40
+    under the same output contract."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("row_ct"),
+        F.count_distinct("user_id").cast("bigint").alias("ndv_user"),
+        F.count_distinct("event_type").cast("bigint").alias("ndv_type"),
+        F.sum(F.col("props").isNull().cast("int")).cast("bigint").alias("null_props"),
+        F.min("user_id").cast("bigint").alias("min_user"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@query(
+    "events_key_skew_report",
+    """
+WITH pk AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS row_ct FROM events GROUP BY user_id
+), tot AS (SELECT CAST(sum(row_ct) AS DOUBLE) AS total FROM pk)
+SELECT user_id, row_ct,
+       round(row_ct / total, 6) AS share
+FROM pk, tot
+ORDER BY row_ct DESC, user_id ASC LIMIT 10
+""",
+)
+def q_events_key_skew_report(spark, sf_dir):
+    """Partition-key skew diagnostic: the top-10 heaviest keys and
+    their row share — the report that decides whether a join needs
+    the X60 salt or AQE skew handling. One hash agg + a single-row
+    total broadcast + TakeOrdered."""
+    ev = _events(spark, sf_dir)
+    pk = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("row_ct"))
+    tot = pk.agg(F.sum("row_ct").cast("double").alias("total"))
+    return (
+        pk.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "row_ct",
+            F.round(F.col("row_ct") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("row_ct").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+@query(
     "customers_retained_9697",
     """
 SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
@@ -2880,6 +2946,8 @@ _PRIORITY = [
     "forecast_revenue_change",  # new (late r4): TPC-H Q6 twin (pushdown)
     "shipmode_priority_counts",  # new (late r4): TPC-H Q12 twin
     "large_volume_customers",  # new (late r4): TPC-H Q18 twin (HAVING)
+    "events_column_stats",  # new (late r4): ANALYZE-twin column stats
+    "events_key_skew_report",  # new (late r4): skew diagnostic
     # (rows-only sketch checks: accuracy test-gated locally)
     "events_uv_sketch_daily",
     "events_value_quantiles_approx",
