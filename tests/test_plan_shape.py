@@ -164,6 +164,11 @@ BUDGETS = [
     # TPC-H Q18 twin: qualified agg FIRST (shrinks the join input),
     # then orderkey/custkey joins + TakeOrdered
     ("large_volume_customers", 4, 1),
+    # ANALYZE twin: scan fan-out + the Expand-based multi-NDV agg
+    ("events_column_stats", 3, 0),
+    # skew report: per-key agg + single-row total broadcast +
+    # TakeOrdered (the agg reuses the keyed exchange twice)
+    ("events_key_skew_report", 5, 1),
 ]
 
 
