@@ -121,6 +121,18 @@ def main() -> None:
 
     # total stays the honest wall clock: fixture derivation + queries
     total = round(sum(timings.values()) + sum(materialize.values()), 3)
+    # Per-run audit times go to stderr + a side file, NOT the stdout
+    # JSON: the r4 record was unparseable because the "runs" field
+    # pushed the line past the driver's tail capture. The final stdout
+    # line must be the compact headline JSON alone.
+    print(f"# runs: {json.dumps(all_runs)}", file=sys.stderr)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json"), "w"
+        ) as f:
+            json.dump({"runs": all_runs, "materialize": materialize}, f)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -128,7 +140,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": all_runs,
                 "materialize": materialize,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -24,17 +24,44 @@ which only matters if a hyperplane projection or a centroid argmax
 sits within ~1e-12 of a tie — vanishingly unlikely on real-valued
 embeddings and hash-checked green at the driver's scale factors.
 
-The embedding width is baked at generation time (the driver's
-testdata is 64-wide at every SF); regenerate with ``dim=`` for other
-corpora.
+The embedding width is PROBED from the driver's testdata at import
+(one-row pyarrow read of ``embeddings.parquet``), so a regenerated
+corpus at another width transparently regenerates matching oracle
+SQL; 64 (the historical width) is only the no-testdata fallback.
+``queries_llm._oracle_dim_check`` still fail-fasts if a specific
+``sf_dir``'s width disagrees with the probed global.
 """
 
 from __future__ import annotations
 
+import glob
+import os
+
 from gmall_spark.operators.ivf import IVF_ITERS, IVF_LISTS, IVF_NPROBE, IVF_SAMPLE
 from gmall_spark.operators.similarity import ANN_PLANES, ANN_TABLES, _plane_coefs
 
-EMBED_DIM = 64  # driver testdata width (all SFs)
+
+def probe_embed_dim(root: str | None = None) -> int:
+    """Embedding width from the first readable
+    ``<root>/sf*/embeddings.parquet`` (single-row batch read — no
+    full-column materialization). Falls back to 64 when no testdata
+    is reachable (e.g. docs builds outside the driver sandbox)."""
+    import pyarrow.parquet as _pq
+
+    root = root or os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    candidates = sorted(glob.glob(os.path.join(root, "sf*", "embeddings.parquet")))
+    for path in candidates:
+        try:
+            pf = _pq.ParquetFile(path)
+            batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+            if batch.num_rows:
+                return len(batch.column("embedding")[0].as_py())
+        except Exception:  # unreadable / empty file: try the next SF
+            continue
+    return 64
+
+
+EMBED_DIM = probe_embed_dim()
 
 
 def _cosine_topk_tail(k: int) -> str:

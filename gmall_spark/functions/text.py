@@ -32,6 +32,60 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+# Keyword-segmentation run extractor: a run is either a maximal CJK
+# span or a maximal non-CJK non-whitespace span. Literal CJK chars so
+# the identical pattern compiles under Java regex (Spark) and RE2
+# (DuckDB oracle).
+SEGMENT_RUNS = "[一-鿿]+|[^一-鿿\\s]+"
+
+
+def segment_keywords(text: Column) -> Column:
+    """Tokenize a search phrase with a deterministic CJK fallback
+    (array<string>, SURVEY F1).
+
+    The reference runs the IK Chinese analyzer
+    (gmall-realtime/.../app/func/SplitFunction.java:12-28,
+    utils/KeywordUtil.java:13-34) because search keywords are Chinese;
+    byte-parity with its dictionary is a declared non-goal (SURVEY
+    §7.3), but splitting on ``\\s+`` alone emits a whole Chinese
+    phrase as one token. Deterministic replacement, pure JVM exprs:
+
+    - lower-case, extract runs: maximal CJK spans / maximal non-CJK
+      non-space spans (ASCII behavior identical to ``split('\\s+')``);
+    - non-CJK runs pass through whole;
+    - CJK runs emit overlapping character bigrams (the classic CJK
+      bigram indexing fallback), single char when the run is length 1.
+
+    Everything stays inside whole-stage codegen: regexp_extract_all +
+    transform/sequence/flatten, no Python UDF.
+    """
+    runs = F.regexp_extract_all(F.lower(text), F.lit(SEGMENT_RUNS), 0)
+    return F.flatten(F.transform(runs, _segment_run))
+
+
+def _segment_run(r: Column) -> Column:
+    """One run -> array of tokens (see segment_keywords)."""
+    is_cjk = r.rlike("^[一-鿿]")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length(r) - 1), lambda i: r.substr(i, F.lit(2))
+    )
+    return F.when(
+        is_cjk, F.when(F.length(r) == 1, F.array(r)).otherwise(bigrams)
+    ).otherwise(F.array(r))
+
+
+def segment_keywords_oracle(expr: str) -> str:
+    """DuckDB twin of :func:`segment_keywords` as a SQL fragment
+    evaluating to LIST(VARCHAR) over ``expr``."""
+    return (
+        f"flatten(list_transform(regexp_extract_all(lower({expr}), '{SEGMENT_RUNS}'), "
+        "r -> CASE WHEN regexp_matches(r, '^[一-鿿]') THEN "
+        "  CASE WHEN length(r) = 1 THEN [r] "
+        "       ELSE list_transform(range(1, length(r)), i -> r[i:i+1]) END "
+        "ELSE [r] END))"
+    )
+
+
 def words(text: Column) -> Column:
     """Whitespace tokens (array<string>)."""
     return F.split(text, r"\s+")

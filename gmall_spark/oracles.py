@@ -63,6 +63,14 @@ WITH ev AS (
 )
 """
 
+def segment_keywords_sql(expr: str) -> str:
+    """DuckDB twin of functions.text.segment_keywords (CJK-aware
+    keyword tokenizer, SURVEY F1)."""
+    from gmall_spark.functions.text import segment_keywords_oracle
+
+    return segment_keywords_oracle(expr)
+
+
 # window-start helpers over micro timestamps
 def tumble_stt(ts_us: str = "ts_us", seconds: int = 10) -> str:
     us = seconds * 1_000_000

@@ -188,16 +188,21 @@ def dws_traffic_source_keyword_page_view_window(page_log: DataFrame) -> DataFram
 
     Ref DwsTrafficSourceKeywordPageViewWindow.java:48-88 — the IK
     Chinese tokenizer UDTF (SplitFunction.java:12-28, SURVEY F1)
-    becomes a built-in lower/split/explode (JVM-side, no Python UDF;
-    tokenization is pluggable per SURVEY §7.3).
+    becomes :func:`gmall_spark.functions.text.segment_keywords`:
+    non-CJK runs whole (identical to the old ``split('\\s+')`` on
+    ASCII input), CJK runs as deterministic character bigrams — all
+    JVM exprs inside codegen, no Python UDF; dictionary byte-parity
+    with IK is a declared non-goal (SURVEY §7.3).
     """
+    from gmall_spark.functions.text import segment_keywords
+
     searches = page_log.filter(
         (F.col("item_type") == "keyword")
         & (F.col("last_page_id") == "search")
         & F.col("item").isNotNull()
     )
     words = searches.select(
-        F.explode(F.split(F.lower(F.col("item")), "\\s+")).alias("keyword"),
+        F.explode(segment_keywords(F.col("item"))).alias("keyword"),
         F.timestamp_micros(F.col("ts_us")).alias("rt"),
     ).filter(F.length("keyword") > 0)
     return tumble_agg(

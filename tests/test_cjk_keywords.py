@@ -1,0 +1,103 @@
+"""CJK keyword segmentation for the F1 tokenizer surface (VERDICT r4
+item 4): the reference runs the IK Chinese analyzer
+(SplitFunction.java:12-28 / KeywordUtil.java:13-34); our deterministic
+fallback emits non-CJK runs whole and CJK runs as character bigrams —
+pure JVM exprs, with an exact DuckDB twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_spark.functions.text import segment_keywords, segment_keywords_oracle
+from gmall_spark.plans import traffic
+
+PHRASES = [
+    "尚硅谷大数据Flink实时数仓项目",  # the reference's own demo phrase
+    "hello world",
+    "大数据 spark 实时",
+    "中",  # single CJK char: emitted as-is
+    "flink实时",  # mixed run boundary
+    "APPLE iphone 13",  # case folding
+    "数据仓库\t架构",  # CJK runs split by non-space whitespace
+]
+
+
+def test_segmentation_matches_duckdb_twin(spark):
+    got = (
+        spark.createDataFrame([(p,) for p in PHRASES], ["s"])
+        .select("s", segment_keywords(F.col("s")).alias("toks"))
+        .collect()
+    )
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT s, "
+            + segment_keywords_oracle("s")
+            + " FROM (SELECT unnest(?) AS s)",
+            [PHRASES],
+        ).fetchall()
+    )
+    con.close()
+    for r in got:
+        assert r.toks == want[r.s], r.s
+
+
+def test_ascii_behavior_unchanged(spark):
+    """On whitespace-separated ASCII the tokenizer must equal the old
+    split('\\s+') (minus empties) — existing driver-green hashes on
+    the ASCII fixture depend on it."""
+    rows = (
+        spark.createDataFrame(
+            [("alpha beta  gamma",), ("one\ttwo",), ("Solo",)], ["s"]
+        )
+        .select(segment_keywords(F.col("s")).alias("toks"))
+        .collect()
+    )
+    assert [r.toks for r in rows] == [
+        ["alpha", "beta", "gamma"],
+        ["one", "two"],
+        ["solo"],
+    ]
+
+
+@pytest.fixture()
+def cjk_page_log(spark):
+    """page_log-shaped fixture with planted Chinese searches."""
+    rows = [
+        # (item_type, last_page_id, item, ts_us)
+        ("keyword", "search", "尚硅谷大数据", 1_000_000),
+        ("keyword", "search", "大数据 flink", 4_000_000),
+        ("keyword", "search", "hello", 11_000_000),
+        ("keyword", "search", "大数据", 12_000_000),
+        ("keyword", "home", "大数据", 13_000_000),  # filtered: wrong page
+        ("sku_id", "search", "大数据", 14_000_000),  # filtered: wrong type
+        ("keyword", "search", None, 15_000_000),  # filtered: null item
+    ]
+    return spark.createDataFrame(
+        rows, "item_type string, last_page_id string, item string, ts_us long"
+    )
+
+
+def test_keyword_window_on_cjk_fixture(cjk_page_log):
+    out = traffic.dws_traffic_source_keyword_page_view_window(cjk_page_log)
+    got = {
+        (r.stt, r.keyword): r.keyword_count
+        for r in out.collect()
+    }
+    # window [0,10s): 尚硅谷大数据 -> 尚硅,硅谷,谷大,大数,数据 ;
+    #                 大数据 flink -> 大数,数据,flink
+    # window [10,20s): hello ; 大数据 -> 大数,数据
+    w0, w1 = "1970-01-01 00:00:00", "1970-01-01 00:00:10"
+    assert got == {
+        (w0, "尚硅"): 1,
+        (w0, "硅谷"): 1,
+        (w0, "谷大"): 1,
+        (w0, "大数"): 2,
+        (w0, "数据"): 2,
+        (w0, "flink"): 1,
+        (w1, "hello"): 1,
+        (w1, "大数"): 1,
+        (w1, "数据"): 1,
+    }
