@@ -108,6 +108,8 @@ def bloom_probe(
             ).cast("int").alias("hit"),
         )
     )
-    return checked.groupBy(*ids).agg(
-        (F.sum("hit") == n_hashes).alias("bloom_hit")
-    )
+    # min(hit) == 1 is multiplicity-insensitive: a probe id appearing
+    # on several input rows still reports a member as hit (sum(hit) ==
+    # n_hashes would double-count to 2*n_hashes and report a FALSE
+    # NEGATIVE, violating the Bloom contract — ADVICE r4).
+    return checked.groupBy(*ids).agg((F.min("hit") == 1).alias("bloom_hit"))

@@ -56,32 +56,40 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n1 = nodes.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast below
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
-    # out-going rate per edge endpoint: join rank ⋈ outdeg once per
-    # iteration, both keyed by the node id
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node_id", F.expr(f"{PR_SCALE} div n").alias("r")
-    )
-    for _ in range(int(iterations)):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node_id", "src"), "src")
-            .join(outdeg, "src")
-            .select("dst", F.expr("r div odeg").alias("c"))
+    try:
+        n1 = nodes.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast below
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+        # out-going rate per edge endpoint: join rank ⋈ outdeg once per
+        # iteration, both keyed by the node id
+        ranks = nodes.crossJoin(F.broadcast(n1)).select(
+            "node_id", F.expr(f"{PR_SCALE} div n").alias("r")
         )
-        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(s.withColumnRenamed("dst", "node_id"), "node_id", "left")
-            .crossJoin(F.broadcast(n1))
-            .select(
-                "node_id",
-                F.expr(
-                    f"({100 - damping_pct} * {PR_SCALE}) div (100 * n)"
-                    f" + ({damping_pct} * coalesce(s, 0)) div 100"
-                ).alias("r"),
+        for _ in range(int(iterations)):
+            contrib = (
+                e.join(ranks.withColumnRenamed("node_id", "src"), "src")
+                .join(outdeg, "src")
+                .select("dst", F.expr("r div odeg").alias("c"))
             )
-            .localCheckpoint(eager=False)
-        )
+            s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            ranks = (
+                nodes.join(s.withColumnRenamed("dst", "node_id"), "node_id", "left")
+                .crossJoin(F.broadcast(n1))
+                .select(
+                    "node_id",
+                    F.expr(
+                        f"({100 - damping_pct} * {PR_SCALE}) div (100 * n)"
+                        f" + ({damping_pct} * coalesce(s, 0)) div 100"
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        # eager checkpoint of the final ranks so the unpersist below
+        # cannot recompute-storm a consumer (ADVICE r4: e/nodes leaked
+        # cached blocks for the session's lifetime)
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
     return ranks.select(
         "node_id",
         F.col("r").cast("bigint").alias("rank_micro"),

@@ -2296,7 +2296,7 @@ WITH ws AS (
   FROM (SELECT doc_id, gram, bp, CAST(bp // 32 AS BIGINT) AS word_idx FROM ppos) p
   LEFT JOIN bloom b ON b.word_idx = p.word_idx
 ), ga AS (
-  SELECT doc_id, gram, (sum(hit) = {n_hashes}) AS bloom_hit
+  SELECT doc_id, gram, (min(hit) = 1) AS bloom_hit
   FROM chk GROUP BY doc_id, gram
 ), ex AS (
   SELECT pr.doc_id, pr.gram, (r.gram IS NOT NULL) AS exact_hit

@@ -16,8 +16,11 @@ filter is CAPPED at bits/32 rows (2048 at the default 65536 bits)
 regardless of how much has been ingested, so the rewrite is O(bits),
 never O(corpus). That inversion is the whole point of the Bloom
 layout — the corpus-sized state lives in the bit pattern, not in
-rows. The swap is write-to-temp + atomic rename, so a concurrent
-probe reads either the old or the new filter, never a torn one.
+rows. The swap is a single atomic pointer rename
+(:mod:`gmall_spark.streaming.store`), so a concurrent probe reads
+either the old or the new filter, never a torn or missing one, and a
+crash mid-swap is recoverable instead of silently resetting the
+filter (ADVICE r4).
 
 Wire :func:`process_batch` into ``runner.run_foreach_batch`` exactly
 like incremental_dedup; a Kafka source swaps in upstream unchanged.
@@ -25,13 +28,12 @@ like incremental_dedup; a Kafka source swaps in upstream unchanged.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gmall_spark.operators import bloom
+from gmall_spark.streaming import store as _store
 
 _STORE_SCHEMA = T.StructType(
     [
@@ -39,20 +41,6 @@ _STORE_SCHEMA = T.StructType(
         T.StructField("word", T.LongType()),
     ]
 )
-
-
-def _read_or_empty(spark: SparkSession, path: str) -> DataFrame:
-    """ONLY a missing path means 'first batch'; any other read
-    failure must surface (the incremental_dedup._read_or_empty
-    contract — ADVICE r3)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.schema(_STORE_SCHEMA).parquet(path)
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-            return spark.createDataFrame([], _STORE_SCHEMA)
-        raise
 
 
 def process_batch(
@@ -66,25 +54,15 @@ def process_batch(
     """OR-merge one micro-batch of keys into the persisted filter."""
     delta = bloom.bloom_build(batch, key_col, n_hashes, bits)
     merged = (
-        _read_or_empty(spark, store_dir)
+        _store.read_or_empty(spark, store_dir, _STORE_SCHEMA)
         .unionByName(delta)
         .groupBy("word_idx")
         .agg(F.bit_or("word").alias("word"))
     )
-    tmp = store_dir.rstrip("/") + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = store_dir.rstrip("/")
-    old = final + ".old"
-    if os.path.exists(final):
-        os.replace(final, old)
-    os.replace(tmp, final)
-    if os.path.exists(old):
-        import shutil
-
-        shutil.rmtree(old, ignore_errors=True)
+    _store.swap_write(merged, store_dir)
 
 
 def current_filter(spark: SparkSession, store_dir: str) -> DataFrame:
     """The filter as of the last completed batch — feed straight into
     ``bloom.bloom_probe``."""
-    return _read_or_empty(spark, store_dir)
+    return _store.read_or_empty(spark, store_dir, _STORE_SCHEMA)

@@ -8,20 +8,19 @@ associative and commutative, so after ANY batch split the store
 equals ``cms_build`` over the union of all batches cell-for-cell
 (asserted by tests/test_streaming.py) — and estimates probed against
 it are therefore identical too. Like the Bloom store the rewrite is
-O(d·w) regardless of how much has been ingested; the swap is
-write-to-temp + atomic rename.
+O(d·w) regardless of how much has been ingested; the swap is a
+single atomic pointer rename with crash recovery
+(:mod:`gmall_spark.streaming.store`, ADVICE r4).
 """
 
 from __future__ import annotations
-
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gmall_spark.operators import sketches
+from gmall_spark.streaming import store as _store
 
 _STORE_SCHEMA = T.StructType(
     [
@@ -30,17 +29,6 @@ _STORE_SCHEMA = T.StructType(
         T.StructField("cell_ct", T.LongType()),
     ]
 )
-
-
-def _read_or_empty(spark: SparkSession, path: str) -> DataFrame:
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.schema(_STORE_SCHEMA).parquet(path)
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-            return spark.createDataFrame([], _STORE_SCHEMA)
-        raise
 
 
 def process_batch(
@@ -58,22 +46,15 @@ def process_batch(
         F.col("cell_ct").cast("bigint").alias("cell_ct"),
     )
     merged = (
-        _read_or_empty(spark, store_dir)
+        _store.read_or_empty(spark, store_dir, _STORE_SCHEMA)
         .unionByName(delta)
         .groupBy("lane", "col")
         .agg(F.sum("cell_ct").cast("bigint").alias("cell_ct"))
     )
-    tmp = store_dir.rstrip("/") + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = store_dir.rstrip("/")
-    old = final + ".old"
-    if os.path.exists(final):
-        os.replace(final, old)
-    os.replace(tmp, final)
-    shutil.rmtree(old, ignore_errors=True)
+    _store.swap_write(merged, store_dir)
 
 
 def current_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
     """The sketch as of the last completed batch — feed straight into
     ``sketches.cms_estimate``."""
-    return _read_or_empty(spark, store_dir)
+    return _store.read_or_empty(spark, store_dir, _STORE_SCHEMA)

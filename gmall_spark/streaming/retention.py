@@ -9,9 +9,10 @@ GDPR-article-17 pass every production corpus pipeline carries.
 
 Mechanics: each parquet store is rewritten through a broadcast
 ANTI-join on its id column (the delete set is small by nature) with
-the write-to-temp + atomic-rename swap the incremental stores
-already use — a concurrent reader sees the old or the new store,
-never a torn one. At 100 TB the rewrite cost is one linear pass per
+the single-atomic-pointer swap the incremental stores use
+(:mod:`gmall_spark.streaming.store`, ADVICE r4) — a concurrent
+reader sees the old or the new store, never a torn or missing one,
+and a crash mid-swap is recoverable. At 100 TB the rewrite cost is one linear pass per
 store; batching many takedown requests into one purge amortizes it,
 and a list_id/bucket-partitioned store only rewrites the partitions
 that contain deleted rows (pushdown on the partition column).
@@ -26,22 +27,10 @@ exactly, but the rebuild path is the safe default there too.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _swap_write(df: DataFrame, store_dir: str) -> None:
-    tmp = store_dir.rstrip("/") + ".next"
-    df.write.mode("overwrite").parquet(tmp)
-    final = store_dir.rstrip("/")
-    old = final + ".old"
-    if os.path.exists(final):
-        os.replace(final, old)
-    os.replace(tmp, final)
-    shutil.rmtree(old, ignore_errors=True)
+from gmall_spark.streaming.store import swap_write as _swap_write
 
 
 def purge_doc_ids(

@@ -1,0 +1,118 @@
+"""Atomic parquet store swap for the incremental sketches/stores.
+
+The r4 pattern (write ``.next``, ``os.replace(final, old)``,
+``os.replace(next, final)``) had two defects (ADVICE r4):
+
+- a crash between the two renames leaves NO store, and the readers'
+  missing-path-means-first-batch contract silently resets the state
+  (false negatives for everything previously ingested);
+- a leftover non-empty ``.old`` from such a crash makes the next
+  ``os.replace(final, old)`` raise ENOTEMPTY.
+
+This module swaps via a SINGLE atomic rename instead: data is written
+to immutable version directories ``<store>.v<N>`` and ``<store>``
+itself is a symlink repointed with ``symlink + os.replace`` (rename
+over a symlink is atomic on POSIX). At every instant ``<store>``
+resolves to a complete version — readers never see a torn or missing
+store — and :func:`recover` re-points a dangling link at the newest
+complete (``_SUCCESS``-marked) version after any crash.
+
+The previous version is retained for one swap (readers that resolved
+the link just before a swap can still finish lazily); older versions
+are reaped on the next write. On HDFS/S3 (no symlinks) the same
+design becomes a one-line manifest file updated by atomic rename —
+the version-dir layout and recovery logic carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_RE = re.compile(r"\.v(\d+)$")
+
+
+def _versions(final: str) -> list[tuple[int, str]]:
+    """Existing version dirs as (n, path), ascending."""
+    parent, name = os.path.split(final)
+    out = []
+    try:
+        entries = os.listdir(parent or ".")
+    except FileNotFoundError:
+        return []
+    for e in entries:
+        if e.startswith(name + ".v"):
+            m = _VERSION_RE.search(e)
+            if m:
+                out.append((int(m.group(1)), os.path.join(parent, e)))
+    return sorted(out)
+
+
+def _complete(vdir: str) -> bool:
+    return os.path.exists(os.path.join(vdir, "_SUCCESS"))
+
+
+def _point(final: str, vdir: str) -> None:
+    """Atomically (re)point the ``final`` symlink at ``vdir``."""
+    tmp = final + ".lnk.tmp"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(os.path.basename(vdir), tmp)
+    os.replace(tmp, final)
+
+
+def recover(store_dir: str) -> None:
+    """Repair any crash leftovers: a dangling/missing link with
+    complete version dirs on disk is re-pointed at the newest one; a
+    legacy real directory (pre-symlink layout) is migrated to
+    ``.v0``; stale ``.lnk.tmp`` is removed."""
+    final = store_dir.rstrip("/")
+    tmp = final + ".lnk.tmp"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    if os.path.exists(final) and not os.path.islink(final):
+        # legacy layout: migrate the real dir to version 0
+        v0 = final + ".v0"
+        if not os.path.exists(v0):
+            os.replace(final, v0)
+            _point(final, v0)
+        return
+    if os.path.islink(final) and not os.path.exists(final):
+        os.remove(final)  # dangling link
+    if not os.path.lexists(final):
+        complete = [(n, p) for n, p in _versions(final) if _complete(p)]
+        if complete:
+            _point(final, complete[-1][1])
+
+
+def swap_write(df: DataFrame, store_dir: str, keep_previous: int = 1) -> None:
+    """Write ``df`` as the new store content with one atomic pointer
+    swap; reap versions older than the previous ``keep_previous``."""
+    final = store_dir.rstrip("/")
+    recover(final)
+    versions = _versions(final)
+    n = versions[-1][0] + 1 if versions else 0
+    vdir = f"{final}.v{n}"
+    df.write.mode("overwrite").parquet(vdir)
+    _point(final, vdir)
+    for vn, path in versions[: max(0, len(versions) - keep_previous)]:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def read_or_empty(spark: SparkSession, store_dir: str, schema) -> DataFrame:
+    """Current store content; ONLY a genuinely absent store (no link,
+    no recoverable version) means 'first batch' — any other read
+    failure surfaces (the incremental_dedup contract, ADVICE r3)."""
+    from pyspark.errors import AnalysisException
+
+    final = store_dir.rstrip("/")
+    recover(final)
+    try:
+        return spark.read.schema(schema).parquet(final)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], schema)
+        raise

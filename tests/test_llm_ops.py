@@ -587,6 +587,23 @@ def test_bloom_no_false_negatives_and_saturation_fps(spark):
     assert sum(1 for r in fp.collect() if r.bloom_hit) > 25
 
 
+def test_bloom_probe_is_multiplicity_insensitive(spark):
+    """A probe id appearing on SEVERAL input rows (same key) must
+    still report a genuine member as hit — the old sum(hit) ==
+    n_hashes reduction double-counted to 2*n_hashes and returned a
+    false negative, violating the Bloom contract (ADVICE r4)."""
+    from gmall_spark.operators import bloom
+
+    members = spark.createDataFrame([("dup_key",)], "key string")
+    probes = spark.createDataFrame(
+        [(1, "dup_key"), (1, "dup_key"), (2, "absent"), (2, "absent")],
+        "pid bigint, key string",
+    )
+    filt = bloom.bloom_build(members, "key")
+    got = {r.pid: r.bloom_hit for r in bloom.bloom_probe(filt, probes, "key", "pid").collect()}
+    assert got == {1: True, 2: False}
+
+
 def test_cms_overestimates_only_and_is_exact_when_wide(spark):
     """Count-min contract on a planted stream: estimates NEVER
     undercount; a saturated (tiny-width) sketch overcounts the rare
