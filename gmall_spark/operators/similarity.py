@@ -368,13 +368,17 @@ def embedding_near_dup_lsh(
     # (0.8+) buckets are sparse and either shape is cheap.
     #
     # ``max_bucket`` (opt-in) bounds the self-join density: buckets
-    # wider than it emit the sorted-id adjacent chain (linear) via a
-    # window lead instead of the quadratic self-join stream. Off by
-    # default because at a LOW threshold wide buckets are *expected*
-    # and chaining them would under-report pairs (the registered
-    # query's oracle is the exact all-pairs scan); a production dedup
-    # at threshold 0.8+ (sparse buckets, where a wide bucket really
-    # is a mega-group of near-identical vectors) should set it.
+    # wider than it emit hop-1 + hop-2 links over the sorted ids
+    # (linear, 2n-3 pairs) via window leads instead of the quadratic
+    # self-join stream — the hop-2 links keep the verified subgraph
+    # connected through any ISOLATED link that fails the exact-cosine
+    # verify (VERDICT r4 item 5; same layout as
+    # llm_dedup._bucket_pair_expr). Off by default because at a LOW
+    # threshold wide buckets are *expected* and chaining them would
+    # under-report pairs (the registered query's oracle is the exact
+    # all-pairs scan); a production dedup at threshold 0.8+ (sparse
+    # buckets, where a wide bucket really is a mega-group of
+    # near-identical vectors) should set it.
     if max_bucket is None:
         b2 = banded.select(
             F.col("vid").alias("vid2"), F.col("tbl"), F.col("bucket")
@@ -398,14 +402,28 @@ def embedding_near_dup_lsh(
             .select(F.col("vid").alias("id_a"), F.col("vid2").alias("id_b"))
         )
         w = Window.partitionBy("tbl", "bucket").orderBy("vid")
-        big_pairs = (
+        big = (
             bn.filter(F.col("__n") > max_bucket)
             .withColumn("__next", F.lead("vid").over(w))
-            .filter(F.col("__next").isNotNull())
+            .withColumn("__skip", F.lead("vid", 2).over(w))
+        )
+        big_pairs = (
+            big.filter(F.col("__next").isNotNull())
             .select(F.col("vid").alias("id_a"), F.col("__next").alias("id_b"))
+            .unionByName(
+                big.filter(F.col("__skip").isNotNull()).select(
+                    F.col("vid").alias("id_a"), F.col("__skip").alias("id_b")
+                )
+            )
         )
         cand = small_pairs.unionByName(big_pairs).distinct()
     return _verify_pairs(cand, embeddings, threshold, id_col, vec_col)
+
+
+# All-pairs guard (VERDICT r4 item 6): 20k vectors is already 200M
+# candidate pairs — far above the driver's SFs (2k at sf0.1), far
+# below any production corpus.
+ALL_PAIRS_MAX_VECTORS = 20_000
 
 
 def embedding_near_dup(
@@ -413,6 +431,7 @@ def embedding_near_dup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_vectors: int | None = ALL_PAIRS_MAX_VECTORS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos_sim >= threshold).
 
@@ -420,8 +439,20 @@ def embedding_near_dup(
     triangle (id_a < id_b halves the work); cosine is the vectorized
     Arrow batch pass (n² pairs make the per-pair cost the whole
     budget). O(n²) — this is the correctness oracle for
-    ``embedding_near_dup_lsh``, which is the operator to run at scale.
+    ``embedding_near_dup_lsh``, which is the operator to run at
+    scale; ``max_vectors`` refuses a larger-than-intended corpus
+    loudly (one count) instead of silently going quadratic.
     """
+    if max_vectors is not None:
+        n = embeddings.count()
+        if n > max_vectors:
+            raise RuntimeError(
+                f"embedding_near_dup: corpus has {n} vectors, above "
+                f"the all-pairs guard ({max_vectors}). This operator "
+                "is the quadratic oracle baseline; at this size run "
+                "embedding_near_dup_lsh (X8) instead, or pass an "
+                "explicit higher bound / None to force it."
+            )
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -22,8 +22,27 @@ def _with_dt(df: DataFrame) -> DataFrame:
     return with_event_time(df).withColumn("dt", F.date_format("rt", "yyyy-MM-dd"))
 
 
+# Relative-error target for the approx (HLL) distinct-count twins —
+# the documented 100 TB swap for the exact Set-per-window paths.
+APPROX_RSD = 0.02
+
+
+def _order_count_agg(approx: bool):
+    """Exact ``count_distinct`` (the reference's Java Set semantics)
+    or its ``approx_count_distinct`` twin: HLL partials merge
+    map-side into constant-size state, so the shuffle carries one
+    sketch per (window, key) instead of every distinct order id —
+    the documented 100 TB swap (SURVEY §7.3, VERDICT r4 item 7).
+    Accuracy vs exact is gated by tests/test_plan_shape.py."""
+    if approx:
+        return F.approx_count_distinct(F.col("order_id"), APPROX_RSD).alias(
+            "order_count"
+        )
+    return F.count_distinct(F.col("order_id")).alias("order_count")
+
+
 def dws_trade_province_order_window(
-    order_detail: DataFrame, province_dim: DataFrame
+    order_detail: DataFrame, province_dim: DataFrame, approx: bool = False
 ) -> DataFrame:
     """Per-province 10 s order window: distinct orders + amount.
 
@@ -31,9 +50,9 @@ def dws_trade_province_order_window(
     accumulates a Java ``Set<String>`` of order ids per (window,
     province) and counts it at window fire (SURVEY A4); Spark-first
     that is ``count_distinct`` inside the window aggregate (exact, as
-    the reference; swap to approx_count_distinct at 100 TB if a ~1%
-    error is acceptable). Province name enrichment is a broadcast join
-    against the dim snapshot (replaces DimAsyncFunction + Redis).
+    the reference; ``approx=True`` swaps in the HLL twin for 100 TB —
+    see _order_count_agg). Province name enrichment is a broadcast
+    join against the dim snapshot (replaces DimAsyncFunction + Redis).
     """
     od = with_event_time(order_detail)
     agg = tumble_agg(
@@ -42,7 +61,7 @@ def dws_trade_province_order_window(
         WINDOW_SECONDS,
         keys=["province_id"],
         aggs=[
-            F.count_distinct(F.col("order_id")).alias("order_count"),
+            _order_count_agg(approx),
             F.sum("split_total_amount").alias("order_amount"),
         ],
     )
@@ -135,7 +154,7 @@ def dws_trade_payment_suc_window(pay_suc: DataFrame) -> DataFrame:
 
 
 def dws_trade_trademark_category_user_order_window(
-    order_detail: DataFrame, sku_dim: DataFrame
+    order_detail: DataFrame, sku_dim: DataFrame, approx: bool = False
 ) -> DataFrame:
     """Per (trademark, category3, user) 10 s order window.
 
@@ -143,7 +162,9 @@ def dws_trade_trademark_category_user_order_window(
     reference chains 4-6 async Phoenix lookups (SKU→SPU→TM→C3→C2→C1)
     per record (SURVEY J6/T7); here the whole chain is pre-flattened
     into one broadcast ``sku_dim``, so enrichment is a single
-    broadcast hash join before the window agg.
+    broadcast hash join before the window agg. ``approx=True`` swaps
+    the exact distinct-order count for the HLL twin (_order_count_agg,
+    the 100 TB path).
     """
     od = with_event_time(order_detail)
     enriched = od.join(F.broadcast(sku_dim), "sku_id", "left")
@@ -161,7 +182,7 @@ def dws_trade_trademark_category_user_order_window(
         WINDOW_SECONDS,
         keys=keys,
         aggs=[
-            F.count_distinct(F.col("order_id")).alias("order_count"),
+            _order_count_agg(approx),
             F.sum("split_total_amount").alias("order_amount"),
         ],
     )

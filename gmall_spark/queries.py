@@ -577,6 +577,24 @@ def q_dws_trade_province_order_window(spark, sf_dir):
     return dws.dws_trade_province_order_window(od, _province_dim(spark, sf_dir))
 
 
+# No SQL oracle: HLL estimates are implementation-defined (same
+# contract as events_uv_sketch_daily) — the driver records the
+# rows-only check (row set is identical to the exact twin: same
+# grouping keys). Accuracy vs exact is gated by
+# tests/test_plan_shape.py::test_approx_window_twins_accuracy.
+@query("dws_trade_province_order_window_approx")
+def q_dws_trade_province_order_window_approx(spark, sf_dir):
+    """HLL twin of the province window (VERDICT r4 item 7): the
+    documented 100 TB swap — approx_count_distinct's sketch partials
+    merge map-side into constant-size state, so the shuffle carries
+    one sketch per (window, province) instead of every distinct
+    order id (the exact path was the one r4 bench regression)."""
+    od = _dwd_order_detail(spark, sf_dir)
+    return dws.dws_trade_province_order_window(
+        od, _province_dim(spark, sf_dir), approx=True
+    )
+
+
 @query(
     "dws_trade_cart_add_uu_window",
     O.SQL_DWD_CART_ADD
@@ -669,6 +687,19 @@ def q_dws_trade_trademark_category_user_order_window(spark, sf_dir):
     od = _dwd_order_detail(spark, sf_dir)
     return dws.dws_trade_trademark_category_user_order_window(
         od, _sku_dim(spark, sf_dir)
+    )
+
+
+# No SQL oracle (HLL, implementation-defined) — rows-only driver
+# check; accuracy gated by tests/test_plan_shape.py.
+@query("dws_trade_trademark_category_user_order_window_approx")
+def q_dws_trade_trademark_category_user_order_window_approx(spark, sf_dir):
+    """HLL twin of the trademark/category/user window (VERDICT r4
+    item 7 — see the province twin's docstring for the shuffle
+    argument)."""
+    od = _dwd_order_detail(spark, sf_dir)
+    return dws.dws_trade_trademark_category_user_order_window(
+        od, _sku_dim(spark, sf_dir), approx=True
     )
 
 

@@ -216,3 +216,24 @@ def test_pushed_filters_reach_the_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)]" in plan, plan
     assert "o_orderstatus" not in plan.split("ReadSchema")[-1], plan
+
+
+def test_approx_window_twins_accuracy(spark, sf_dir):
+    """The HLL twins of the province/trademark windows (VERDICT r4
+    item 7) must keep the exact row set (same grouping keys) and
+    estimate every per-row distinct-order count within a tolerant
+    HLL error band; exact versions stay untouched for hash parity."""
+    q.clear_cache()
+    exact = q.QUERIES["dws_trade_province_order_window"](spark, sf_dir)
+    approx = q.QUERIES["dws_trade_province_order_window_approx"](spark, sf_dir)
+    key = ["stt", "province_id"]
+    e = {tuple(r[k] for k in key): r.order_count for r in exact.collect()}
+    a = {tuple(r[k] for k in key): r.order_count for r in approx.collect()}
+    assert set(e) == set(a), "approx twin changed the row set"
+    worst = max(abs(a[k] - e[k]) / max(e[k], 1) for k in e)
+    # rsd=0.02 nominal; small per-window cardinalities keep HLL's
+    # linear-counting regime near-exact, so 10% is a loose ceiling
+    assert worst <= 0.10, worst
+    # and the totals agree tightly in aggregate
+    te, ta = sum(e.values()), sum(a.values())
+    assert abs(ta - te) / te <= 0.02, (te, ta)
