@@ -2859,6 +2859,449 @@ def q_nation_revenue_local_suppliers(spark, sf_dir):
     )
 
 
+@query(
+    "volume_shipping_nation_pairs",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q_volume_shipping_nation_pairs(spark, sf_dir):
+    """TPC-H Q7 volume-shipping twin: bilateral trade volume between
+    two nations by ship year. Scale shape: nation broadcasts twice
+    (two aliases, different keys), the nation-pair disjunction is
+    applied AFTER both dim joins (it references both sides), the
+    l_shipdate range is pushed to the lineitem scan, and the only
+    wide shuffles are orders⋈lineitem and orders⋈customer on their
+    natural keys. DECIMAL-exact volume, final cast to double."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("date"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "market_share_by_year",
+    """
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'BRAZIL' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    AND p_type LIKE '%STEEL'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q_market_share_by_year(spark, sf_dir):
+    """TPC-H Q8 national-market-share twin: one supplier nation's
+    share of regional import volume per order year. Scale shape:
+    part/supplier/nation/region broadcast; the conditional numerator
+    and the denominator come out of ONE aggregate pass (sum of CASE
+    next to sum) — no second scan, no self-join; the share division
+    happens on the two exact DECIMAL sums cast to double at the very
+    end (round 6 for cross-engine float stability)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type").like("%STEEL"))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    vol = (price * (F.lit(1) - disc)).alias("volume")
+    base = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"), vol, "supp_nation"
+        )
+    )
+    brazil = F.when(F.col("supp_nation") == "BRAZIL", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(brazil).cast("double").alias("__num"),
+            F.sum("volume").cast("double").alias("__den"),
+        )
+        .select(
+            "o_year", F.round(F.col("__num") / F.col("__den"), 6).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "customer_order_count_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_customer_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 customer-distribution twin: histogram of per-customer
+    order counts INCLUDING zero-order customers — the left join keeps
+    them and count(o_orderkey) ignores the null match (count(*) would
+    not). The non-join predicate lives in the JOIN condition, not a
+    WHERE (a WHERE would silently turn the left join inner). Scale
+    shape: one shuffle on custkey, then a re-agg on the tiny count
+    domain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 top-supplier twin: supplier(s) with the maximum
+    quarterly revenue. The view + scalar-max subquery becomes ONE
+    window max over the aggregated (≤ |supplier|-row) revenue
+    relation — no second scan of lineitem and no join back to a
+    scalar; equality is on the exact DECIMAL sum (cross-engine safe;
+    the double cast happens only on output). Supplier names attach by
+    broadcast."""
+    from pyspark.sql import Window as W
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(price * (F.lit(1) - disc)).alias("__rev")
+    )
+    top = rev.withColumn("__mx", F.max("__rev").over(W.partitionBy())).filter(
+        F.col("__rev") == F.col("__mx")
+    )
+    return (
+        top.join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "small_quantity_order_revenue",
+    """
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size <= 5
+  AND 5 * CAST(l_quantity AS DECIMAL(18,6)) * (
+        SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+      < (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6))
+         FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+""",
+)
+def q_small_quantity_order_revenue(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order twin: revenue lost to orders
+    below 20% of a part's average quantity. The correlated AVG
+    subquery becomes per-part window aggregates, and the fractional
+    threshold ``qty < 0.2 * avg(qty)`` is algebraically cleared to
+    the integer-exact ``5 * qty * count < sum`` — DECIMAL both sides,
+    so the comparison cannot flip on float rounding in either engine.
+    Scale shape: one shuffle on partkey for the windows (part filter
+    broadcast-joins AFTER the window so the per-part stats see every
+    lineitem, matching the subquery's scope)."""
+    from pyspark.sql import Window as W
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 5)
+    )
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    w = W.partitionBy("l_partkey")
+    stats = l.withColumn("__cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "__qsum", F.sum(qty).over(w).cast("decimal(28,6)")
+    )
+    small = stats.filter(
+        (F.lit(5) * qty * F.col("__cnt")).cast("decimal(28,6)") < F.col("__qsum")
+    )
+    return (
+        small.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "decimal(28,6)"
+                )
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "disjunctive_discount_revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_disjunctive_discount_revenue(spark, sf_dir):
+    """TPC-H Q19 discounted-revenue twin: the canonical DISJUNCTIVE
+    join predicate. Expressed as a plain equi-join on partkey with
+    the three-arm OR as a post-join filter: Catalyst extracts the
+    common l_quantity/p_size bounds where it can, and the join stays
+    a hash join (putting the OR into the join condition would force a
+    nested-loop). part broadcasts; single lineitem scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qn = F.col("l_quantity")
+    arm = lambda brand, szhi, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, szhi)
+        & qn.between(qlo, qhi)
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#34", 15, 20, 30)
+        )
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "waiting_multi_supplier_orders",
+    """
+SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'SAUDI ARABIA'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""",
+)
+def q_waiting_multi_supplier_orders(spark, sf_dir):
+    """TPC-H Q21 waiting-supplier twin (adapted: no commit/receipt
+    dates in the lite schema — "kept the order waiting" becomes
+    "shipped last among the order's multiple suppliers"). The
+    EXISTS / NOT-EXISTS pair over the same correlation key collapses
+    into per-order window aggregates — count of distinct other
+    suppliers and max shipdate of other-supplier lines — computed in
+    ONE pass over lineitem partitioned by orderkey, instead of two
+    correlated semi/anti joins re-shuffling lineitem twice. The
+    other-supplier max uses the two-top-values trick (max + max-of-
+    other-supplier rows via conditional aggregation)."""
+    from pyspark.sql import Window as W
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "SAUDI ARABIA")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    w = W.partitionBy("l_orderkey")
+    # per order: does ANY other supplier exist, and does any OTHER-
+    # supplier line ship strictly later than mine? max-over-others =
+    # global max unless my line holds it alone, in which case it is
+    # the max over rows whose shipdate < global max OR same-date
+    # other-supplier rows — handled exactly by comparing against the
+    # max shipdate of rows from a DIFFERENT supplier, computed as a
+    # conditional window max over (suppkey, shipdate) pairs.
+    flagged = (
+        l.withColumn("__nsupp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("__maxship", F.max("l_shipdate").over(w))
+        .withColumn(
+            "__last_suppliers",
+            F.collect_set(
+                F.when(F.col("l_shipdate") == F.col("__maxship"), F.col("l_suppkey"))
+            ).over(w),
+        )
+    )
+    # NOT EXISTS(other supplier shipped later) == my supplier ships on
+    # the order's max shipdate; EXISTS(other supplier) == nsupp > 1
+    waiting = flagged.filter(
+        (F.col("__nsupp") > 1)
+        & F.array_contains(F.col("__last_suppliers"), F.col("l_suppkey"))
+    ).select("l_orderkey", "l_suppkey").distinct()
+    return (
+        waiting.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@query(
+    "prospective_customer_balance",
+    """
+WITH avg_bal AS (
+  SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(28,10)) AS a
+  FROM customer WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+)
+SELECT c_nationkey AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer CROSS JOIN avg_bal
+WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+  AND CAST(c_acctbal AS DECIMAL(18,6)) > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def q_prospective_customer_balance(spark, sf_dir):
+    """TPC-H Q22 global-sales-opportunity twin (country code adapted
+    to nationkey — the lite schema has no phone column): rich
+    customers with NO orders, compared against the positive-balance
+    global average. Scale shape: the scalar average is ONE tiny
+    aggregate broadcast into the filter; the NOT EXISTS is a LEFT
+    ANTI join against just the o_custkey column (pruned scan),
+    shuffled on custkey once. The average comparison is DECIMAL vs
+    DECIMAL — DuckDB's avg() returns double, so the oracle casts the
+    exact DECIMAL avg to DECIMAL(28,10) the same way Spark does."""
+    nations = [1, 2, 3, 4, 5, 6, 7]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    bal = F.col("c_acctbal").cast("decimal(18,6)")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(bal).cast("decimal(28,10)").alias("a"))
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(bal > F.col("a"))
+    no_orders = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return (
+        no_orders.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing

@@ -169,6 +169,17 @@ BUDGETS = [
     # skew report: per-key agg + single-row total broadcast +
     # TakeOrdered (the agg reuses the keyed exchange twice)
     ("events_key_skew_report", 5, 1),
+    # TPC-H twins r5: nation/part/supplier/region broadcast; the only
+    # wide shuffles are the orderkey/custkey joins + final aggs (the
+    # budgets include the heavy-table parallel_scan repartitions)
+    ("volume_shipping_nation_pairs", 5, 5),
+    ("market_share_by_year", 5, 7),
+    ("customer_order_count_distribution", 5, 1),
+    ("top_supplier_revenue", 3, 1),
+    ("small_quantity_order_revenue", 3, 1),
+    ("disjunctive_discount_revenue", 2, 1),
+    ("waiting_multi_supplier_orders", 5, 3),
+    ("prospective_customer_balance", 6, 2),
 ]
 
 
