@@ -56,6 +56,12 @@ HEADLINE = [
     "bloom_decontam_probe",
     "vocab_freq_cms",
     "dedup_fuzzy_titles",
+    # r5 additions: heaviest of the new TPC-H twins + the HLL window
+    # twin (so the exact-vs-approx swap shows up in the record)
+    "volume_shipping_nation_pairs",
+    "waiting_multi_supplier_orders",
+    "small_quantity_order_revenue",
+    "dws_trade_province_order_window_approx",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query
