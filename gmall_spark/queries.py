@@ -3302,6 +3302,62 @@ def q_prospective_customer_balance(spark, sf_dir):
     )
 
 
+@query(
+    "product_type_profit",
+    """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+           - CAST(p_retailprice AS DECIMAL(18,6)) * CAST(0.10 AS DECIMAL(18,6))
+             * CAST(l_quantity AS DECIMAL(18,6)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 product-type-profit twin (adapted: the lite schema
+    has no partsupp, so unit cost is the 10% p_retailprice proxy —
+    the join/aggregation SHAPE is Q9's, which is the point). Scale
+    shape: part filter + supplier + nation broadcast; the profit
+    expression is computed per line BEFORE the (nation, year) agg so
+    only ≤ |nations|·|years| partial rows cross the second exchange;
+    all money math in DECIMAL, double on output."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,6)")
+        * F.lit("0.10").cast("decimal(18,6)")
+        * F.col("l_quantity").cast("decimal(18,6)")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (price * (F.lit(1) - disc) - cost).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing

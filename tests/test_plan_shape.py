@@ -180,6 +180,7 @@ BUDGETS = [
     ("disjunctive_discount_revenue", 2, 1),
     ("waiting_multi_supplier_orders", 5, 3),
     ("prospective_customer_balance", 6, 2),
+    ("product_type_profit", 4, 4),
 ]
 
 
