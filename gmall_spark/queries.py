@@ -105,6 +105,7 @@ def clear_cache() -> None:
     queries_llm._DEDUP_GROUPS.clear()
     queries_llm._PQ_BOOKS.clear()
     queries_llm._SQ_STATS.clear()
+    queries_llm._KNN_EDGES.clear()
     queries_llm._PQ_RESIDUAL_BOOKS.clear()
     # scan-fanout decisions are keyed by file paths; the driver
     # regenerates testdata at the same paths between rounds (ADVICE r3)
