@@ -62,6 +62,66 @@ def test_ascii_behavior_unchanged(spark):
     ]
 
 
+def test_keyword_window_streaming_equals_batch(spark, tmpdir, cjk_page_log):
+    """F1 streaming surface: the CJK-segmented keyword window over a
+    watermarked stream must emit exactly the batch result (the
+    tokenizer is a stateless projection, so the streaming twin is the
+    windowed count over the exploded tokens)."""
+    from gmall_spark.functions.text import segment_keywords
+    from gmall_spark.streaming import runner
+
+    path = f"{tmpdir}/cjk_pl"
+    # a late flush row advances the watermark past the CJK windows so
+    # append mode emits them; only its own tail window stays held back
+    flush = spark.createDataFrame(
+        [("keyword", "search", "flush", 30_000_000)], cjk_page_log.schema
+    )
+    cjk_page_log.unionByName(flush).write.mode("overwrite").parquet(path)
+    batch = spark.read.parquet(path)
+    stream = runner.stream_from_parquet(spark, path, batch.schema)
+    words = (
+        stream.filter(
+            (F.col("item_type") == "keyword")
+            & (F.col("last_page_id") == "search")
+            & F.col("item").isNotNull()
+        )
+        .select(
+            F.explode(segment_keywords(F.col("item"))).alias("keyword"),
+            F.timestamp_micros(F.col("ts_us")).alias("rt"),
+        )
+        .filter(F.length("keyword") > 0)
+    )
+    agg = runner.windowed_agg_stream(
+        words, "rt", "2 seconds", 10, ["keyword"],
+        [F.count(F.lit(1)).cast("bigint").alias("keyword_count")],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cjk_kw_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_cjk_kw")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.stt, r.keyword): r.keyword_count
+        for r in spark.sql("SELECT * FROM cjk_kw_out").collect()
+    }
+    expected = {
+        (r.stt, r.keyword): r.keyword_count
+        for r in traffic.dws_traffic_source_keyword_page_view_window(
+            batch
+        ).collect()
+    }
+    assert got, "streaming produced no windows"
+    for k, v in got.items():
+        assert expected.get(k) == v, k
+    # append mode may hold back only the windows within the final
+    # watermark of max ts
+    assert len(set(expected) - set(got)) <= 2
+
+
 @pytest.fixture()
 def cjk_page_log(spark):
     """page_log-shaped fixture with planted Chinese searches."""
