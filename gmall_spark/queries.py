@@ -3359,6 +3359,89 @@ def q_product_type_profit(spark, sf_dir):
     )
 
 
+@query(
+    "events_grouping_sets",
+    """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+       CAST(grouping(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, strftime(ts, '%Y-%m-%d')), (event_type), ())
+""",
+)
+def q_events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP sugar
+    over): exactly the three asked-for grains — (type, day), (type),
+    grand total — skipping the (day) grain a CUBE would also pay for.
+    One scan, map-side set expansion, grouping_id disambiguates
+    rolled-up NULLs; completes the grouping family next to
+    events_cube_type_day and orders_rollup_priority_status."""
+    ev = _events(spark, sf_dir).withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    return ev.groupingSets(
+        [["event_type", "dt"], ["event_type"], []], "event_type", "dt"
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "events_value_mad_outliers",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.event_id,
+       round(d.value, 6) AS value,
+       round(d.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       round(d.absdev / m.mad, 6) AS mad_ratio
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+WHERE m.mad > 0 AND round(d.absdev / m.mad, 6) > 3.0
+""",
+)
+def q_events_value_mad_outliers(spark, sf_dir):
+    """Robust (median/MAD) outlier flags — the heavy-tail-safe twin
+    of the 3-sigma pass (events_value_outliers): median and MAD are
+    insensitive to the very outliers being hunted, which inflate a
+    mean/sigma fence. Two exact per-type percentiles (≤ |types|-row
+    results, broadcast back into per-row filters — the corpus
+    shuffles once per percentile only); the flag thresholds the
+    ROUNDED ratio so the cross-engine comparison is on identical
+    6-decimal values (Spark percentile ≡ DuckDB quantile_cont
+    interpolation, proven by events_median_by_type)."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    ratio = F.round(F.col("absdev") / F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (ratio > 3.0))
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            ratio.alias("mad_ratio"),
+        )
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing

@@ -2721,6 +2721,73 @@ def q_text_quality_gopher(spark, sf_dir):
     return TX.gopher_signals(_docs(spark, sf_dir))
 
 
+def _dedup_eval_oracle() -> str:
+    """Twin of q_dedup_eval_simhash_vs_jaccard: both arm oracles as
+    scoped subqueries (their private WITH names cannot collide), then
+    one full-outer set comparison."""
+    from gmall_spark.queries import ORACLES
+
+    return f"""
+WITH sim AS ({_simhash_pairs_oracle()}),
+ex AS ({ORACLES["dedup_ngram_jaccard"]}),
+j AS (
+  SELECT CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_sim,
+         CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_ex
+  FROM (SELECT doc_a, doc_b FROM sim) s
+  FULL OUTER JOIN (SELECT doc_a, doc_b FROM ex) e
+    ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+)
+SELECT CAST(sum(in_sim) AS BIGINT) AS n_simhash,
+       CAST(sum(in_ex) AS BIGINT) AS n_exact,
+       CAST(sum(in_sim * in_ex) AS BIGINT) AS n_both,
+       round(CAST(sum(in_sim * in_ex) AS DOUBLE) / sum(in_sim), 6) AS precision_vs_jaccard,
+       round(CAST(sum(in_sim * in_ex) AS DOUBLE) / sum(in_ex), 6) AS recall_vs_jaccard
+FROM j
+"""
+
+
+@query("dedup_eval_simhash_vs_jaccard", None)
+def q_dedup_eval_simhash_vs_jaccard(spark, sf_dir):
+    """Dedup-method evaluation harness: precision/recall of the
+    SimHash hamming<=3 pair set against the exact n-gram-Jaccard-0.8
+    ground truth — the report every pipeline needs before committing
+    to a cheaper near-dup detector (the two methods genuinely
+    disagree: hamming tolerance ≠ shingle overlap). One full-outer
+    join of two already-small pair sets; both arms reuse the
+    registered operators unchanged. Output is a single exact-integer
+    + rounded-ratio row."""
+    from pyspark.sql import functions as _F
+
+    docs = _docs(spark, sf_dir)
+    sim = llm_dedup.simhash_near_dup_pairs(docs, SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", _F.lit(1).alias("in_sim")
+    )
+    ex = llm_dedup.jaccard_pairs(
+        llm_dedup.word_shingles(docs), NEAR_DUP_THRESHOLD
+    ).select("doc_a", "doc_b", _F.lit(1).alias("in_ex"))
+    j = sim.join(ex, ["doc_a", "doc_b"], "full_outer").select(
+        _F.coalesce("in_sim", _F.lit(0)).alias("in_sim"),
+        _F.coalesce("in_ex", _F.lit(0)).alias("in_ex"),
+    )
+    return j.agg(
+        _F.sum("in_sim").cast("bigint").alias("n_simhash"),
+        _F.sum("in_ex").cast("bigint").alias("n_exact"),
+        _F.sum(_F.col("in_sim") * _F.col("in_ex")).cast("bigint").alias("n_both"),
+        _F.round(
+            _F.sum(_F.col("in_sim") * _F.col("in_ex")) / _F.sum("in_sim"), 6
+        ).alias("precision_vs_jaccard"),
+        _F.round(
+            _F.sum(_F.col("in_sim") * _F.col("in_ex")) / _F.sum("in_ex"), 6
+        ).alias("recall_vs_jaccard"),
+    )
+
+
+# the oracle needs ORACLES["dedup_ngram_jaccard"], which is registered
+# above in this module's import — attach it after the function body
+from gmall_spark.queries import ORACLES as _OR  # noqa: E402
+
+_OR["dedup_eval_simhash_vs_jaccard"] = _dedup_eval_oracle()
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

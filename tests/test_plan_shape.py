@@ -181,6 +181,12 @@ BUDGETS = [
     ("waiting_multi_supplier_orders", 5, 3),
     ("prospective_customer_balance", 6, 2),
     ("product_type_profit", 4, 4),
+    # r5 analytics additions: grouping-sets expand + one exchange;
+    # MAD needs two sort-based percentile aggs (med, mad) + the
+    # broadcast joins back; the eval harness runs both dedup arms
+    ("events_grouping_sets", 2, 0),
+    ("events_value_mad_outliers", 7, 3),
+    ("dedup_eval_simhash_vs_jaccard", 14, 5),
 ]
 
 
