@@ -276,6 +276,38 @@ def streaming_interval_join(
     return lw.join(rw, cond)
 
 
+def streaming_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the streaming form of J2.
+
+    Ref DwdTradeOrderDetail.java's double LEFT join: an order-detail
+    row must emit even when its activity/coupon record never arrives.
+    Flink SQL holds both sides in state-retention-bounded join state;
+    Spark's equivalent is the watermarked left-outer stream-stream
+    join — the SAME equi-join + time-range condition as the interval
+    join, with outer-NULL rows emitted once the watermark passes the
+    upper bound (i.e. once the match window provably closed). State
+    eviction follows the watermark on both sides, exactly like the
+    inner variant.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return lw.join(rw, cond, "leftOuter")
+
+
 def idempotent_parquet_write(out_dir: str) -> Callable[[DataFrame, int], None]:
     """A ``write_fn`` for :func:`run_foreach_batch` with REPLAY-SAFE
     semantics: each epoch lands in its own ``epoch=<id>`` partition

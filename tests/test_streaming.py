@@ -161,6 +161,75 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, tmpdir):
     assert got == expected and got, f"interval join mismatch ({len(got)} vs {len(expected)})"
 
 
+def test_streaming_left_outer_join_equals_batch(spark, sf_dir, tmpdir):
+    """J2's streaming form: the watermarked left-outer stream-stream
+    join must emit the matched pairs exactly AND the outer-NULL rows
+    for left events whose match window closed under the watermark —
+    the batch left join is the ground truth, minus only the
+    tail-window left rows the final watermark could not yet prove
+    unmatched."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.col("ts").alias("rt")
+    )
+    a_path, b_path = f"{tmpdir}/loj_a", f"{tmpdir}/loj_b"
+    a = ev.filter(F.col("event_type") == "view")
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.col("rt").alias("b_rt"),
+    )
+    a.write.mode("overwrite").parquet(a_path)
+    b.write.mode("overwrite").parquet(b_path)
+    sa = runner.stream_from_parquet(spark, a_path, a.schema)
+    sb = runner.stream_from_parquet(spark, b_path, b.schema)
+    joined = runner.streaming_left_outer_join(
+        sa,
+        sb.withColumn("user_id", F.col("b_user_id")),
+        "user_id",
+        "rt",
+        "b_rt",
+        -3600,
+        3600,
+        "2 seconds",
+    )
+    out = joined.select("event_id", "b_event_id")
+    _run_to_memory(out, "loj_out", f"{tmpdir}/ckpt_loj")
+    got = {
+        (r.event_id, r.b_event_id)
+        for r in spark.sql("SELECT * FROM loj_out").collect()
+    }
+    ba = spark.read.parquet(a_path)
+    bb = spark.read.parquet(b_path)
+    cond = (
+        (ba.user_id == bb.b_user_id)
+        & (bb.b_rt >= ba.rt - F.expr("INTERVAL 3600 SECONDS"))
+        & (bb.b_rt <= ba.rt + F.expr("INTERVAL 3600 SECONDS"))
+    )
+    expected = {
+        (r.event_id, r.b_event_id)
+        for r in ba.join(bb, cond, "left_outer")
+        .select("event_id", "b_event_id")
+        .collect()
+    }
+    # every matched pair must be present and exact
+    got_matched = {p for p in got if p[1] is not None}
+    exp_matched = {p for p in expected if p[1] is not None}
+    assert got_matched == exp_matched and got_matched
+    # outer-NULL rows: all emitted ones must be true non-matches, and
+    # nearly all true non-matches must have been emitted (only left
+    # rows within watermark+upper of the final max ts may be held)
+    got_null = {p[0] for p in got if p[1] is None}
+    exp_null = {p[0] for p in expected if p[1] is None}
+    assert got_null <= exp_null
+    assert exp_null, "fixture should contain unmatched left rows"
+    missing = exp_null - got_null
+    assert len(missing) <= max(5, len(exp_null) // 100), (
+        f"{len(missing)} of {len(exp_null)} outer rows never emitted"
+    )
+    # and no left event may appear BOTH matched and as outer-NULL
+    assert not (got_null & {p[0] for p in got_matched})
+
+
 def test_streaming_jump_equals_batch(spark, sf_dir, tmpdir):
     _, batch_df = _page_log_parquet(spark, sf_dir, tmpdir)
     base = batch_df.select("mid", "ts_us", "is_session_start")
