@@ -2721,6 +2721,63 @@ def q_text_quality_gopher(spark, sf_dir):
     return TX.gopher_signals(_docs(spark, sf_dir))
 
 
+def _ann_recall_oracle() -> str:
+    """Twin of q_similarity_eval_ann_recall: the brute-force, LSH and
+    IVF top-k oracles as scoped subqueries, reduced to one recall row."""
+    from gmall_spark.queries import ORACLES
+
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({ORACLES["similarity_topk_cosine"]})),
+lsh AS (SELECT query_id, neighbor_id FROM ({lsh_topk_oracle()})),
+ivf AS (SELECT query_id, neighbor_id FROM ({ivf_topk_oracle()}))
+SELECT CAST((SELECT count(*) FROM bf) AS BIGINT) AS bf_pairs,
+       CAST((SELECT count(*) FROM bf JOIN lsh USING (query_id, neighbor_id)) AS BIGINT) AS lsh_hits,
+       CAST((SELECT count(*) FROM bf JOIN ivf USING (query_id, neighbor_id)) AS BIGINT) AS ivf_hits,
+       round(CAST((SELECT count(*) FROM bf JOIN lsh USING (query_id, neighbor_id)) AS DOUBLE)
+             / (SELECT count(*) FROM bf), 6) AS lsh_recall_at_10,
+       round(CAST((SELECT count(*) FROM bf JOIN ivf USING (query_id, neighbor_id)) AS DOUBLE)
+             / (SELECT count(*) FROM bf), 6) AS ivf_recall_at_10
+"""
+
+
+@query("similarity_eval_ann_recall", None)
+def q_similarity_eval_ann_recall(spark, sf_dir):
+    """ANN evaluation harness (the ann-benchmarks report): recall@10
+    of the two production index tiers — multi-probe LSH and IVF —
+    against the exact brute-force ground truth, as one exact-integer
+    + rounded-ratio row. All three arms reuse the registered
+    operators; the oracle composes their generated SQL twins as
+    scoped subqueries. This is the acceptance gate a pipeline runs
+    before swapping its exact kNN stage for an index."""
+    from pyspark.sql import functions as _F
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(_F.col("vec_id") < 5)
+    dim = _oracle_dim_check(spark, sf_dir)
+    bf = similarity.brute_force_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    lsh = similarity.lsh_bucketed_topk(emb, qs, k=10, dim=dim).select(
+        "query_id", "neighbor_id", _F.lit(1).alias("in_lsh")
+    )
+    iv = ivf.ivf_topk(
+        emb, qs, k=10, centroids=_trained_centroids(spark, sf_dir)
+    ).select("query_id", "neighbor_id", _F.lit(1).alias("in_ivf"))
+    j = (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .join(iv, ["query_id", "neighbor_id"], "left")
+        .select(
+            _F.coalesce("in_lsh", _F.lit(0)).alias("in_lsh"),
+            _F.coalesce("in_ivf", _F.lit(0)).alias("in_ivf"),
+        )
+    )
+    return j.agg(
+        _F.count(_F.lit(1)).cast("bigint").alias("bf_pairs"),
+        _F.sum("in_lsh").cast("bigint").alias("lsh_hits"),
+        _F.sum("in_ivf").cast("bigint").alias("ivf_hits"),
+        _F.round(_F.sum("in_lsh") / _F.count(_F.lit(1)), 6).alias("lsh_recall_at_10"),
+        _F.round(_F.sum("in_ivf") / _F.count(_F.lit(1)), 6).alias("ivf_recall_at_10"),
+    )
+
+
 def _dedup_eval_oracle() -> str:
     """Twin of q_dedup_eval_simhash_vs_jaccard: both arm oracles as
     scoped subqueries (their private WITH names cannot collide), then
@@ -2787,6 +2844,7 @@ def q_dedup_eval_simhash_vs_jaccard(spark, sf_dir):
 from gmall_spark.queries import ORACLES as _OR  # noqa: E402
 
 _OR["dedup_eval_simhash_vs_jaccard"] = _dedup_eval_oracle()
+_OR["similarity_eval_ann_recall"] = _ann_recall_oracle()
 
 _REGISTERED = True
 
