@@ -954,6 +954,152 @@ def q_llm_vocab_topk(spark, sf_dir):
     )
 
 
+NEG_SAMPLES_K = 4
+
+
+def _neg_sample_oracle(k: int = NEG_SAMPLES_K) -> str:
+    """Twin of q_llm_negative_samples: identical md5 lane mixes over
+    the two 32-bit digest halves (the bloom/minhash hash family), the
+    same rank indirection and same-rank shift."""
+    from gmall_spark.operators.llm_dedup import _lane_const
+
+    lanes = ", ".join(
+        f"{{'r': ({_lane_const('na', j)} * h1 + {_lane_const('nb', j)} * h2 + {j}) % nn, 'j': {j}}}"
+        for j in range(1, k + 1)
+    )
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+  FROM documents
+), nn_t AS (SELECT count(*) AS nn FROM documents),
+h AS (
+  SELECT doc_id, rn,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+  FROM ranked
+), lanes AS (
+  SELECT doc_id, rn, t.r AS raw_rank, t.j AS neg_idx, nn
+  FROM h CROSS JOIN nn_t CROSS JOIN unnest([{lanes}]) AS _(t)
+), shifted AS (
+  SELECT doc_id, neg_idx,
+         CASE WHEN raw_rank = rn THEN (raw_rank + 1) % nn ELSE raw_rank END AS neg_rank
+  FROM lanes
+)
+SELECT s.doc_id, CAST(s.neg_idx AS BIGINT) AS neg_idx, r.doc_id AS neg_doc_id
+FROM shifted s JOIN ranked r ON r.rn = s.neg_rank
+"""
+
+
+@query("llm_negative_samples", _neg_sample_oracle())
+def q_llm_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling: k=4 pseudo-random
+    OTHER documents per document — the negatives a contrastive
+    embedding trainer pairs against each anchor. No rand(): ranks
+    come from the repo's md5 two-half lane-mix family, so shards,
+    retries and the oracle all draw the same negatives (the
+    Efraimidis–Spirakis weighted sampler's unweighted uniform
+    sibling). A same-rank draw shifts by one instead of resampling
+    (keeps the expression closed-form). Scale shape: the rank
+    indirection tolerates arbitrary/non-contiguous doc ids; cost is
+    one window rank + one k-fanout + one equi-join shuffle on the
+    rank — corpus-linear, no corpus² anywhere."""
+    from gmall_spark.operators.llm_dedup import _lane_const
+
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window as _W
+
+    ranked = docs.select(
+        "doc_id", (F.row_number().over(_W.orderBy("doc_id")) - 1).alias("rn")
+    )
+    n = ranked.count()
+    md = F.md5(F.col("doc_id").cast("string"))
+    h = ranked.select(
+        "doc_id",
+        "rn",
+        F.conv(F.substring(md, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(md, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    lanes = F.array(
+        *[
+            F.struct(
+                F.expr(
+                    f"({_lane_const('na', j)} * h1 + {_lane_const('nb', j)} * h2 + {j}) % {n}"
+                ).alias("raw_rank"),
+                F.lit(j).alias("neg_idx"),
+            )
+            for j in range(1, NEG_SAMPLES_K + 1)
+        ]
+    )
+    shifted = (
+        h.select("doc_id", "rn", F.explode(lanes).alias("l"))
+        .select(
+            "doc_id",
+            F.col("l.neg_idx").cast("bigint").alias("neg_idx"),
+            F.when(F.col("l.raw_rank") == F.col("rn"), (F.col("l.raw_rank") + 1) % n)
+            .otherwise(F.col("l.raw_rank"))
+            .alias("neg_rank"),
+        )
+    )
+    neg = ranked.select(F.col("rn").alias("neg_rank"), F.col("doc_id").alias("neg_doc_id"))
+    return shifted.join(neg, "neg_rank").select("doc_id", "neg_idx", "neg_doc_id")
+
+
+@query(
+    "llm_bpe_merge_candidates",
+    """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wfreq FROM toks GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair, wfreq
+  FROM wc WHERE length(w) >= 2
+), agg AS (
+  SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pair_count FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count FROM agg ORDER BY pair_count DESC, pair ASC LIMIT 50
+""",
+)
+def q_llm_bpe_merge_candidates(spark, sf_dir):
+    """One BPE-training iteration: the top-50 adjacent-symbol-pair
+    counts over the corpus (the pair the trainer would merge first,
+    plus the ranked field behind it). The corpus-scale trick is the
+    classic two-level rollup: tokens collapse to the DISTINCT-word
+    frequency table first (map-side combining hash agg — the word
+    table is vocabulary-sized, not corpus-sized), then character
+    pairs expand from the word table only, weighted by word
+    frequency. At 100 TB the expensive pass is the word count; the
+    pair expansion touches |vocab|·avg_len rows regardless of corpus
+    size. Same substring-pair expression as the CJK segmenter —
+    proven identical across engines."""
+    from gmall_spark.operators.ranking import _toks
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(_toks(F.col("text"))).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("wfreq"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "wfreq",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wfreq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(50)
+    )
+
+
 @query(
     "text_collocations_pmi",
     """
