@@ -2345,6 +2345,72 @@ def q_sql_tumble_event_counts(spark, sf_dir):
 
 
 @query(
+    "sql_interval_join_events",
+    """
+SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 60 SECOND
+""",
+)
+def q_sql_interval_join_events(spark, sf_dir):
+    """The Flink-SQL interval join (`b.ts BETWEEN a.ts AND a.ts +
+    INTERVAL ...`, ref the DwdTradeOrderDetail SQL joins) through
+    Spark's SQL front door: temp view + spark.sql with the same
+    BETWEEN range predicate. Catalyst plans the equi-key + range
+    condition identically to the DataFrame interval_join_events twin
+    (one user_id shuffle, range as a join residual — no cartesian)."""
+    ev = _events(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    view = f"events_sql_ij_{tag}"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+               CAST(unix_timestamp(b.ts) - unix_timestamp(a.ts) AS BIGINT) AS gap_s
+        FROM {view} a JOIN {view} b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 60 SECOND
+        """
+    )
+
+
+@query(
+    "sql_grouping_sets_orders",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+""",
+)
+def q_sql_grouping_sets_orders(spark, sf_dir):
+    """GROUPING SETS through the SQL front door (the syntax itself is
+    part of the surface a SQL-first user migrates with) — same
+    Catalyst Expand + single hash agg as the DataFrame
+    events_grouping_sets twin."""
+    o = _t(spark, sf_dir, "orders")
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    view = f"orders_sql_gs_{tag}"
+    o.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        FROM {view}
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
     "returned_item_customers",
     """
 SELECT c_custkey, c_name, n_name,
