@@ -419,3 +419,50 @@ def _recon_residual_udf(
         return pd.Series([row for row in dq])
 
     return _recon
+
+
+def save_codebooks(
+    path: str, books: list[list[list[float]]], source_paths: list[str]
+) -> None:
+    """Publish trained PQ codebooks as an on-disk artifact — the PQ
+    half of the index-as-artifact story (ivf.save_centroids is the
+    coarse half): curation runs spanning sessions, or PQ + IVF-PQ
+    jobs sharing one training, reuse a single run. Atomic write with
+    a training-file fingerprint so a regenerated corpus invalidates
+    the artifact; payload is m·k·(dim/m) floats — trivially small."""
+    import json
+    import os
+
+    from gmall_spark.operators.ivf import _source_fingerprint
+
+    payload = {
+        "fingerprint": _source_fingerprint(source_paths),
+        "codebooks": books,
+    }
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_codebooks(
+    path: str, source_paths: list[str]
+) -> list[list[list[float]]] | None:
+    """Load a published codebook artifact, or None when absent or its
+    fingerprint no longer matches the training files."""
+    import json
+    import os
+
+    from gmall_spark.operators.ivf import _source_fingerprint
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            payload = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if payload.get("fingerprint") != _source_fingerprint(source_paths):
+        return None
+    books = payload.get("codebooks")
+    return books if isinstance(books, list) and books else None

@@ -220,9 +220,27 @@ def _trained_books(spark: SparkSession, sf_dir: str) -> list:
 
     key = (_session_token(spark), sf_dir)
     if key not in _PQ_BOOKS:
+        # Cross-session artifact reuse, mirroring _trained_centroids:
+        # with $SPARK_GRAFT_CENTROID_DIR set the codebooks publish as
+        # a fingerprinted artifact and later sessions load it.
+        import os
+
+        art_dir = os.environ.get("SPARK_GRAFT_CENTROID_DIR")
+        src = [f"{sf_dir}/embeddings.parquet"]
+        art = None
+        if art_dir:
+            tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+            art = os.path.join(art_dir, f"pq_codebooks_{tag}.json")
+            loaded = _pq.load_codebooks(art, src)
+            if loaded is not None:
+                _PQ_BOOKS[key] = loaded
+                return _PQ_BOOKS[key]
         _PQ_BOOKS[key] = _pq.train_codebooks(
             _emb(spark, sf_dir), _oracle_dim_check(spark, sf_dir)
         )
+        if art is not None:
+            os.makedirs(art_dir, exist_ok=True)
+            _pq.save_codebooks(art, _PQ_BOOKS[key], src)
     return _PQ_BOOKS[key]
 
 

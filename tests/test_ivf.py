@@ -113,3 +113,46 @@ def test_trained_centroids_reuses_published_artifact(spark, sf_dir, tmp_path, mo
         assert again == first
     finally:
         queries_llm._CENTROIDS.clear()  # drop artifact-keyed entries
+
+
+def test_codebook_artifact_roundtrip_and_fingerprint(spark, sf_dir, tmp_path):
+    """PQ half of the index-as-artifact story: save/load round-trip,
+    absent artifact -> None, fingerprint drift -> None."""
+    import json
+
+    from gmall_spark.operators import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    books = pq.train_codebooks(emb, dim)
+    src = [f"{sf_dir}/embeddings.parquet"]
+    path = str(tmp_path / "books.json")
+    pq.save_codebooks(path, books, src)
+    assert pq.load_codebooks(path, src) == books
+    assert pq.load_codebooks(str(tmp_path / "nope.json"), src) is None
+    payload = json.load(open(path))
+    payload["fingerprint"]["size"] += 1
+    json.dump(payload, open(path, "w"))
+    assert pq.load_codebooks(path, src) is None
+
+
+def test_trained_books_reuses_published_artifact(spark, sf_dir, tmp_path, monkeypatch):
+    """A second (simulated) session must load the published codebooks
+    instead of retraining (training monkeypatched to raise)."""
+    from gmall_spark import queries_llm
+    from gmall_spark.operators import pq
+
+    monkeypatch.setenv("SPARK_GRAFT_CENTROID_DIR", str(tmp_path))
+    queries_llm._PQ_BOOKS.clear()
+    try:
+        first = queries_llm._trained_books(spark, sf_dir)
+        queries_llm._PQ_BOOKS.clear()  # simulate a fresh session
+
+        def boom(*a, **k):
+            raise AssertionError("retrained despite published artifact")
+
+        monkeypatch.setattr(pq, "train_codebooks", boom)
+        again = queries_llm._trained_books(spark, sf_dir)
+        assert again == first
+    finally:
+        queries_llm._PQ_BOOKS.clear()
