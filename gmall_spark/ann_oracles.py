@@ -191,11 +191,11 @@ def _kmeans_ctes(
         f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, (x) -> CAST(x AS DOUBLE)) AS v FROM embeddings
-), uv AS (
+), uv AS MATERIALIZED (
   SELECT vec_id,
          list_transform(v, (x) -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS u
   FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-), pool AS (
+), pool AS MATERIALIZED (
   SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
   FROM uv ORDER BY h LIMIT {sample}
 ), c0 AS (
@@ -235,12 +235,12 @@ WITH e AS (
 )"""
         )
     parts.append(
-        f""", idx_rn AS (
+        f""", idx_rn AS MATERIALIZED (
   SELECT u.vec_id, c.list_id,
          row_number() OVER (PARTITION BY u.vec_id
                             ORDER BY {score.format(u='u.u')} DESC, c.list_id ASC) AS rn
   FROM uv u CROSS JOIN c{iters} c
-), idx AS (
+), idx AS MATERIALIZED (
   SELECT vec_id, list_id FROM idx_rn WHERE rn = 1
 )"""
     )
@@ -451,11 +451,11 @@ def pq_topk_oracle(
     prefix = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, (x) -> CAST(x AS DOUBLE)) AS v FROM embeddings
-), uv AS (
+), uv AS MATERIALIZED (
   SELECT vec_id,
          list_transform(v, (x) -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS u
   FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-), pool AS (
+), pool AS MATERIALIZED (
   SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
   FROM uv ORDER BY h LIMIT {sample}
 )"""
@@ -549,16 +549,20 @@ def ivfpq_residual_topk_oracle(
     and a ``recon_full`` that re-adds the coarse centroid before ADC."""
     ci = f"c{coarse_iters}"
     score = "list_dot_product(p.u, c.cv) - list_dot_product(c.cv, c.cv) / 2"
-    residual_ctes = f""", pool_assign AS (
+    # MATERIALIZED: the 8 sub-space k-means CTE chains reference
+    # pool_r/uv_r 16+ times; DuckDB would otherwise re-inline (and
+    # re-execute) the coarse-assignment window each time — measured
+    # 118 s -> ~6 s at sf0.01 (driver-timeout risk, r5).
+    residual_ctes = f""", pool_assign AS MATERIALIZED (
   SELECT p.h, p.u, c.list_id,
          row_number() OVER (PARTITION BY p.h
                             ORDER BY {score} DESC, c.list_id ASC) AS rn
   FROM pool p CROSS JOIN {ci} c
-), pool_r AS (
+), pool_r AS MATERIALIZED (
   SELECT a.h,
          list_transform(range(1, {dim + 1}), (i) -> a.u[i] - c.cv[i]) AS u
   FROM pool_assign a JOIN {ci} c ON c.list_id = a.list_id WHERE a.rn = 1
-), uv_r AS (
+), uv_r AS MATERIALIZED (
   SELECT u.vec_id,
          list_transform(range(1, {dim + 1}), (i) -> u.u[i] - c.cv[i]) AS u
   FROM uv u JOIN idx x ON x.vec_id = u.vec_id
