@@ -1,0 +1,47 @@
+"""Full-registry t2 simulation at the driver's SF.
+
+Runs every query in __spark_entry__.queries() at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.01) against its DuckDB oracle through
+tests/oracle.compare (rows + schema + order-insensitive values — the
+driver's protocol), rows-only where no oracle exists, and writes
+PARITY_SF001.json at the repo root. ~3.5 min at sf0.01 on local[32].
+
+Usage: python tools/parity_sweep.py
+"""
+import json, sys, time, traceback
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as e
+from gmall_spark.session import get_session
+from tests.oracle import compare
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+spark = get_session(app_name="parity_sweep")
+q, o = e.queries(), e.oracle_sql()
+out = {}
+t_start = time.time()
+for i, name in enumerate(sorted(q)):
+    t0 = time.time()
+    try:
+        df = q[name](spark, SF)
+        if name in o:
+            probs = compare(df, o[name], SF)
+            out[name] = {"mode": "oracle", "ok": not probs, "problems": probs[:3],
+                         "sec": round(time.time() - t0, 2)}
+        else:
+            n = df.count()
+            out[name] = {"mode": "rows_only", "ok": n >= 0, "rows": n,
+                         "sec": round(time.time() - t0, 2)}
+    except Exception as ex:
+        out[name] = {"mode": "error", "ok": False,
+                     "problems": [f"{type(ex).__name__}: {ex}"][:1],
+                     "sec": round(time.time() - t0, 2)}
+        traceback.print_exc(file=sys.stderr)
+    status = "OK" if out[name]["ok"] else "FAIL"
+    print(f"[{i+1}/{len(q)}] {status} {name} ({out[name]['sec']}s)", flush=True)
+bad = [n for n, r in out.items() if not r["ok"]]
+print(f"TOTAL {len(out)} queries, {len(bad)} failing: {bad}")
+print(f"ELAPSED {round(time.time()-t_start,1)}s")
+with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PARITY_SF001.json"), "w") as f:
+    json.dump({"sf": 0.01, "protocol": "t2 (rows+schema+hash via tests/oracle.compare)",
+               "results": out}, f, indent=1, sort_keys=True)
