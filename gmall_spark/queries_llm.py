@@ -527,6 +527,23 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return llm_dedup.minhash_lsh_dedup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
 
 
+@query("dedup_minhash_lsh_capped", SQL_MINHASH + _SQL_JACCARD_VERIFY)
+def q_dedup_minhash_lsh_capped(spark, sf_dir):
+    """The PRODUCTION configuration of the MinHash pipeline: the
+    mega-bucket cap armed at DEFAULT_MAX_BUCKET. Sharing the uncapped
+    oracle is the point — wherever no band bucket exceeds the cap
+    (every non-pathological corpus, including the driver's SFs) the
+    capped pipeline is bit-identical to the exact all-pairs
+    expansion; only a boilerplate mega-bucket switches that bucket to
+    the linear chain+skip layout (planted-bucket behavior covered by
+    tests/test_llm_ops.py, observability via capped_bucket_stats)."""
+    return llm_dedup.minhash_lsh_dedup(
+        _docs(spark, sf_dir),
+        NEAR_DUP_THRESHOLD,
+        max_bucket=llm_dedup.DEFAULT_MAX_BUCKET,
+    )
+
+
 @query(
     "dedup_groups_keeper",
     SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
