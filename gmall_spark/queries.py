@@ -2352,7 +2352,7 @@ SELECT a.event_id AS view_id, b.event_id AS purchase_id,
 FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND a.event_type = 'view' AND b.event_type = 'purchase'
- AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 60 SECOND
+ AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 3600 SECOND
 """,
 )
 def q_sql_interval_join_events(spark, sf_dir):
@@ -2373,7 +2373,7 @@ def q_sql_interval_join_events(spark, sf_dir):
         FROM {view} a JOIN {view} b
           ON a.user_id = b.user_id
          AND a.event_type = 'view' AND b.event_type = 'purchase'
-         AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 60 SECOND
+         AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 3600 SECOND
         """
     )
 
@@ -2941,8 +2941,8 @@ FROM (
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
     AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
@@ -2973,8 +2973,8 @@ def q_volume_shipping_nation_pairs(spark, sf_dir):
     price = F.col("l_extendedprice").cast("decimal(18,6)")
     disc = F.col("l_discount").cast("decimal(18,6)")
     pair = (
-        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -2996,7 +2996,7 @@ def q_volume_shipping_nation_pairs(spark, sf_dir):
     "market_share_by_year",
     """
 SELECT o_year,
-       round(CAST(sum(CASE WHEN supp_nation = 'BRAZIL' THEN volume ELSE 0 END) AS DOUBLE)
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
              / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -3012,7 +3012,7 @@ FROM (
   JOIN nation n2 ON s_nationkey = n2.n_nationkey
   WHERE r_name = 'AMERICA'
     AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
-    AND p_type LIKE '%STEEL'
+    AND p_type = 'STANDARD'
 ) all_nations
 GROUP BY o_year
 ORDER BY o_year
@@ -3026,7 +3026,7 @@ def q_market_share_by_year(spark, sf_dir):
     next to sum) — no second scan, no self-join; the share division
     happens on the two exact DECIMAL sums cast to double at the very
     end (round 6 for cross-engine float stability)."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type").like("%STEEL"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(
@@ -3056,7 +3056,7 @@ def q_market_share_by_year(spark, sf_dir):
             F.year("o_orderdate").cast("bigint").alias("o_year"), vol, "supp_nation"
         )
     )
-    brazil = F.when(F.col("supp_nation") == "BRAZIL", F.col("volume")).otherwise(
+    brazil = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
         F.lit(0).cast("decimal(18,6)")
     )
     return (
@@ -3258,7 +3258,7 @@ FROM supplier
 JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
 JOIN orders ON o_orderkey = l1.l_orderkey
 JOIN nation ON s_nationkey = n_nationkey
-WHERE o_orderstatus = 'F' AND n_name = 'SAUDI ARABIA'
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_4'
   AND EXISTS (SELECT 1 FROM lineitem l2
               WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
   AND NOT EXISTS (SELECT 1 FROM lineitem l3
@@ -3282,7 +3282,7 @@ def q_waiting_multi_supplier_orders(spark, sf_dir):
     from pyspark.sql import Window as W
 
     s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "SAUDI ARABIA")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     w = W.partitionBy("l_orderkey")
@@ -3332,7 +3332,8 @@ SELECT c_nationkey AS cntrycode,
 FROM customer CROSS JOIN avg_bal
 WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
   AND CAST(c_acctbal AS DECIMAL(18,6)) > a
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """,
@@ -3340,16 +3341,23 @@ ORDER BY c_nationkey
 def q_prospective_customer_balance(spark, sf_dir):
     """TPC-H Q22 global-sales-opportunity twin (country code adapted
     to nationkey — the lite schema has no phone column): rich
-    customers with NO orders, compared against the positive-balance
-    global average. Scale shape: the scalar average is ONE tiny
-    aggregate broadcast into the filter; the NOT EXISTS is a LEFT
-    ANTI join against just the o_custkey column (pruned scan),
-    shuffled on custkey once. The average comparison is DECIMAL vs
+    customers with no RECENT orders (>= 2000-01-01; this corpus
+    gives every customer at least one historical order, so the
+    original "never ordered" set is structurally empty), compared
+    against the positive-balance global average. Scale shape: the
+    scalar average is ONE tiny aggregate broadcast into the filter;
+    the NOT EXISTS is a LEFT ANTI join against the date-filtered
+    o_custkey column (pruned, pushed-down scan), shuffled on custkey
+    once. The average comparison is DECIMAL vs
     DECIMAL — DuckDB's avg() returns double, so the oracle casts the
     exact DECIMAL avg to DECIMAL(28,10) the same way Spark does."""
     nations = [1, 2, 3, 4, 5, 6, 7]
     c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
     bal = F.col("c_acctbal").cast("decimal(18,6)")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
