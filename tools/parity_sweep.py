@@ -39,6 +39,26 @@ for i, name in enumerate(sorted(q)):
         traceback.print_exc(file=sys.stderr)
     status = "OK" if out[name]["ok"] else "FAIL"
     print(f"[{i+1}/{len(q)}] {status} {name} ({out[name]['sec']}s)", flush=True)
+# vacuous-result audit (r5): a hash-match on an EMPTY result is a
+# trivially-green lie (five twins once filtered on dimension values
+# the synthetic corpus doesn't contain) — flag any zero-row oracle.
+import duckdb
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+for name, sql in o.items():
+    if name in out and out[name].get("ok") and out[name].get("mode") == "oracle":
+        try:
+            nrows = len(con.execute(sql).fetchall())
+            out[name]["rows"] = nrows
+            if nrows == 0:
+                out[name]["ok"] = False
+                out[name]["problems"] = ["vacuous: oracle returns 0 rows"]
+        except Exception as ex:
+            out[name]["problems"] = [f"empty-audit error: {ex}"][:1]
+con.close()
+
 bad = [n for n, r in out.items() if not r["ok"]]
 print(f"TOTAL {len(out)} queries, {len(bad)} failing: {bad}")
 print(f"ELAPSED {round(time.time()-t_start,1)}s")
