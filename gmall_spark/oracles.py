@@ -63,6 +63,26 @@ WITH ev AS (
 )
 """
 
+# Derived partsupp (the lite schema ships no partsupp table): each
+# part gets 4 deterministic suppliers; availqty and supplycost are
+# integer arithmetic over (partkey, suppkey), cost kept in BIGINT
+# CENTS so every comparison/aggregate is exact in both engines (a
+# DECIMAL division would hit engine-specific scale rules). Shared
+# verbatim by the Spark derivation (queries._partsupp) and the
+# oracles of the Q2/Q11/Q16/Q20 twins.
+SQL_PARTSUPP = """
+ns_t AS (SELECT count(*) AS ns FROM supplier),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 7 + iv.i * 13) % ns_t.ns AS ps_suppkey,
+         (p_partkey * 13 + ((p_partkey * 7 + iv.i * 13) % ns_t.ns) * 7) % 10000 + 1 AS ps_availqty,
+         (p_partkey * 31 + ((p_partkey * 7 + iv.i * 13) % ns_t.ns) * 17) % 10000 + 100 AS ps_supplycost_cents
+  FROM part CROSS JOIN ns_t
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS i) iv
+)
+"""
+
+
 def segment_keywords_sql(expr: str) -> str:
     """DuckDB twin of functions.text.segment_keywords (CJK-aware
     keyword tokenizer, SURVEY F1)."""

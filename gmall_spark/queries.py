@@ -3516,6 +3516,270 @@ def q_events_value_mad_outliers(spark, sf_dir):
     )
 
 
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp relation — the Spark twin of
+    oracles.SQL_PARTSUPP (see its comment): 4 deterministic suppliers
+    per part, integer-cents supplycost. The supplier count is one
+    tiny action; everything else is a per-row projection + 4-way
+    explode over the part table (dim-sized at any SF)."""
+    part = _t(spark, sf_dir, "part")
+    ns = _t(spark, sf_dir, "supplier").count()
+    base = part.select(
+        "p_partkey", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    )
+    sk = (F.col("p_partkey") * 7 + F.col("i") * 13) % ns
+    return base.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        sk.cast("bigint").alias("ps_suppkey"),
+        ((F.col("p_partkey") * 13 + sk * 7) % 10000 + 1)
+        .cast("bigint")
+        .alias("ps_availqty"),
+        ((F.col("p_partkey") * 31 + sk * 17) % 10000 + 100)
+        .cast("bigint")
+        .alias("ps_supplycost_cents"),
+    )
+
+
+@query(
+    "min_cost_supplier",
+    f"""
+WITH {O.SQL_PARTSUPP},
+europe AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'
+), cand AS (
+  SELECT p_partkey, ps_suppkey, ps_supplycost_cents
+  FROM part JOIN partsupp ON ps_partkey = p_partkey
+  WHERE p_size <= 15 AND p_type = 'ECONOMY'
+), m AS (
+  SELECT c.p_partkey, c.ps_supplycost_cents, e.s_acctbal, e.s_name, e.n_name,
+         min(c.ps_supplycost_cents) OVER (PARTITION BY c.p_partkey) AS mn
+  FROM cand c JOIN europe e ON e.s_suppkey = c.ps_suppkey
+)
+SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey,
+       round(CAST(ps_supplycost_cents AS DOUBLE) / 100, 6) AS ps_supplycost
+FROM m WHERE ps_supplycost_cents = mn
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 minimum-cost-supplier twin over the derived partsupp:
+    the correlated MIN subquery becomes a per-part window min with
+    equality on the exact integer cents (no float compare can flip).
+    Scale shape: supplier/nation/region collapse to one broadcast
+    'europe' dim; the window partitions by partkey after the filtered
+    part join, so only the candidate rows (selective size+type
+    filter) reach it; top-100 via TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    cand = ps.join(
+        F.broadcast(p.select("p_partkey")), F.col("ps_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(europe), F.col("s_suppkey") == F.col("ps_suppkey"))
+    m = cand.withColumn(
+        "mn", F.min("ps_supplycost_cents").over(W.partitionBy("p_partkey"))
+    )
+    return (
+        m.filter(F.col("ps_supplycost_cents") == F.col("mn"))
+        .select(
+            F.round("s_acctbal", 6).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round(F.col("ps_supplycost_cents").cast("double") / 100, 6).alias(
+                "ps_supplycost"
+            ),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "important_stock_parts",
+    f"""
+WITH {O.SQL_PARTSUPP},
+nat AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+), v AS (
+  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS value_cents
+  FROM partsupp JOIN nat ON nat.s_suppkey = ps_suppkey
+), pv AS (
+  SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS part_cents FROM v GROUP BY ps_partkey
+), tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM v)
+SELECT ps_partkey, round(CAST(part_cents AS DOUBLE) / 100, 6) AS stock_value
+FROM pv CROSS JOIN tot
+WHERE part_cents * 200 > total_cents
+ORDER BY part_cents DESC, ps_partkey
+""",
+)
+def q_important_stock_parts(spark, sf_dir):
+    """TPC-H Q11 important-stock twin: per-part stock value of one
+    region's suppliers HAVING more than 1/200 of the region's total.
+    The scalar-total subquery is a one-row aggregate broadcast into
+    the filter; the fraction compare is integer-scaled
+    (part_cents*200 > total_cents) — exact in both engines, no
+    decimal-division scale rules. One shuffle on partkey."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    v = ps.join(F.broadcast(nat), F.col("s_suppkey") == F.col("ps_suppkey")).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("value_cents"),
+    )
+    pv = v.groupBy("ps_partkey").agg(
+        F.sum("value_cents").cast("bigint").alias("part_cents")
+    )
+    tot = v.agg(F.sum("value_cents").cast("bigint").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_cents") * 200 > F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("part_cents").cast("double") / 100, 6).alias("stock_value"),
+        )
+        .orderBy(F.desc((F.col("stock_value"))), "ps_partkey")
+    )
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    f"""
+WITH {O.SQL_PARTSUPP},
+ok_supp AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0),
+sel AS (
+  SELECT p_brand, p_type, p_size, ps_suppkey
+  FROM partsupp JOIN part ON p_partkey = ps_partkey
+  JOIN ok_supp ON ok_supp.s_suppkey = ps_suppkey
+  WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+    AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+)
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM sel GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q_supplier_count_by_part_attrs(spark, sf_dir):
+    """TPC-H Q16 parts/supplier-relationship twin: distinct supplier
+    counts per (brand, type, size), excluding one brand/type and
+    negative-balance suppliers (the NOT IN complaint filter becomes a
+    broadcast semi join on the positive-balance supplier set —
+    Catalyst's left-semi, no row explosion). One shuffle for the
+    distinct-count agg."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    ok = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0).select(
+        "s_suppkey"
+    )
+    sel = (
+        ps.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .join(F.broadcast(ok), F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+    )
+    return (
+        sel.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "promotion_candidate_suppliers",
+    f"""
+WITH {O.SQL_PARTSUPP},
+red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+shipped AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN red ON red.p_partkey = ps_partkey
+  JOIN shipped sh ON sh.l_partkey = ps_partkey AND sh.l_suppkey = ps_suppkey
+  WHERE ps_availqty * 2 > sh.qty
+)
+SELECT s_name, round(s_acctbal, 6) AS s_acctbal
+FROM supplier
+JOIN excess ON excess.ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+ORDER BY s_name
+""",
+)
+def q_promotion_candidate_suppliers(spark, sf_dir):
+    """TPC-H Q20 potential-promotion twin: suppliers of one region
+    holding more than half a year's shipments of a 'red' part in
+    stock. The nested IN subqueries flatten to joins: one pushed-down
+    year aggregate over lineitem keyed by (partkey, suppkey), a
+    broadcast of the filtered part keys, and the half-quantity
+    threshold as integer arithmetic (availqty*2 > qty). A (part,
+    supplier) pair with NO shipments is excluded — matching the
+    original's NULL-comparison semantics."""
+    ps = _partsupp(spark, sf_dir)
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("qty")
+    )
+    excess = (
+        ps.join(F.broadcast(red), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        s.join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", F.round("s_acctbal", 6).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
 # Register the LLM-data-pipeline queries into the same registry.
 # (Import + reorder choreography is at the BOTTOM of this file: the
 # registry finalization must be order-independent — a user importing

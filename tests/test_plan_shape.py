@@ -187,6 +187,12 @@ BUDGETS = [
     ("events_grouping_sets", 2, 0),
     ("events_value_mad_outliers", 7, 3),
     ("dedup_eval_simhash_vs_jaccard", 14, 5),
+    # derived-partsupp TPC-H twins (Q2/Q11/Q16/Q20): partsupp is a
+    # per-row projection over the dim-sized part table, dims broadcast
+    ("min_cost_supplier", 1, 4),
+    ("important_stock_parts", 3, 7),
+    ("supplier_count_by_part_attrs", 3, 2),
+    ("promotion_candidate_suppliers", 4, 5),
 ]
 
 
