@@ -215,6 +215,24 @@ def test_shuffle_budget(spark, sf_dir, name, max_shuffles, min_broadcast):
     )
 
 
+def test_order_detail_materialize_plan_budget(spark, sf_dir):
+    """The dwd_order_detail MATERIALIZE build (the biggest bench line
+    item, input to the whole trade family — VERDICT r5 item 1): all
+    four joins must broadcast (order_info, activity, coupon, base_dic)
+    and the only exchanges allowed are the parallel_scan round-robin
+    fan-outs — zero real shuffles. Guards the un-persisted build plan;
+    the registered query returns the cached relation."""
+    from gmall_spark.plans import dwd
+    from gmall_spark.sources import dims
+
+    q.clear_cache()
+    df = dwd.dwd_trade_order_detail(q._topic_db(spark, sf_dir), dims.base_dic(spark))
+    shuffles, broadcast, plan = _counts(df)
+    assert shuffles <= 4, f"materialize build: {shuffles} shuffles\n{plan[:3000]}"
+    assert broadcast >= 4, f"materialize build: {broadcast} broadcasts\n{plan[:3000]}"
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
 def test_broadcast_lookup_join_broadcasts(spark, sf_dir):
     """S7/J3 adapter: the lookup side must enter as a broadcast."""
     from gmall_spark.sources.jdbc import broadcast_lookup_join
