@@ -39,6 +39,7 @@ HEADLINE = [
     "similarity_topk_cosine",
     "text_quality_scores",
     "doc_fingerprint_simhash",
+    "dedup_simhash64_hamming",
     "dedup_semantic_clusters",
     "asof_join_events",
     "events_session_window",

@@ -277,6 +277,58 @@ def simhash16(doc_words: Column) -> Column:
     return total.cast("bigint")
 
 
+def simhash64_fingerprints(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, sim_lo, sim_hi) — the PRODUCTION 64-bit SimHash
+    (Manku et al. WWW'07 run 64-bit tables; the repo's own X98 eval
+    harness measures 16-bit precision ~0.002 on this corpus, which is
+    the documented argument for this width at scale).
+
+    Bit ``b`` of the fingerprint reads bit ``b % 4`` of md5 hex
+    nibble ``b // 4`` (chars 1..16) — the same nibble/bit convention
+    as the 16-bit :func:`simhash_fingerprints`, extended across the
+    first 64 bits of the digest. The fingerprint is carried as TWO
+    32-bit halves in BIGINT (``sim_lo`` = bits 0..31 from hex chars
+    1-8, ``sim_hi`` = bits 32..63 from chars 9-16): DuckDB raises on
+    ``1::BIGINT << 63``, so a single signed 64-bit word could not be
+    reproduced by the oracle; hamming is the sum of the two halves'
+    ``bit_count(xor)`` which is bit-identical to the one-word form.
+
+    Single pass per row: each word is md5'd ONCE into two 32-bit
+    ints, then ONE ``aggregate`` folds a 64-slot vote array with a
+    ``zip_with`` per word — not 64 separate re-hashing folds (the
+    16-bit lesson, measured there at ~2x). Zero shuffles,
+    embarrassingly parallel at 100 TB.
+    """
+    hs = F.expr(
+        f"transform(split({text_col}, '\\\\s+'), "
+        "w -> named_struct("
+        "'h1', cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint), "
+        "'h2', cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint)))"
+    )
+    # vote slot b: +1/-1 on bit (7 - (b%32) div 4)*4 + b%4 of the
+    # half word (char b//4 is the most-significant nibble first)
+    votes = F.expr(
+        "aggregate(__h, array_repeat(0, 64), (acc, h) -> "
+        "zip_with(acc, sequence(0, 63), (a, b) -> "
+        "a + cast(2 * ((if(b < 32, h.h1, h.h2) >> "
+        "(((7 - (b % 32) div 4) * 4) + (b % 4))) & 1) - 1 as int)))"
+    )
+    half = (
+        "aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> "
+        "acc + if(element_at(__v, i + {off}) > 0, "
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), hs.alias("__h"))
+        .select("doc_id", votes.alias("__v"))
+        .select(
+            "doc_id",
+            F.expr(half.format(off=1)).alias("sim_lo"),
+            F.expr(half.format(off=33)).alias("sim_hi"),
+        )
+    )
+
+
 def simhash_fingerprints(docs, id_col: str = "doc_id", text_col: str = "text"):
     """(doc_id, canonical_md5, simhash) per document — the scale path.
 

@@ -59,6 +59,8 @@ BUDGETS = [
     # simhash hamming pairs: per-row fingerprints, one bucket agg,
     # candidate distinct, integer verify joins
     ("dedup_simhash_hamming", 6, 0),
+    # 64-bit variant: same shape, 16-bit chunks over the two halves
+    ("dedup_simhash64_hamming", 6, 0),
     # as-of join: two tagged event scans + ONE keyed window pass
     ("asof_join_events", 3, 0),
     # native session_window: scan + the session aggregate exchange
@@ -187,6 +189,7 @@ BUDGETS = [
     ("events_grouping_sets", 2, 0),
     ("events_value_mad_outliers", 7, 3),
     ("dedup_eval_simhash_vs_jaccard", 14, 5),
+    ("dedup_eval_simhash64_vs_jaccard", 14, 5),
     # derived-partsupp TPC-H twins (Q2/Q11/Q16/Q20): partsupp is a
     # per-row projection over the dim-sized part table, dims broadcast
     ("min_cost_supplier", 1, 4),
