@@ -44,7 +44,13 @@ from pyspark.sql.types import ArrayType, IntegerType
 from gmall_spark.functions.vectors import cosine
 
 IVF_LISTS = 16
-IVF_NPROBE = 4
+# 12/16: the first sweep point clearing recall@10 >= 0.9 on the
+# synthetic corpus (similarity_eval_ivf_nprobe_sweep measures 0.62 /
+# 0.88 / 0.96 / 1.0 at 4/8/12/16 — quasi-uniform embeddings have weak
+# cluster structure, so the 16-list demo pays most of a scan for
+# honest recall). At 100 TB run n_lists ~ sqrt(N): the same >= 0.9
+# recall then costs nprobe/n_lists of a few percent.
+IVF_NPROBE = 12
 IVF_ITERS = 3
 IVF_SAMPLE = 2048
 

