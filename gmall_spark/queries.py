@@ -102,6 +102,7 @@ def clear_cache() -> None:
 
     queries_llm._CENTROIDS.clear()
     queries_llm._EMB_DIM.clear()
+    queries_llm._DOC_COUNTS.clear()
     queries_llm._DEDUP_GROUPS.clear()
     queries_llm._PQ_BOOKS.clear()
     queries_llm._SQ_STATS.clear()
@@ -111,6 +112,7 @@ def clear_cache() -> None:
     # regenerates testdata at the same paths between rounds (ADVICE r3)
     session._SCAN_DECISIONS.clear()
     _TOPIC_DB_PLANS.clear()
+    _SUPPLIER_COUNTS.clear()
     while _MATERIALIZED:
         _, df = _MATERIALIZED.popitem()
         try:
@@ -3516,14 +3518,24 @@ def q_events_value_mad_outliers(spark, sf_dir):
     )
 
 
+_SUPPLIER_COUNTS: dict[tuple[str, str], int] = {}
+
+
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived partsupp relation — the Spark twin of
     oracles.SQL_PARTSUPP (see its comment): 4 deterministic suppliers
     per part, integer-cents supplycost. The supplier count is one
-    tiny action; everything else is a per-row projection + 4-way
-    explode over the part table (dim-sized at any SF)."""
+    tiny action, memoized per (session, sf_dir) like the kNN-edge
+    fixture — four Q2/Q11/Q16/Q20 twins x bench repeats fired 12
+    redundant jobs otherwise (VERDICT r5 item 5); everything else is
+    a per-row projection + 4-way explode over the part table
+    (dim-sized at any SF)."""
     part = _t(spark, sf_dir, "part")
-    ns = _t(spark, sf_dir, "supplier").count()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ns = _SUPPLIER_COUNTS.get(key)
+    if ns is None:
+        ns = _t(spark, sf_dir, "supplier").count()
+        _SUPPLIER_COUNTS[key] = ns
     base = part.select(
         "p_partkey", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
     )

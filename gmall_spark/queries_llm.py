@@ -197,6 +197,7 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 # Embedding width per (session, sf_dir): a metadata-scale .first()
 # probe, memoized so repeated query builds don't re-run it (ADVICE r2).
 _EMB_DIM: dict[tuple[str, str], int] = {}
+_DOC_COUNTS: dict[tuple[str, str], int] = {}
 
 
 def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
@@ -1110,7 +1111,13 @@ def q_llm_negative_samples(spark, sf_dir):
     ranked = docs.select(
         "doc_id", (F.row_number().over(_W.orderBy("doc_id")) - 1).alias("rn")
     )
-    n = ranked.count()
+    # corpus size memoized per (session, sf_dir) — same convention as
+    # the supplier-count/kNN fixtures (one tiny job, not one per call)
+    nkey = (_session_token(spark), sf_dir)
+    n = _DOC_COUNTS.get(nkey)
+    if n is None:
+        n = ranked.count()
+        _DOC_COUNTS[nkey] = n
     md = F.md5(F.col("doc_id").cast("string"))
     h = ranked.select(
         "doc_id",
