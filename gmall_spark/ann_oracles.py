@@ -44,20 +44,32 @@ from gmall_spark.operators.similarity import ANN_PLANES, ANN_TABLES, _plane_coef
 def probe_embed_dim(root: str | None = None) -> int:
     """Embedding width from the first readable
     ``<root>/sf*/embeddings.parquet`` (single-row batch read — no
-    full-column materialization). Falls back to 64 when no testdata
-    is reachable (e.g. docs builds outside the driver sandbox)."""
+    full-column materialization). Falls back to 64 ONLY when no
+    testdata exists at all (e.g. docs builds outside the driver
+    sandbox); testdata that is present but unreadable RAISES instead
+    of silently baking a possibly-wrong width into the generated
+    oracle literals (ADVICE r5 — the mismatch used to surface only
+    later, and only on paths that call _oracle_dim_check)."""
     import pyarrow.parquet as _pq
 
     root = root or os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
     candidates = sorted(glob.glob(os.path.join(root, "sf*", "embeddings.parquet")))
+    errors: list[str] = []
     for path in candidates:
         try:
             pf = _pq.ParquetFile(path)
             batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
             if batch.num_rows:
                 return len(batch.column("embedding")[0].as_py())
-        except Exception:  # unreadable / empty file: try the next SF
-            continue
+            errors.append(f"{path}: empty")
+        except Exception as ex:  # corrupt / unreadable: try the next SF
+            errors.append(f"{path}: {type(ex).__name__}: {ex}")
+    if candidates:
+        raise RuntimeError(
+            "embeddings testdata exists but none of it is readable — "
+            "refusing to fall back to dim=64 and bake wrong-width "
+            "oracle literals: " + "; ".join(errors[:3])
+        )
     return 64
 
 

@@ -56,8 +56,13 @@ def _complete(vdir: str) -> bool:
 
 
 def _point(final: str, vdir: str) -> None:
-    """Atomically (re)point the ``final`` symlink at ``vdir``."""
-    tmp = final + ".lnk.tmp"
+    """Atomically (re)point the ``final`` symlink at ``vdir``.
+
+    The staging link name is per-writer (pid-suffixed, like
+    save_codebooks): a shared name let a reader's or second writer's
+    cleanup delete the link between ``os.symlink`` and ``os.replace``
+    and fail this writer's swap with FileNotFoundError (ADVICE r5)."""
+    tmp = f"{final}.lnk.tmp.{os.getpid()}"
     if os.path.lexists(tmp):
         os.remove(tmp)
     os.symlink(os.path.basename(vdir), tmp)
@@ -65,20 +70,20 @@ def _point(final: str, vdir: str) -> None:
 
 
 def recover(store_dir: str) -> None:
-    """Repair any crash leftovers: a dangling/missing link with
+    """Repair crash leftovers — READ-SAFE: never touches staging
+    links (a concurrent writer may be mid-swap on one; stale ones are
+    reaped by the next ``swap_write``). A dangling/missing link with
     complete version dirs on disk is re-pointed at the newest one; a
-    legacy real directory (pre-symlink layout) is migrated to
-    ``.v0``; stale ``.lnk.tmp`` is removed."""
+    legacy real directory (pre-symlink layout) is migrated to the
+    next FREE version number (hardcoding ``.v0`` wedged the store
+    when ``.v0`` already existed — ADVICE r5)."""
     final = store_dir.rstrip("/")
-    tmp = final + ".lnk.tmp"
-    if os.path.lexists(tmp):
-        os.remove(tmp)
     if os.path.exists(final) and not os.path.islink(final):
-        # legacy layout: migrate the real dir to version 0
-        v0 = final + ".v0"
-        if not os.path.exists(v0):
-            os.replace(final, v0)
-            _point(final, v0)
+        versions = _versions(final)
+        n = versions[-1][0] + 1 if versions else 0
+        vdir = f"{final}.v{n}"
+        os.replace(final, vdir)
+        _point(final, vdir)
         return
     if os.path.islink(final) and not os.path.exists(final):
         os.remove(final)  # dangling link
@@ -92,10 +97,30 @@ def swap_write(df: DataFrame, store_dir: str, keep_previous: int = 1) -> None:
     """Write ``df`` as the new store content with one atomic pointer
     swap; reap versions older than the previous ``keep_previous``."""
     final = store_dir.rstrip("/")
+    # writer-path-only cleanup of staging links abandoned by crashed
+    # writers (this process' own link is recreated in _point anyway)
+    parent, name = os.path.split(final)
+    try:
+        for e in os.listdir(parent or "."):
+            if e.startswith(name + ".lnk.tmp"):
+                try:
+                    os.remove(os.path.join(parent, e))
+                except OSError:
+                    pass
+    except FileNotFoundError:
+        pass
     recover(final)
     versions = _versions(final)
     n = versions[-1][0] + 1 if versions else 0
-    vdir = f"{final}.v{n}"
+    # claim the version number with an exclusive mkdir so two
+    # concurrent writers can never write into the same dir
+    while True:
+        vdir = f"{final}.v{n}"
+        try:
+            os.makedirs(vdir)
+            break
+        except FileExistsError:
+            n += 1
     df.write.mode("overwrite").parquet(vdir)
     _point(final, vdir)
     for vn, path in versions[: max(0, len(versions) - keep_previous)]:

@@ -42,11 +42,8 @@ for i, name in enumerate(sorted(q)):
 # vacuous-result audit (r5): a hash-match on an EMPTY result is a
 # trivially-green lie (five twins once filtered on dimension values
 # the synthetic corpus doesn't contain) — flag any zero-row oracle.
-import duckdb
-con = duckdb.connect()
-for t in ("region nation customer supplier part orders lineitem "
-          "events documents embeddings").split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+from tests.oracle import duckdb_con
+con = duckdb_con(SF)  # same view registry as compare() — no drift
 for name, sql in o.items():
     if name in out and out[name].get("ok") and out[name].get("mode") == "oracle":
         try:
@@ -56,6 +53,10 @@ for name, sql in o.items():
                 out[name]["ok"] = False
                 out[name]["problems"] = ["vacuous: oracle returns 0 rows"]
         except Exception as ex:
+            # an unverifiable emptiness check is a FAILURE, not a pass
+            # (ADVICE r5: leaving ok=True here was the exact silent
+            # pass the audit exists to prevent)
+            out[name]["ok"] = False
             out[name]["problems"] = [f"empty-audit error: {ex}"][:1]
 con.close()
 
