@@ -65,6 +65,72 @@ def streaming_unique_visitor(page_log_stream: DataFrame) -> DataFrame:
     )
 
 
+LOGIN_OUTPUT_SCHEMA = "user_id long, dt string, ts_us bigint, back_flag int"
+LOGIN_STATE_SCHEMA = "last_dt string"
+
+
+def _login_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user login-day rows with the >= 8-day returning flag.
+
+    The streaming twin of uv.first_of_day_flag + uv.returning_flag
+    (ref DwsUserUserLoginWindow.java:83-135: lastVisitDate
+    ValueState). State is the user's most recent active day; each
+    NEW day emits one row, flagged 1 when the gap from the previous
+    active day is >= 8 days. Days must arrive non-decreasing across
+    micro-batches (event time flows forward; the watermark bounds
+    disorder within a batch, where rows are re-sorted) — a day at or
+    before the state's last day is a late duplicate and is dropped,
+    matching the batch first-of-day semantics."""
+    from datetime import date
+
+    last_dt: str | None = None
+    if state.exists:
+        (last_dt,) = state.get
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_us", "event_id"]
+    )
+    days = rows.drop_duplicates(subset=["dt"], keep="first")
+    out = []
+    for r in days.itertuples():
+        if last_dt is not None and r.dt <= last_dt:
+            continue
+        back = int(
+            last_dt is not None
+            and (date.fromisoformat(r.dt) - date.fromisoformat(last_dt)).days >= 8
+        )
+        out.append((key[0], r.dt, int(r.ts_us), back))
+        last_dt = r.dt
+    if last_dt is not None:
+        state.update((last_dt,))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "dt", "ts_us", "back_flag"])
+
+
+def streaming_login_flags(login_stream: DataFrame) -> DataFrame:
+    """(user_id, dt, ts_us, back_flag) rows from a streaming login
+    feed — one row per user per active day, back_flag per the 8-day
+    rule. Input needs (user_id, dt, ts_us, event_id); feed the result
+    through runner.windowed_agg_stream(count, sum(back_flag)) for the
+    full DWS login window twin (tests assert streaming == batch over
+    a two-batch chronological split, the cross-day-state shape the
+    reference keeps in keyed ValueState)."""
+    return (
+        login_stream.select("user_id", "dt", "ts_us", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _login_fn,
+            outputStructType=LOGIN_OUTPUT_SCHEMA,
+            stateStructType=LOGIN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 DEDUP_TTL_OUTPUT_SCHEMA = "k string, ts_us bigint"
 DEDUP_TTL_STATE_SCHEMA = "expire_us bigint"
 

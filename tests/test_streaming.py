@@ -377,6 +377,103 @@ def test_streaming_dws_pipeline_end_to_end(spark, sf_dir, tmpdir):
     assert len(missing) < 25, f"{len(missing)} windows missing from append output"
 
 
+def test_streaming_login_window_end_to_end_two_batches(spark, sf_dir, tmpdir):
+    """Streaming == batch for the stateful global-window login DWS
+    job (VERDICT r5 item 6): the 8-day returning-user rule (A6,
+    DwsUserUserLoginWindow.java:83-163) whose per-user last-visit
+    state must SURVIVE a micro-batch boundary. Input is the real
+    login feed plus planted returning users whose 8-day gaps
+    straddle a two-batch chronological split; the stream runs
+    applyInPandasWithState login flags -> watermark -> 10 s global
+    window, and every emitted window must equal the batch operator's
+    row, including back_ct > 0 windows fed by cross-batch state."""
+    from gmall_spark.plans import user as user_plans
+
+    pl = log_gen.page_log(_events(spark, sf_dir))
+    logins = (
+        pl.filter((F.col("is_session_start") == 1) & F.col("user_id").isNotNull())
+        .select("user_id", "dt", "ts_us", "event_id")
+    )
+
+    def _day_us(day: str, offset_s: int) -> int:
+        import datetime as _dt
+
+        epoch = _dt.datetime.fromisoformat(day + "T00:00:00+00:00").timestamp()
+        return int((epoch + offset_s) * 1_000_000)
+
+    planted_rows = [
+        # (user, day, offset) — 900001 returns across the split
+        (900001, "2024-01-05", 41), (900001, "2024-01-17", 42),   # gap 12: back
+        # 900002 returns within batch A (gap exactly 8)
+        (900002, "2024-01-02", 43), (900002, "2024-01-10", 44),   # gap 8: back
+        # 900003: short gap (no flag), then a cross-split return
+        (900003, "2024-01-05", 45), (900003, "2024-01-10", 46),   # gap 5: no
+        (900003, "2024-01-20", 47),                               # gap 10: back
+    ]
+    planted = spark.createDataFrame(
+        [
+            (u, d, _day_us(d, off), 10_000_000 + i)
+            for i, (u, d, off) in enumerate(planted_rows)
+        ],
+        "user_id long, dt string, ts_us long, event_id long",
+    )
+    feed = logins.unionByName(planted).withColumn(
+        "is_session_start", F.lit(1)
+    )
+
+    # two chronological files => two micro-batches (oldest mtime first)
+    path = f"{tmpdir}/login_feed"
+    import time as _time
+
+    feed.filter(F.col("dt") < "2024-01-16").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    _time.sleep(1.1)
+    feed.filter(F.col("dt") >= "2024-01-16").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    batch_feed = spark.read.parquet(path)
+
+    stream = (
+        spark.readStream.schema(batch_feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    flags = stateful.streaming_login_flags(stream).withColumn(
+        "rt", F.timestamp_micros(F.col("ts_us"))
+    )
+    agg = runner.windowed_agg_stream(
+        flags,
+        "rt",
+        "2 seconds",
+        10,
+        [],
+        [
+            F.count(F.lit(1)).cast("bigint").alias("uu_ct"),
+            F.sum("back_flag").cast("bigint").alias("back_ct"),
+        ],
+    )
+    _run_to_memory(agg, "login_out", f"{tmpdir}/ckpt_login")
+    got = {
+        r.stt: (r.uu_ct, r.back_ct)
+        for r in spark.sql("SELECT * FROM login_out").collect()
+    }
+    expected = {
+        r.stt: (r.uu_ct, r.back_ct)
+        for r in user_plans.dws_user_user_login_window(batch_feed).collect()
+    }
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert expected.get(k) == v, f"{k}: stream {v} != batch {expected.get(k)}"
+    # the planted cross-batch returns MUST appear as back_ct windows
+    back_windows = {k for k, (_, b) in got.items() if b > 0}
+    assert any(k.startswith("2024-01-17") for k in back_windows), back_windows
+    assert any(k.startswith("2024-01-20") for k in back_windows), back_windows
+    assert any(k.startswith("2024-01-10") for k in back_windows), back_windows
+    missing = set(expected) - set(got)
+    assert len(missing) < 25, f"{len(missing)} windows missing from append output"
+
+
 def test_foreach_batch_dim_router(spark, sf_dir, tmpdir):
     from gmall_spark.plans import dim
     from gmall_spark.sources import cdc_gen
