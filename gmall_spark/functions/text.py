@@ -277,6 +277,79 @@ def simhash16(doc_words: Column) -> Column:
     return total.cast("bigint")
 
 
+def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher repetition filters (Rae et al. 2021 §A1.1, the half of
+    the rule set :func:`gopher_signals` does not cover): per document,
+    the fraction of characters covered by the single most frequent
+    word n-gram (n = 2, 3, 4) and by all DUPLICATED 5-grams — the
+    standard reimplementation convention (count x gram-char-length /
+    doc-char-length, reported capped at 1.0). ``rep_keep`` applies
+    the paper's thresholds (top2 <= 0.20, top3 <= 0.18, top4 <= 0.16,
+    dup5 <= 0.15) as INTEGER-EXACT comparisons (5*cover <= tl etc.)
+    so Spark and the DuckDB oracle can never disagree on a boundary.
+
+    Shape: one per-row HOF producing all four gram streams, ONE
+    (doc, n, gram) count aggregate, one per-doc rollup — two
+    corpus-linear exchanges, nothing quadratic.
+    """
+    gram_arrays = []
+    for n in (2, 3, 4, 5):
+        gram_arrays.append(
+            f"CASE WHEN size(split({text_col}, '\\\\s+')) >= {n} THEN "
+            f"transform(sequence(0, size(split({text_col}, '\\\\s+')) - {n}), "
+            f"i -> struct({n} AS n, concat_ws(' ', "
+            f"slice(split({text_col}, '\\\\s+'), i + 1, {n})) AS g)) "
+            "ELSE array() END"
+        )
+    # sentinel (n=0) row keeps gram-less docs (< 2 words) in the
+    # output with zero fractions, without a join back to the corpus
+    gram_arrays.append("array(struct(0 AS n, '' AS g))")
+    flat = F.expr("flatten(array(" + ", ".join(gram_arrays) + "))")
+    g = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).cast("bigint").alias("tl"),
+            F.explode(flat).alias("s"),
+        )
+        .select("doc_id", "tl", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    )
+    c = g.groupBy("doc_id", "tl", "n", "g").agg(
+        (F.count(F.lit(1)) * F.length("g")).cast("bigint").alias("cover"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+    def _top(n: int):
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("cover"))), F.lit(0)
+        ).cast("bigint")
+
+    dup5 = F.coalesce(
+        F.sum(F.when((F.col("n") == 5) & (F.col("cnt") >= 2), F.col("cover"))),
+        F.lit(0),
+    ).cast("bigint")
+    s = c.groupBy("doc_id", "tl").agg(
+        _top(2).alias("c2"), _top(3).alias("c3"), _top(4).alias("c4"),
+        dup5.alias("c5"),
+    )
+
+    def _frac(col: str):
+        return F.round(F.least(F.lit(1.0), F.col(col) / F.col("tl")), 6)
+
+    return s.select(
+        "doc_id",
+        _frac("c2").alias("top2_gram_char_frac"),
+        _frac("c3").alias("top3_gram_char_frac"),
+        _frac("c4").alias("top4_gram_char_frac"),
+        _frac("c5").alias("dup5_gram_char_frac"),
+        (
+            (F.col("c2") * 5 <= F.col("tl"))        # 0.20
+            & (F.col("c3") * 50 <= F.col("tl") * 9)  # 0.18
+            & (F.col("c4") * 25 <= F.col("tl") * 4)  # 0.16
+            & (F.col("c5") * 20 <= F.col("tl") * 3)  # 0.15
+        ).alias("rep_keep"),
+    )
+
+
 def simhash64_fingerprints(docs, id_col: str = "doc_id", text_col: str = "text"):
     """(doc_id, sim_lo, sim_hi) — the PRODUCTION 64-bit SimHash
     (Manku et al. WWW'07 run 64-bit tables; the repo's own X98 eval

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -513,6 +513,76 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def span_dedup_clean(
+    docs: DataFrame,
+    span_w: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style global span dedup as a TRANSFORM: the corpus-cleaning
+    write path, not just a signal (Raffel et al. 2020 §2.2 dedup
+    three-sentence spans corpus-wide keeping one occurrence; the
+    span analog here is non-overlapping ``span_w``-word windows since
+    the corpus has no sentence boundaries). A span's content is kept
+    ONLY by its first occurrence in global (doc_id, span_idx) order;
+    every later occurrence is dropped, and each document is
+    reassembled from its kept spans.
+
+    Returns (doc_id, n_spans, removed_spans, clean_md5) — the md5 of
+    the reassembled text keeps the output compact and cross-engine
+    hash-comparable; a production pipeline would emit the text.
+
+    Scale shape: span extraction is a per-row HOF (zero shuffles);
+    keep-first is ONE window over the span-hash partitioning (the
+    only content-keyed exchange — boilerplate mega-spans make hot
+    keys, which is a WindowGroupLimit-free single pass, not a join);
+    reassembly is one doc_id shuffle. Corpus-linear, like the
+    ExactSubstr signal (dedup_repeated_ngram_spans) whose REPORT this
+    operator turns into the cleaned corpus.
+    """
+    w = Window.partitionBy("h").orderBy(id_col, "idx")
+    spans = F.expr(
+        f"""
+        transform(
+          sequence(0, cast(ceil(size(split({text_col}, '\\\\s+')) / {span_w}.0) as int) - 1),
+          i -> struct(i AS idx,
+                      concat_ws(' ', slice(split({text_col}, '\\\\s+'),
+                                           i * {span_w} + 1, {span_w})) AS span))
+        """
+    )
+    sp = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("s"))
+        .select("doc_id", F.col("s.idx").alias("idx"), F.col("s.span").alias("span"))
+        .withColumn("h", F.md5("span"))
+    )
+    flagged = sp.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias(
+                "removed_spans"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct("idx", "span"),
+                                )
+                            )
+                        ),
+                        lambda x: x["span"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
     )
 
 

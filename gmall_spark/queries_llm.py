@@ -457,6 +457,87 @@ def q_dedup_simhash_hamming(spark, sf_dir):
     )
 
 
+@query(
+    "text_gopher_repetition",
+    r"""
+WITH ws AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS tl,
+         string_split_regex(text, '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, tl, n, array_to_string(w[i + 1 : i + n], ' ') AS g
+  FROM ws,
+       LATERAL unnest([2, 3, 4, 5]) AS tn(n),
+       LATERAL unnest(range(0, greatest(len(w) - n + 1, 0))) AS ti(i)
+), c AS (
+  SELECT doc_id, tl, n, g, count(*) AS cnt,
+         CAST(count(*) * length(g) AS BIGINT) AS cover
+  FROM g GROUP BY doc_id, tl, n, g
+), s AS (
+  SELECT doc_id,
+         CAST(COALESCE(max(CASE WHEN n = 2 THEN cover END), 0) AS BIGINT) AS c2,
+         CAST(COALESCE(max(CASE WHEN n = 3 THEN cover END), 0) AS BIGINT) AS c3,
+         CAST(COALESCE(max(CASE WHEN n = 4 THEN cover END), 0) AS BIGINT) AS c4,
+         CAST(COALESCE(sum(CASE WHEN n = 5 AND cnt >= 2 THEN cover END), 0) AS BIGINT) AS c5
+  FROM c GROUP BY doc_id
+)
+SELECT w.doc_id,
+       round(least(1.0, COALESCE(s.c2, 0) / CAST(w.tl AS DOUBLE)), 6) AS top2_gram_char_frac,
+       round(least(1.0, COALESCE(s.c3, 0) / CAST(w.tl AS DOUBLE)), 6) AS top3_gram_char_frac,
+       round(least(1.0, COALESCE(s.c4, 0) / CAST(w.tl AS DOUBLE)), 6) AS top4_gram_char_frac,
+       round(least(1.0, COALESCE(s.c5, 0) / CAST(w.tl AS DOUBLE)), 6) AS dup5_gram_char_frac,
+       (COALESCE(s.c2, 0) * 5 <= w.tl AND COALESCE(s.c3, 0) * 50 <= w.tl * 9
+        AND COALESCE(s.c4, 0) * 25 <= w.tl * 4
+        AND COALESCE(s.c5, 0) * 20 <= w.tl * 3) AS rep_keep
+FROM ws w LEFT JOIN s ON s.doc_id = w.doc_id
+""",
+)
+def q_text_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 §A1.1) — the
+    intra-document half the rule-based gopher_signals pass does not
+    cover: top-{2,3,4}-gram and duplicated-5-gram character
+    fractions with the paper's keep thresholds as integer-exact
+    comparisons (functions/text.repetition_signals). Two
+    corpus-linear exchanges; complements the CROSS-corpus
+    dedup_repeated_ngram_spans signal."""
+    return TX.repetition_signals(_docs(spark, sf_dir))
+
+
+SPAN_CLEAN_W = 10
+
+
+@query(
+    "dedup_span_clean",
+    rf"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), sp AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(w[i * {SPAN_CLEAN_W} + 1 : i * {SPAN_CLEAN_W} + {SPAN_CLEAN_W}], ' ') AS span
+  FROM ws, LATERAL unnest(range(0, CAST(ceil(len(w) / {SPAN_CLEAN_W}.0) AS BIGINT))) AS t(i)
+), fk AS (
+  SELECT doc_id, idx, span,
+         row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, idx) AS rn
+  FROM sp
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_spans,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY idx), '')) AS clean_md5
+FROM fk GROUP BY doc_id
+""",
+)
+def q_dedup_span_clean(spark, sf_dir):
+    """C4-style global span dedup as the corpus-CLEANING transform
+    (Raffel et al. 2020 §2.2: dedup spans corpus-wide, keep one
+    occurrence): non-overlapping 10-word spans, keep-first in global
+    (doc_id, idx) order, documents reassembled from their kept spans
+    — the write path whose dry-run REPORT is
+    dedup_repeated_ngram_spans. Per-row span HOF, one span-hash
+    window pass, one doc reassembly shuffle; corpus-linear
+    (llm_dedup.span_dedup_clean)."""
+    return llm_dedup.span_dedup_clean(_docs(spark, sf_dir), SPAN_CLEAN_W)
+
+
 def _simhash64_votes_sql() -> tuple[str, str, str]:
     """(votes, fp_lo, fp_hi) SQL fragments for the 64-bit fingerprint
     — bit b reads bit b%4 of md5 hex nibble b//4 (chars 1..16), the

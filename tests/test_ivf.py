@@ -52,6 +52,49 @@ def test_ivf_recall_at_10(spark, sf_dir):
             assert abs(bf_scores[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
 
 
+def test_ivf_clustered_corpus_high_recall_at_low_nprobe(spark):
+    """The scaling claim behind the nprobe=12 default, measured: on a
+    CLUSTERED corpus (real embedding corpora cluster; the driver
+    fixture is quasi-uniform, the hard case) a 1/4 scan recovers the
+    neighbors. 16 deterministic well-separated centers in dim 16,
+    40 points each with small deterministic jitter: IVF at nprobe=4
+    must reach recall@10 >= 0.95 — on this data the index genuinely
+    prunes, so the 12/16-probe cost on the uniform fixture is a
+    property of that data, not of the operator."""
+    import math
+
+    dim, n_clusters, per = 16, 16, 40
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        # orthogonal-ish centers: +/-8 on two axes per cluster
+        center = [0.0] * dim
+        center[c % dim] = 8.0
+        center[(c * 7 + 3) % dim] = -8.0 if c % 2 else 8.0
+        for j in range(per):
+            # deterministic jitter in [-0.5, 0.5] per coordinate
+            vec = [
+                center[d] + (math.sin(vid * 31 + d * 17) * 0.5)
+                for d in range(dim)
+            ]
+            rows.append((vid, [float(v) for v in vec]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % per == 0)  # one per cluster
+    bf = similarity.brute_force_topk(emb, queries, k=10).collect()
+    ann = ivf.ivf_topk(emb, queries, k=10, nprobe=4).collect()
+    bf_sets: dict = {}
+    ann_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.95, recalls
+
+
 def test_ivf_index_partitions_corpus(spark, sf_dir):
     """Every corpus vector lands in exactly one list, list ids are in
     range, and no list holds the whole corpus (the probe actually

@@ -36,6 +36,53 @@ def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
         assert recall >= 0.95, f"LSH recall {recall:.2f} over {len(exact)} pairs"
 
 
+def test_gopher_repetition_planted_spam_and_clean_doc(spark):
+    """Repetition signals on planted fixtures with hand-computable
+    fractions: a one-word spam doc is wholly covered by its top
+    n-grams (fractions ~1, rejected); a doc of 30 distinct words has
+    zero repeated grams (all fractions 0, kept)."""
+    from gmall_spark.functions.text import repetition_signals
+
+    spam = " ".join(["spam"] * 40)           # tl = 199 chars
+    clean = " ".join(f"w{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, spam), (2, clean)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_signals(docs).collect()}
+    # spam: top 2-gram "spam spam" occurs 39x, 9 chars -> 351/199 capped
+    assert got[1]["top2_gram_char_frac"] == 1.0
+    assert got[1]["dup5_gram_char_frac"] == 1.0
+    assert got[1]["rep_keep"] is False
+    assert got[2]["top2_gram_char_frac"] > 0  # one occurrence still covers
+    assert got[2]["dup5_gram_char_frac"] == 0.0
+    assert got[2]["rep_keep"] is True
+
+
+def test_span_dedup_clean_keeps_first_and_empties_exact_dups(spark):
+    """C4-style span clean on a planted fixture: an exact duplicate
+    of an earlier doc loses ALL its spans (clean_md5 = md5('')), a
+    doc sharing only its first 10-word span loses exactly that one,
+    and the earliest occurrence keeps everything."""
+    import hashlib
+
+    base = " ".join(f"w{i}" for i in range(30))  # 3 spans of 10
+    other = " ".join(f"w{i}" for i in range(10)) + " " + " ".join(
+        f"x{i}" for i in range(20)
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in llm_dedup.span_dedup_clean(docs, 10).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (3, 0, md5(base))
+    assert got[2] == (3, 3, md5(""))
+    kept3 = " ".join(f"x{i}" for i in range(20))
+    assert got[3] == (3, 1, md5(kept3))
+
+
 def test_simhash64_planted_near_dups_precision_and_recall(spark):
     """64-bit SimHash (X5b's at-scale width, VERDICT r5 item 3) on a
     planted fixture: 8 near-identical pairs (one word swapped in a

@@ -61,6 +61,10 @@ BUDGETS = [
     ("dedup_simhash_hamming", 6, 0),
     # 64-bit variant: same shape, 16-bit chunks over the two halves
     ("dedup_simhash64_hamming", 6, 0),
+    # C4 span clean: scan fan-out + span-hash window + doc reassembly
+    ("dedup_span_clean", 3, 0),
+    # Gopher repetition: scan fan-out + (doc,n,gram) count + doc rollup
+    ("text_gopher_repetition", 3, 0),
     # as-of join: two tagged event scans + ONE keyed window pass
     ("asof_join_events", 3, 0),
     # native session_window: scan + the session aggregate exchange
