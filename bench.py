@@ -40,6 +40,8 @@ HEADLINE = [
     "text_quality_scores",
     "doc_fingerprint_simhash",
     "dedup_simhash64_hamming",
+    "dedup_span_clean",
+    "text_gopher_repetition",
     "dedup_semantic_clusters",
     "asof_join_events",
     "events_session_window",

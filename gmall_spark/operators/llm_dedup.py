@@ -543,7 +543,21 @@ def span_dedup_clean(
     ExactSubstr signal (dedup_repeated_ngram_spans) whose REPORT this
     operator turns into the cleaned corpus.
     """
-    w = Window.partitionBy("h").orderBy(id_col, "idx")
+    flagged = span_rows(docs, span_w, id_col, text_col).withColumn(
+        "kept", F.row_number().over(Window.partitionBy("h").orderBy(id_col, "idx")) == 1
+    )
+    return span_doc_rollup(flagged)
+
+
+def span_rows(
+    docs: DataFrame,
+    span_w: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, idx, span, h): each doc's non-overlapping span_w-word
+    windows with their md5 — the shared front of the batch and
+    incremental span-clean passes. Pure per-row HOF, zero shuffles."""
     spans = F.expr(
         f"""
         transform(
@@ -553,17 +567,22 @@ def span_dedup_clean(
                                            i * {span_w} + 1, {span_w})) AS span))
         """
     )
-    sp = (
+    return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("s"))
         .select("doc_id", F.col("s.idx").alias("idx"), F.col("s.span").alias("span"))
         .withColumn("h", F.md5("span"))
     )
-    flagged = sp.withColumn("rn", F.row_number().over(w))
+
+
+def span_doc_rollup(flagged: DataFrame) -> DataFrame:
+    """Reassemble (doc_id, n_spans, removed_spans, clean_md5) from
+    span rows carrying a boolean ``kept`` column — one doc_id
+    shuffle."""
     return (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias(
+            F.sum((~F.col("kept")).cast("int")).cast("bigint").alias(
                 "removed_spans"
             ),
             F.md5(
@@ -571,10 +590,7 @@ def span_dedup_clean(
                     F.transform(
                         F.array_sort(
                             F.collect_list(
-                                F.when(
-                                    F.col("rn") == 1,
-                                    F.struct("idx", "span"),
-                                )
+                                F.when(F.col("kept"), F.struct("idx", "span"))
                             )
                         ),
                         lambda x: x["span"],

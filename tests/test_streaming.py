@@ -542,6 +542,47 @@ def test_sink_projection_drops_transient_cols(spark, sf_dir):
     assert out.count() == df.count()
 
 
+def test_incremental_span_clean_equals_batch(spark, sf_dir, tmpdir):
+    """Incremental C4 span clean (X104's streaming twin): after a
+    two-batch doc_id-ordered split, the union of emitted per-doc rows
+    must be row-identical to the batch operator over the whole corpus
+    — keep-first state (the claimed-hash store) crossing the batch
+    boundary is exactly what makes a later batch's duplicate of an
+    EARLIER batch's span drop."""
+    from gmall_spark.operators import llm_dedup
+    from gmall_spark.streaming import incremental_span_clean as isc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = f"{tmpdir}/span_store"
+    mid = 250
+    isc.process_batch(spark, docs.filter(F.col("doc_id") < mid), store, 0)
+    isc.process_batch(spark, docs.filter(F.col("doc_id") >= mid), store, 1)
+    got = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in isc.emitted_docs(spark, store).collect()
+    }
+    expected = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in llm_dedup.span_dedup_clean(docs).collect()
+    }
+    assert got == expected
+    # cross-batch state mattered: a batch-2 span whose hash was
+    # claimed by BATCH 1 exists (not merely a within-batch-2 dup),
+    # and its document records a removal
+    b1 = spark.read.parquet(f"{store}/hashes/b0").select("h")
+    cross = (
+        llm_dedup.span_rows(docs.filter(F.col("doc_id") >= mid))
+        .join(b1, "h")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert cross, "fixture has no cross-batch duplicate spans"
+    assert all(got[r.doc_id][1] > 0 for r in cross)
+
+
 def test_incremental_dedup_equals_batch(spark, sf_dir, tmpdir):
     """Streaming twin of MinHash+LSH dedup (SURVEY X4 extension): the
     documents table split into two micro-batches, each signed and
