@@ -277,65 +277,76 @@ def simhash16(doc_words: Column) -> Column:
     return total.cast("bigint")
 
 
+def _rep_rle(n: int, text_col: str) -> str:
+    """(best, dup) covers for width-``n`` grams of one document as a
+    single expression: sort the gram array, then one run-length fold
+    — best = max over runs of run_len x gram_chars (the n-gram with
+    maximal repeated-character coverage; identical to the group-by
+    max(count*len) form), dup = the same summed over runs with
+    count >= 2. Struct accumulator + finish lambda; greatest() skips
+    the NULL seed."""
+    w = f"split({text_col}, '\\\\s+')"
+    grams = (
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"array_sort(transform(sequence(0, size({w}) - {n}), "
+        f"i -> concat_ws(' ', slice({w}, i + 1, {n})))) "
+        "ELSE array() END"
+    )
+    close_best = "greatest(acc.best, acc.run * length(acc.prev))"
+    close_dup = (
+        "acc.dup + IF(acc.run >= 2, acc.run * length(acc.prev), cast(0 as bigint))"
+    )
+    return f"""aggregate(
+      {grams},
+      named_struct('prev', cast(null as string), 'run', cast(0 as bigint),
+                   'best', cast(0 as bigint), 'dup', cast(0 as bigint)),
+      (acc, g) -> IF(acc.prev IS NOT NULL AND g = acc.prev,
+        named_struct('prev', g, 'run', acc.run + cast(1 as bigint),
+                     'best', acc.best, 'dup', acc.dup),
+        named_struct('prev', g, 'run', cast(1 as bigint),
+                     'best', {close_best}, 'dup', {close_dup})),
+      acc -> named_struct('best', {close_best}, 'dup', {close_dup}))"""
+
+
 def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher repetition filters (Rae et al. 2021 §A1.1, the half of
     the rule set :func:`gopher_signals` does not cover): per document,
-    the fraction of characters covered by the single most frequent
-    word n-gram (n = 2, 3, 4) and by all DUPLICATED 5-grams — the
-    standard reimplementation convention (count x gram-char-length /
-    doc-char-length, reported capped at 1.0). ``rep_keep`` applies
-    the paper's thresholds (top2 <= 0.20, top3 <= 0.18, top4 <= 0.16,
-    dup5 <= 0.15) as INTEGER-EXACT comparisons (5*cover <= tl etc.)
-    so Spark and the DuckDB oracle can never disagree on a boundary.
+    the character fraction covered by the single maximally-repeating
+    word n-gram (n = 2, 3, 4; the gram maximizing count x chars — the
+    deterministic form of the paper's "most frequent n-gram" chars)
+    and by all DUPLICATED 5-grams, reported capped at 1.0.
+    ``rep_keep`` applies the paper's thresholds (top2 <= 0.20,
+    top3 <= 0.18, top4 <= 0.16, dup5 <= 0.15) as INTEGER-EXACT
+    comparisons (5*cover <= tl etc.) so Spark and the DuckDB oracle
+    can never disagree on a boundary.
 
-    Shape: one per-row HOF producing all four gram streams, ONE
-    (doc, n, gram) count aggregate, one per-doc rollup — two
-    corpus-linear exchanges, nothing quadratic.
+    Shape: entirely PER-ROW — each width's grams are sorted and
+    run-length folded inside one whole-stage-codegen expression, so
+    the operator is a pure map over the corpus scan (zero shuffles at
+    any scale). A (doc, n, gram) count-aggregate formulation was
+    measured first: its gram-string shuffle made it the slowest new
+    bench line and its high-cardinality keys defeat map-side
+    combining; the oracle keeps that readable group-by form — the
+    semantics, not the plan, are what it pins.
     """
-    gram_arrays = []
-    for n in (2, 3, 4, 5):
-        gram_arrays.append(
-            f"CASE WHEN size(split({text_col}, '\\\\s+')) >= {n} THEN "
-            f"transform(sequence(0, size(split({text_col}, '\\\\s+')) - {n}), "
-            f"i -> struct({n} AS n, concat_ws(' ', "
-            f"slice(split({text_col}, '\\\\s+'), i + 1, {n})) AS g)) "
-            "ELSE array() END"
-        )
-    # sentinel (n=0) row keeps gram-less docs (< 2 words) in the
-    # output with zero fractions, without a join back to the corpus
-    gram_arrays.append("array(struct(0 AS n, '' AS g))")
-    flat = F.expr("flatten(array(" + ", ".join(gram_arrays) + "))")
-    g = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.length(text_col).cast("bigint").alias("tl"),
-            F.explode(flat).alias("s"),
-        )
-        .select("doc_id", "tl", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-    )
-    c = g.groupBy("doc_id", "tl", "n", "g").agg(
-        (F.count(F.lit(1)) * F.length("g")).cast("bigint").alias("cover"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-
-    def _top(n: int):
-        return F.coalesce(
-            F.max(F.when(F.col("n") == n, F.col("cover"))), F.lit(0)
-        ).cast("bigint")
-
-    dup5 = F.coalesce(
-        F.sum(F.when((F.col("n") == 5) & (F.col("cnt") >= 2), F.col("cover"))),
-        F.lit(0),
-    ).cast("bigint")
-    s = c.groupBy("doc_id", "tl").agg(
-        _top(2).alias("c2"), _top(3).alias("c3"), _top(4).alias("c4"),
-        dup5.alias("c5"),
+    covers = {n: F.expr(_rep_rle(n, text_col)) for n in (2, 3, 4, 5)}
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("bigint").alias("tl"),
+        *[covers[n].alias(f"r{n}") for n in (2, 3, 4, 5)],
+    ).select(
+        "doc_id",
+        "tl",
+        F.col("r2.best").alias("c2"),
+        F.col("r3.best").alias("c3"),
+        F.col("r4.best").alias("c4"),
+        F.col("r5.dup").alias("c5"),
     )
 
     def _frac(col: str):
         return F.round(F.least(F.lit(1.0), F.col(col) / F.col("tl")), 6)
 
-    return s.select(
+    return base.select(
         "doc_id",
         _frac("c2").alias("top2_gram_char_frac"),
         _frac("c3").alias("top3_gram_char_frac"),

@@ -497,9 +497,9 @@ def q_text_gopher_repetition(spark, sf_dir):
     intra-document half the rule-based gopher_signals pass does not
     cover: top-{2,3,4}-gram and duplicated-5-gram character
     fractions with the paper's keep thresholds as integer-exact
-    comparisons (functions/text.repetition_signals). Two
-    corpus-linear exchanges; complements the CROSS-corpus
-    dedup_repeated_ngram_spans signal."""
+    comparisons (functions/text.repetition_signals). Pure per-row
+    sorted-run-length folds — ZERO shuffles at any scale; complements
+    the CROSS-corpus dedup_repeated_ngram_spans signal."""
     return TX.repetition_signals(_docs(spark, sf_dir))
 
 

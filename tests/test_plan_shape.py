@@ -63,8 +63,8 @@ BUDGETS = [
     ("dedup_simhash64_hamming", 6, 0),
     # C4 span clean: scan fan-out + span-hash window + doc reassembly
     ("dedup_span_clean", 3, 0),
-    # Gopher repetition: scan fan-out + (doc,n,gram) count + doc rollup
-    ("text_gopher_repetition", 3, 0),
+    # Gopher repetition: per-row sorted-run folds — scan fan-out only
+    ("text_gopher_repetition", 1, 0),
     # as-of join: two tagged event scans + ONE keyed window pass
     ("asof_join_events", 3, 0),
     # native session_window: scan + the session aggregate exchange
