@@ -40,19 +40,27 @@ _OUT_SCHEMA = (
 )
 
 
-def _hash_dirs(root: str) -> list[str]:
+def _hash_dirs(root: str, exclude_batch: int | None = None) -> list[str]:
     hdir = os.path.join(root, "hashes")
     try:
         return sorted(
-            os.path.join(hdir, d) for d in os.listdir(hdir)
+            os.path.join(hdir, d)
+            for d in os.listdir(hdir)
+            if exclude_batch is None or d != f"b{exclude_batch}"
         )
     except FileNotFoundError:
         return []
 
 
-def claimed_hashes(spark: SparkSession, store_root: str) -> DataFrame:
-    """Every span hash claimed by batches processed so far."""
-    dirs = _hash_dirs(store_root)
+def claimed_hashes(
+    spark: SparkSession, store_root: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """Every span hash claimed by batches processed so far.
+
+    ``exclude_batch`` is the replay guard: a RETRIED micro-batch must
+    not see the hashes its failed attempt already claimed, or every
+    kept span would flip to removed on the second run."""
+    dirs = _hash_dirs(store_root, exclude_batch)
     if not dirs:
         return spark.createDataFrame([], _HASH_SCHEMA)
     return spark.read.schema(_HASH_SCHEMA).parquet(*dirs)
@@ -66,8 +74,16 @@ def process_batch(
     span_w: int = 10,
 ) -> None:
     """Clean one micro-batch against the claimed-hash store; append
-    the per-doc cleaned rows and the batch's newly-claimed hashes."""
-    seen = claimed_hashes(spark, store_root).withColumn("__seen", F.lit(1))
+    the per-doc cleaned rows and the batch's newly-claimed hashes.
+
+    Replay-safe under foreachBatch retries: the read side excludes
+    this batch's own hash subdir (a failed attempt may have written
+    it), the hash write is an idempotent overwrite, and the doc rows
+    a retry re-appends are byte-identical — ``emitted_docs``
+    deduplicates on doc_id."""
+    seen = claimed_hashes(spark, store_root, exclude_batch=batch_id).withColumn(
+        "__seen", F.lit(1)
+    )
     w = Window.partitionBy("h").orderBy("doc_id", "idx")
     flagged = (
         llm_dedup.span_rows(batch_docs, span_w)
@@ -94,7 +110,11 @@ def process_batch(
 
 
 def emitted_docs(spark: SparkSession, store_root: str) -> DataFrame:
-    """All per-doc cleaned rows emitted so far."""
-    return spark.read.schema(_OUT_SCHEMA).parquet(
-        os.path.join(store_root, "docs")
+    """All per-doc cleaned rows emitted so far. dropDuplicates
+    absorbs replayed batches: a retry's rows are byte-identical
+    (its hash-store view excludes its own failed attempt)."""
+    return (
+        spark.read.schema(_OUT_SCHEMA)
+        .parquet(os.path.join(store_root, "docs"))
+        .dropDuplicates(["doc_id"])
     )

@@ -581,6 +581,15 @@ def test_incremental_span_clean_equals_batch(spark, sf_dir, tmpdir):
     )
     assert cross, "fixture has no cross-batch duplicate spans"
     assert all(got[r.doc_id][1] > 0 for r in cross)
+    # foreachBatch replay: re-running batch 1 (same batch_id) must not
+    # change the emitted set — the retry's store view excludes its own
+    # earlier hash write, and duplicate doc rows collapse on read
+    isc.process_batch(spark, docs.filter(F.col("doc_id") >= mid), store, 1)
+    got2 = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in isc.emitted_docs(spark, store).collect()
+    }
+    assert got2 == expected
 
 
 def test_incremental_dedup_equals_batch(spark, sf_dir, tmpdir):
