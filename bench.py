@@ -65,6 +65,13 @@ HEADLINE = [
     "waiting_multi_supplier_orders",
     "small_quantity_order_revenue",
     "dws_trade_province_order_window_approx",
+    # r6 additions: the new curation-policy / tokenizer / governance
+    # operators (X106-X110)
+    "dedup_boilerplate_clean",
+    "dedup_ngram_containment",
+    "text_perplexity_buckets",
+    "llm_bpe_merge_step",
+    "text_quality_agreement",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

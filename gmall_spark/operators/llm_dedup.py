@@ -824,6 +824,160 @@ def cross_corpus_near_dups(
     )
 
 
+BOILER_DOC_FREQ = 3
+
+
+def boilerplate_span_clean(
+    docs: DataFrame,
+    span_w: int = 10,
+    min_doc_freq: int = BOILER_DOC_FREQ,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal by CORPUS frequency
+    (Wenzek et al. 2020 §3.1 hashed-paragraph dedup; Penedo et al.
+    2023 line-wise filtering): a span whose content occurs in >=
+    ``min_doc_freq`` DISTINCT documents is boilerplate and is removed
+    from EVERY document — including the first occurrence, which is
+    the semantic difference from :func:`span_dedup_clean` (C4
+    keep-first: one copy survives). Headers, footers, cookie banners
+    repeat across many pages; no single copy is canonical.
+
+    Returns (doc_id, n_spans, removed_spans, clean_md5) — the same
+    rollup schema as the keep-first transform so the two cleaning
+    policies are directly comparable.
+
+    Scale shape: span extraction is a per-row HOF (zero shuffles);
+    the doc-frequency pass is ONE span-hash shuffle whose partials
+    combine map-side (count_distinct over (h, doc_id)); the frequent
+    set is tiny by construction — boilerplate is few DISTINCT strings
+    repeated massively — so it broadcasts back over the span rows
+    (no second content-keyed exchange, unlike keep-first's window);
+    reassembly is one doc_id shuffle. Corpus-linear.
+    """
+    spans = span_rows(docs, span_w, id_col, text_col)
+    boiler = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("dfreq"))
+        .filter(F.col("dfreq") >= min_doc_freq)
+        .select("h", F.lit(True).alias("is_boiler"))
+    )
+    flagged = spans.join(F.broadcast(boiler), "h", "left").withColumn(
+        "kept", F.col("is_boiler").isNull()
+    )
+    return span_doc_rollup(flagged.drop("is_boiler"))
+
+
+# Rare-shingle blocking bounds: candidates come only from shingles
+# shared by 2..max_df documents, so each blocking shingle contributes
+# at most max_df*(max_df-1)/2 pairs — the candidate set is linear in
+# the number of rare shared shingles, never corpus².
+CONTAIN_MAX_DF = 5
+# containment >= 4/5, compared integer-exactly (den*inter >= num*min_sz)
+CONTAIN_NUM = 4
+CONTAIN_DEN = 5
+
+
+def containment_pairs_rare_blocking(
+    docs: DataFrame,
+    n: int = NGRAM_N,
+    max_df: int = CONTAIN_MAX_DF,
+    num: int = CONTAIN_NUM,
+    den: int = CONTAIN_DEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-duplicate CONTAINMENT pairs (Broder 1997 §4:
+    containment(A,B) = |A∩B| / min(|A|,|B|)) via rare-shingle
+    blocking. A short document quoted inside a long one has high
+    containment but LOW Jaccard, so MinHash-LSH — whose band
+    collision probability tracks Jaccard — structurally misses it;
+    this is the complementary detector for subset/quote duplication.
+
+    Candidates: pairs sharing at least one shingle whose corpus
+    document-frequency is in [2, ``max_df``] (entity-resolution-style
+    rare-token blocking). Rare shingles are discriminative — any two
+    docs sharing one are worth verifying — and the df cap bounds the
+    self-join fanout to max_df²/2 pairs per blocking shingle, keeping
+    candidate volume linear in corpus size. Verification computes the
+    EXACT intersection on candidates only, with the keep test done in
+    integer arithmetic (den*inter >= num*min_sz) so the oracle
+    comparison never touches float rounding.
+
+    Returns (doc_a, doc_b, inter, containment, jaccard) — jaccard is
+    reported alongside to show the asymmetry the pair was caught by.
+
+    Scale shape: one shingle-hash shuffle for document frequencies
+    (map-side combine), one bounded self-join on the rare postings,
+    exact verify bounded by |candidates| x shingles-per-doc. The df
+    cap is the knob: at 100 TB raise it only with a per-shingle
+    pair budget, exactly like the capped LSH buckets (X4).
+    """
+    sh = word_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("shingle")
+    )
+    postings = sh.join(rare, "shingle")
+    a = postings.alias("a")
+    b = postings.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b_r"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b_r"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .filter(
+            F.lit(den) * F.col("inter") >= F.lit(num) * F.least("sz_a", "sz_b")
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.round(
+            F.col("inter").cast("double") / F.least("sz_a", "sz_b").cast("double"),
+            6,
+        ).alias("containment"),
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
 def release_persisted() -> None:
     """Back-compat alias for :func:`gmall_spark.persist.release_all`."""
     persist.release_all()

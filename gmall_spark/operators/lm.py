@@ -27,7 +27,7 @@ a ~1e-9-probability rounding-boundary coincidence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,4 +82,80 @@ def bigram_logprob_scores(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.round(F.sum(lp) / F.count(F.lit(1)), 6).alias("bigram_logprob"),
         )
+    )
+
+
+PPL_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = PPL_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    §4.4): per language, rank documents by LM score (best = most
+    probable first) and cut the ranking into ``n_buckets`` equal
+    population tiers. CCNet trains on "head" and discards or
+    down-weights "tail"; this emits the assignment.
+
+    Bucketing is done WITHOUT a per-document global sort: scores are
+    rounded to 6 dp, so the DISTINCT (lang, score) relation is
+    bounded by the rounded-score value space (~few M rows per
+    language at ANY corpus size, vs one window row per document for
+    ntile). The cumulative count runs over that small relation and
+    the bucket id comes from integer arithmetic —
+    ``1 + (n_buckets * cum_prev) div n_docs`` capped at n_buckets —
+    so tied scores land in the same bucket deterministically and the
+    cross-engine comparison never hits float or tie-order ambiguity.
+
+    Returns (doc_id, lang, bigram_logprob, bucket_id, bucket).
+
+    Scale shape: scoring as :func:`bigram_logprob_scores` (bounded
+    model broadcast, per-doc reduce); the score histogram is one
+    (lang, score) hash agg with map-side combine; the cumulative
+    window touches only the histogram; assignment is a broadcast-able
+    join back on (lang, score). No corpus-wide sort anywhere.
+    """
+    scored = bigram_logprob_scores(docs, id_col, text_col, lang_col)
+    hist = scored.groupBy("lang", "bigram_logprob").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("bigram_logprob").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # n_docs as a whole-partition window over the SAME lang
+    # partitioning (not a separate aggregate branch): Spark evaluates
+    # each DataFrame consumer as its own subtree, so a totals branch
+    # would re-run the entire scoring pipeline a third time — the two
+    # windows here share one exchange instead.
+    w_all = Window.partitionBy("lang")
+    cuts = (
+        hist.withColumn("cum_prev", F.coalesce(F.sum("c").over(w), F.lit(0)))
+        .withColumn("n_docs", F.sum("c").over(w_all))
+        .withColumn(
+            "bucket_id",
+            F.least(
+                F.lit(n_buckets),
+                F.lit(1)
+                + F.expr(f"({n_buckets} * cum_prev) div n_docs").cast("int"),
+            ).cast("bigint"),
+        )
+        .select("lang", "bigram_logprob", "bucket_id")
+    )
+    label = (
+        F.when(F.col("bucket_id") == 1, "head")
+        .when(F.col("bucket_id") == F.lit(n_buckets), "tail")
+        .otherwise("middle")
+    )
+    return scored.join(F.broadcast(cuts), ["lang", "bigram_logprob"]).select(
+        id_col,
+        "lang",
+        "bigram_logprob",
+        "bucket_id",
+        label.alias("bucket"),
     )

@@ -538,6 +538,95 @@ def q_dedup_span_clean(spark, sf_dir):
     return llm_dedup.span_dedup_clean(_docs(spark, sf_dir), SPAN_CLEAN_W)
 
 
+BOILER_DOC_FREQ = llm_dedup.BOILER_DOC_FREQ
+
+
+@query(
+    "dedup_boilerplate_clean",
+    rf"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), sp AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(w[i * {SPAN_CLEAN_W} + 1 : i * {SPAN_CLEAN_W} + {SPAN_CLEAN_W}], ' ') AS span
+  FROM ws, LATERAL unnest(range(0, CAST(ceil(len(w) / {SPAN_CLEAN_W}.0) AS BIGINT))) AS t(i)
+), freq AS (
+  SELECT md5(span) AS h, count(DISTINCT doc_id) AS dfreq FROM sp GROUP BY md5(span)
+), fk AS (
+  SELECT s.doc_id, s.idx, s.span, (f.dfreq < {BOILER_DOC_FREQ}) AS kept
+  FROM sp s JOIN freq f ON f.h = md5(s.span)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS removed_spans,
+       md5(COALESCE(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY idx), '')) AS clean_md5
+FROM fk GROUP BY doc_id
+""",
+)
+def q_dedup_boilerplate_clean(spark, sf_dir):
+    """CCNet/RefinedWeb boilerplate removal by CORPUS doc-frequency
+    (Wenzek et al. 2020 §3.1, Penedo et al. 2023): spans occurring in
+    >= {k} distinct documents are dropped from EVERY document — the
+    policy contrast to dedup_span_clean's C4 keep-first (one copy
+    survives). Frequent-span set is tiny -> broadcast back; one
+    span-hash agg + one doc reassembly shuffle, no content-keyed
+    window (llm_dedup.boilerplate_span_clean)."""
+    return llm_dedup.boilerplate_span_clean(
+        _docs(spark, sf_dir), SPAN_CLEAN_W, BOILER_DOC_FREQ
+    )
+
+
+q_dedup_boilerplate_clean.__doc__ = q_dedup_boilerplate_clean.__doc__.format(
+    k=BOILER_DOC_FREQ
+)
+
+
+@query(
+    "dedup_ngram_containment",
+    SQL_SHINGLES
+    + f"""
+, dfreq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+), rare AS (
+  SELECT shingle FROM dfreq WHERE df BETWEEN 2 AND {llm_dedup.CONTAIN_MAX_DF}
+), postings AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON r.shingle = s.shingle
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM postings a JOIN postings b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+       round(CAST(i.inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment,
+       round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN szs sa ON sa.doc_id = i.doc_a
+JOIN szs sb ON sb.doc_id = i.doc_b
+WHERE {llm_dedup.CONTAIN_DEN} * i.inter >= {llm_dedup.CONTAIN_NUM} * least(sa.sz, sb.sz)
+""",
+)
+def q_dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric containment near-dups (Broder 1997 §4:
+    |A∩B|/min(|A|,|B|)) via rare-shingle blocking — catches a short
+    doc quoted inside a long one, which has low Jaccard and so
+    structurally escapes the MinHash-LSH tier (band collisions track
+    Jaccard). Candidates share a shingle with corpus df in [2, {df}];
+    the df cap bounds the blocking self-join to df²/2 pairs per
+    shingle (corpus-linear); verify is exact and integer-thresholded
+    (llm_dedup.containment_pairs_rare_blocking)."""
+    return llm_dedup.containment_pairs_rare_blocking(_docs(spark, sf_dir))
+
+
+q_dedup_ngram_containment.__doc__ = q_dedup_ngram_containment.__doc__.format(
+    df=llm_dedup.CONTAIN_MAX_DF
+)
+
+
 def _simhash64_votes_sql() -> tuple[str, str, str]:
     """(votes, fp_lo, fp_hi) SQL fragments for the 64-bit fingerprint
     — bit b reads bit b%4 of md5 hex nibble b//4 (chars 1..16), the
@@ -1471,6 +1560,61 @@ def q_text_bigram_lm_score(spark, sf_dir):
     from gmall_spark.operators import lm
 
     return lm.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_perplexity_buckets",
+    """
+WITH d AS (
+  SELECT doc_id, lang, lower(text) AS t FROM documents
+), pos AS (
+  SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i
+  FROM d WHERE length(t) >= 2
+), bg AS (
+  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 2) AS b FROM pos
+), model AS (
+  SELECT lang, b, count(*) AS c FROM bg GROUP BY lang, b
+), tot AS (
+  SELECT lang, sum(c) AS total, count(*) AS v FROM model GROUP BY lang
+), scored AS (
+  SELECT bg.doc_id, bg.lang, ln((m.c + 1.0) / (t.total + t.v)) AS lp
+  FROM bg
+  JOIN model m ON m.lang = bg.lang AND m.b = bg.b
+  JOIN tot t ON t.lang = bg.lang
+), doc AS (
+  SELECT doc_id, lang, round(SUM(lp) / COUNT(*), 6) AS bigram_logprob
+  FROM scored GROUP BY doc_id, lang
+), hist AS (
+  SELECT lang, bigram_logprob, count(*) AS c FROM doc GROUP BY lang, bigram_logprob
+), tots AS (
+  SELECT lang, count(*) AS n_docs FROM doc GROUP BY lang
+), cuts AS (
+  SELECT lang, bigram_logprob,
+         CAST(COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY bigram_logprob DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_prev
+  FROM hist
+)
+SELECT d.doc_id, d.lang, d.bigram_logprob,
+       CAST(least(3, 1 + (3 * c.cum_prev) // t.n_docs) AS BIGINT) AS bucket_id,
+       CASE WHEN least(3, 1 + (3 * c.cum_prev) // t.n_docs) = 1 THEN 'head'
+            WHEN least(3, 1 + (3 * c.cum_prev) // t.n_docs) = 3 THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM doc d
+JOIN cuts c ON c.lang = d.lang AND c.bigram_logprob = d.bigram_logprob
+JOIN tots t ON t.lang = d.lang
+""",
+)
+def q_text_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail assignment (Wenzek et al. §4.4): per
+    language, equal-population thirds of the LM-score ranking, best
+    scores first. No corpus-wide sort: the cumulative cut runs over
+    the (lang, rounded-score) HISTOGRAM (value-space-bounded at any
+    corpus size) and bucket ids are integer arithmetic, so ties are
+    deterministic cross-engine (operators/lm.perplexity_buckets)."""
+    from gmall_spark.operators import lm
+
+    return lm.perplexity_buckets(_t(spark, sf_dir, "documents"))
 
 
 # --- PII / contamination / sampling / repetition --------------------------
@@ -3315,6 +3459,69 @@ _OR["dedup_eval_simhash_vs_jaccard"] = _dedup_eval_oracle()
 _OR["dedup_eval_simhash64_vs_jaccard"] = _dedup_eval64_oracle()
 _OR["similarity_eval_ann_recall"] = _ann_recall_oracle()
 _OR["similarity_eval_ivf_nprobe_sweep"] = _ivf_sweep_oracle()
+
+from gmall_spark.operators import bpe as _bpe  # noqa: E402
+
+
+@query("llm_bpe_merge_step", _bpe.merge_step_oracle_sql())
+def q_llm_bpe_merge_step(spark, sf_dir):
+    """One FULL BPE training iteration (Sennrich et al. 2016 §3.2):
+    pick the winning pair, APPLY the merge with BPE's greedy
+    left-to-right non-overlap rule (runs of consecutive matches via
+    pos - row_number(), merge at even offsets — pure window algebra,
+    no sequential fold), and emit the next iteration's top-10 ranked
+    candidates. Completes X100 (candidate counting) into observable
+    tokenizer training; corpus collapses to the vocab-sized word
+    table first, so the merge half is corpus-size-independent
+    (operators/bpe.py)."""
+    return _bpe.merge_step(_docs(spark, sf_dir))
+
+
+@query("text_quality_agreement", None)  # oracle attached below
+def q_text_quality_agreement(spark, sf_dir):
+    """Quality-signal agreement matrix — the governance report a
+    curation run reads before composing filters: contingency counts
+    over (gopher_keep, rep_keep, lang_match, lm_keep) where lm_keep
+    is CCNet's 'not tail' tier. Reuses the registered operators
+    verbatim (TX.gopher_signals / TX.repetition_signals / TX.lang_id
+    / lm.perplexity_buckets); the doc_id joins exchange only
+    booleans (~17 bytes/doc) — a production pipeline would fuse the
+    three per-row signal families into one projection, the LM tier
+    is the only inherently multi-pass input. Output is <= 24 rows."""
+    from gmall_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    g = TX.gopher_signals(d).select("doc_id", "gopher_keep")
+    r = TX.repetition_signals(d).select("doc_id", "rep_keep")
+    l = d.select(
+        "doc_id", (TX.lang_id(F.col("text")) == F.col("lang")).alias("lang_match")
+    )
+    b = lm.perplexity_buckets(d).select(
+        "doc_id", (F.col("bucket") != "tail").alias("lm_keep")
+    )
+    return (
+        g.join(r, "doc_id")
+        .join(l, "doc_id")
+        .join(b, "doc_id")
+        .groupBy("gopher_keep", "rep_keep", "lang_match", "lm_keep")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_ct"))
+    )
+
+
+# the agreement oracle wraps the already-registered oracle texts as
+# subqueries, so the two stay in lockstep by construction
+from gmall_spark.queries import ORACLES as _OR2  # noqa: E402
+
+_OR2["text_quality_agreement"] = f"""
+SELECT g.gopher_keep, r.rep_keep, (l.lang_pred = l.lang) AS lang_match,
+       (b.bucket <> 'tail') AS lm_keep,
+       CAST(count(*) AS BIGINT) AS doc_ct
+FROM ({_OR2["text_quality_gopher"]}) g
+JOIN ({_OR2["text_gopher_repetition"]}) r ON r.doc_id = g.doc_id
+JOIN ({_OR2["text_lang_id"]}) l ON l.doc_id = g.doc_id
+JOIN ({_OR2["text_perplexity_buckets"]}) b ON b.doc_id = g.doc_id
+GROUP BY g.gopher_keep, r.rep_keep, lang_match, lm_keep
+"""
 
 _REGISTERED = True
 

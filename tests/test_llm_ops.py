@@ -858,3 +858,130 @@ def test_residual_ivfpq_keeps_recall_on_fixture(spark, sf_dir):
         ).collect()
     )
     assert res_avg >= 0.9 * ivf_avg, (res_avg, ivf_avg)
+
+
+def test_boilerplate_clean_removes_all_copies_above_doc_freq(spark):
+    """Corpus-frequency boilerplate vs C4 keep-first on the same
+    fixture: a span in 3 docs is removed from ALL of them (including
+    the first occurrence), a span in only 2 docs survives everywhere
+    (below min_doc_freq=3), and span_dedup_clean on the same corpus
+    keeps exactly one copy of each — the policy difference."""
+    import hashlib
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    pair = " ".join(f"p{i}" for i in range(10))
+    uniq = {k: " ".join(f"{k}{i}" for i in range(10)) for k in "xyz"}
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq["x"]),
+            (2, boiler + " " + pair),
+            (3, pair + " " + boiler + " " + uniq["y"]),
+            (4, uniq["z"]),
+        ],
+        "doc_id long, text string",
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    got = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in llm_dedup.boilerplate_span_clean(docs, 10, 3).collect()
+    }
+    assert got[1] == (2, 1, md5(uniq["x"]))
+    assert got[2] == (2, 1, md5(pair))
+    assert got[3] == (3, 1, md5(pair + " " + uniq["y"]))
+    assert got[4] == (1, 0, md5(uniq["z"]))
+    keepfirst = {
+        r.doc_id: r.removed_spans
+        for r in llm_dedup.span_dedup_clean(docs, 10).collect()
+    }
+    # keep-first spares doc 1's boiler copy and doc 2's pair copy
+    assert keepfirst[1] == 0 and keepfirst[2] == 1 and keepfirst[3] == 2
+
+
+def test_containment_catches_quoted_subset_lsh_misses(spark):
+    """A 12-word doc quoted verbatim inside a 120-word doc:
+    containment = 1.0 but Jaccard is far below the 0.8 LSH verify
+    threshold — rare-shingle blocking + containment verify reports
+    the pair, and its reported jaccard confirms the LSH tier's
+    threshold would have discarded it."""
+    quote = " ".join(f"q{i}" for i in range(12))
+    host = quote + " " + " ".join(f"h{i}" for i in range(108))
+    noise = [
+        (k + 10, " ".join(f"n{k}_{i}" for i in range(40))) for k in range(5)
+    ]
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host)] + noise, "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in llm_dedup.containment_pairs_rare_blocking(docs).collect()
+    }
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r.containment == 1.0
+    assert r.jaccard < 0.8  # the LSH verify threshold would drop it
+    assert len(rows) == 1  # noise docs share no shingles
+
+
+def test_perplexity_buckets_equal_thirds_and_deterministic_ties(spark):
+    """Nine docs in one language split 3/3/3 head/middle/tail by LM
+    score, and two docs with IDENTICAL text (tied scores) land in the
+    same bucket — the histogram-based cut has no tie-order ambiguity."""
+    from gmall_spark.operators import lm
+
+    common = "abababab"  # probable bigrams
+    rows = [(i, common * (i + 2), "en") for i in range(7)]
+    # two identical rare-char docs: tied scores, must share a bucket
+    rows += [(7, "zqzqxkxk", "en"), (8, "zqzqxkxk", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = lm.perplexity_buckets(docs).collect()
+    by_bucket: dict = {}
+    bucket_of = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, set()).add(r.doc_id)
+        bucket_of[r.doc_id] = r.bucket
+    assert {len(v) for v in by_bucket.values()} == {3}
+    assert bucket_of[7] == bucket_of[8]
+    assert set(by_bucket) == {"head", "middle", "tail"}
+
+
+def test_bpe_merge_step_greedy_left_to_right(spark):
+    """Hand-computed BPE iteration: corpus 'aaab aaab aab' -> best
+    pair (a,a) with count 5; greedy application gives aaab=[aa,a,b],
+    aab=[aa,b]; next candidates rank (a,b):2 < (aa,a):2 by pair_left,
+    then (aa,b):1. And 'aaaa' merges to [aa,aa] (positions 0-1 and
+    2-3, NOT the overlapping middle) -> next top is (aa,aa)."""
+    from gmall_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aab")], "doc_id long, text string"
+    )
+    rows = [
+        (r.rnk, r.pair_left, r.pair_right, r.pair_count, r.applied_pair)
+        for r in bpe.merge_step(docs).collect()
+    ]
+    assert rows == [
+        (1, "a", "b", 2, "aa"),
+        (2, "aa", "a", 2, "aa"),
+        (3, "aa", "b", 1, "aa"),
+    ]
+
+    docs2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    rows2 = [
+        (r.rnk, r.pair_left, r.pair_right, r.pair_count, r.applied_pair)
+        for r in bpe.merge_step(docs2).collect()
+    ]
+    assert rows2 == [(1, "aa", "aa", 2, "aa")]
+
+
+def test_quality_agreement_counts_cover_scored_corpus(spark, sf_dir):
+    """The contingency table partitions exactly the docs every signal
+    covers (inner-join semantics: docs with >= 2 chars, i.e. with LM
+    scores), and each cell key is a 4-bool tuple."""
+    from gmall_spark import queries as q
+
+    out = q.QUERIES["text_quality_agreement"](spark, sf_dir).collect()
+    total = sum(r.doc_ct for r in out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.filter(F.length("text") >= 2).count()
+    assert total == scored
+    assert len({(r.gopher_keep, r.rep_keep, r.lang_match, r.lm_keep) for r in out}) == len(out)

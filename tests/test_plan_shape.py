@@ -63,6 +63,25 @@ BUDGETS = [
     ("dedup_simhash64_hamming", 6, 0),
     # C4 span clean: scan fan-out + span-hash window + doc reassembly
     ("dedup_span_clean", 3, 0),
+    # boilerplate clean: scan fan-out + count_distinct doc-freq agg
+    # (2-phase) + doc reassembly; the tiny frequent set MUST broadcast
+    ("dedup_boilerplate_clean", 5, 1),
+    # containment: df agg + bounded rare-postings self-join +
+    # candidate distinct + verify joins + two size aggs — linear
+    # chain, rare set + candidates broadcast
+    ("dedup_ngram_containment", 13, 1),
+    # CCNet buckets: the bigram-LM pipeline twice (histogram branch +
+    # output join) + hist agg + ONE lang exchange shared by both
+    # windows; model/totals/cuts broadcast
+    ("text_perplexity_buckets", 16, 2),
+    # BPE merge step: ONE corpus-sized word count; everything after
+    # (char explode, run windows, recount) is vocab-bounded; the
+    # single-row winning pair broadcasts
+    ("llm_bpe_merge_step", 11, 1),
+    # agreement matrix: four signal branches joined on doc_id
+    # (boolean-only exchange) + the <=24-row contingency agg; the LM
+    # branch dominates the count
+    ("text_quality_agreement", 22, 2),
     # Gopher repetition: per-row sorted-run folds — scan fan-out only
     ("text_gopher_repetition", 1, 0),
     # as-of join: two tagged event scans + ONE keyed window pass
