@@ -912,8 +912,18 @@ def containment_pairs_rare_blocking(
     exact verify bounded by |candidates| x shingles-per-doc. The df
     cap is the knob: at 100 TB raise it only with a per-shingle
     pair budget, exactly like the capped LSH buckets (X4).
+
+    The distinct (doc_id, shingle) relation feeds six consumers
+    (document frequencies, postings x2, verify x2, sizes), so it is
+    computed once and persisted — the same pattern as
+    :func:`minhash_lsh_dedup`'s shingle arrays; ``clear_cache()``
+    frees it in long-lived sessions.
     """
-    sh = word_shingles(docs, id_col, text_col, n)
+    sh = persist.register(
+        word_shingles(docs, id_col, text_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     rare = (
         sh.groupBy("shingle")

@@ -1264,3 +1264,80 @@ def test_purge_doc_ids_removes_from_every_store(spark, sf_dir, tmpdir):
     assert removed[f"{store_dir}/bands"] > 0
     assert removed[f"{store_dir}/pairs"] >= 1
     assert store.pairs(spark).count() == before["pairs"] - removed[f"{store_dir}/pairs"]
+
+
+def test_incremental_boilerplate_retroactive_repair(spark, tmpdir):
+    """X106's streaming twin on a planted fixture where the
+    doc-frequency threshold (K=3) is crossed only in batch 2: the
+    batch-1 document that contains the span must be RE-EMITTED
+    without it (max-batch row wins), and the final state must equal
+    the batch operator over all docs."""
+    from gmall_spark.operators import llm_dedup
+    from gmall_spark.streaming import incremental_boilerplate as ib
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq = {k: " ".join(f"{k}{i}" for i in range(10)) for k in "xyz"}
+    b1 = spark.createDataFrame(
+        [(1, boiler + " " + uniq["x"]), (2, uniq["y"])],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, boiler + " " + uniq["z"]), (4, boiler)],
+        "doc_id long, text string",
+    )
+    store = f"{tmpdir}/boiler_store"
+    ib.process_batch(spark, b1, store, 0)
+    after1 = {
+        r.doc_id: r.removed_spans for r in ib.emitted_docs(spark, store).collect()
+    }
+    assert after1 == {1: 0, 2: 0}  # df=1 < 3: nothing boilerplate yet
+    ib.process_batch(spark, b2, store, 1)
+    got = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in ib.emitted_docs(spark, store).collect()
+    }
+    expected = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in llm_dedup.boilerplate_span_clean(
+            b1.unionByName(b2), 10, 3
+        ).collect()
+    }
+    assert got == expected
+    assert got[1][1] == 1  # batch-1 doc retroactively lost the span
+    # the repair row really is a second, later emission of doc 1
+    raw = spark.read.parquet(f"{store}/docs/b0", f"{store}/docs/b1")
+    doc1_batches = sorted(
+        r.batch for r in raw.filter("doc_id = 1").select("batch").collect()
+    )
+    assert doc1_batches == [0, 1]
+    # foreachBatch replay: re-running batch 1 changes nothing
+    ib.process_batch(spark, b2, store, 1)
+    got2 = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in ib.emitted_docs(spark, store).collect()
+    }
+    assert got2 == got
+
+
+def test_incremental_boilerplate_equals_batch_on_corpus(spark, sf_dir, tmpdir):
+    """Two-batch doc_id split over the real corpus: emitted state is
+    row-identical to the batch operator over all documents."""
+    from gmall_spark.operators import llm_dedup
+    from gmall_spark.streaming import incremental_boilerplate as ib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = f"{tmpdir}/boiler_corpus_store"
+    mid = 250
+    ib.process_batch(spark, docs.filter(F.col("doc_id") < mid), store, 0)
+    ib.process_batch(spark, docs.filter(F.col("doc_id") >= mid), store, 1)
+    got = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in ib.emitted_docs(spark, store).collect()
+    }
+    expected = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in llm_dedup.boilerplate_span_clean(docs).collect()
+    }
+    assert got == expected
