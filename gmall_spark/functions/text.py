@@ -151,18 +151,23 @@ def pii_redact(text: Column) -> Column:
     return out
 
 
-def gopher_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
+def gopher_signals(
+    docs, id_col: str = "doc_id", text_col: str = "text", keep: tuple = ()
+):
     """Gopher-style composite quality rules (Rae et al. 2021 §A1.1):
     per-rule ratios + the final ``gopher_keep`` verdict. All signals
     are per-row higher-order-function / regexp Column expressions —
     whole-stage codegen, zero shuffles; a pure map over the corpus
     scan at any scale. DuckDB twin lives in the
-    ``text_quality_gopher`` registered oracle."""
+    ``text_quality_gopher`` registered oracle. ``keep`` threads
+    passthrough columns so per-row signal families can FUSE into one
+    projection instead of re-scanning and joining (X110)."""
     t = F.col(text_col)
     toks = F.filter(F.split(t, r"\s+"), lambda w: w != "")
     lines = F.filter(F.split(t, r"\n"), lambda l: l != "")
     c = docs.select(
         id_col,
+        *keep,
         F.size(toks).cast("bigint").alias("n_words"),
         F.length(F.regexp_replace(t, r"\s", "")).cast("bigint").alias("nonws_chars"),
         F.regexp_count(t, F.lit(r"(#|\.\.\.|…)")).cast("bigint").alias("symbol_ct"),
@@ -186,6 +191,7 @@ def gopher_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
 
     r = c.select(
         id_col,
+        *keep,
         "n_words",
         "stopword_ct",
         ratio("nonws_chars", "n_words").alias("mean_word_len"),
@@ -196,6 +202,7 @@ def gopher_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
     return r.select(
         id_col,
+        *keep,
         "n_words",
         "mean_word_len",
         "symbol_ratio",
@@ -308,7 +315,9 @@ def _rep_rle(n: int, text_col: str) -> str:
       acc -> named_struct('best', {close_best}, 'dup', {close_dup}))"""
 
 
-def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
+def repetition_signals(
+    docs, id_col: str = "doc_id", text_col: str = "text", keep: tuple = ()
+):
     """Gopher repetition filters (Rae et al. 2021 §A1.1, the half of
     the rule set :func:`gopher_signals` does not cover): per document,
     the character fraction covered by the single maximally-repeating
@@ -332,10 +341,12 @@ def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
     covers = {n: F.expr(_rep_rle(n, text_col)) for n in (2, 3, 4, 5)}
     base = docs.select(
         F.col(id_col).alias("doc_id"),
+        *keep,
         F.length(text_col).cast("bigint").alias("tl"),
         *[covers[n].alias(f"r{n}") for n in (2, 3, 4, 5)],
     ).select(
         "doc_id",
+        *keep,
         "tl",
         F.col("r2.best").alias("c2"),
         F.col("r3.best").alias("c3"),
@@ -348,6 +359,7 @@ def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
 
     return base.select(
         "doc_id",
+        *keep,
         _frac("c2").alias("top2_gram_char_frac"),
         _frac("c3").alias("top3_gram_char_frac"),
         _frac("c4").alias("top4_gram_char_frac"),

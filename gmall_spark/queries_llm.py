@@ -3482,27 +3482,26 @@ def q_text_quality_agreement(spark, sf_dir):
     """Quality-signal agreement matrix — the governance report a
     curation run reads before composing filters: contingency counts
     over (gopher_keep, rep_keep, lang_match, lm_keep) where lm_keep
-    is CCNet's 'not tail' tier. Reuses the registered operators
-    verbatim (TX.gopher_signals / TX.repetition_signals / TX.lang_id
-    / lm.perplexity_buckets); the doc_id joins exchange only
-    booleans (~17 bytes/doc) — a production pipeline would fuse the
-    three per-row signal families into one projection, the LM tier
-    is the only inherently multi-pass input. Output is <= 24 rows."""
+    is CCNet's 'not tail' tier. The three per-row signal families
+    (gopher rules, repetition folds, lang-ID) FUSE into one
+    projection chain via the signal functions' ``keep`` passthrough —
+    one corpus scan, zero joins between them; the LM tier is the only
+    inherently multi-pass input and contributes the single doc_id
+    join (boolean-only exchange). Output is <= 24 rows."""
     from gmall_spark.operators import lm
 
     d = _docs(spark, sf_dir)
-    g = TX.gopher_signals(d).select("doc_id", "gopher_keep")
-    r = TX.repetition_signals(d).select("doc_id", "rep_keep")
-    l = d.select(
-        "doc_id", (TX.lang_id(F.col("text")) == F.col("lang")).alias("lang_match")
+    g = TX.gopher_signals(d, keep=("text", "lang")).withColumn(
+        "lang_match", TX.lang_id(F.col("text")) == F.col("lang")
     )
+    flags = TX.repetition_signals(
+        g, keep=("gopher_keep", "lang_match")
+    ).select("doc_id", "gopher_keep", "rep_keep", "lang_match")
     b = lm.perplexity_buckets(d).select(
         "doc_id", (F.col("bucket") != "tail").alias("lm_keep")
     )
     return (
-        g.join(r, "doc_id")
-        .join(l, "doc_id")
-        .join(b, "doc_id")
+        flags.join(b, "doc_id")
         .groupBy("gopher_keep", "rep_keep", "lang_match", "lm_keep")
         .agg(F.count(F.lit(1)).cast("bigint").alias("doc_ct"))
     )

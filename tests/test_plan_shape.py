@@ -78,10 +78,11 @@ BUDGETS = [
     # (char explode, run windows, recount) is vocab-bounded; the
     # single-row winning pair broadcasts
     ("llm_bpe_merge_step", 11, 1),
-    # agreement matrix: four signal branches joined on doc_id
-    # (boolean-only exchange) + the <=24-row contingency agg; the LM
-    # branch dominates the count
-    ("text_quality_agreement", 22, 2),
+    # agreement matrix: the three per-row signal families fused into
+    # ONE projection chain (keep-passthrough, zero joins between
+    # them); the LM branch contributes the single doc_id join + its
+    # own pipeline, then the <=24-row contingency agg
+    ("text_quality_agreement", 18, 2),
     # Gopher repetition: per-row sorted-run folds — scan fan-out only
     ("text_gopher_repetition", 1, 0),
     # as-of join: two tagged event scans + ONE keyed window pass
