@@ -72,6 +72,7 @@ HEADLINE = [
     "text_perplexity_buckets",
     "llm_bpe_merge_step",
     "text_quality_agreement",
+    "llm_corpus_curation_v3",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

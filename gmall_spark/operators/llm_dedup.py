@@ -793,14 +793,17 @@ def cross_corpus_near_dups(
     """
 
     def _prep(df):
-        arr = df.select(
-            F.col(id_col).alias("doc_id"), shingle_array(text_col, n).alias("shingles")
+        arr = persist.register(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                shingle_array(text_col, n).alias("shingles"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         )
         sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
-        return sh, band_signatures(minhash_signatures(sh, k), bands, k)
+        return arr, band_signatures(minhash_signatures(sh, k), bands, k)
 
-    corpus_sh, corpus_banded = _prep(corpus)
-    ref_sh, ref_banded = _prep(ref)
+    corpus_arr, corpus_banded = _prep(corpus)
+    ref_arr, ref_banded = _prep(ref)
     cand = (
         corpus_banded.join(
             F.broadcast(
@@ -813,8 +816,14 @@ def cross_corpus_near_dups(
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    verified = jaccard_for_pairs(
-        cand, corpus_sh.unionByName(ref_sh), threshold
+    # verify against the persisted per-doc shingle ARRAYS (broadcast
+    # candidate joins + one array_intersect per pair) — the
+    # jaccard_for_pairs form re-shuffled the corpus-sized exploded
+    # shingle relation on the verify key, which made this the single
+    # most expensive plan inside the curation compositions (~8 s at
+    # sf0.1 vs ~1.3 s for the self-dedup pipeline this now mirrors)
+    verified = jaccard_for_arrays(
+        cand, corpus_arr.unionByName(ref_arr), threshold
     )
     return verified.select(
         F.col("doc_a").alias("doc_id"),
@@ -976,6 +985,8 @@ def containment_pairs_rare_blocking(
         "doc_a",
         "doc_b",
         F.col("inter").cast("bigint").alias("inter"),
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
         F.round(
             F.col("inter").cast("double") / F.least("sz_a", "sz_b").cast("double"),
             6,

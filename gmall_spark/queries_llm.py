@@ -602,6 +602,7 @@ q_dedup_boilerplate_clean.__doc__ = q_dedup_boilerplate_clean.__doc__.format(
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
        round(CAST(i.inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment,
        round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
 FROM inter i
@@ -2614,6 +2615,48 @@ def q_llm_corpus_curation_v2(spark, sf_dir):
     )
 
 
+@query("llm_corpus_curation_v3", None)  # oracle attached post-registration
+def q_llm_corpus_curation_v3(spark, sf_dir):
+    """Curation v2 + this round's policy stages composed in (X106/
+    X107/X108): documents on the LOSING side of a containment pair
+    are dropped (the contained/quoted copy — fewer shingles loses,
+    ties break to the higher doc_id), CCNet 'tail' documents are cut,
+    and the boilerplate-cleaned rollup (n_spans, removed_spans,
+    clean_md5) rides along as the output text columns. Same
+    one-DataFrame-plan composition discipline as v1/v2; the drop and
+    tier sets join on doc_id only."""
+    from gmall_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    pairs = llm_dedup.containment_pairs_rare_blocking(d)
+    drops = pairs.select(
+        F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_a"))
+        .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
+        .otherwise(F.greatest("doc_a", "doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    v2 = q_llm_corpus_curation_v2(spark, sf_dir)
+    b = lm.perplexity_buckets(d).filter(F.col("bucket") != "tail").select(
+        "doc_id", "bucket"
+    )
+    s = llm_dedup.boilerplate_span_clean(d, SPAN_CLEAN_W, BOILER_DOC_FREQ)
+    return (
+        v2.join(drops, "doc_id", "anti")
+        .join(b, "doc_id")
+        .join(s, "doc_id")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "n_words",
+            "bigram_logprob",
+            "bucket",
+            "n_spans",
+            "removed_spans",
+            "clean_md5",
+        )
+    )
+
+
 # --- multimodal plumbing --------------------------------------------------
 
 
@@ -3510,6 +3553,21 @@ def q_text_quality_agreement(spark, sf_dir):
 # the agreement oracle wraps the already-registered oracle texts as
 # subqueries, so the two stay in lockstep by construction
 from gmall_spark.queries import ORACLES as _OR2  # noqa: E402
+
+_OR2["llm_corpus_curation_v3"] = f"""
+SELECT v.doc_id, v.lang_pred, v.n_words, v.bigram_logprob, b.bucket,
+       s.n_spans, s.removed_spans, s.clean_md5
+FROM ({_OR2["llm_corpus_curation_v2"]}) v
+JOIN ({_OR2["text_perplexity_buckets"]}) b
+  ON b.doc_id = v.doc_id AND b.bucket <> 'tail'
+JOIN ({_OR2["dedup_boilerplate_clean"]}) s ON s.doc_id = v.doc_id
+WHERE v.doc_id NOT IN (
+  SELECT DISTINCT CASE WHEN c.sz_a < c.sz_b THEN c.doc_a
+                       WHEN c.sz_b < c.sz_a THEN c.doc_b
+                       ELSE greatest(c.doc_a, c.doc_b) END
+  FROM ({_OR2["dedup_ngram_containment"]}) c
+)
+"""
 
 _OR2["text_quality_agreement"] = f"""
 SELECT g.gopher_keep, r.rep_keep, (l.lang_pred = l.lang) AS lang_match,

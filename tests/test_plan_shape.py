@@ -121,7 +121,15 @@ BUDGETS = [
     ("cart_scd2_history", 4, 0),
     # cross-corpus decontam: both sides' shingle/signature/band aggs
     # + candidate + verify joins; ref side + candidates broadcast
-    ("llm_cross_corpus_decontam", 14, 5),
+    # both sides' signature/band aggs + candidate distinct; verify is
+    # now the broadcast array_intersect form (the jaccard_for_pairs
+    # verify re-shuffled the exploded shingle relation — 14 exchanges
+    # and ~8 s at sf0.1; this shape is 8 exchanges and ~1.4 s)
+    ("llm_cross_corpus_decontam", 8, 3),
+    # curation v3: the composed corpus pass (v2 + containment drop +
+    # CCNet tier + boilerplate rollup) — the budget pins the SUM of
+    # its stages so a regression in any one shows up here too
+    ("llm_corpus_curation_v3", 57, 10),
     # HLL UV: scan + the per-day sketch aggregate
     ("events_uv_sketch_daily", 2, 0),
     # Gopher rules: pure per-row HOF/regexp map — scan fan-out only

@@ -1341,3 +1341,44 @@ def test_incremental_boilerplate_equals_batch_on_corpus(spark, sf_dir, tmpdir):
         for r in llm_dedup.boilerplate_span_clean(docs).collect()
     }
     assert got == expected
+
+
+def test_incremental_boilerplate_foreach_batch_e2e(spark, sf_dir, tmpdir):
+    """End-to-end streaming form of the boilerplate twin: a real
+    readStream file source (maxFilesPerTrigger=1 -> two micro-batches)
+    wired through runner.run_foreach_batch with the epoch id as the
+    batch id; the emitted state must equal the batch operator."""
+    from gmall_spark.operators import llm_dedup
+    from gmall_spark.streaming import incremental_boilerplate as ib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mid = 250
+    store = f"{tmpdir}/boiler_e2e_store"
+    src = f"{tmpdir}/boiler_e2e_src"
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, eid: ib.process_batch(spark, b, store, eid),
+        checkpoint=f"{tmpdir}/ckpt_incr_boiler",
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in ib.emitted_docs(spark, store).collect()
+    }
+    want = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in llm_dedup.boilerplate_span_clean(docs).collect()
+    }
+    assert got == want and len(want) > 0
