@@ -302,3 +302,179 @@ def test_sessionize_gap_matches_python(spark, rows, gap):
                 seq += 1
             prev = ts
             assert got[(k, eid)] == seq, (k, eid)
+
+
+# --- r6 operators: boilerplate / containment / BPE step / buckets ---------
+
+import hashlib
+import math
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["w0", "w1", "w2", "w3"]), min_size=1, max_size=9),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+@given(docs=docs_strategy)
+@settings(**_SETTINGS)
+def test_boilerplate_clean_matches_python(spark, docs):
+    from gmall_spark.operators.llm_dedup import boilerplate_span_clean
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.removed_spans, r.clean_md5)
+        for r in boilerplate_span_clean(df, span_w=3, min_doc_freq=2).collect()
+    }
+
+    def spans(ws):
+        return [
+            " ".join(ws[i * 3 : i * 3 + 3])
+            for i in range(math.ceil(len(ws) / 3))
+        ]
+
+    dfreq: dict = {}
+    for i, ws in enumerate(docs):
+        for s in set(spans(ws)):
+            dfreq[s] = dfreq.get(s, 0) + 1
+    expected = {}
+    for i, ws in enumerate(docs):
+        sp = spans(ws)
+        kept = [s for s in sp if dfreq[s] < 2]
+        expected[i] = (len(sp), len(sp) - len(kept), _md5(" ".join(kept)))
+    assert got == expected
+
+
+@given(docs=docs_strategy)
+@settings(**_SETTINGS)
+def test_containment_pairs_match_python(spark, docs):
+    from gmall_spark.operators.llm_dedup import containment_pairs_rare_blocking
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.sz_a, r.sz_b)
+        for r in containment_pairs_rare_blocking(df, n=2).collect()
+    }
+
+    sh = {
+        i: {
+            " ".join(ws[j : j + 2])
+            for j in range(len(ws) - 1)
+        }
+        for i, ws in enumerate(docs)
+        if len(ws) >= 2
+    }
+    dfreq: dict = {}
+    for s in sh.values():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    rare = {g for g, c in dfreq.items() if 2 <= c <= 5}
+    expected = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not (sh[a] & sh[b] & rare):
+                continue
+            inter = len(sh[a] & sh[b])
+            if 5 * inter >= 4 * min(len(sh[a]), len(sh[b])):
+                expected[(a, b)] = (inter, len(sh[a]), len(sh[b]))
+    assert got == expected
+
+
+@given(docs=docs_strategy)
+@settings(**_SETTINGS)
+def test_bpe_merge_step_matches_python(spark, docs):
+    from gmall_spark.operators import bpe
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.rnk, r.pair_left, r.pair_right, r.pair_count, r.applied_pair)
+        for r in bpe.merge_step(df).collect()
+    ]
+
+    wc: dict = {}
+    for _, ws in enumerate(docs):
+        for w in ws:
+            if len(w) >= 2:
+                wc[w] = wc.get(w, 0) + 1
+    pc: dict = {}
+    for w, f in wc.items():
+        for i in range(len(w) - 1):
+            pc[(w[i], w[i + 1])] = pc.get((w[i], w[i + 1]), 0) + f
+    if not pc:
+        assert got == []
+        return
+    best = min(pc, key=lambda p: (-pc[p], p[0] + p[1]))
+    pc2: dict = {}
+    for w, f in wc.items():
+        syms = list(w)
+        out, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and (syms[i], syms[i + 1]) == best
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        for j in range(len(out) - 1):
+            pc2[(out[j], out[j + 1])] = pc2.get((out[j], out[j + 1]), 0) + f
+    ranked = sorted(pc2.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:10]
+    expected = [
+        (k + 1, l, r_, c, best[0] + best[1])
+        for k, ((l, r_), c) in enumerate(ranked)
+    ]
+    assert got == expected
+
+
+@given(
+    scores=st.lists(
+        st.tuples(st.sampled_from(["en", "fr"]), st.integers(0, 5)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_perplexity_bucket_algebra_matches_python(spark, scores):
+    """The histogram-cut bucketing algebra on adversarial tied inputs:
+    feed (lang, score) pairs straight into the cut logic by building
+    docs whose Spark-computed scores are irrelevant — we recompute
+    buckets in Python FROM Spark's own scored output and compare."""
+    from gmall_spark.operators import lm
+
+    rows = [
+        (i, "ab" * (s + 2), lang) for i, (lang, s) in enumerate(scores)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scored = {
+        r.doc_id: (r.lang, r.bigram_logprob)
+        for r in lm.bigram_logprob_scores(df).collect()
+    }
+    got = {r.doc_id: r.bucket_id for r in lm.perplexity_buckets(df).collect()}
+
+    by_lang: dict = {}
+    for d, (lang, s) in scored.items():
+        by_lang.setdefault(lang, []).append((s, d))
+    expected = {}
+    for lang, items in by_lang.items():
+        n = len(items)
+        uniq = sorted({s for s, _ in items}, reverse=True)
+        cum = 0
+        cut = {}
+        for s in uniq:
+            cut[s] = min(3, 1 + (3 * cum) // n)
+            cum += sum(1 for v, _ in items if v == s)
+        for s, d in items:
+            expected[d] = cut[s]
+    assert got == expected
