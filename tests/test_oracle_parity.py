@@ -44,6 +44,10 @@ SF001_SAMPLE = [
     "events_value_mad_outliers",
     "dedup_eval_simhash64_vs_jaccard",
     "similarity_eval_ivf_nprobe_sweep",
+    # r6 additions: the composed curation pass exercises X106/X107/
+    # X108 + v2 in one row; containment is the new blocking strategy
+    "llm_corpus_curation_v3",
+    "dedup_ngram_containment",
 ]
 
 SF001_DIR = os.environ.get("SPARK_GRAFT_SF001_DIR", "/root/testdata/sf0.01")
