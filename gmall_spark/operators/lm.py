@@ -94,6 +94,7 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
     §4.4): per language, rank documents by LM score (best = most
@@ -118,8 +119,18 @@ def perplexity_buckets(
     (lang, score) hash agg with map-side combine; the cumulative
     window touches only the histogram; assignment is a broadcast-able
     join back on (lang, score). No corpus-wide sort anywhere.
+
+    ``scored`` optionally supplies a precomputed
+    :func:`bigram_logprob_scores` relation (same schema). The scored
+    relation feeds TWO consumers here (the histogram and the final
+    assignment join), and Spark evaluates each DataFrame consumer as
+    its own subtree — so a caller that already materialized the
+    scores (CCNet-style pipelines score once and read the table
+    everywhere downstream) should pass them in rather than letting
+    this recompute the explode+model+reduce pipeline twice.
     """
-    scored = bigram_logprob_scores(docs, id_col, text_col, lang_col)
+    if scored is None:
+        scored = bigram_logprob_scores(docs, id_col, text_col, lang_col)
     hist = scored.groupBy("lang", "bigram_logprob").agg(
         F.count(F.lit(1)).alias("c")
     )
