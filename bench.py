@@ -77,6 +77,49 @@ HEADLINE = [
 
 REPEATS = 3  # timings report the min over this many runs per query
 
+# FIXED cross-round comparison subset (VERDICT r6 item 3): the r4
+# 34-query headline set, reported every round as `core34_total`
+# (sum of these timings + the two materialize builds — the same
+# composition as the r4 headline number), so round-over-round
+# movement is visible without recomputing shared subsets from the
+# per-query maps. NEVER grows: new operators join HEADLINE only.
+CORE34 = [
+    "dwd_trade_order_detail",
+    "dws_trade_province_order_window",
+    "dws_trade_order_window",
+    "ads_trade_stats_by_day",
+    "dws_traffic_vc_ch_ar_isnew_page_view_window",
+    "dws_traffic_source_keyword_page_view_window",
+    "dws_user_user_login_window",
+    "ads_traffic_channel_stats",
+    "ads_commodity_stats_full_outer",
+    "cart_changelog_latest",
+    "interval_join_events",
+    "dedup_minhash_lsh",
+    "dedup_groups_transitive",
+    "llm_segment_dedup",
+    "similarity_topk_cosine",
+    "text_quality_scores",
+    "doc_fingerprint_simhash",
+    "dedup_semantic_clusters",
+    "asof_join_events",
+    "events_session_window",
+    "text_bm25_topk",
+    "similarity_sq_topk",
+    "text_bigram_lm_score",
+    "llm_vocab_topk",
+    "orders_shipping_priority",
+    "nation_revenue_local_suppliers",
+    "dedup_repeated_ngram_spans",
+    "embedding_pagerank_centrality",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "hybrid_rrf_fusion",
+    "bloom_decontam_probe",
+    "vocab_freq_cms",
+    "dedup_fuzzy_titles",
+]
+
 # Shared fixtures that several headline queries consume (the analog of
 # the reference's materialized DWD Kafka topics). Timed and reported
 # as separate `materialize` line items so per-query numbers measure
@@ -146,9 +189,27 @@ def main() -> None:
         timings[name] = min(runs)
         all_runs[name] = runs
         print(f"# {name}: min {min(runs):.2f}s of {runs} ({n} rows)", file=sys.stderr)
+        # stall evidence (VERDICT r6 item 6): a run >=3x the min and
+        # >5 s over it is an outlier worth a diagnosis line — CPU time
+        # vs wall separates GC/JIT (cpu ~ wall) from IO/scheduler
+        # stalls (cpu << wall)
+        if max(runs) >= 3 * min(runs) and max(runs) - min(runs) > 5:
+            import resource
+
+            ru = resource.getrusage(resource.RUSAGE_SELF)
+            print(
+                f"# STALL {name}: runs={runs} spread={max(runs)-min(runs):.1f}s"
+                f" driver_cpu={ru.ru_utime + ru.ru_stime:.1f}s",
+                file=sys.stderr,
+            )
 
     # total stays the honest wall clock: fixture derivation + queries
     total = round(sum(timings.values()) + sum(materialize.values()), 3)
+    core34_total = round(
+        sum(timings[n] for n in CORE34 if n in timings)
+        + sum(materialize.values()),
+        3,
+    )
     # Per-run audit times go to stderr + a side file, NOT the stdout
     # JSON: the r4 record was unparseable because the "runs" field
     # pushed the line past the driver's tail capture. The final stdout
@@ -167,6 +228,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "core34_total": core34_total,
                 "queries": timings,
                 "materialize": materialize,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -465,3 +465,58 @@ def embedding_near_dup(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 3,
+    lo: float = 0.2,
+    hi: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data (the ANCE /
+    DPR in-batch-negative upgrade, cf. Xiong et al. 2021,
+    arXiv:2007.00808): for each anchor, the top-``k`` neighbors whose
+    cosine falls in the hard band [``lo``, ``hi``) — similar enough
+    to be informative negatives, below the near-duplicate threshold
+    so no positive leaks in as a negative (``hi`` defaults to the X7
+    near-dup cut). Returns (anchor_id, negative_id, rank, cos_sim),
+    rank 1 = hardest; ties break on negative_id like every ANN
+    operator here.
+
+    Scale shape: scoring is the X9 brute-force baseline relation
+    (declared quadratic oracle tier); at 100 TB the candidate
+    generation swaps to the IVF multi-probe scan (X11) with the band
+    filter applied post-ADC — the band/top-k algebra is unchanged.
+    The hard band keeps the OUTPUT corpus-linear (k rows per anchor).
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("qvec")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("nvec")
+    )
+    band = (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+        )
+        .filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        band.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cos_sim",
+        )
+    )

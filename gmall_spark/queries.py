@@ -107,6 +107,11 @@ def clear_cache() -> None:
     queries_llm._PQ_BOOKS.clear()
     queries_llm._SQ_STATS.clear()
     queries_llm._KNN_EDGES.clear()
+    queries_llm._LM_SCORES.clear()
+    queries_llm._CONTAIN_PAIRS.clear()
+    queries_llm._BOILER_CLEAN.clear()
+    queries_llm._CURATION_V2.clear()
+    queries_llm._DSIR_WEIGHTS.clear()
     queries_llm._PQ_RESIDUAL_BOOKS.clear()
     # scan-fanout decisions are keyed by file paths; the driver
     # regenerates testdata at the same paths between rounds (ADVICE r3)

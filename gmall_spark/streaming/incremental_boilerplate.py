@@ -61,13 +61,22 @@ _OUT_SCHEMA = (
 )
 
 
+import re as _re
+
+_BATCH_DIR_RE = _re.compile(r"^b\d+$")
+
+
 def _dirs(root: str, sub: str, exclude_batch: int | None = None) -> list[str]:
     base = os.path.join(root, sub)
     try:
         return sorted(
             os.path.join(base, d)
             for d in os.listdir(base)
-            if exclude_batch is None or d != f"b{exclude_batch}"
+            # only real batch subdirs: a crashed purge rewrite may
+            # leave a *.purgetmp sibling (retention.py) — reading it
+            # would double-count rows
+            if _BATCH_DIR_RE.match(d)
+            and (exclude_batch is None or d != f"b{exclude_batch}")
         )
     except FileNotFoundError:
         return []
@@ -135,8 +144,18 @@ def process_batch(
             .select("doc_id")
             .distinct()
         )
-        content = _read(spark, store_root, "spans", _SPAN_SCHEMA).dropDuplicates(
-            ["h"]
+        # excludes the current batch's own subdir like every other
+        # read (ADVICE r6: reading it relied on the unstated invariant
+        # that the spans/b{id} overwrite above completes before this
+        # read is planned); the batch's own content comes from the
+        # in-memory spans_b, which a foreachBatch retry recomputes
+        # byte-identically
+        content = (
+            _read(
+                spark, store_root, "spans", _SPAN_SCHEMA, exclude_batch=batch_id
+            )
+            .unionByName(spans_b.select("h", "span").dropDuplicates(["h"]))
+            .dropDuplicates(["h"])
         )
         prior_spans = (
             prior_posts.join(F.broadcast(affected), "doc_id")

@@ -63,3 +63,83 @@ def purge_doc_ids(
         removed[path] = before - kept.count()
         _swap_write(kept, path)
     return removed
+
+
+def _rewrite_subdir(df: DataFrame, subdir: str) -> None:
+    """Replace one per-batch subdir's content in place.
+
+    The boilerplate store's per-batch layout can't use the symlink
+    swap (its readers enumerate ``b<N>`` names, and the swap's
+    ``b<N>.v<M>`` siblings would be double-read), so the rewrite is
+    checkpoint → write sibling ``.purgetmp`` → rmtree → rename. A
+    crash between the last two steps loses no data (the tmp dir holds
+    the full kept content and re-running the purge is idempotent);
+    readers never pick the tmp up because ``_dirs`` only matches
+    ``b<N>`` names. ``df`` must already be materialized
+    (localCheckpoint) — it must not lazily re-read ``subdir``."""
+    import os
+    import shutil
+
+    tmp = subdir + ".purgetmp"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(subdir, ignore_errors=True)
+    os.replace(tmp, subdir)
+
+
+def purge_boilerplate_store(
+    spark: SparkSession,
+    doc_ids: list[int],
+    store_root: str,
+) -> dict[str, int]:
+    """Takedown pass for the incremental-boilerplate store
+    (streaming/incremental_boilerplate.py), whose ``spans/b*`` rows
+    hold VERBATIM span text content-addressed by hash with no doc
+    linkage — purging the doc-keyed ``postings``/``docs`` rows alone
+    would leave a deleted document's text alive as orphaned
+    ``(h, span)`` rows (VERDICT r6 gap 2).
+
+    Three sub-stores, in dependency order:
+
+    1. ``postings/b*`` — drop the purged docs' (doc_id, idx, h) rows;
+    2. ``docs/b*`` — drop the purged docs' emitted rollups;
+    3. ``spans/b*`` — garbage-collect content: keep only hashes still
+       referenced by the REMAINING postings (semi-join against the
+       post-purge posting set), so text whose every occurrence
+       belonged to purged docs is physically deleted, while spans
+       shared with surviving docs are retained (they are those docs'
+       content, not the purged ones').
+
+    Returns rows removed per sub-store. Run offline, not concurrently
+    with process_batch (same contract as any store rewrite)."""
+    from gmall_spark.streaming import incremental_boilerplate as ib
+
+    ids = spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "___purge_id bigint"
+    )
+    removed = {"postings": 0, "docs": 0, "spans": 0}
+    for sub, schema in (("postings", ib._POST_SCHEMA), ("docs", ib._OUT_SCHEMA)):
+        for d in ib._dirs(store_root, sub):
+            df = spark.read.schema(schema).parquet(d)
+            before = df.count()
+            kept = df.join(
+                F.broadcast(ids),
+                df["doc_id"] == ids["___purge_id"],
+                "left_anti",
+            )
+            kept = kept.localCheckpoint()
+            removed[sub] += before - kept.count()
+            _rewrite_subdir(kept, d)
+    referenced = (
+        ib._read(spark, store_root, "postings", ib._POST_SCHEMA)
+        .select("h")
+        .distinct()
+        .localCheckpoint()
+    )
+    for d in ib._dirs(store_root, "spans"):
+        df = spark.read.schema(ib._SPAN_SCHEMA).parquet(d)
+        before = df.count()
+        kept = df.join(referenced, "h", "left_semi")
+        kept = kept.localCheckpoint()
+        removed["spans"] += before - kept.count()
+        _rewrite_subdir(kept, d)
+    return removed

@@ -33,6 +33,29 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 _VERSION_RE = re.compile(r"\.v(\d+)$")
+_CLAIM = "_CLAIM"  # pid of the writer that claimed a version dir
+
+
+def _pid_alive(pid: int) -> bool:
+    """True when ``pid`` is a running process (signal-0 probe;
+    EPERM means alive-but-foreign)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True
+    return True
+
+
+def _claimed_by_live_writer(vdir: str) -> bool:
+    """True when ``vdir``'s claim file names a still-running pid —
+    i.e. an in-flight concurrent write we must not touch."""
+    try:
+        with open(os.path.join(vdir, _CLAIM)) as f:
+            return _pid_alive(int(f.read().strip()))
+    except (FileNotFoundError, ValueError, OSError):
+        return False
 
 
 def _versions(final: str) -> list[tuple[int, str]]:
@@ -61,12 +84,24 @@ def _point(final: str, vdir: str) -> None:
     The staging link name is per-writer (pid-suffixed, like
     save_codebooks): a shared name let a reader's or second writer's
     cleanup delete the link between ``os.symlink`` and ``os.replace``
-    and fail this writer's swap with FileNotFoundError (ADVICE r5)."""
+    and fail this writer's swap with FileNotFoundError (ADVICE r5).
+    The symlink+replace is additionally retried on FileNotFoundError
+    (ADVICE r6): even the per-pid name can be swept by a concurrent
+    writer whose liveness probe raced this process' exit/spawn —
+    recreating the link and replacing again is always safe because
+    the staging name is ours alone while we are alive."""
     tmp = f"{final}.lnk.tmp.{os.getpid()}"
-    if os.path.lexists(tmp):
-        os.remove(tmp)
-    os.symlink(os.path.basename(vdir), tmp)
-    os.replace(tmp, final)
+    last_exc: Exception | None = None
+    for _ in range(3):
+        try:
+            if os.path.lexists(tmp):
+                os.remove(tmp)
+            os.symlink(os.path.basename(vdir), tmp)
+            os.replace(tmp, final)
+            return
+        except FileNotFoundError as exc:  # tmp swept mid-swap
+            last_exc = exc
+    raise last_exc  # three sweeps in a row: surface it
 
 
 def recover(store_dir: str) -> None:
@@ -97,23 +132,38 @@ def swap_write(df: DataFrame, store_dir: str, keep_previous: int = 1) -> None:
     """Write ``df`` as the new store content with one atomic pointer
     swap; reap versions older than the previous ``keep_previous``."""
     final = store_dir.rstrip("/")
-    # writer-path-only cleanup of staging links abandoned by crashed
-    # writers (this process' own link is recreated in _point anyway)
+    # writer-path-only cleanup of staging links abandoned by DEAD
+    # writers. A live pid suffix means a concurrent writer may be
+    # between its os.symlink and os.replace — removing its link there
+    # fails its swap with FileNotFoundError (ADVICE r6); skip those.
+    # Suffix-less links are the legacy shared name: no live writer
+    # uses it, always reap.
     parent, name = os.path.split(final)
     try:
         for e in os.listdir(parent or "."):
-            if e.startswith(name + ".lnk.tmp"):
+            if not e.startswith(name + ".lnk.tmp"):
+                continue
+            suffix = e[len(name + ".lnk.tmp") :]
+            if suffix.startswith("."):
                 try:
-                    os.remove(os.path.join(parent, e))
-                except OSError:
-                    pass
+                    pid = int(suffix[1:])
+                except ValueError:
+                    pid = -1
+                if pid != os.getpid() and _pid_alive(pid):
+                    continue  # in-flight concurrent writer
+            try:
+                os.remove(os.path.join(parent, e))
+            except OSError:
+                pass
     except FileNotFoundError:
         pass
     recover(final)
     versions = _versions(final)
     n = versions[-1][0] + 1 if versions else 0
     # claim the version number with an exclusive mkdir so two
-    # concurrent writers can never write into the same dir
+    # concurrent writers can never write into the same dir; record
+    # the claimant pid so crash leftovers are distinguishable from
+    # in-flight writes when reaping
     while True:
         vdir = f"{final}.v{n}"
         try:
@@ -121,10 +171,27 @@ def swap_write(df: DataFrame, store_dir: str, keep_previous: int = 1) -> None:
             break
         except FileExistsError:
             n += 1
-    df.write.mode("overwrite").parquet(vdir)
+    with open(os.path.join(vdir, _CLAIM), "w") as f:
+        f.write(str(os.getpid()))
+    # append, not overwrite: the dir was exclusively created empty just
+    # above, so append writes the same content — but overwrite DELETES
+    # the dir (and the _CLAIM marker) at job start, leaving a window
+    # where a concurrent writer's reap sees an unclaimed incomplete dir
+    # mid-write. Spark readers ignore underscore-prefixed files.
+    df.write.mode("append").parquet(vdir)
     _point(final, vdir)
-    for vn, path in versions[: max(0, len(versions) - keep_previous)]:
+    # Reap on COMPLETE versions only (ADVICE r6): counting junk or
+    # crashed-writer leftovers in `versions` deleted the real previous
+    # live version one swap early, breaking the keep-previous reader
+    # guarantee. Incomplete dirs are reaped separately, and only when
+    # their claiming writer is no longer running (a live claimant is a
+    # concurrent swap_write mid-parquet-write).
+    complete = [(vn, path) for vn, path in versions if _complete(path)]
+    for vn, path in complete[: max(0, len(complete) - keep_previous)]:
         shutil.rmtree(path, ignore_errors=True)
+    for vn, path in versions:
+        if not _complete(path) and not _claimed_by_live_writer(path):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def read_or_empty(spark: SparkSession, store_dir: str, schema) -> DataFrame:

@@ -591,6 +591,60 @@ def test_bigram_lm_flags_mojibake(spark):
     assert got[99] < normal
 
 
+def test_frozen_model_unseen_bigram_semantics(spark):
+    """VERDICT r6 item 7: scoring NEW data under a frozen model must
+    not silently drop unseen bigrams (the old inner join did, which
+    INFLATED the scores of exactly the improbable documents the
+    filter exists to catch). Checks against a hand-computed add-one
+    reference: unseen bigrams take the floor 1/(total+v), every
+    bigram counts in the mean, and an unknown language yields NULL."""
+    import math
+
+    from gmall_spark.operators import lm
+
+    train = spark.createDataFrame(
+        [(1, "abab", "en"), (2, "abba", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    # train bigrams: ab x3, ba x2, bb x1 -> total=6, v=3
+    model = lm.bigram_model(train)
+    got_model = {(r.lang, r.b): (r.c, r.total, r.v) for r in model.collect()}
+    assert got_model == {
+        ("en", "ab"): (3, 6, 3),
+        ("en", "ba"): (2, 6, 3),
+        ("en", "bb"): (1, 6, 3),
+    }
+    eval_docs = spark.createDataFrame(
+        [
+            (10, "abzz", "en"),  # ab seen, bz + zz UNSEEN
+            (11, "ab", "fr"),  # language absent from the model
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.bigram_logprob)
+        for r in lm.score_with_model(eval_docs, model).collect()
+    }
+    expect_10 = round(
+        (math.log((3 + 1) / (6 + 3)) + 2 * math.log((0 + 1) / (6 + 3))) / 3, 6
+    )
+    assert got[10] == (3, expect_10), got[10]
+    assert got[11][0] == 1 and got[11][1] is None, got[11]
+    # self-scoring (model trained on the scored corpus) is unchanged
+    # by the left-join rewrite: no bigram is unseen by construction
+    self_scores = {
+        r.doc_id: r.bigram_logprob
+        for r in lm.bigram_logprob_scores(train).collect()
+    }
+    expect_1 = round(
+        (2 * math.log(4 / 9) + math.log(3 / 9)) / 3, 6
+    )  # ab, ba, ab
+    expect_2 = round(
+        (math.log(4 / 9) + math.log(2 / 9) + math.log(3 / 9)) / 3, 6
+    )  # ab, bb, ba
+    assert self_scores == {1: expect_1, 2: expect_2}, self_scores
+
+
 def test_bigram_col_short_text_is_empty(spark):
     """sequence(1, 0) descends in Spark — the length guard must give
     short texts an EMPTY bigram array, not a bogus one."""
@@ -985,3 +1039,50 @@ def test_quality_agreement_counts_cover_scored_corpus(spark, sf_dir):
     scored = docs.filter(F.length("text") >= 2).count()
     assert total == scored
     assert len({(r.gopher_keep, r.rep_keep, r.lang_match, r.lm_keep) for r in out}) == len(out)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR (X114) on a planted two-topic corpus: raw documents
+    sharing the TARGET set's vocabulary must out-weight documents
+    from the other topic, and the resampling step must keep exactly
+    the target-like tier."""
+    from gmall_spark.operators import dsir
+
+    med = "patient doctor dose trial symptom clinical therapy"
+    web = "click buy cheap deal offer shop discount free"
+    target = spark.createDataFrame(
+        [(i, med) for i in range(4)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(10, med), (11, med), (12, web), (13, web), (14, web), (15, web),
+         (16, web), (17, web)],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r.dsir_logratio
+         for r in dsir.importance_weights(raw, target).collect()}
+    assert len(w) == 8
+    assert min(w[10], w[11]) > max(w[d] for d in range(12, 18)), w
+    kept = {r.doc_id for r in
+            dsir.resample_top_fraction(
+                dsir.importance_weights(raw, target)).collect()}
+    assert kept == {10, 11}, kept  # the target-like quarter
+
+
+def test_dsir_single_word_and_empty_docs(spark):
+    """Feature extraction edge cases: a single-word doc has one
+    unigram and NO bigram (sequence(1,0) would descend — the
+    lm._bigram_col trap), and an empty doc still features (one empty
+    token, same as the oracle's string_split_regex)."""
+    from gmall_spark.operators import dsir
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    counts = {
+        r.doc_id: r.n
+        for r in dsir.feature_buckets(docs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {1: 1, 2: 1, 3: 3}, counts  # a, '', [a, b, 'a b']

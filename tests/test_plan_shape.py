@@ -63,26 +63,26 @@ BUDGETS = [
     ("dedup_simhash64_hamming", 6, 0),
     # C4 span clean: scan fan-out + span-hash window + doc reassembly
     ("dedup_span_clean", 3, 0),
-    # boilerplate clean: scan fan-out + count_distinct doc-freq agg
-    # (2-phase) + doc reassembly; the tiny frequent set MUST broadcast
-    ("dedup_boilerplate_clean", 5, 1),
-    # containment: df agg + bounded rare-postings self-join +
-    # candidate distinct + verify joins + two size aggs — linear
-    # chain, rare set + candidates broadcast
-    ("dedup_ngram_containment", 13, 1),
-    # CCNet buckets: the bigram-LM pipeline twice (histogram branch +
-    # output join) + hist agg + ONE lang exchange shared by both
-    # windows; model/totals/cuts broadcast
-    ("text_perplexity_buckets", 16, 2),
+    # boilerplate clean / containment: the registered queries read
+    # their shared stage-fixture checkpoints (r7 — curation v3
+    # composes the same relations); the REAL pipeline shapes are
+    # pinned by test_stage_fixture_build_plans below
+    ("dedup_boilerplate_clean", 0, 0),
+    ("dedup_ngram_containment", 0, 0),
+    # CCNet buckets: scoring reads the shared _lm_scores checkpoint
+    # (r7 — the explode+model+reduce subtree no longer appears in ANY
+    # consumer plan); hist agg + ONE lang exchange shared by both
+    # windows; cuts broadcast
+    ("text_perplexity_buckets", 2, 1),
     # BPE merge step: ONE corpus-sized word count; everything after
     # (char explode, run windows, recount) is vocab-bounded; the
     # single-row winning pair broadcasts
     ("llm_bpe_merge_step", 11, 1),
     # agreement matrix: the three per-row signal families fused into
     # ONE projection chain (keep-passthrough, zero joins between
-    # them); the LM branch contributes the single doc_id join + its
-    # own pipeline, then the <=24-row contingency agg
-    ("text_quality_agreement", 18, 2),
+    # them); the LM branch is a checkpoint scan (r7) + doc_id join,
+    # then the <=24-row contingency agg
+    ("text_quality_agreement", 4, 2),
     # Gopher repetition: per-row sorted-run folds — scan fan-out only
     ("text_gopher_repetition", 1, 0),
     # as-of join: two tagged event scans + ONE keyed window pass
@@ -96,9 +96,10 @@ BUDGETS = [
     # trained quantizer is inlined as literals so the stats aggregate
     # runs once, outside this plan; queries + candidates broadcast
     ("similarity_sq_topk", 5, 3),
-    # bigram LM: two doc scans + model/totals/per-doc aggregates;
-    # model + totals broadcast into the scoring join
-    ("text_bigram_lm_score", 7, 2),
+    # bigram LM: the registered query RETURNS the shared _lm_scores
+    # checkpoint — a pure RDD scan, zero exchanges (the scoring
+    # pipeline's own shape is pinned by test_lm_fixture_single_subtree)
+    ("text_bigram_lm_score", 0, 0),
     # per-group top-N: scan + window exchange (rank<=3 runs as
     # WindowGroupLimit per-partition heaps before the shuffle)
     ("orders_top3_per_priority", 2, 0),
@@ -126,10 +127,30 @@ BUDGETS = [
     # verify re-shuffled the exploded shingle relation — 14 exchanges
     # and ~8 s at sf0.1; this shape is 8 exchanges and ~1.4 s)
     ("llm_cross_corpus_decontam", 8, 3),
-    # curation v3: the composed corpus pass (v2 + containment drop +
-    # CCNet tier + boilerplate rollup) — the budget pins the SUM of
-    # its stages so a regression in any one shows up here too
-    ("llm_corpus_curation_v3", 57, 10),
+    # curation v3: composes the v2 / containment / boilerplate stage
+    # FIXTURES (checkpoint scans) + the bucket cut from the shared LM
+    # scores — what remains in ITS plan is the doc_id join chain; the
+    # composed stages' own shapes are pinned by
+    # test_stage_fixture_build_plans (r7: 38 -> 6 exchanges)
+    ("llm_corpus_curation_v3", 6, 2),
+    # frozen-model scoring (X112): train-half model aggs + totals +
+    # the LEFT scoring joins (model + totals broadcast) + per-doc agg
+    ("text_lm_score_frozen_model", 12, 2),
+    # DSIR (X114): the weights query reads the shared fixture
+    # checkpoint (build pinned in test_stage_fixture_build_plans);
+    # the resample adds the bounded histogram exchange + the
+    # broadcast tier-cut join
+    ("llm_dsir_weights", 0, 0),
+    ("llm_dsir_resample", 2, 1),
+    # tokenizer fertility (X115): per-row regexp counts + ONE
+    # lang-bounded hash agg
+    ("text_tokenizer_fertility", 2, 0),
+    # hard negatives (X116): brute-force band scoring (anchors
+    # broadcast) + the per-anchor top-k window exchange
+    ("llm_hard_negatives", 3, 1),
+    # temperature mix (X117): one lang-bounded hash agg + windows
+    # over the handful of language rows (single-partition exchange)
+    ("llm_temperature_mix_weights", 3, 0),
     # HLL UV: scan + the per-day sketch aggregate
     ("events_uv_sketch_daily", 2, 0),
     # Gopher rules: pure per-row HOF/regexp map — scan fan-out only
@@ -317,3 +338,99 @@ def test_approx_window_twins_accuracy(spark, sf_dir):
     # and the totals agree tightly in aggregate
     te, ta = sum(e.values()), sum(a.values())
     assert abs(ta - te) / te <= 0.02, (te, ta)
+
+
+def test_lm_fixture_single_subtree(spark, sf_dir):
+    """VERDICT r6 item 1: the bigram-LM scoring pipeline (explode +
+    broadcast model join + per-doc reduce) must be evaluated ONCE per
+    (session, sf_dir), not once per consumer. The fixture build plan
+    carries exactly one bigram-explode subtree; every registered
+    consumer reads the checkpointed fixture, so its physical plan
+    carries ZERO — a reintroduced inline scoring subtree fails the
+    explode ceiling here."""
+    from gmall_spark import queries_llm as ql
+    from gmall_spark.operators import lm
+
+    q.clear_cache()
+    docs = q._t(spark, sf_dir, "documents")
+    build = lm.bigram_logprob_scores(docs)
+    bplan = build._jdf.queryExecution().executedPlan().toString()
+    # the scored-bigram explode plus the model/totals aggregate
+    # branches' own scans — all in the ONE fixture build only
+    assert 1 <= bplan.count("explode") <= 3, bplan[:2000]
+
+    ql._lm_scores(spark, sf_dir)  # materialize the fixture once
+    # (consumer, explode ceiling): LM consumers whose ONLY explode-ish
+    # stage was the scoring pipeline must now have none; v2/v3 keep
+    # their shingle/containment explodes but not one more for the LM
+    for name, ceiling in [
+        ("text_bigram_lm_score", 0),
+        ("text_perplexity_buckets", 0),
+        ("text_quality_agreement", 0),
+        ("llm_corpus_curation_v2", 4),
+        ("llm_corpus_curation_v3", 14),
+    ]:
+        df = q.QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        got = plan.count("explode")
+        assert got <= ceiling, (name, got, ceiling, plan[:2000])
+        assert "Scan ExistingRDD" in plan or name == "text_bigram_lm_score", name
+
+
+def test_stage_fixture_build_plans(spark, sf_dir):
+    """The registered boilerplate/containment/curation-v2 queries now
+    read per-(session, sf_dir) stage-fixture checkpoints (their
+    BUDGETS rows pin the checkpoint-scan shape) — so the UNDERLYING
+    pipelines' physical shapes are pinned here instead, on the
+    fixture BUILD plans. A regression (lost broadcast, extra
+    exchange) in any composed stage fails here."""
+    from gmall_spark import queries_llm as ql
+    from gmall_spark.operators import dsir, llm_dedup
+
+    q.clear_cache()
+    docs = q._t(spark, sf_dir, "documents")
+    for label, df, max_shuffles, min_broadcast in [
+        (
+            # df agg + bounded rare-postings self-join + candidate
+            # distinct + verify joins + two size aggs — linear chain,
+            # rare set + candidates broadcast
+            "containment_pairs",
+            llm_dedup.containment_pairs_rare_blocking(docs),
+            13,
+            1,
+        ),
+        (
+            # scan fan-out + count_distinct doc-freq agg (2-phase) +
+            # doc reassembly; the tiny frequent set MUST broadcast
+            "boilerplate_clean",
+            llm_dedup.boilerplate_span_clean(
+                docs, ql.SPAN_CLEAN_W, ql.BOILER_DOC_FREQ
+            ),
+            5,
+            1,
+        ),
+        (
+            # X114 weights: two feature explodes + two single-row
+            # bag-model aggs (bounded by N_BUCKETS) + the broadcast
+            # ratio join + per-doc reduce; both models and the ratio
+            # table MUST broadcast
+            "dsir_weights",
+            dsir.importance_weights(
+                docs.filter(F.col("doc_id") % 20 != 0),
+                docs.filter(F.col("doc_id") % 20 == 0),
+            ),
+            8,
+            2,
+        ),
+    ]:
+        shuffles, broadcast, plan = _counts(df)
+        assert shuffles <= max_shuffles, (label, shuffles, plan[:3000])
+        assert broadcast >= min_broadcast, (label, broadcast, plan[:3000])
+    # the v2 OUTPUT fixture: builds once (v1 + decontam anti-join +
+    # LM-score join on the _lm_scores checkpoint), then every
+    # consumer — including its own registered query and v3 — is a
+    # pure checkpoint scan
+    v2 = q.QUERIES["llm_corpus_curation_v2"](spark, sf_dir)
+    shuffles, broadcast, plan = _counts(v2)
+    assert shuffles == 0 and broadcast == 0, (shuffles, broadcast, plan[:2000])
+    assert "Scan ExistingRDD" in plan

@@ -88,18 +88,81 @@ def test_legacy_real_dir_migrates_even_when_v0_exists(spark, tmp_path):
     assert _read(spark, p) == {(2, 20)}
 
 
+def _dead_pid() -> int:
+    """A pid guaranteed dead: fork a child that exits immediately and
+    reap it."""
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    return proc.pid
+
+
 def test_read_path_leaves_foreign_staging_links_alone(spark, tmp_path):
     """ADVICE r5 (medium): read_or_empty's recover() must NOT delete
     another writer's in-flight staging link — only swap_write reaps
-    stale ones."""
+    stale (dead-writer) ones."""
     p = str(tmp_path / "s")
     store.swap_write(_df(spark, [(1, 10)]), p)
-    foreign = p + ".lnk.tmp.99999"
+    foreign = p + f".lnk.tmp.{_dead_pid()}"
     os.symlink(os.path.basename(p + ".v0"), foreign)
     assert _read(spark, p) == {(1, 10)}
     assert os.path.lexists(foreign), "read path deleted a writer's staging link"
     store.swap_write(_df(spark, [(2, 20)]), p)  # writer path reaps it
     assert not os.path.lexists(foreign)
+
+
+def test_sweep_spares_live_writers_staging_link(spark, tmp_path):
+    """ADVICE r6 (medium): the writer-path staging sweep must skip a
+    link whose pid suffix is a RUNNING process — removing it between
+    that writer's os.symlink and os.replace fails its swap. pid 1 is
+    always alive; a legacy suffix-less link is always reaped."""
+    p = str(tmp_path / "s")
+    store.swap_write(_df(spark, [(1, 10)]), p)
+    live = p + ".lnk.tmp.1"
+    legacy = p + ".lnk.tmp"
+    os.symlink("s.v0", live)
+    os.symlink("s.v0", legacy)
+    store.swap_write(_df(spark, [(2, 20)]), p)
+    assert os.path.lexists(live), "sweep removed a live writer's staging link"
+    assert not os.path.lexists(legacy)
+    os.remove(live)
+
+
+def test_incomplete_version_does_not_trigger_early_reap(spark, tmp_path):
+    """ADVICE r6 (medium): an empty junk .vN (crashed writer, no
+    _SUCCESS, no live claimant) must not count toward keep_previous —
+    it used to get the real previous LIVE version rmtree'd one swap
+    early. The junk dir itself must be cleaned."""
+    p = str(tmp_path / "s")
+    store.swap_write(_df(spark, [(1, 10)]), p)  # s.v0, live
+    os.makedirs(p + ".v1")  # crashed writer's empty claim, no _CLAIM
+    store.swap_write(_df(spark, [(2, 20)]), p)  # claims s.v2
+    # keep-previous guarantee: v0 (the real previous) is retained
+    assert os.path.exists(p + ".v0/_SUCCESS"), "live previous version reaped early"
+    assert not os.path.exists(p + ".v1"), "junk incomplete version not cleaned"
+    assert _read(spark, p) == {(2, 20)}
+    store.swap_write(_df(spark, [(3, 30)]), p)
+    assert not os.path.exists(p + ".v0"), "reap of old complete versions broke"
+    assert os.path.exists(p + ".v2")
+
+
+def test_incomplete_version_with_live_claimant_is_spared(spark, tmp_path):
+    """An incomplete version dir claimed by a RUNNING writer is a
+    concurrent swap_write mid-parquet-write — reaping it would destroy
+    that writer's output. Claim files with dead pids are fair game."""
+    p = str(tmp_path / "s")
+    store.swap_write(_df(spark, [(1, 10)]), p)
+    os.makedirs(p + ".v1")
+    with open(p + ".v1/_CLAIM", "w") as f:
+        f.write("1")  # pid 1: always alive
+    os.makedirs(p + ".v2")
+    with open(p + ".v2/_CLAIM", "w") as f:
+        f.write(str(_dead_pid()))
+    store.swap_write(_df(spark, [(2, 20)]), p)  # claims s.v3
+    assert os.path.exists(p + ".v1"), "reaped a live concurrent writer's dir"
+    assert not os.path.exists(p + ".v2"), "dead-claimant leftover not cleaned"
+    assert _read(spark, p) == {(2, 20)}
 
 
 def test_concurrent_version_claim_is_exclusive(spark, tmp_path):

@@ -1382,3 +1382,129 @@ def test_incremental_boilerplate_foreach_batch_e2e(spark, sf_dir, tmpdir):
         for r in llm_dedup.boilerplate_span_clean(docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_purge_boilerplate_store_removes_orphaned_span_text(spark, tmpdir):
+    """VERDICT r6 gap 2: the content-addressed spans store holds
+    VERBATIM text keyed only by hash — purging a doc's postings must
+    also garbage-collect span text no remaining posting references,
+    or the deleted doc's words survive the takedown. Plants a doc
+    whose span is UNIQUE to it (must vanish everywhere) alongside a
+    boilerplate span shared with surviving docs (must stay — it is
+    the survivors' content too)."""
+    from gmall_spark.streaming import incremental_boilerplate as ib
+    from gmall_spark.streaming.retention import purge_boilerplate_store
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    secret = " ".join(f"secret{i}" for i in range(10))
+    other = {k: " ".join(f"{k}{i}" for i in range(10)) for k in "xy"}
+    b1 = spark.createDataFrame(
+        [(1, boiler + " " + secret), (2, other["x"])],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, boiler + " " + other["y"]), (4, boiler)],
+        "doc_id long, text string",
+    )
+    store = f"{tmpdir}/boiler_purge_store"
+    ib.process_batch(spark, b1, store, 0)
+    ib.process_batch(spark, b2, store, 1)
+    spans_before = {
+        r.span
+        for r in ib._read(spark, store, "spans", ib._SPAN_SCHEMA).collect()
+    }
+    assert any("secret0" in s for s in spans_before), "fixture lost its span"
+
+    removed = purge_boilerplate_store(spark, [1], store)
+    assert removed["postings"] > 0 and removed["docs"] > 0
+    assert removed["spans"] > 0, "orphaned span content not GC'd"
+
+    # 1. no store FILE contains the purged doc's unique text
+    import pathlib
+
+    for f in pathlib.Path(store).rglob("*.parquet"):
+        assert b"secret0" not in f.read_bytes(), f"purged text survives in {f}"
+    # 2. no posting/doc row references doc 1
+    posts = ib._read(spark, store, "postings", ib._POST_SCHEMA)
+    assert posts.filter(F.col("doc_id") == 1).count() == 0
+    assert ib.emitted_docs(spark, store).filter(F.col("doc_id") == 1).count() == 0
+    # 3. shared boilerplate span text SURVIVES (it belongs to docs
+    # 3/4 too) and surviving docs' state is untouched
+    spans_after = {
+        r.span for r in ib._read(spark, store, "spans", ib._SPAN_SCHEMA).collect()
+    }
+    assert any("b0" in s and "b9" in s for s in spans_after)
+    got = {
+        r.doc_id: (r.n_spans, r.removed_spans)
+        for r in ib.emitted_docs(spark, store).collect()
+    }
+    assert set(got) == {2, 3, 4}
+    # 4. purge is idempotent
+    removed2 = purge_boilerplate_store(spark, [1], store)
+    assert removed2 == {"postings": 0, "docs": 0, "spans": 0}
+
+
+def test_incremental_ppl_buckets_equal_batch_and_rebucket(spark, tmpdir):
+    """X108's streaming twin (VERDICT r6 item 5): scores are frozen
+    at ingest (model trained once, CCNet-style) but bucket CUTS move
+    as the distribution fills in — after any batch split the
+    assignment equals the batch operator over all docs seen so far,
+    and a planted batch-1 doc's bucket flips when batch 2 shifts the
+    distribution."""
+    from gmall_spark.operators import lm
+    from gmall_spark.streaming import incremental_ppl as ip
+
+    # reference corpus trains the frozen model
+    train = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog", "en")
+         for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    model = lm.bigram_model(train).localCheckpoint()
+    # batch 1: one ordinary doc + one mojibake doc (scores: high, low)
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog", "en"),
+         (2, "zq xv qj wz vx jq zx qq vv xx zj", "en")],
+        "doc_id long, text string, lang string",
+    )
+    # batch 2: four docs WORSE than doc 1 but better than doc 2
+    b2 = spark.createDataFrame(
+        [(3, "quick brown zq fox", "en"), (4, "lazy xv dog jumps", "en"),
+         (5, "over qj the brown", "en"), (6, "fox wz dog quick", "en")],
+        "doc_id long, text string, lang string",
+    )
+    store = f"{tmpdir}/ppl_store"
+    ip.process_batch(spark, b1, model, store, 0)
+    after1 = {r.doc_id: r.bucket for r in ip.bucketed_docs(spark, store).collect()}
+    # two docs, three tiers: best is head; the worst sits at
+    # cum_prev=1 of 2 -> bucket 1 + (3*1 div 2) = 2, i.e. MIDDLE (it
+    # flips to tail only once the distribution fills in below it)
+    assert after1[1] == "head" and after1[2] == "middle"
+
+    ip.process_batch(spark, b2, model, store, 1)
+    got = {
+        r.doc_id: (r.bucket_id, r.bucket, r.bigram_logprob)
+        for r in ip.bucketed_docs(spark, store).collect()
+    }
+    # streaming == batch: one-shot scoring+bucketing of all six docs
+    all_docs = b1.unionByName(b2)
+    want = {
+        r.doc_id: (r.bucket_id, r.bucket, r.bigram_logprob)
+        for r in lm.perplexity_buckets(
+            None, scored=lm.score_with_model(all_docs, model)
+        ).collect()
+    }
+    assert got == want and len(got) == 6
+    # retroactive re-bucketing: doc 2 FLIPPED middle -> tail when
+    # batch 2 filled the distribution in above it (the cuts moved);
+    # doc 1 stays head; the mid-quality batch-2 docs hold the middle
+    assert got[1][1] == "head" and got[2][1] == "tail"
+    assert {got[d][1] for d in (3, 4, 5, 6)} <= {"head", "middle", "tail"}
+    assert sum(1 for v in got.values() if v[1] == "middle") == 2
+    # foreachBatch replay: re-running batch 1 changes nothing
+    ip.process_batch(spark, b2, model, store, 1)
+    got2 = {
+        r.doc_id: (r.bucket_id, r.bucket, r.bigram_logprob)
+        for r in ip.bucketed_docs(spark, store).collect()
+    }
+    assert got2 == got
