@@ -73,6 +73,14 @@ HEADLINE = [
     "llm_bpe_merge_step",
     "text_quality_agreement",
     "llm_corpus_curation_v3",
+    # r7 additions: data-selection / tokenizer-eval / contrastive ops
+    # (X112, X114-X117)
+    "text_lm_score_frozen_model",
+    "llm_dsir_weights",
+    "llm_dsir_resample",
+    "llm_hard_negatives",
+    "text_tokenizer_fertility",
+    "llm_temperature_mix_weights",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

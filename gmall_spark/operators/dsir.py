@@ -93,30 +93,41 @@ def _bag_model_row(feats: DataFrame) -> DataFrame:
     )
 
 
-def importance_weights(
-    raw_docs: DataFrame,
+def importance_weights_under(
+    docs: DataFrame,
     target_docs: DataFrame,
+    raw_model_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per raw document: (doc_id, n_feats, dsir_logratio) — the mean
-    hashed-n-gram log importance ratio ln p_target(f) − ln q_raw(f)
-    under add-one-smoothed bag models. Higher = more target-like."""
-    raw_feats = feature_buckets(raw_docs, id_col, text_col)
-    q_row = _bag_model_row(raw_feats)
-    p_row = _bag_model_row(feature_buckets(target_docs, id_col, text_col))
-    # one ratio row per bucket seen in the raw corpus (every scored
-    # feature is in the raw corpus by construction, so the scoring
-    # join below never misses): explode the raw map back out against
-    # the single-row target map; buckets unseen in the target take
-    # the add-one floor via element_at's NULL
+    """Per document of ``docs``: (doc_id, n_feats, dsir_logratio) —
+    the mean hashed-n-gram log importance ratio ln p(f) − ln q(f),
+    with the target model p fit on ``target_docs`` and the raw model
+    q fit on ``raw_model_docs``. The FROZEN-model form (q on a
+    representative raw sample) is the streaming deployment
+    (streaming/incremental_dsir); the batch operator passes
+    ``raw_model_docs = docs``. The ratio table is materialized for
+    the ENTIRE bucket grid (a sequence explode over the two
+    single-row model maps — N_BUCKETS rows, broadcast), so features
+    unseen in either model take their add-one floor symmetrically and
+    the scoring join never misses."""
+    feats = feature_buckets(docs, id_col, text_col)
+    q_row = _bag_model_row(
+        feature_buckets(raw_model_docs, id_col, text_col)
+    ).withColumnsRenamed({"m": "qm", "total": "qt"})
+    p_row = _bag_model_row(
+        feature_buckets(target_docs, id_col, text_col)
+    ).withColumnsRenamed({"m": "pm", "total": "pt"})
     ratio = (
-        q_row.crossJoin(F.broadcast(p_row.withColumnsRenamed(
-            {"m": "pm", "total": "pt"}
-        )))
+        q_row.crossJoin(F.broadcast(p_row))
         .select(
-            F.explode("m").alias("f", "qc"),
-            F.col("total").alias("qt"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(N_BUCKETS - 1).cast("long")
+                )
+            ).alias("f"),
+            "qm",
+            "qt",
             "pm",
             "pt",
         )
@@ -129,19 +140,35 @@ def importance_weights(
                     / (F.col("pt") + F.lit(float(N_BUCKETS)))
                 )
                 - F.log(
-                    (F.col("qc") + F.lit(1.0))
+                    (F.coalesce(F.element_at("qm", F.col("f")), F.lit(0))
+                     + F.lit(1.0))
                     / (F.col("qt") + F.lit(float(N_BUCKETS)))
                 )
             ).alias("lr"),
         )
     )
     return (
-        raw_feats.join(F.broadcast(ratio), "f")
+        feats.join(F.broadcast(ratio), "f")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_feats"),
             F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("dsir_logratio"),
         )
+    )
+
+
+def importance_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per raw document: (doc_id, n_feats, dsir_logratio) — the mean
+    hashed-n-gram log importance ratio ln p_target(f) − ln q_raw(f)
+    under add-one-smoothed bag models, q fit on the scored corpus
+    itself (the batch DSIR form). Higher = more target-like."""
+    return importance_weights_under(
+        raw_docs, target_docs, raw_docs, id_col, text_col
     )
 
 

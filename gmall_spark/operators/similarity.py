@@ -490,32 +490,152 @@ def hard_negatives(
     generation swaps to the IVF multi-probe scan (X11) with the band
     filter applied post-ADC — the band/top-k algebra is unchanged.
     The hard band keeps the OUTPUT corpus-linear (k rows per anchor).
+    Scoring runs on the blocked-GEMM self-join (gemm_allpairs_topk —
+    BLAS arithmetic, proven row-identical to the HOF fold); the band
+    filter applies to the round-6 score before ranking either way.
     """
-    a = embeddings.select(
-        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("qvec")
+    return gemm_allpairs_topk(
+        embeddings, k=k, lo=lo, hi=hi, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("negative_id"),
+        "rank",
+        "cos_sim",
     )
-    b = embeddings.select(
-        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("nvec")
-    )
-    band = (
-        b.crossJoin(F.broadcast(a))
-        .filter(F.col("anchor_id") != F.col("negative_id"))
-        .select(
-            "anchor_id",
-            "negative_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+
+
+GEMM_BLOCKS = 16  # self-join block grid side (GEMM_BLOCKS² block pairs)
+
+
+def _pack_blocks(
+    embeddings: DataFrame,
+    nblocks: int,
+    id_col: str,
+    vec_col: str,
+    prefix: str,
+) -> DataFrame:
+    """Pack the corpus into ``nblocks`` dense row-major float64
+    matrices, one row per block: (blk, ids, mat bytes, n, d). Arrow
+    moves each block once; vectors never reach the driver."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                f"{prefix}blk": [int(pdf["blk"].iloc[0])],
+                f"{prefix}ids": [pdf["id"].tolist()],
+                f"{prefix}mat": [mat.tobytes()],
+                f"{prefix}n": [mat.shape[0]],
+                f"{prefix}d": [mat.shape[1]],
+            }
         )
-        .filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
+
+    return (
+        embeddings.select(
+            F.pmod(F.col(id_col), F.lit(nblocks)).cast("int").alias("blk"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+        )
+        .groupBy("blk")
+        .applyInPandas(
+            pack,
+            f"{prefix}blk int, {prefix}ids array<long>, {prefix}mat binary,"
+            f" {prefix}n int, {prefix}d int",
+        )
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cos_sim"), F.asc("negative_id")
+
+
+def gemm_allpairs_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nblocks: int = GEMM_BLOCKS,
+    cblocks: int = 1,
+) -> DataFrame:
+    """Exact all-pairs cosine top-k over the corpus against itself —
+    the blocked-GEMM form of ``brute_force_topk(emb, emb, k)``, for
+    the self-join uses (kNN graph build, hard-negative mining) where
+    the per-pair HOF fold dominates wall clock: the corpus is packed
+    into a block grid, every block PAIR computes one vectorized
+    numpy gemm inside mapInPandas (Arrow batches, nothing on the
+    driver), each pair emits its local per-query top-k, and one final
+    window reduces nblocks candidate sets per query to the global
+    top-k. Identical output contract to brute_force_topk (round-6
+    cosine, ties by neighbor id); optional [lo, hi) band filter
+    applied on the ROUNDED score before ranking (hard_negatives).
+
+    Still the declared quadratic tier — n²/(nblocks·cblocks) gemms —
+    but the arithmetic runs at BLAS speed instead of one lambda per
+    element. With the default ``cblocks=1`` the whole candidate
+    matrix rides in ONE broadcast block (8 bytes · n · d — ~1 MB per
+    million dims·vectors), every query block's local top-k is already
+    global, and the final merge window disappears; raise ``cblocks``
+    when the corpus matrix outgrows a broadcast (the merge window
+    comes back automatically). Scale swap stays IVF.
+    """
+    q = _pack_blocks(embeddings, nblocks, id_col, vec_col, "q_")
+    c = _pack_blocks(embeddings, cblocks, id_col, vec_col, "c_")
+    paired = q.crossJoin(F.broadcast(c))
+
+    def score(batches):
+        for pdf in batches:
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                qids = np.asarray(row.q_ids, dtype=np.int64)
+                cids = np.asarray(row.c_ids, dtype=np.int64)
+                Q = np.frombuffer(row.q_mat, dtype=np.float64).reshape(
+                    row.q_n, row.q_d
+                )
+                C = np.frombuffer(row.c_mat, dtype=np.float64).reshape(
+                    row.c_n, row.c_d
+                )
+                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                S = np.round(Qn @ Cn.T, 6)
+                S[qids[:, None] == cids[None, :]] = np.nan  # self
+                if lo is not None:
+                    S[S < lo] = np.nan
+                if hi is not None:
+                    S[S >= hi] = np.nan
+                for qi in range(len(qids)):
+                    srow = S[qi]
+                    valid = np.flatnonzero(~np.isnan(srow))
+                    if not len(valid):
+                        continue
+                    # local top-k with the global tie rule
+                    order = valid[np.lexsort((cids[valid], -srow[valid]))][:k]
+                    out_q.extend([qids[qi]] * len(order))
+                    out_n.extend(cids[order].tolist())
+                    out_s.extend(srow[order].tolist())
+                    out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "cos_sim": pd.Series(out_s, dtype="float64"),
+                    "rank": pd.Series(out_r, dtype="int64"),
+                }
+            )
+
+    local = paired.mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double, rank long"
+    )
+    if cblocks == 1:
+        # each query meets exactly one candidate block: local order IS
+        # the global order, no merge window needed
+        return local.select("query_id", "neighbor_id", "rank", "cos_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        band.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "anchor_id",
-            "negative_id",
+            "query_id",
+            "neighbor_id",
             F.col("rank").cast("bigint").alias("rank"),
             "cos_sim",
         )

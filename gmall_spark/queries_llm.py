@@ -276,7 +276,12 @@ def _knn_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     key = (_session_token(spark), sf_dir)
     if key not in _KNN_EDGES:
         emb = _emb(spark, sf_dir)
-        knn = similarity.brute_force_topk(emb, emb, k=k)
+        # blocked-GEMM self-join (r7): row-identical to
+        # brute_force_topk(emb, emb, k) — asserted by
+        # test_gemm_topk_equals_hof — at BLAS speed instead of one
+        # HOF lambda per element (the build was the pagerank query's
+        # entire first-run cost)
+        knn = similarity.gemm_allpairs_topk(emb, k=k)
         _KNN_EDGES[key] = knn.select(
             F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
         ).localCheckpoint(eager=True)

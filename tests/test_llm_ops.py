@@ -1086,3 +1086,24 @@ def test_dsir_single_word_and_empty_docs(spark):
         .collect()
     }
     assert counts == {1: 1, 2: 1, 3: 3}, counts  # a, '', [a, b, 'a b']
+
+
+def test_gemm_topk_equals_hof(spark, sf_dir):
+    """The blocked-GEMM self-join top-k (X116's scorer and the kNN
+    fixture build) must be ROW-IDENTICAL to the HOF brute-force
+    baseline — same round-6 scores, same neighbor-id tie order — in
+    both the single-candidate-block fast path and the multi-block
+    merge-window path, with and without the hard band."""
+    from gmall_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bf = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+          for r in similarity.brute_force_topk(emb, emb, k=5).collect()}
+    for cb in (1, 4):
+        got = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+               for r in similarity.gemm_allpairs_topk(
+                   emb, k=5, cblocks=cb).collect()}
+        assert got == bf, f"cblocks={cb}"
+    banded = {(r.anchor_id, r.negative_id, r.rank, r.cos_sim)
+              for r in similarity.hard_negatives(emb).collect()}
+    assert banded and all(0.2 <= s < 0.4 for *_, s in banded)

@@ -145,9 +145,10 @@ BUDGETS = [
     # tokenizer fertility (X115): per-row regexp counts + ONE
     # lang-bounded hash agg
     ("text_tokenizer_fertility", 2, 0),
-    # hard negatives (X116): brute-force band scoring (anchors
-    # broadcast) + the per-anchor top-k window exchange
-    ("llm_hard_negatives", 3, 1),
+    # hard negatives (X116): blocked-GEMM band scoring — two pack
+    # aggs (query grid + the single broadcast candidate block) +
+    # scan fan-outs; no merge window on the cblocks=1 fast path
+    ("llm_hard_negatives", 4, 1),
     # temperature mix (X117): one lang-bounded hash agg + windows
     # over the handful of language rows (single-partition exchange)
     ("llm_temperature_mix_weights", 3, 0),

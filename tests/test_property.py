@@ -478,3 +478,85 @@ def test_perplexity_bucket_algebra_matches_python(spark, scores):
         for s, d in items:
             expected[d] = cut[s]
     assert got == expected
+
+
+# --- DSIR importance weights (X114) ---------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 39),  # doc_id (split into raw/target by % 4)
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=6,
+        ),
+    ),
+    min_size=2,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _dsir_python(raw, target, n_buckets):
+    """Pure-Python DSIR reference: identical md5 bucketing, add-one
+    smoothing over the fixed bucket space, per-doc mean log ratio."""
+    import hashlib
+    import math
+
+    def feats(text):
+        words = text.split(" ") if text else [""]
+        # split('\\s+') on '' gives [''] in Spark; on 'a b' -> [a, b]
+        out = list(words)
+        out += [f"{a} {b}" for a, b in zip(words, words[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+            for g in out
+        ]
+
+    qc: dict = {}
+    qt = 0
+    for _, text in raw:
+        for f in feats(text):
+            qc[f] = qc.get(f, 0) + 1
+            qt += 1
+    pc: dict = {}
+    pt = 0
+    for _, text in target:
+        for f in feats(text):
+            pc[f] = pc.get(f, 0) + 1
+            pt += 1
+    out = {}
+    for doc_id, text in raw:
+        fs = feats(text)
+        lrs = [
+            math.log((pc.get(f, 0) + 1.0) / (pt + n_buckets))
+            - math.log((qc[f] + 1.0) / (qt + n_buckets))
+            for f in fs
+        ]
+        out[doc_id] = (len(fs), round(sum(lrs) / len(lrs), 6))
+    return out
+
+
+@given(docs=docs_strategy)
+@settings(**_SETTINGS)
+def test_dsir_weights_match_python(spark, docs):
+    from gmall_spark.operators import dsir
+
+    rows = [(i, " ".join(ws)) for i, ws in docs]
+    raw = [(i, t) for i, t in rows if i % 4 != 0]
+    target = [(i, t) for i, t in rows if i % 4 == 0]
+    if not raw or not target:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in dsir.importance_weights(
+            df.filter(F.col("doc_id") % 4 != 0),
+            df.filter(F.col("doc_id") % 4 == 0),
+        ).collect()
+    }
+    expected = _dsir_python(raw, target, dsir.N_BUCKETS)
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], (k, got[k], expected[k])
+        assert abs(got[k][1] - expected[k][1]) <= 1e-6, (k, got[k], expected[k])

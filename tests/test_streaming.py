@@ -1508,3 +1508,55 @@ def test_incremental_ppl_buckets_equal_batch_and_rebucket(spark, tmpdir):
         for r in ip.bucketed_docs(spark, store).collect()
     }
     assert got2 == got
+
+
+def test_incremental_dsir_selection_equals_batch_and_moves_cut(spark, tmpdir):
+    """X114's streaming twin (incremental_dsir): weights frozen at
+    ingest under the frozen (target, raw-sample) models, the
+    keep-top-quarter CUT re-derived from everything seen — two
+    batches must equal the one-shot batch selection, and a batch-1
+    doc selected early must be RETROACTIVELY dropped when batch 2
+    delivers more target-like documents."""
+    from gmall_spark.operators import dsir
+    from gmall_spark.streaming import incremental_dsir as idsir
+
+    med = "patient doctor dose trial symptom clinical therapy"
+    web = "click buy cheap deal offer shop discount free"
+    mid = "patient doctor click buy cheap deal offer shop"
+    target = spark.createDataFrame(
+        [(100 + i, med) for i in range(3)], "doc_id long, text string"
+    ).localCheckpoint()
+    raw_sample = spark.createDataFrame(
+        [(200, web), (201, med), (202, mid)], "doc_id long, text string"
+    ).localCheckpoint()
+    # batch 1: the half-target doc is the best of a weak field
+    b1 = spark.createDataFrame(
+        [(1, mid), (2, web), (3, web), (4, web)], "doc_id long, text string"
+    )
+    # batch 2: four fully-target docs push the cut past doc 1
+    b2 = spark.createDataFrame(
+        [(5, med), (6, med), (7, med), (8, med)], "doc_id long, text string"
+    )
+    store = f"{tmpdir}/dsir_store"
+    idsir.process_batch(spark, b1, target, raw_sample, store, 0)
+    sel1 = {r.doc_id for r in idsir.selected_docs(spark, store).collect()}
+    assert sel1 == {1}, sel1  # top quarter of 4 = the half-target doc
+
+    idsir.process_batch(spark, b2, target, raw_sample, store, 1)
+    sel2 = {r.doc_id for r in idsir.selected_docs(spark, store).collect()}
+    # streaming == batch over all 8 docs
+    want = {
+        r.doc_id
+        for r in dsir.resample_top_fraction(
+            dsir.importance_weights_under(
+                b1.unionByName(b2), target, raw_sample
+            )
+        ).collect()
+    }
+    assert sel2 == want
+    # retroactive: doc 1 lost its slot to the med docs (ties among
+    # identical med texts share the tier -> all four qualify)
+    assert 1 not in sel2 and sel2 == {5, 6, 7, 8}, sel2
+    # foreachBatch replay changes nothing
+    idsir.process_batch(spark, b2, target, raw_sample, store, 1)
+    assert {r.doc_id for r in idsir.selected_docs(spark, store).collect()} == sel2
