@@ -1731,6 +1731,82 @@ def q_events_session_window(spark, sf_dir):
 
 
 @query(
+    "events_session_transcripts",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+), f AS (
+  SELECT user_id, event_id, ts_us, event_type,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), g AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+)
+SELECT user_id, min(ts_us) AS stt_us,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       md5(string_agg(event_type, '|' ORDER BY ts_us, event_id))
+         AS transcript_md5,
+       first(event_type ORDER BY ts_us, event_id) AS first_type,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM g GROUP BY user_id, sess
+""",
+)
+def q_events_session_transcripts(spark, sf_dir):
+    """SFT-style transcript assembly (X119): per 30-min-gap session,
+    the ORDERED event-type sequence reassembled into one transcript
+    row — the conversation/trajectory assembly step of an interaction
+    training-data pipeline (turn count, first turn, duration, and the
+    transcript fingerprint). Order is (ts, event_id)-deterministic
+    both engines; assembly is array_sort over collect_list structs ≡
+    string_agg ORDER BY — the X81 reassembly idiom at session grain,
+    driven by the same native session_window as X46's aggregate."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts_us").alias("stt_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts_us", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                )
+            ).alias("transcript_md5"),
+            F.min_by(
+                "event_type", F.struct("ts_us", "event_id")
+            ).alias("first_type"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+        .select(
+            "user_id",
+            "stt_us",
+            "n_turns",
+            "transcript_md5",
+            "first_type",
+            "duration_us",
+        )
+    )
+
+
+@query(
     "orders_top3_per_priority",
     """
 SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk

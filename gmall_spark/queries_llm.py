@@ -3943,6 +3943,63 @@ JOIN ({_OR2["text_perplexity_buckets"]}) b ON b.doc_id = g.doc_id
 GROUP BY g.gopher_keep, r.rep_keep, lang_match, lm_keep
 """
 
+@query("llm_curation_release_report", None)  # oracle attached below
+def q_llm_curation_release_report(spark, sf_dir):
+    """Dataset release-delta report (X120): what this curation
+    release did to the corpus, per language — docs in/kept/dropped,
+    kept docs whose TEXT changed (boilerplate spans removed), token
+    counts before/after, keep rate. The release-notes table every
+    corpus versioning pipeline publishes next to the data. Composes
+    the v3 OUTPUT (shared fixtures make it a checkpoint-read join)
+    against the raw corpus — one left join + one lang-bounded agg."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", TX.bpe_token_count(F.col("text")).alias("tok")
+    )
+    kept = q_llm_corpus_curation_v3(spark, sf_dir).select(
+        "doc_id", "removed_spans"
+    ).withColumn("__kept", F.lit(1))
+    j = d.join(kept, "doc_id", "left")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_in"),
+        F.count("__kept").cast("bigint").alias("docs_kept"),
+        (F.count(F.lit(1)) - F.count("__kept"))
+        .cast("bigint")
+        .alias("docs_dropped"),
+        F.sum(
+            F.when(F.col("removed_spans") > 0, 1).otherwise(0)
+        ).cast("bigint").alias("docs_text_modified"),
+        F.sum("tok").cast("bigint").alias("tokens_in"),
+        F.sum(F.when(F.col("__kept").isNotNull(), F.col("tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.round(
+            F.count("__kept").cast("double") / F.count(F.lit(1)), 6
+        ).alias("keep_rate"),
+    )
+
+
+_OR2["llm_curation_release_report"] = f"""
+WITH raw AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+  FROM documents
+), kept AS (
+  SELECT doc_id, removed_spans FROM ({_OR2["llm_corpus_curation_v3"]})
+)
+SELECT raw.lang,
+       CAST(count(*) AS BIGINT) AS docs_in,
+       CAST(count(k.doc_id) AS BIGINT) AS docs_kept,
+       CAST(count(*) - count(k.doc_id) AS BIGINT) AS docs_dropped,
+       CAST(sum(CASE WHEN k.removed_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_text_modified,
+       CAST(sum(raw.tok) AS BIGINT) AS tokens_in,
+       CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN raw.tok ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       round(count(k.doc_id) * 1.0 / count(*), 6) AS keep_rate
+FROM raw LEFT JOIN kept k ON k.doc_id = raw.doc_id
+GROUP BY raw.lang
+"""
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

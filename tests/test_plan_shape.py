@@ -152,6 +152,12 @@ BUDGETS = [
     # temperature mix (X117): one lang-bounded hash agg + windows
     # over the handful of language rows (single-partition exchange)
     ("llm_temperature_mix_weights", 3, 0),
+    # session transcripts (X119): scan fan-out + ONE user_id session
+    # aggregate (ordered reassembly happens inside the agg)
+    ("events_session_transcripts", 2, 0),
+    # release report (X120): raw scan + the v3 fixture join + ONE
+    # lang-bounded agg (v3 side is checkpoint reads after fixtures)
+    ("llm_curation_release_report", 12, 2),
     # HLL UV: scan + the per-day sketch aggregate
     ("events_uv_sketch_daily", 2, 0),
     # Gopher rules: pure per-row HOF/regexp map — scan fan-out only

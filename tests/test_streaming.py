@@ -1560,3 +1560,52 @@ def test_incremental_dsir_selection_equals_batch_and_moves_cut(spark, tmpdir):
     # foreachBatch replay changes nothing
     idsir.process_batch(spark, b2, target, raw_sample, store, 1)
     assert {r.doc_id for r in idsir.selected_docs(spark, store).collect()} == sel2
+
+
+def test_incremental_ppl_foreach_batch_e2e(spark, sf_dir, tmpdir):
+    """End-to-end streaming form of the CCNet bucket twin (X113): a
+    real readStream file source (maxFilesPerTrigger=1 -> two
+    micro-batches) through runner.run_foreach_batch, frozen model
+    trained on the even-doc half; the final assignment must equal the
+    one-shot batch operator over all streamed docs."""
+    from gmall_spark.operators import lm
+    from gmall_spark.streaming import incremental_ppl as ip
+    from gmall_spark.streaming import runner
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    model = lm.bigram_model(
+        docs.filter(F.col("doc_id") % 2 == 0)
+    ).localCheckpoint()
+    streamed = docs.filter(F.col("doc_id") % 2 == 1)
+    mid = 250
+    store = f"{tmpdir}/ppl_e2e_store"
+    src = f"{tmpdir}/ppl_e2e_src"
+    streamed.filter(F.col("doc_id") < mid).coalesce(1).write.parquet(f"{src}/b0")
+    streamed.filter(F.col("doc_id") >= mid).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(streamed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, eid: ip.process_batch(spark, b, model, store, eid),
+        checkpoint=f"{tmpdir}/ckpt_incr_ppl",
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.doc_id, r.bucket_id, r.bucket, r.bigram_logprob)
+        for r in ip.bucketed_docs(spark, store).collect()
+    }
+    want = {
+        (r.doc_id, r.bucket_id, r.bucket, r.bigram_logprob)
+        for r in lm.perplexity_buckets(
+            None, scored=lm.score_with_model(streamed, model)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
