@@ -81,6 +81,8 @@ HEADLINE = [
     "llm_hard_negatives",
     "text_tokenizer_fertility",
     "llm_temperature_mix_weights",
+    "events_session_transcripts",
+    "llm_curation_release_report",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query
