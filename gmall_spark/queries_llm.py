@@ -1993,6 +1993,68 @@ GROUP BY c.doc_id, b.doc_id
 """
 
 
+@query(
+    "text_ngram_novelty",
+    r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos FROM ws
+), gr AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+           || ' ' || lead(w,5) OVER win || ' ' || lead(w,6) OVER win
+           || ' ' || lead(w,7) OVER win AS gram
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w,7) OVER win IS NOT NULL
+), ref AS (
+  SELECT DISTINCT gram FROM gr WHERE doc_id % 20 = 0
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(r.gram) AS BIGINT) AS seen_ct,
+       round(1.0 - count(r.gram) * 1.0 / count(*), 6) AS novelty
+FROM gr g LEFT JOIN ref r ON r.gram = g.gram
+WHERE g.doc_id % 20 <> 0
+GROUP BY g.doc_id
+""",
+)
+def q_text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty vs the held-out reference
+    twentieth (X121): the fraction of a doc's distinct 8-word grams
+    UNSEEN in the reference — low novelty marks text the reference
+    already contains (memorization/duplication risk; the continuous
+    complement of X21's contamination pair flags and X47's near-dup
+    drops). Reference gram set is small by definition → broadcast
+    into a left join; grams stay per-row HOF arrays (no token
+    shuffle); counts integer-exact, ratio rounded."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(llm_dedup.shingle_array("text", CONTAM_GRAM_N)).alias("gram"),
+    )
+    ref = (
+        grams.filter(F.col("doc_id") % 20 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    return (
+        grams.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(ref), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("__seen").cast("bigint").alias("seen_ct"),
+            F.round(
+                F.lit(1.0) - F.count("__seen").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
 @query("llm_contamination_check", _CONTAM_SQL_GRAMS)
 def q_llm_contamination_check(spark, sf_dir):
     """Benchmark-contamination check (the n-gram overlap test run

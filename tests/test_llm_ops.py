@@ -1107,3 +1107,51 @@ def test_gemm_topk_equals_hof(spark, sf_dir):
     banded = {(r.anchor_id, r.negative_id, r.rank, r.cos_sim)
               for r in similarity.hard_negatives(emb).collect()}
     assert banded and all(0.2 <= s < 0.4 for *_, s in banded)
+
+
+def test_ngram_novelty_planted(spark, sf_dir):
+    """X121 semantics on the real corpus: a doc whose text is copied
+    verbatim FROM a reference doc must score novelty 0; reference
+    docs never appear in the output; and every novelty value is a
+    valid fraction with integer-exact counts."""
+    from gmall_spark import queries_llm as ql
+
+    out = {r.doc_id: (r.n_grams, r.seen_ct, r.novelty)
+           for r in ql.q_text_ngram_novelty(spark, sf_dir).collect()}
+    assert out, "corpus docs shorter than 8 words everywhere?"
+    assert all(k % 20 != 0 for k in out)
+    for n, s, nov in out.values():
+        assert 0 <= s <= n and abs(nov - round(1 - s / n, 6)) < 1e-9
+    # plant: copy a reference doc's text onto a raw doc_id
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref_row = docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.length("text") > 200)
+    ).orderBy("doc_id").first()
+    planted = spark.createDataFrame(
+        [(999999, ref_row.text), (999998, " ".join(f"zz{i}" for i in range(20)))],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("x")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    import gmall_spark.queries as q
+    from gmall_spark.operators import llm_dedup
+
+    d = docs.unionByName(planted)
+    grams = d.select(
+        "doc_id",
+        F.explode(llm_dedup.shingle_array("text", ql.CONTAM_GRAM_N)).alias("gram"),
+    )
+    ref = (grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+           .withColumn("__seen", F.lit(1)))
+    nov = {
+        r.doc_id: r.novelty
+        for r in grams.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(ref), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.round(
+            F.lit(1.0) - F.count("__seen").cast("double") / F.count(F.lit(1)), 6
+        ).alias("novelty"))
+        .collect()
+    }
+    assert nov[999999] == 0.0, nov[999999]  # verbatim copy of reference
+    assert nov[999998] == 1.0, nov[999998]  # fresh text

@@ -158,6 +158,10 @@ BUDGETS = [
     # release report (X120): raw scan + the v3 fixture join + ONE
     # lang-bounded agg (v3 side is checkpoint reads after fixtures)
     ("llm_curation_release_report", 12, 2),
+    # n-gram novelty (X121): per-row HOF grams (two scan fan-outs) +
+    # reference-gram distinct + per-doc agg; the reference set MUST
+    # broadcast into the left join
+    ("text_ngram_novelty", 4, 1),
     # HLL UV: scan + the per-day sketch aggregate
     ("events_uv_sketch_daily", 2, 0),
     # Gopher rules: pure per-row HOF/regexp map — scan fan-out only
