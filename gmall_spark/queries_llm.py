@@ -3082,6 +3082,33 @@ def q_llm_corpus_curation_v3(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_wav_frames",
+    """
+SELECT d.doc_id,
+       CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       f.start_ms,
+       CAST(d.doc_id % 1000 AS DOUBLE) AS rms,
+       CASE WHEN d.doc_id % 1000 = 0 THEN 0.0 ELSE 1.0 END AS zcr,
+       (d.doc_id % 1000) < 1 AS silent,
+       FALSE AS clipped
+FROM documents d
+CROSS JOIN (VALUES (0, 0.0), (1, 250.0)) AS f(frame_idx, start_ms)
+""",
+)
+def q_multimodal_wav_frames(spark, sf_dir):
+    """End-to-end audio frame analysis (X122): a deterministic
+    synthetic PCM corpus (±(doc_id%1000) square wave, REAL RIFF
+    encoding) rides the genuine codec path — encode → decode_wav's
+    parser → per-frame RMS/ZCR/silence/clipping — and the oracle
+    states the CLOSED FORM the round trip must reproduce (rms = amp
+    exactly, zcr 1 for any nonzero square, the zero-amp docs
+    silent). A container/codec/framing bug anywhere in the path
+    breaks the hash (operators/multimodal.wav_frame_features)."""
+    blobs = multimodal.synth_wav_blobs(_docs(spark, sf_dir))
+    return multimodal.wav_frame_features(blobs)
+
+
 # --- multimodal plumbing --------------------------------------------------
 
 

@@ -156,3 +156,46 @@ def test_png_decode_exact_means_all_filter_types(spark):
     assert r.decode_ok and r.channels == 4
     assert (r.mean_r, r.mean_g, r.mean_b) == tuple(round(float(x), 6) for x in wanta[:3])
     assert not got[4].decode_ok
+
+
+def test_wav_frame_features_hand_computed(spark):
+    """X122 frame features on synthesized PCM with hand-computable
+    values: a 1 s 8 kHz mono stream whose first 250 ms frame is a
+    full-scale square wave (rms = full scale, zcr high, clipped),
+    second frame silence (rms 0, silent), third a +/-100 square
+    (voiced-ish, not clipped), fourth a constant DC 50 (zcr 0)."""
+    import math
+
+    from gmall_spark.operators import multimodal as M
+
+    rate, flen = 8000, 2000  # 250 ms frames
+    f1 = [32767, -32767] * (flen // 2)
+    f2 = [0] * flen
+    f3 = [100, -100] * (flen // 2)
+    f4 = [50] * flen
+    blob = make_wav(f1 + f2 + f3 + f4, rate=rate)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    got = {r.frame_idx: r for r in M.wav_frame_features(df).collect()}
+    assert sorted(got) == [0, 1, 2, 3]
+    assert got[0].rms == 32767.0 and got[0].clipped and not got[0].silent
+    assert abs(got[0].zcr - 1.0) < 1e-6  # alternating signs: every gap crosses
+    assert got[1].rms == 0.0 and got[1].silent and not got[1].clipped
+    assert got[2].rms == 100.0 and not got[2].clipped and not got[2].silent
+    assert got[3].zcr == 0.0 and got[3].rms == 50.0
+    assert got[2].start_ms == 500.0 and got[3].start_ms == 750.0
+    # stereo averaging + trailing partial frame: 2 ch, 0.3 s at 4 kHz
+    # -> frames of 1000 samples: one full + one 200-sample partial
+    sr2 = 4000
+    left = [200] * 1200
+    right = [-100] * 1200
+    inter = [v for lr in zip(left, right) for v in lr]
+    blob2 = make_wav(inter, rate=sr2, n_ch=2)
+    got2 = {r.frame_idx: r for r in M.wav_frame_features(
+        spark.createDataFrame([(2, bytearray(blob2))], "doc_id long, blob binary")
+    ).collect()}
+    assert sorted(got2) == [0, 1]
+    assert got2[0].rms == 50.0  # mono mean of (200, -100)
+    assert got2[1].start_ms == 250.0
+    # undecodable blob: contributes nothing
+    bad = spark.createDataFrame([(3, bytearray(b"nope"))], "doc_id long, blob binary")
+    assert M.wav_frame_features(bad).count() == 0

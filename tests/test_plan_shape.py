@@ -162,6 +162,10 @@ BUDGETS = [
     # reference-gram distinct + per-doc agg; the reference set MUST
     # broadcast into the left join
     ("text_ngram_novelty", 4, 1),
+    # WAV frame analysis (X122): scan fan-out + two chained
+    # mapInPandas stages (synth encode, decode+frame) — NO shuffle
+    # between them; blobs never leave the executors
+    ("multimodal_wav_frames", 1, 0),
     # HLL UV: scan + the per-day sketch aggregate
     ("events_uv_sketch_daily", 2, 0),
     # Gopher rules: pure per-row HOF/regexp map — scan fan-out only
