@@ -3109,6 +3109,36 @@ def q_multimodal_wav_frames(spark, sf_dir):
     return multimodal.wav_frame_features(blobs)
 
 
+@query(
+    "multimodal_video_frames",
+    """
+SELECT d.doc_id,
+       CAST(i.frame_idx AS BIGINT) AS frame_idx,
+       CAST(4 + d.doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(32 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST((d.doc_id + i.frame_idx) % 256 AS DOUBLE) AS mean_r,
+       CAST((2 * i.frame_idx) % 256 AS DOUBLE) AS mean_g,
+       17.0 AS mean_b
+FROM documents d
+JOIN (VALUES (0), (2), (4)) AS i(frame_idx)
+  ON i.frame_idx < 4 + d.doc_id % 3
+""",
+)
+def q_multimodal_video_frames(spark, sf_dir):
+    """End-to-end video frame sampling (X123): a deterministic
+    synthetic corpus of REAL RIFF/AVI containers (solid-color DIB
+    frames, 4 + doc_id%3 per doc) rides the genuine container path —
+    encode → recursive chunk walk → every-2nd-frame DIB decode →
+    per-channel means — and the oracle states the CLOSED FORM the
+    round trip must reproduce (mean_r = (doc_id+i)%256 exactly, …).
+    Non-sampled frame bodies are never decoded; a container/stride/
+    row-order bug anywhere breaks the hash
+    (operators/multimodal.avi_frame_sample)."""
+    blobs = multimodal.synth_avi_blobs(_docs(spark, sf_dir))
+    return multimodal.avi_frame_sample(blobs, every=2)
+
+
 # --- multimodal plumbing --------------------------------------------------
 
 

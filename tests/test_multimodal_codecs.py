@@ -199,3 +199,62 @@ def test_wav_frame_features_hand_computed(spark):
     # undecodable blob: contributes nothing
     bad = spark.createDataFrame([(3, bytearray(b"nope"))], "doc_id long, blob binary")
     assert M.wav_frame_features(bad).count() == 0
+
+
+def make_avi(frames: list[np.ndarray], width: int, height: int) -> bytes:
+    """list of (h, w, 3) uint8 RGB frames -> real RIFF/AVI with
+    uncompressed bottom-up BGR DIB frame chunks (independent of the
+    production writer so the two implementations cross-check)."""
+    stride = (width * 3 + 3) // 4 * 4
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    bodies = []
+    for f in frames:
+        rows = b""
+        for y in reversed(range(height)):
+            row = f[y][:, ::-1].tobytes()  # RGB -> BGR
+            rows += row + b"\x00" * (stride - len(row))
+        bodies.append(rows)
+    avih = struct.pack("<10I", 40000, 0, 0, 0, len(frames), 0, 1, 0, width, height) + b"\x00" * 16
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", r) for r in bodies))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_frame_sample_hand_computed(spark):
+    """X123 on a hand-built container with NON-solid pixels: per-frame
+    means must equal the numpy reference; every=2 must skip frame 1;
+    the 5x3 width exercises stride padding and the bottom-up flip."""
+    w, h = 5, 3
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8) for _ in range(3)]
+    blob = make_avi(frames, w, h)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    got = {r.frame_idx: r for r in M.avi_frame_sample(df, every=2).collect()}
+    assert sorted(got) == [0, 2]  # frame 1 skipped, never decoded
+    for i in (0, 2):
+        want = frames[i].reshape(-1, 3).mean(axis=0)
+        r = got[i]
+        assert r.n_frames == 3 and r.width == w and r.height == h
+        assert (r.mean_r, r.mean_g, r.mean_b) == tuple(round(float(x), 6) for x in want)
+    # malformed: contributes no rows
+    bad = spark.createDataFrame([(2, bytearray(b"RIFFxxxxJUNK"))], "doc_id long, blob binary")
+    assert M.avi_frame_sample(bad).count() == 0
+
+
+def test_synth_avi_round_trip_closed_form(spark):
+    """The production writer's containers parse back through the
+    production reader to the oracle's closed form."""
+    docs = spark.createDataFrame([(100,), (101,), (302,)], "doc_id long")
+    got = M.avi_frame_sample(M.synth_avi_blobs(docs), every=2).collect()
+    # n_frames = 4 + doc_id%3 -> 5, 6, 6; every=2 samples 0,2,4 from each
+    assert {(r.doc_id, r.frame_idx) for r in got} == {
+        (d, i) for d in (100, 101, 302) for i in (0, 2, 4)
+    }
+    for r in got:
+        assert r.mean_r == float((r.doc_id + r.frame_idx) % 256)
+        assert r.mean_g == float((2 * r.frame_idx) % 256)
+        assert r.mean_b == 17.0

@@ -166,6 +166,9 @@ BUDGETS = [
     # mapInPandas stages (synth encode, decode+frame) — NO shuffle
     # between them; blobs never leave the executors
     ("multimodal_wav_frames", 1, 0),
+    # AVI frame sampling (X123): same zero-shuffle chained-mapInPandas
+    # shape as the WAV path
+    ("multimodal_video_frames", 1, 0),
     # HLL UV: scan + the per-day sketch aggregate
     ("events_uv_sketch_daily", 2, 0),
     # Gopher rules: pure per-row HOF/regexp map — scan fan-out only
