@@ -896,6 +896,42 @@ def q_dedup_groups_keeper(spark, sf_dir):
 
 
 @query(
+    "dedup_soft_weights",
+    SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
+    + _SQL_GROUP_CTES
+    + """
+, sizes AS (
+  SELECT group_id, CAST(count(*) AS BIGINT) AS sz FROM grp GROUP BY group_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.sz, 1) AS BIGINT) AS group_size,
+       round(1.0 / coalesce(s.sz, 1), 6) AS weight
+FROM documents d
+LEFT JOIN grp g ON g.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.group_id = g.group_id
+""",
+)
+def q_dedup_soft_weights(spark, sf_dir):
+    """Soft deduplication (X124): instead of DROPPING near-duplicates,
+    every doc gets a training sampling weight 1/|duplicate group|
+    (singletons weigh 1.0) — the down-weighting alternative that keeps
+    coverage while removing the duplicated-content bias. Composes the
+    shared transitive-grouping fixture with one tiny group-size agg
+    and a LEFT join back to the corpus; the join shuffles on doc_id
+    (dup membership can be 30-50% of a web corpus — NOT broadcastable
+    at 100 TB; AQE picks broadcast when it fits at small SF)."""
+    d = _docs(spark, sf_dir)
+    groups = _transitive_groups(spark, sf_dir)
+    sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("sz"))
+    g = groups.join(sizes, "group_id").select("doc_id", "sz")
+    return d.select("doc_id").join(g, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("sz", F.lit(1)).cast("bigint").alias("group_size"),
+        F.round(F.lit(1.0) / F.coalesce("sz", F.lit(1)), 6).alias("weight"),
+    )
+
+
+@query(
     "dedup_groups_transitive",
     SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
     + _SQL_GROUP_CTES
@@ -2051,6 +2087,51 @@ def q_text_ngram_novelty(spark, sf_dir):
                 F.lit(1.0) - F.count("__seen").cast("double") / F.count(F.lit(1)),
                 6,
             ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "text_frequent_ngrams",
+    r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos FROM ws
+), gr AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS gram
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w,2) OVER win IS NOT NULL
+), df AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS df FROM gr GROUP BY gram
+), tot AS (SELECT count(*) AS n_docs FROM documents)
+SELECT gram, df, round(df * 1.0 / tot.n_docs, 6) AS doc_share
+FROM df CROSS JOIN tot
+WHERE df >= 5
+""",
+)
+def q_text_frequent_ngrams(spark, sf_dir):
+    """Corpus frequent-n-gram governance report (X125): every 3-word
+    gram appearing in >= 5 distinct documents, with its document
+    frequency and corpus share — the over-represented-phrase table a
+    curation run reviews for boilerplate/template/memorization risk
+    (the corpus-level complement of X106's per-span doc-freq and
+    X121's per-doc novelty). Grams stay per-row HOF arrays (no token
+    shuffle before the agg); the (gram, df) agg is partial-agg
+    friendly; corpus doc count joins as a broadcast single row, never
+    a driver action."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(F.explode(llm_dedup.shingle_array("text", 3)).alias("gram"))
+    df = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df.filter(F.col("df") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gram",
+            "df",
+            F.round(F.col("df") * 1.0 / F.col("n_docs"), 6).alias("doc_share"),
         )
     )
 

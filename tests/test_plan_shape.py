@@ -169,6 +169,9 @@ BUDGETS = [
     # AVI frame sampling (X123): same zero-shuffle chained-mapInPandas
     # shape as the WAV path
     ("multimodal_video_frames", 1, 0),
+    # frequent n-grams (X125): two scan fan-outs (grams + doc count),
+    # the gram-df agg, the single-row count agg; count broadcasts
+    ("text_frequent_ngrams", 4, 1),
     # HLL UV: scan + the per-day sketch aggregate
     ("events_uv_sketch_daily", 2, 0),
     # Gopher rules: pure per-row HOF/regexp map — scan fan-out only
