@@ -933,6 +933,21 @@ def containment_pairs_rare_blocking(
             StorageLevel.MEMORY_AND_DISK
         )
     )
+    return containment_pairs_from_shingles(sh, max_df=max_df, num=num, den=den)
+
+
+def containment_pairs_from_shingles(
+    sh: DataFrame,
+    max_df: int = CONTAIN_MAX_DF,
+    num: int = CONTAIN_NUM,
+    den: int = CONTAIN_DEN,
+) -> DataFrame:
+    """The blocking + verify core of
+    :func:`containment_pairs_rare_blocking`, over an already-built
+    distinct ``(doc_id, shingle)`` relation — shared by the batch
+    front door (which builds + persists the shingles) and the
+    incremental twin (which reads them from the append-only postings
+    store, so two-batch == one-batch by construction)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     rare = (
         sh.groupBy("shingle")

@@ -1609,3 +1609,53 @@ def test_incremental_ppl_foreach_batch_e2e(spark, sf_dir, tmpdir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_containment_equals_batch_and_retroactive(spark, tmpdir):
+    """X107's streaming twin (incremental_containment): the pair set
+    re-derives from the append-only postings store through the exact
+    batch core, so two-batch == one-batch; retroactivity is
+    TWO-SIDED — a pair appears when a rare shingle gains its second
+    doc, and a pair caught only by one shingle DISAPPEARS when that
+    shingle's corpus df crosses max_df (the fanout guard is global,
+    not per-batch)."""
+    from gmall_spark.operators import llm_dedup
+    from gmall_spark.streaming import incremental_containment as ic
+
+    b1 = spark.createDataFrame(
+        [(1, "a1 a2 a3 a4"), (2, "b1 b2 b3 b4")], "doc_id long, text string"
+    )
+    # doc 3 quotes doc 1 whole (containment 1.0, the asymmetric case);
+    # docs 4/5 pair through their ONLY shared shingle "c1 c2"
+    b2 = spark.createDataFrame(
+        [(3, "a1 a2 a3 a4 a5"), (4, "c1 c2"), (5, "c1 c2 c3")],
+        "doc_id long, text string",
+    )
+    # four more "c1 c2 ..." docs push df("c1 c2") to 6 > max_df=5
+    b3 = spark.createDataFrame(
+        [(6, "c1 c2 z6"), (7, "c1 c2 z7"), (8, "c1 c2 z8"), (9, "c1 c2 z9")],
+        "doc_id long, text string",
+    )
+    store = f"{tmpdir}/contain_store"
+    ic.process_batch(spark, b1, store, 0, n=2)
+    assert ic.current_pairs(spark, store).count() == 0  # no shingle has df>=2
+
+    ic.process_batch(spark, b2, store, 1, n=2)
+    got2 = {(r.doc_a, r.doc_b) for r in ic.current_pairs(spark, store).collect()}
+    assert got2 == {(1, 3), (4, 5)}
+
+    ic.process_batch(spark, b3, store, 2, n=2)
+    rows = ic.current_pairs(spark, store).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 3)}  # (4,5) un-caught
+    # streaming == batch over all nine docs, FULL rows (sizes, ratios)
+    all_docs = b1.unionByName(b2).unionByName(b3)
+    want = {
+        tuple(r)
+        for r in llm_dedup.containment_pairs_rare_blocking(all_docs, n=2).collect()
+    }
+    assert {tuple(r) for r in rows} == want
+    # foreachBatch replay: re-running batch 3 changes nothing
+    ic.process_batch(spark, b3, store, 2, n=2)
+    assert {
+        (r.doc_a, r.doc_b) for r in ic.current_pairs(spark, store).collect()
+    } == {(1, 3)}
