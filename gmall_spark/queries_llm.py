@@ -17,6 +17,7 @@ from gmall_spark.operators import (
     ivf,
     llm_dedup,
     multimodal,
+    nb,
     semdedup,
     similarity,
 )
@@ -1829,6 +1830,86 @@ WITH wsr AS (
   GROUP BY r.doc_id
 )
 """
+
+
+@query(
+    "text_nb_lang_classifier",
+    f"""
+WITH wsr AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+), tokp AS (
+  SELECT doc_id, unnest(w) AS g, unnest(range(1, len(w) + 1)) AS pos FROM wsr
+), bi AS (
+  SELECT doc_id, g || ' ' || lead(g, 1) OVER win AS g
+  FROM tokp WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(g, 1) OVER win IS NOT NULL
+), feats AS MATERIALIZED (
+  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {dsir.N_BUCKETS} AS f
+  FROM tokp
+  UNION ALL
+  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {dsir.N_BUCKETS} AS f
+  FROM bi
+), tr AS (
+  SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
+), trf AS MATERIALIZED (
+  SELECT t.lang AS label, f.f FROM feats f JOIN tr t ON t.doc_id = f.doc_id
+), cm AS (
+  SELECT label, f, count(*) AS c FROM trf GROUP BY label, f
+), ct AS (
+  SELECT label, sum(c) AS total FROM cm GROUP BY label
+), pri AS (
+  SELECT lang AS label, count(*) AS n_docs FROM tr GROUP BY lang
+), grid AS MATERIALIZED (
+  SELECT p.label, p.n_docs, b.f,
+         ln((COALESCE(c.c, 0) + 1.0) / (t.total + {dsir.N_BUCKETS}.0)) AS lp
+  FROM pri p
+  CROSS JOIN (SELECT unnest(range(0, {dsir.N_BUCKETS})) AS f) b
+  JOIN ct t ON t.label = p.label
+  LEFT JOIN cm c ON c.label = p.label AND c.f = b.f
+), tef AS (
+  SELECT doc_id, f FROM feats WHERE doc_id % 5 <> 0
+), sc AS MATERIALIZED (
+  SELECT e.doc_id, g.label,
+         round(ln(any_value(g.n_docs)) + sum(g.lp), 6) AS score
+  FROM tef e JOIN grid g ON g.f = e.f
+  GROUP BY e.doc_id, g.label
+)
+SELECT s.doc_id, d.lang AS gold_lang, s.label AS pred_lang,
+       (s.label = d.lang) AS correct, s.score
+FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+QUALIFY row_number() OVER (PARTITION BY s.doc_id
+                           ORDER BY s.score DESC, s.label ASC) = 1
+""",
+)
+def q_text_nb_lang_classifier(spark, sf_dir):
+    """Trained hashed-NB text classifier (X127), end to end: fit a
+    multinomial Naive Bayes on the labeled doc_id%5==0 fifth (gold =
+    the lang column), predict every other document, report prediction
+    vs gold per doc — the TRAINED complement of X12's fixed heuristic
+    and the model-fitting step X27's stub inference contract plugs
+    into. Scores round to 6 dp before the argmax, ties break by
+    label, so the prediction is reproducible cross-engine
+    (operators/nb.py). Honesty note: the driver's synthetic corpus
+    draws every language's text from ONE shared 31-word vocabulary,
+    so lang is independent of text BY CONSTRUCTION and held-out
+    accuracy sits at the majority-class baseline — no text classifier
+    can beat it here. This query therefore carries the cross-engine
+    parity of the full train → smoothing grid → score → argmax
+    pipeline; the LEARNING gate lives in the planted-fixture tests
+    (tests/test_nb_classifier.py: separable vocab → accuracy 1.0,
+    and a multiplicity fixture a presence/absence model gets wrong)."""
+    d = _docs(spark, sf_dir)
+    model = nb.train(
+        d.filter(F.col("doc_id") % 5 == 0), label_col="lang"
+    )
+    pred = nb.predict(d.filter(F.col("doc_id") % 5 != 0), model)
+    return pred.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("lang").alias("gold_lang"),
+        F.col("pred_label").alias("pred_lang"),
+        (F.col("pred_label") == F.col("lang")).alias("correct"),
+        "score",
+    )
 
 
 @query(

@@ -169,6 +169,10 @@ BUDGETS = [
     # AVI frame sampling (X123): same zero-shuffle chained-mapInPandas
     # shape as the WAV path
     ("multimodal_video_frames", 1, 0),
+    # trained NB classifier (X127): train-side aggs (class counts,
+    # model row, priors) + test-side score agg + argmax window + the
+    # gold join; the smoothing grid and model row must BROADCAST
+    ("text_nb_lang_classifier", 9, 3),
     # frequent n-grams (X125): two scan fan-outs (grams + doc count),
     # the gram-df agg, the single-row count agg; count broadcasts
     ("text_frequent_ngrams", 4, 1),
