@@ -2461,6 +2461,103 @@ def q_llm_sequence_packing(spark, sf_dir):
     )
 
 
+SHARD_N = 8
+SHARD_EPOCHS = 2
+
+
+@query(
+    "llm_epoch_shards",
+    f"""
+WITH e AS (
+  SELECT d.doc_id, ep.epoch,
+         CAST(('0x' || substr(md5(ep.epoch || ':' || d.doc_id), 1, 8)) AS BIGINT)
+           AS h
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(1, {SHARD_EPOCHS + 1})) AS epoch) ep
+)
+SELECT doc_id,
+       CAST(epoch AS BIGINT) AS epoch,
+       CAST(h % {SHARD_N} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, h % {SHARD_N}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM e
+""",
+)
+def q_llm_epoch_shards(spark, sf_dir):
+    """Deterministic epoch shuffling + shard assignment (X128): the
+    reproducible data-ORDER layer of a training run — per epoch, each
+    doc hashes (md5 of epoch:doc_id, the repo's engine-portable
+    bucket) to one of SHARD_N loader shards and takes its position
+    from the hash order, so every re-run (and every engine) deals the
+    exact same deal, and consecutive epochs get independent orders
+    without any stored permutation. Scale shape: position is a window
+    per (epoch, shard) — the corpus-wide sort decomposes into
+    SHARD_N independent partition sorts, exactly how a distributed
+    loader shards; no global sort, no driver state."""
+    d = _docs(spark, sf_dir)
+    e = d.select("doc_id").crossJoin(
+        spark.range(1, SHARD_EPOCHS + 1).select(F.col("id").alias("epoch"))
+    ).select(
+        "doc_id",
+        "epoch",
+        F.expr(
+            "cast(conv(substring(md5(concat(epoch, ':', doc_id)), 1, 8), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    )
+    w = Window.partitionBy("epoch", F.col("h") % SHARD_N).orderBy("h", "doc_id")
+    return e.select(
+        "doc_id",
+        F.col("epoch").cast("bigint").alias("epoch"),
+        (F.col("h") % SHARD_N).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@query(
+    "llm_segment_pairs",
+    r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       array_to_string(list_slice(w, 1, len(w) // 2), ' ') AS context,
+       array_to_string(list_slice(w, len(w) // 2 + 1, len(w)), ' ') AS target
+FROM t
+WHERE len(w) >= 8
+""",
+)
+def q_llm_segment_pairs(spark, sf_dir):
+    """Context→continuation training-pair extraction (X129): split
+    each document at its word midpoint into (context, target) — the
+    segment-pair generation step of contrastive / next-segment
+    pretraining data prep (the ICT shape of Lee et al. 2019
+    arXiv:1906.00300, with the deterministic midpoint standing in for
+    sentence sampling so the pair set is reproducible cross-engine);
+    pairs with X116's hard negatives for the contrastive side. Docs
+    under 8 words are skipped (degenerate halves). Pure per-row HOF
+    slice/join — zero shuffles at any scale."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), r"\s+")
+    n = F.size(words)
+    return (
+        d.select("doc_id", words.alias("w"), n.alias("n"))
+        .filter(F.col("n") >= 8)
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_words"),
+            F.concat_ws(
+                " ", F.slice(F.col("w"), 1, (F.col("n") / 2).cast("int"))
+            ).alias("context"),
+            F.concat_ws(
+                " ",
+                F.expr("slice(w, cast(n / 2 as int) + 1, cast(n as int))"),
+            ).alias("target"),
+        )
+    )
+
+
 SEMANTIC_DEDUP_THRESHOLD = 0.4
 
 

@@ -169,6 +169,11 @@ BUDGETS = [
     # AVI frame sampling (X123): same zero-shuffle chained-mapInPandas
     # shape as the WAV path
     ("multimodal_video_frames", 1, 0),
+    # segment pairs (X129): pure per-row slice/join — scan fan-out only
+    ("llm_segment_pairs", 1, 0),
+    # epoch shards (X128): scan + the per-(epoch, shard) window
+    # shuffle; the 2-row epoch sequence broadcasts into the cross join
+    ("llm_epoch_shards", 2, 1),
     # trained NB classifier (X127): train-side aggs (class counts,
     # model row, priors) + test-side score agg + argmax window + the
     # gold join; the smoothing grid and model row must BROADCAST
