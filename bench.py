@@ -83,6 +83,17 @@ HEADLINE = [
     "llm_temperature_mix_weights",
     "events_session_transcripts",
     "llm_curation_release_report",
+    # late-r7 additions: novelty scoring, the real-codec multimodal
+    # pair, soft dedup, corpus governance, the trained classifier,
+    # and the data-order/pair-generation ops (X121-X129)
+    "text_ngram_novelty",
+    "multimodal_wav_frames",
+    "multimodal_video_frames",
+    "dedup_soft_weights",
+    "text_frequent_ngrams",
+    "text_nb_lang_classifier",
+    "llm_epoch_shards",
+    "llm_segment_pairs",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

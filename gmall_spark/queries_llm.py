@@ -2461,6 +2461,72 @@ def q_llm_sequence_packing(spark, sf_dir):
     )
 
 
+@query(
+    "layout_zorder_orders",
+    """
+WITH spread AS (
+  SELECT v, CAST(sum(((v >> i) & 1) * (1 << (2 * i))) AS BIGINT) AS s
+  FROM (SELECT unnest(range(0, 256)) AS v)
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+  GROUP BY v
+), k AS (
+  SELECT o_orderkey,
+         o_custkey % 256 AS cb,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS db
+  FROM orders
+)
+SELECT k.o_orderkey,
+       CAST(k.cb AS BIGINT) AS cust_bucket,
+       CAST(k.db AS BIGINT) AS day_bucket,
+       CAST(2 * sc.s + sd.s AS BIGINT) AS zvalue,
+       CAST((2 * sc.s + sd.s) // 1024 AS BIGINT) AS file_id
+FROM k JOIN spread sc ON sc.v = k.cb JOIN spread sd ON sd.v = k.db
+""",
+)
+def q_layout_zorder_orders(spark, sf_dir):
+    """Z-order (Morton-curve) layout assignment (X130): interleave
+    the bits of two bucketed clustering keys — customer and order
+    day — into one z-value and derive the target file id from its
+    high bits, so files become axis-aligned rectangles in (customer,
+    date) space and a scan filtered on EITHER key prunes ~sqrt of the
+    files (the multi-dimensional data-clustering layout Delta/Iceberg
+    OPTIMIZE ZORDER applies before writing 100 TB tables; single-key
+    sorts prune only their own dimension). Integer-exact: the 8-bit
+    spread table (bit i → bit 2i) materializes once per engine (256
+    rows, broadcast) and two joins compose the interleave —
+    z = 2·spread(cust) + spread(day); no floats anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    spread = spark.range(256).select(
+        F.col("id").alias("v"),
+        F.expr(
+            "aggregate(sequence(0, 7), cast(0 as bigint), (acc, i) -> acc"
+            " + pmod(shiftright(id, i), 2) * shiftleft(cast(1 as bigint), 2 * i))"
+        ).alias("s"),
+    )
+    k = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("cb"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
+            % 256
+        ).alias("db"),
+    )
+    sc = spread.select(F.col("v").alias("cb"), F.col("s").alias("s_c"))
+    sd = spread.select(F.col("v").alias("db"), F.col("s").alias("s_d"))
+    z = F.lit(2) * F.col("s_c") + F.col("s_d")
+    return (
+        k.join(F.broadcast(sc), "cb")
+        .join(F.broadcast(sd), "db")
+        .select(
+            "o_orderkey",
+            F.col("cb").cast("bigint").alias("cust_bucket"),
+            F.col("db").cast("bigint").alias("day_bucket"),
+            z.cast("bigint").alias("zvalue"),
+            (z / 1024).cast("bigint").alias("file_id"),
+        )
+    )
+
+
 SHARD_N = 8
 SHARD_EPOCHS = 2
 

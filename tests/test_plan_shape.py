@@ -169,6 +169,10 @@ BUDGETS = [
     # AVI frame sampling (X123): same zero-shuffle chained-mapInPandas
     # shape as the WAV path
     ("multimodal_video_frames", 1, 0),
+    # z-order layout (X130): scan fan-out; both 256-row spread tables
+    # must broadcast (a shuffle join here would shuffle the fact table
+    # twice for a 256-row lookup)
+    ("layout_zorder_orders", 1, 2),
     # segment pairs (X129): pure per-row slice/join — scan fan-out only
     ("llm_segment_pairs", 1, 0),
     # epoch shards (X128): scan + the per-(epoch, shard) window
