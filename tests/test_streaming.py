@@ -1659,3 +1659,42 @@ def test_incremental_containment_equals_batch_and_retroactive(spark, tmpdir):
     assert {
         (r.doc_a, r.doc_b) for r in ic.current_pairs(spark, store).collect()
     } == {(1, 3)}
+
+
+def test_incremental_containment_foreach_batch_e2e(spark, sf_dir, tmpdir):
+    """End-to-end streaming form of the containment twin: a real
+    readStream file source (maxFilesPerTrigger=1 -> two micro-batches)
+    through runner.run_foreach_batch; the final pair set must equal
+    the one-shot batch operator over all streamed docs, full rows."""
+    from gmall_spark.operators import llm_dedup
+    from gmall_spark.streaming import incremental_containment as ic
+    from gmall_spark.streaming import runner
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mid = 250
+    store = f"{tmpdir}/contain_e2e_store"
+    src = f"{tmpdir}/contain_e2e_src"
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, eid: ic.process_batch(spark, b, store, eid),
+        checkpoint=f"{tmpdir}/ckpt_incr_contain",
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in ic.current_pairs(spark, store).collect()}
+    want = {
+        tuple(r)
+        for r in llm_dedup.containment_pairs_rare_blocking(docs).collect()
+    }
+    assert got == want and len(want) > 0
