@@ -785,3 +785,33 @@ def synth_avi_blobs(
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         gen, schema="doc_id bigint, blob binary"
     )
+
+
+def vad_segments(frames: DataFrame, silence_col: str = "silent") -> DataFrame:
+    """Voice-activity segments (X132): merge CONSECUTIVE non-silent
+    frames (the :func:`wav_frame_features` output) into voiced
+    segments — the VAD pass that turns frame flags into the
+    (start, length) utterance spans a transcription pipeline consumes.
+    Classic run grouping: frame_idx − row_number is constant within a
+    consecutive run, so one window + one aggregate per doc; the only
+    exchange is the per-doc window shuffle (frames of one recording
+    co-locate — the natural partitioning for any per-recording pass).
+
+    Returns (doc_id, first_frame, n_frames, seg_start_ms, mean_rms)
+    with one row per voiced segment."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    runs = frames.filter(~F.col(silence_col)).withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_idx").cast("bigint").alias("first_frame"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.min("start_ms").alias("seg_start_ms"),
+            F.round(F.avg("rms"), 6).alias("mean_rms"),
+        )
+        .drop("grp")
+    )

@@ -2461,6 +2461,43 @@ def q_llm_sequence_packing(spark, sf_dir):
     )
 
 
+K_ANON = 5
+
+
+@query(
+    "events_k_anonymity",
+    f"""
+SELECT event_type,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+       CAST(floor(value / 100) AS BIGINT) AS value_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2, 3
+HAVING count(*) < {K_ANON}
+""",
+)
+def q_events_k_anonymity(spark, sf_dir):
+    """K-anonymity release gate (X131): every quasi-identifier
+    combination — (event_type, hour-of-day, coarse value bucket) —
+    shared by fewer than K_ANON rows, i.e. the groups where a
+    released event table would let an attacker with those three
+    attributes single out individuals (Sweeney 2002's k-anonymity
+    test; the privacy-review complement of X20's direct-identifier
+    scan and X89's deletion path — a release suppresses or coarsens
+    exactly these rows). ONE hash aggregate with map-side combine;
+    output bounded by the quasi-identifier grid, not the corpus."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("hr"),
+            F.floor(F.col("value") / 100).cast("bigint").alias("value_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") < K_ANON)
+    )
+
+
 @query(
     "layout_zorder_orders",
     """
@@ -3432,6 +3469,30 @@ def q_multimodal_wav_frames(spark, sf_dir):
     breaks the hash (operators/multimodal.wav_frame_features)."""
     blobs = multimodal.synth_wav_blobs(_docs(spark, sf_dir))
     return multimodal.wav_frame_features(blobs)
+
+
+@query(
+    "multimodal_wav_segments",
+    """
+SELECT doc_id,
+       CAST(0 AS BIGINT) AS first_frame,
+       CAST(2 AS BIGINT) AS n_frames,
+       0.0 AS seg_start_ms,
+       CAST(doc_id % 1000 AS DOUBLE) AS mean_rms
+FROM documents
+WHERE doc_id % 1000 <> 0
+""",
+)
+def q_multimodal_wav_segments(spark, sf_dir):
+    """VAD segmentation end to end (X132): the synthetic PCM corpus
+    rides encode → decode → frame features → consecutive-run merge
+    (operators/multimodal.vad_segments); the oracle states the closed
+    form — every nonzero-amplitude doc yields ONE voiced segment
+    spanning both frames at its amplitude's RMS, zero-amplitude docs
+    yield none. Composes X122's real codec path with the X105 run-
+    grouping idiom at frame grain."""
+    blobs = multimodal.synth_wav_blobs(_docs(spark, sf_dir))
+    return multimodal.vad_segments(multimodal.wav_frame_features(blobs))
 
 
 @query(

@@ -258,3 +258,30 @@ def test_synth_avi_round_trip_closed_form(spark):
         assert r.mean_r == float((r.doc_id + r.frame_idx) % 256)
         assert r.mean_g == float((2 * r.frame_idx) % 256)
         assert r.mean_b == 17.0
+
+
+def test_vad_segments_hand_computed(spark):
+    """X132 run merging on the hand-computed frame fixture: frames
+    (loud, silent, voiced, dc) -> two segments, the second spanning
+    frames 2-3 with mean rms (100+50)/2."""
+    from gmall_spark.operators import multimodal as M
+
+    rate, flen = 8000, 2000
+    samples = (
+        [32767, -32767] * (flen // 2)  # frame 0: loud
+        + [0] * flen                   # frame 1: silent
+        + [100, -100] * (flen // 2)    # frame 2: voiced
+        + [50] * flen                  # frame 3: dc, non-silent
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(samples, rate=rate)))], "doc_id long, blob binary"
+    )
+    got = {
+        r.first_frame: r
+        for r in M.vad_segments(M.wav_frame_features(df)).collect()
+    }
+    assert sorted(got) == [0, 2]
+    assert got[0].n_frames == 1 and got[0].seg_start_ms == 0.0
+    assert got[0].mean_rms == 32767.0
+    assert got[2].n_frames == 2 and got[2].seg_start_ms == 500.0
+    assert got[2].mean_rms == 75.0

@@ -169,6 +169,10 @@ BUDGETS = [
     # AVI frame sampling (X123): same zero-shuffle chained-mapInPandas
     # shape as the WAV path
     ("multimodal_video_frames", 1, 0),
+    # VAD segments (X132): codec fan-out + ONE per-doc window shuffle
+    ("multimodal_wav_segments", 2, 0),
+    # k-anonymity gate (X131): scan + one hash agg with map-side combine
+    ("events_k_anonymity", 2, 0),
     # z-order layout (X130): scan fan-out; both 256-row spread tables
     # must broadcast (a shuffle join here would shuffle the fact table
     # twice for a 256-row lookup)
