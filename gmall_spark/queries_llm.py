@@ -1313,6 +1313,103 @@ def q_llm_cross_corpus_decontam(spark, sf_dir):
     )
 
 
+_SQL_DECONTAM_AUDIT = (
+    SQL_BANDED
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+), dropped AS (
+  SELECT DISTINCT i.doc_a AS doc_id
+  FROM inter i
+  JOIN szs sa ON sa.doc_id = i.doc_a
+  JOIN szs sb ON sb.doc_id = i.doc_b
+  WHERE round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6)
+        >= {{thr}}
+), ws8 AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+), tok8 AS (
+  SELECT doc_id, unnest(w) AS w, unnest(range(1, len(w) + 1)) AS pos FROM ws8
+), gr8 AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+           || ' ' || lead(w,5) OVER win || ' ' || lead(w,6) OVER win
+           || ' ' || lead(w,7) OVER win AS gram
+  FROM tok8 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w,7) OVER win IS NOT NULL
+), keptg AS (
+  SELECT doc_id, gram FROM gr8
+  WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+), refg AS (
+  SELECT DISTINCT gram FROM gr8 WHERE doc_id % 20 = 0
+), ov AS (
+  SELECT k.doc_id, count(*) AS shared
+  FROM keptg k JOIN refg r ON r.gram = k.gram
+  GROUP BY k.doc_id
+)
+SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 20 <> 0)
+            - (SELECT count(*) FROM dropped) AS BIGINT) AS n_kept,
+       CAST(count(*) AS BIGINT) AS docs_with_overlap,
+       CAST(COALESCE(max(shared), 0) AS BIGINT) AS max_shared_grams,
+       CAST(COALESCE(sum(shared), 0) AS BIGINT) AS total_shared_grams
+FROM ov
+"""
+).replace("{thr}", str(DECONTAM_THRESHOLD))
+
+
+@query("llm_decontam_audit", _SQL_DECONTAM_AUDIT)
+def q_llm_decontam_audit(spark, sf_dir):
+    """Post-decontamination audit certificate (X133): after removing
+    X47's LSH-flagged near-dups of the reference set, MEASURE the
+    residual contamination of the release with the STRONGER exact
+    check — distinct 8-gram overlap between every kept doc and the
+    reference (X21's detector) — and publish the one-row summary a
+    release pipeline signs off on (kept count, docs still sharing any
+    gram, max/total shared). Auditing with a different detector than
+    the cleaner is the point: re-running the cleaner is vacuously
+    empty, while verbatim sub-quote overlap BELOW the Jaccard
+    threshold is exactly what slips an LSH-based clean. Scale shape:
+    the drop set and reference grams broadcast; the corpus gram
+    stream is never self-joined."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    dropped = (
+        llm_dedup.cross_corpus_near_dups(
+            corpus, docs.filter(F.col("doc_id") % 20 == 0), DECONTAM_THRESHOLD
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    kept = corpus.join(F.broadcast(dropped), "doc_id", "left_anti")
+    grams = F.explode(llm_dedup.shingle_array("text", CONTAM_GRAM_N))
+    keptg = kept.select("doc_id", grams.alias("gram"))
+    refg = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(grams.alias("gram"))
+        .distinct()
+    )
+    ov = keptg.join(F.broadcast(refg), "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    n_kept = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    return ov.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_with_overlap"),
+        F.coalesce(F.max("shared"), F.lit(0)).cast("bigint").alias("max_shared_grams"),
+        F.coalesce(F.sum("shared"), F.lit(0)).cast("bigint").alias("total_shared_grams"),
+    ).crossJoin(F.broadcast(n_kept)).select(
+        "n_kept", "docs_with_overlap", "max_shared_grams", "total_shared_grams"
+    )
+
+
 @query(
     "llm_vocab_topk",
     """

@@ -1155,3 +1155,36 @@ def test_ngram_novelty_planted(spark, sf_dir):
     }
     assert nov[999999] == 0.0, nov[999999]  # verbatim copy of reference
     assert nov[999998] == 1.0, nov[999998]  # fresh text
+
+
+def test_decontam_audit_catches_subthreshold_quote(spark):
+    """X133: the audit's exact-gram detector must flag residual
+    contamination the LSH cleaner structurally misses — a long kept
+    doc quoting ONE reference 8-gram has Jaccard far below the 0.7
+    drop threshold (survives the clean) but a nonzero shared-gram
+    count (shows up on the certificate)."""
+    from gmall_spark import queries_llm as ql
+
+    ref_text = "r1 r2 r3 r4 r5 r6 r7 r8"
+    quote_doc = " ".join(f"k{i}" for i in range(40)) + " " + ref_text
+    clean_doc = " ".join(f"c{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(20, ref_text), (1, quote_doc), (2, clean_doc)],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    ref = docs.filter(F.col("doc_id") % 20 == 0)
+    dropped = llm_dedup.cross_corpus_near_dups(
+        corpus, ref, ql.DECONTAM_THRESHOLD
+    ).select("doc_id").distinct()
+    assert dropped.count() == 0  # LSH clean keeps the quoting doc
+    kept = corpus.join(F.broadcast(dropped), "doc_id", "left_anti")
+    grams = F.explode(llm_dedup.shingle_array("text", ql.CONTAM_GRAM_N))
+    ov = (
+        kept.select("doc_id", grams.alias("gram"))
+        .join(F.broadcast(ref.select(grams.alias("gram")).distinct()), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .collect()
+    )
+    assert {(r.doc_id, r.shared) for r in ov} == {(1, 1)}

@@ -173,6 +173,9 @@ BUDGETS = [
     ("multimodal_wav_segments", 2, 0),
     # k-anonymity gate (X131): scan + one hash agg with map-side combine
     ("events_k_anonymity", 2, 0),
+    # decontam audit (X133): the full LSH-clean composition + the
+    # exact-gram audit; drop set and reference grams must broadcast
+    ("llm_decontam_audit", 25, 8),
     # z-order layout (X130): scan fan-out; both 256-row spread tables
     # must broadcast (a shuffle join here would shuffle the fact table
     # twice for a 256-row lookup)
