@@ -3248,6 +3248,63 @@ def q_llm_temperature_mix_weights(spark, sf_dir):
     )
 
 
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+@query(
+    "llm_token_budget_plan",
+    rf"""
+WITH d AS (
+  SELECT lang,
+         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+), t AS (
+  SELECT lang, lang_tokens,
+         CAST(lang_tokens AS DOUBLE) / SUM(lang_tokens) OVER () AS p
+  FROM d
+), s AS (
+  SELECT lang, lang_tokens,
+         pow(p, 0.3) / SUM(pow(p, 0.3)) OVER () AS q
+  FROM t
+)
+SELECT lang, lang_tokens,
+       CAST(round(q * {MIX_TOKEN_BUDGET}) AS BIGINT) AS token_quota,
+       round(q * {MIX_TOKEN_BUDGET} / lang_tokens, 6) AS epochs,
+       (q * {MIX_TOKEN_BUDGET} > 4 * lang_tokens) AS over_epoch_cap
+FROM s
+""",
+)
+def q_llm_token_budget_plan(spark, sf_dir):
+    """Training token-budget allocation plan (X134): turn the X117
+    temperature mix into the table a run actually executes against a
+    fixed token budget — per language: its token quota, the implied
+    EPOCH count over available data (quota/available), and a flag
+    where the plan exceeds the 4-epoch repetition cap (Muennighoff
+    2023, arXiv:2305.16264: value decays fast past ~4 epochs — the
+    flagged languages are where a data-constrained run either caps
+    and reallocates or goes get more data). Same lang-bounded
+    agg + handful-of-rows windows as X117; pow ulp drift falls in the
+    accepted boundary class, the cap test is float-vs-float on the
+    same rounded quantities both engines compute."""
+    d = _docs(spark, sf_dir)
+    agg = (
+        d.select("lang", TX.bpe_token_count(F.col("text")).alias("__tok"))
+        .groupBy("lang")
+        .agg(F.sum("__tok").cast("bigint").alias("lang_tokens"))
+    )
+    w = Window.partitionBy()
+    p = F.col("lang_tokens").cast("double") / F.sum("lang_tokens").over(w)
+    q_ = F.pow(p, F.lit(0.3)) / F.sum(F.pow(p, F.lit(0.3))).over(w)
+    quota = q_ * MIX_TOKEN_BUDGET
+    return agg.select(
+        "lang",
+        "lang_tokens",
+        F.round(quota).cast("bigint").alias("token_quota"),
+        F.round(quota / F.col("lang_tokens"), 6).alias("epochs"),
+        (quota > 4 * F.col("lang_tokens")).alias("over_epoch_cap"),
+    )
+
+
 @query(
     "llm_domain_mix_weights",
     r"""

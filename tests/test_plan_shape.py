@@ -173,6 +173,9 @@ BUDGETS = [
     ("multimodal_wav_segments", 2, 0),
     # k-anonymity gate (X131): scan + one hash agg with map-side combine
     ("events_k_anonymity", 2, 0),
+    # token budget plan (X134): scan + lang agg + the single-partition
+    # window over the handful of language rows
+    ("llm_token_budget_plan", 3, 0),
     # decontam audit (X133): the full LSH-clean composition + the
     # exact-gram audit; drop set and reference grams must broadcast
     ("llm_decontam_audit", 25, 8),
