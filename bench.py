@@ -94,6 +94,11 @@ HEADLINE = [
     "text_nb_lang_classifier",
     "llm_epoch_shards",
     "llm_segment_pairs",
+    "layout_zorder_orders",
+    "events_k_anonymity",
+    "multimodal_wav_segments",
+    "llm_decontam_audit",
+    "llm_token_budget_plan",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query
