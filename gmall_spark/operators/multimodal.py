@@ -815,3 +815,249 @@ def vad_segments(frames: DataFrame, silence_col: str = "silent") -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing (X135/X136): a deterministic synthetic BMP
+# corpus with closed-form structure rides the REAL codec path
+# (encode -> _parse_bmp -> grayscale -> aHash/dHash), then near-dup
+# grouping runs banded-LSH-style over DISTINCT fingerprints — the
+# image twin of the SimHash text tier. Reference parity: the reference
+# pipeline treats media as opaque blobs + fingerprints; perceptual
+# hashing is the standard public design (pHash/dHash family).
+# ---------------------------------------------------------------------------
+
+IMG_HASH_SCHEMA = (
+    "doc_id bigint, decode_ok boolean, width bigint, height bigint, "
+    "gray_mean double, ahash_hex string, dhash_hex string, "
+    "dhash_bytes array<int>"
+)
+
+
+def synth_bmp_blobs(
+    docs: DataFrame, mode: str = "fill", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic synthetic image corpus (the testdata ships no
+    image column): per document, a REAL uncompressed 24-bit bottom-up
+    BMP (same encoder conventions the tests' ``make_bmp`` pins), so
+    everything downstream exercises the genuine codec path and the
+    expected hashes have closed forms an oracle can state.
+
+    mode="fill": 8x8 grayscale image whose first ``doc_id % 64``
+    pixels in TOP-DOWN row-major order are white (255), the rest
+    black. The aHash closed form is pure integer arithmetic, and the
+    bottom-up row flip is load-bearing — a parser that forgets the
+    flip reorders the fill-boundary row and breaks the hash.
+
+    mode="seeded": 9x8 image (27-byte rows -> stride 28: exercises the
+    row-padding path) whose gray value at (x, y) is the first byte of
+    md5("{seed}:{x}:{y}") with seed = doc_id % 97. Same seed =>
+    bit-identical image => dHash Hamming 0; across the 97*96/2
+    distinct seed pairs the minimum dHash Hamming is 16 (asserted in
+    tests), so near-dup groups at any small threshold are EXACTLY the
+    seed classes — the planted structure the grouping oracle states.
+    """
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    if mode not in ("fill", "seeded"):
+        raise ValueError(f"unknown synth mode {mode!r}")
+
+    def _encode(img: "np.ndarray") -> bytes:
+        h, w, _ = img.shape
+        stride = (w * 3 + 3) // 4 * 4
+        rows = b""
+        for y in reversed(range(h)):  # bottom-up, BGR, padded rows
+            row = img[y][:, ::-1].tobytes()
+            rows += row + b"\x00" * (stride - len(row))
+        header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(rows), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+        )
+        return header + info + rows
+
+    def _seeded_img(seed: int) -> "np.ndarray":
+        g = np.empty((8, 9), dtype=np.uint8)
+        for y in range(8):
+            for x in range(9):
+                g[y, x] = hashlib.md5(f"{seed}:{x}:{y}".encode()).digest()[0]
+        return np.repeat(g[:, :, None], 3, axis=2)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for b in batches:
+            ids, blobs = [], []
+            for doc_id in b[id_col]:
+                doc_id = int(doc_id)
+                key = doc_id % 64 if mode == "fill" else doc_id % 97
+                blob = cache.get(key)
+                if blob is None:
+                    if mode == "fill":
+                        flat = np.zeros(64, dtype=np.uint8)
+                        flat[:key] = 255
+                        img = np.repeat(flat.reshape(8, 8)[:, :, None], 3, axis=2)
+                    else:
+                        img = _seeded_img(key)
+                    blob = _encode(img)
+                    cache[key] = blob
+                ids.append(doc_id)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "blob": blobs}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, blob binary"
+    )
+
+
+def _gray_plane(img) -> "np.ndarray":
+    """Grayscale plane for hashing. The synthetic corpora are true
+    grayscale (r=g=b), so channel 0 IS the gray value — no luminance
+    rounding convention to disagree on cross-engine."""
+    return img[:, :, 0]
+
+
+def _msb_bytes(bits) -> list[int]:
+    """Pack an (8, 8) boolean grid into 8 row bytes, MSB = leftmost."""
+    import numpy as np
+
+    weights = np.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=np.int64)
+    return [int(v) for v in bits.astype(np.int64) @ weights]
+
+
+def image_hashes(blobs: DataFrame) -> DataFrame:
+    """REAL BMP decode -> perceptual hashes per image:
+
+    - aHash over the leftmost 8x8 grid: bit = gray > mean(grid),
+      row-major, MSB-first per row byte (the classic average hash).
+    - dHash over 9-wide rows: bit = gray[x+1] > gray[x] for x in 0..7
+      (the classic difference hash); NULL when the image is narrower
+      than 9 px rather than a silently-different gradient grid.
+
+    Emits hex strings plus the 8 dHash row BYTES so downstream
+    Hamming/banding stays JVM-side (bit_count over int xor) — the
+    Python boundary is crossed exactly once, here."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["blob"]):
+                img = _parse_bmp(bytes(blob))
+                if img is None or img.shape[0] < 8 or img.shape[1] < 8:
+                    rows.append(
+                        {"doc_id": doc_id, "decode_ok": False, "width": None,
+                         "height": None, "gray_mean": None, "ahash_hex": None,
+                         "dhash_hex": None, "dhash_bytes": None}
+                    )
+                    continue
+                gray = _gray_plane(img).astype(np.int64)
+                grid = gray[:8, :8]
+                abits = grid > (grid.sum() / 64.0)
+                abytes = _msb_bytes(abits)
+                dhex, dbytes = None, None
+                if gray.shape[1] >= 9:
+                    dbits = gray[:8, 1:9] > gray[:8, :8]
+                    dbytes = _msb_bytes(dbits)
+                    dhex = "".join(f"{v:02x}" for v in dbytes)
+                rows.append(
+                    {"doc_id": doc_id, "decode_ok": True,
+                     "width": img.shape[1], "height": img.shape[0],
+                     "gray_mean": round(float(gray.mean()), 6),
+                     "ahash_hex": "".join(f"{v:02x}" for v in abytes),
+                     "dhash_hex": dhex, "dhash_bytes": dbytes}
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(gen, schema=IMG_HASH_SCHEMA)
+
+
+def image_near_dup_groups(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Perceptual-hash near-dup grouping, scaled the way an image
+    corpus actually dedups at 100 TB:
+
+    1. EXACT tier: identical fingerprints collapse by groupBy on the
+       hex string — byte-identical re-encodes never reach a join.
+    2. NEAR tier: 16-bit banding (4 bands of 2 row bytes) over the
+       DISTINCT fingerprints only; a pair of fingerprints is a
+       candidate iff some band matches (Hamming <= ``max_hamming``
+       over 64 bits guarantees >= 2 untouched bands — band count 4 >
+       max_hamming pigeonholes at least one collision), then exact
+       Hamming (bit_count over xor, zip_with fold — pure JVM)
+       verifies. The quadratic term is bounded by DISTINCT images per
+       band value, not documents.
+    3. Representative = min doc_id over the fingerprint's direct
+       near-partners and itself (single verification round; full
+       transitive closure is the components operator's job when a
+       corpus needs chains).
+
+    Returns (doc_id, dhash_hex, rep_id, group_size)."""
+    from pyspark.sql import Window
+
+    fp = hashes.filter(F.col("decode_ok") & F.col("dhash_hex").isNotNull())
+    # exact tier: one row per distinct fingerprint
+    d = fp.groupBy("dhash_hex").agg(
+        F.min("doc_id").alias("fp_min"),
+        F.first("dhash_bytes").alias("bytes"),
+    )
+    bands = d.select(
+        "dhash_hex",
+        "fp_min",
+        "bytes",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    (F.element_at("bytes", 2 * i + 1) * 256
+                     + F.element_at("bytes", 2 * i + 2)).alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select("dhash_hex", "fp_min", "bytes", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("a.bytes"), F.col("b.bytes"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    near = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.dhash_hex") < F.col("b.dhash_hex")),
+        )
+        .select("a.dhash_hex", "a.fp_min", "b.dhash_hex", "b.fp_min", ham.alias("hamming"))
+        .toDF("hex_a", "min_a", "hex_b", "min_b", "hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    partner_min = (
+        near.select(F.col("hex_a").alias("dhash_hex"), F.col("min_b").alias("pmin"))
+        .union(near.select(F.col("hex_b").alias("dhash_hex"), F.col("min_a").alias("pmin")))
+        .groupBy("dhash_hex")
+        .agg(F.min("pmin").alias("near_min"))
+    )
+    reps = d.join(partner_min, "dhash_hex", "left").select(
+        "dhash_hex",
+        F.least(F.col("fp_min"), F.coalesce("near_min", F.col("fp_min"))).alias("rep_id"),
+    )
+    # rep table is one row per DISTINCT fingerprint — usually tiny, but
+    # not guaranteed broadcastable at corpus scale; leave the strategy
+    # to AQE (it broadcasts when the build side measures small).
+    out = fp.select("doc_id", "dhash_hex").join(reps, "dhash_hex")
+    w = Window.partitionBy("rep_id")
+    return out.select(
+        "doc_id",
+        "dhash_hex",
+        F.col("rep_id").cast("bigint").alias("rep_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+    )

@@ -4659,6 +4659,269 @@ FROM raw LEFT JOIN kept k ON k.doc_id = raw.doc_id
 GROUP BY raw.lang
 """
 
+# --- LSH band planning (X137) ----------------------------------------------
+
+BAND_PLAN_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def _pow_chain(e: str, n: int) -> str:
+    """x^n as an explicit parenthesized product (exponentiation by
+    squaring). The SAME text parses in Spark SQL and DuckDB and every
+    step is one IEEE-754 multiply — bit-identical doubles cross-engine,
+    where pow() could drift an ulp between libms."""
+    assert n >= 1
+    if n == 1:
+        return e
+    half = _pow_chain(e, n // 2)
+    sq = f"({half}*{half})"
+    return sq if n % 2 == 0 else f"({sq}*{e})"
+
+
+def _band_plan_p_case() -> str:
+    """P(candidate | jaccard s) = 1 - (1 - s^r)^b per (b, r) config,
+    as ONE CASE expression shared verbatim by both engines."""
+    arms = []
+    for b, r in BAND_PLAN_CONFIGS:
+        miss = _pow_chain(f"(1.0 - {_pow_chain('s', r)})", b)
+        arms.append(
+            f"WHEN n_bands = {b} AND rows_per_band = {r} THEN 1.0 - {miss}"
+        )
+    return "CASE " + " ".join(arms) + " END"
+
+
+def _band_plan_oracle() -> str:
+    cfg = ",".join(f"({b},{r})" for b, r in BAND_PLAN_CONFIGS)
+    return f"""
+WITH cfg(n_bands, rows_per_band) AS (VALUES {cfg}),
+sg AS (SELECT unnest(range(1, 20)) * 5 AS s_pct),
+g AS (SELECT n_bands, rows_per_band, s_pct, s_pct / 100.0 AS s FROM cfg, sg),
+p AS (
+  SELECT n_bands, rows_per_band, s_pct, {_band_plan_p_case()} AS p_raw FROM g
+)
+SELECT CAST(n_bands AS BIGINT) AS n_bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       CAST(s_pct AS BIGINT) AS s_pct,
+       round(p_raw, 6) AS p_candidate,
+       CAST(min(CASE WHEN p_raw >= 0.5 THEN s_pct END)
+              OVER (PARTITION BY n_bands, rows_per_band) AS BIGINT) AS s50_pct
+FROM p
+"""
+
+
+@query("dedup_lsh_band_plan", _band_plan_oracle())
+def q_dedup_lsh_band_plan(spark, sf_dir):
+    """MinHash-LSH band planning made executable (X137; MMDS ch.3
+    S-curve): for every (bands, rows/band) factorization of the
+    repo's 16-permutation signature, the candidate probability
+    1-(1-s^r)^b over a Jaccard grid, plus the s50 crossover each
+    config puts its detection threshold at — the design table that
+    justifies the shipped (4,4) layout (s50 at 55%: tuned for the
+    0.8 near-dup gate with slack for signature noise, where (16,1)
+    floods candidates at s=20% and (1,16) misses most true pairs at
+    s=80%). Powers evaluate as explicit IEEE multiply chains (the
+    exact same expression text in both engines), never libm pow."""
+    cfg = spark.createDataFrame(
+        list(BAND_PLAN_CONFIGS), "n_bands int, rows_per_band int"
+    )
+    grid = (
+        cfg.crossJoin(
+            spark.range(1, 20).select((F.col("id") * 5).alias("s_pct"))
+        )
+        .withColumn("s", F.col("s_pct") / F.lit(100.0))
+        .withColumn("p_raw", F.expr(_band_plan_p_case()))
+    )
+    w = Window.partitionBy("n_bands", "rows_per_band")
+    return grid.select(
+        F.col("n_bands").cast("bigint").alias("n_bands"),
+        F.col("rows_per_band").cast("bigint").alias("rows_per_band"),
+        F.col("s_pct").cast("bigint").alias("s_pct"),
+        F.round("p_raw", 6).alias("p_candidate"),
+        F.min(F.when(F.col("p_raw") >= 0.5, F.col("s_pct")))
+        .over(w)
+        .cast("bigint")
+        .alias("s50_pct"),
+    )
+
+
+# --- embedding dimension-truncation eval (X138) -----------------------------
+
+TRUNC_DIMS = (32, 16, 8)
+
+
+def _trunc_bf_oracle(d: int | None) -> str:
+    """Brute-force cosine top-10 oracle at the first ``d`` dims (the
+    proven unnest-zip idiom from similarity_topk_cosine); full width
+    when d is None."""
+    sl = f"[1:{d}]" if d is not None else ""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding{sl} AS qvec FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding{sl} AS nvec FROM embeddings
+), pairs AS (
+  SELECT query_id, neighbor_id,
+         unnest(qvec)::DOUBLE AS qx, unnest(nvec)::DOUBLE AS nx
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))), 6) AS cos_sim
+  FROM pairs GROUP BY query_id, neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10
+"""
+
+
+def _trunc_eval_oracle() -> str:
+    withs = ",\n".join(
+        f"a{d} AS (SELECT query_id, neighbor_id FROM ({_trunc_bf_oracle(d)}))"
+        for d in TRUNC_DIMS
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS BIGINT) AS dims,
+       CAST((SELECT count(*) FROM bf) AS BIGINT) AS bf_pairs,
+       CAST((SELECT count(*) FROM bf JOIN a{d} USING (query_id, neighbor_id)) AS BIGINT) AS hits,
+       round(CAST((SELECT count(*) FROM bf JOIN a{d} USING (query_id, neighbor_id)) AS DOUBLE)
+             / (SELECT count(*) FROM bf), 6) AS recall_at_10"""
+        for d in TRUNC_DIMS
+    )
+    return (
+        f"WITH bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM "
+        f"({_trunc_bf_oracle(None)})),\n{withs}\n{arms}"
+    )
+
+
+@query("similarity_eval_dim_truncation", _trunc_eval_oracle())
+def q_similarity_eval_dim_truncation(spark, sf_dir):
+    """Matryoshka-style dimension-truncation evaluation (X138;
+    Kusupati et al. 2022, arXiv:2205.13147): recall@10 of brute-force
+    cosine over the FIRST 32/16/8 dims against the full-64-dim ground
+    truth — the acceptance table a pipeline reads before shrinking
+    its vector index (a truncated index costs d/64 of the scan bytes
+    and the table says what recall that buys). Same harness shape as
+    the ANN recall eval; every arm reuses the registered brute-force
+    operator on sliced vectors."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    bf = similarity.brute_force_topk(emb, qs, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    arms = []
+    for d in TRUNC_DIMS:
+        te = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tq = qs.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        arm = similarity.brute_force_topk(te, tq, k=10).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        j = bf.join(arm, ["query_id", "neighbor_id"], "left")
+        arms.append(
+            j.agg(
+                F.lit(d).cast("bigint").alias("dims"),
+                F.count(F.lit(1)).cast("bigint").alias("bf_pairs"),
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("hits"),
+                F.round(
+                    F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 6
+                ).alias("recall_at_10"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+# --- image perceptual hashing (X135/X136) ---------------------------------
+
+
+@query(
+    "multimodal_image_ahash",
+    """
+WITH q AS (SELECT doc_id, doc_id % 64 AS q FROM documents),
+rws AS (SELECT doc_id, q, unnest(range(0, 8)) AS r FROM q),
+byt AS (
+  SELECT doc_id, q, r,
+         CASE WHEN q - 8*r <= 0 THEN 0
+              WHEN q - 8*r >= 8 THEN 255
+              ELSE 256 - (1 << (8 - (q - 8*r))) END AS bv
+  FROM rws
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       round(q * 255.0 / 64, 6) AS gray_mean,
+       string_agg(printf('%02x', bv), '' ORDER BY r) AS ahash_hex
+FROM byt GROUP BY doc_id, q
+""",
+)
+def q_multimodal_image_ahash(spark, sf_dir):
+    """Image average-hash end to end (X135): a deterministic synthetic
+    BMP corpus (8x8 grayscale, first doc_id%64 pixels white in
+    top-down row-major order, REAL bottom-up 24-bit encoding) rides
+    the genuine codec path — encode -> _parse_bmp -> grayscale ->
+    aHash (bit = gray > grid mean, MSB-first row bytes) — and the
+    oracle states the CLOSED FORM the round trip must reproduce: the
+    hash is the q-bit prefix mask (row byte = 256 - 2^(8-k) for the
+    k white pixels the row holds), gray_mean = 255q/64 exactly
+    (dyadic — bit-identical cross-engine). A flip/stride/threshold
+    bug anywhere in the path breaks the hash
+    (operators/multimodal.image_hashes)."""
+    blobs = multimodal.synth_bmp_blobs(_docs(spark, sf_dir), mode="fill")
+    return multimodal.image_hashes(blobs).select(
+        "doc_id", "width", "height", "gray_mean", "ahash_hex"
+    )
+
+
+def _image_dhash_oracle() -> str:
+    """Oracle twin of q_dedup_image_dhash_groups: the 97 seed-class
+    dHashes computed CLOSED-FORM in pure Python (straight from the
+    md5 gray formula — never through the BMP codec the Spark side
+    must round-trip), group structure stated analytically (same seed
+    => identical fingerprint; min cross-seed Hamming is 16, so no
+    near pair survives max_hamming=2)."""
+    import hashlib
+
+    def hex_for(seed: int) -> str:
+        out = []
+        for r in range(8):
+            byte = 0
+            for x in range(8):
+                g0 = hashlib.md5(f"{seed}:{x}:{r}".encode()).digest()[0]
+                g1 = hashlib.md5(f"{seed}:{x + 1}:{r}".encode()).digest()[0]
+                byte = (byte << 1) | (1 if g1 > g0 else 0)
+            out.append(byte)
+        return "".join(f"{v:02x}" for v in out)
+
+    values = ",".join(f"({s},'{hex_for(s)}')" for s in range(97))
+    return f"""
+WITH fp(seed, dhash_hex) AS (VALUES {values}),
+g AS (SELECT doc_id, doc_id % 97 AS seed FROM documents),
+r AS (SELECT seed, min(doc_id) AS rep_id, count(*) AS group_size
+      FROM g GROUP BY seed)
+SELECT g.doc_id, fp.dhash_hex,
+       CAST(r.rep_id AS BIGINT) AS rep_id,
+       CAST(r.group_size AS BIGINT) AS group_size
+FROM g JOIN r USING (seed) JOIN fp USING (seed)
+"""
+
+
+@query("dedup_image_dhash_groups", _image_dhash_oracle())
+def q_dedup_image_dhash_groups(spark, sf_dir):
+    """Perceptual-hash image near-dup grouping (X136), the image twin
+    of the SimHash text tier: the seeded synthetic BMP corpus (9x8,
+    md5-gray pixels, 97 seed classes, stride-padding path) rides
+    encode -> REAL decode -> dHash -> exact-tier groupBy on the
+    fingerprint -> 16-bit banding over DISTINCT fingerprints ->
+    JVM-side Hamming verify (bit_count over xor). Scale shape: the
+    quadratic term is bounded by distinct IMAGES per band value, not
+    documents — identical re-encodes never reach a join
+    (operators/multimodal.image_near_dup_groups)."""
+    blobs = multimodal.synth_bmp_blobs(_docs(spark, sf_dir), mode="seeded")
+    return multimodal.image_near_dup_groups(
+        multimodal.image_hashes(blobs), max_hamming=2
+    )
+
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

@@ -1188,3 +1188,46 @@ def test_decontam_audit_catches_subthreshold_quote(spark):
         .collect()
     )
     assert {(r.doc_id, r.shared) for r in ov} == {(1, 1)}
+
+
+def test_lsh_band_plan_s_curve_properties(spark):
+    """The band-plan table (X137) matches the analytic S-curve: exact
+    value at a hand-computed point, monotone in s within a config, and
+    the s50 crossover moves RIGHT as rows/band grows (more selective)."""
+    import gmall_spark.queries_llm as ql
+
+    rows = ql.q_dedup_lsh_band_plan(spark, None).collect()
+    assert len(rows) == 19 * len(ql.BAND_PLAN_CONFIGS)
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r.n_bands, r.rows_per_band), []).append(r)
+    # hand-computed spot check: (16,1) at s=0.05 -> 1-(0.95)^16
+    one = {r.s_pct: r.p_candidate for r in by_cfg[(16, 1)]}
+    assert one[5] == round(1 - 0.95**16, 6)
+    s50 = {}
+    for cfg, rs in by_cfg.items():
+        rs.sort(key=lambda r: r.s_pct)
+        ps = [r.p_candidate for r in rs]
+        assert all(a <= b for a, b in zip(ps, ps[1:]))  # monotone in s
+        assert all(0.0 <= p <= 1.0 for p in ps)
+        assert len({r.s50_pct for r in rs}) == 1
+        # NULL s50 = the config never reaches p=0.5 inside the grid
+        # (true for (1,16): 0.95^16 ~= 0.44) — order it past the end.
+        s50[cfg] = rs[0].s50_pct if rs[0].s50_pct is not None else 100
+    ordered = sorted(s50, key=lambda c: c[1])  # by rows/band
+    assert [s50[c] for c in ordered] == sorted(s50[c] for c in ordered)
+    assert s50[(16, 1)] < s50[(4, 4)] < s50[(1, 16)]
+
+
+def test_dim_truncation_recall_shape(spark, sf_dir):
+    """Truncation eval (X138): one row per dim, hits bounded by the
+    ground-truth pair count, and using ALL 64 dims would give recall 1
+    by construction (sanity of the harness itself via the 32-dim arm
+    being <= 1)."""
+    import gmall_spark.queries_llm as ql
+
+    rows = ql.q_similarity_eval_dim_truncation(spark, sf_dir).collect()
+    assert sorted(r.dims for r in rows) == sorted(ql.TRUNC_DIMS)
+    for r in rows:
+        assert r.bf_pairs > 0 and 0 <= r.hits <= r.bf_pairs
+        assert r.recall_at_10 == round(r.hits / r.bf_pairs, 6)

@@ -285,3 +285,94 @@ def test_vad_segments_hand_computed(spark):
     assert got[0].mean_rms == 32767.0
     assert got[2].n_frames == 2 and got[2].seg_start_ms == 500.0
     assert got[2].mean_rms == 75.0
+
+
+# --- image perceptual hashing (X135/X136) -----------------------------------
+
+
+def test_image_hashes_hand_computed(spark):
+    """aHash/dHash bit conventions pinned against hand-computed bytes."""
+    # 9x8 grayscale ramp: gray(x, y) = 10*x  ->  every dHash bit is 1
+    # (gray strictly increases left to right), so dhash_hex is all ff.
+    ramp = np.zeros((8, 9, 3), dtype=np.uint8)
+    for x in range(9):
+        ramp[:, x, :] = 10 * x
+    # 8x8: first 12 pixels white (fill level q=12): aHash = prefix mask
+    fill = np.zeros((8, 8, 3), dtype=np.uint8)
+    fill.reshape(-1, 3)[:12] = 255
+    rows = [(1, make_bmp(ramp)), (2, make_bmp(fill)), (3, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    got = {r.doc_id: r for r in M.image_hashes(df).collect()}
+    a = got[1]
+    assert a.decode_ok and (a.width, a.height) == (9, 8)
+    assert a.dhash_hex == "ff" * 8
+    assert a.dhash_bytes == [255] * 8
+    # aHash of the left 8x8 of the ramp: mean = 35, bits set for x >= 4
+    # -> each row byte is 00001111 = 0x0f
+    assert a.ahash_hex == "0f" * 8
+    b = got[2]
+    # q=12: row 0 fully white (0xff), row 1 first 4 white (0xf0), rest 0
+    assert b.ahash_hex == "fff0" + "00" * 6
+    assert b.dhash_hex is None and b.dhash_bytes is None  # width < 9
+    assert b.gray_mean == round(12 * 255 / 64, 6)
+    assert not got[3].decode_ok
+
+
+def test_image_near_dup_groups_hamming_boundary(spark):
+    """Grouping keeps Hamming <= 2 pairs (via some shared 16-bit band)
+    and drops Hamming 3; identical fingerprints collapse exact-tier."""
+    base = [0xAA] * 8
+    one = [0xAB] + [0xAA] * 7          # Hamming 1 vs base (band 0 differs)
+    three = [0xAA] * 7 + [0xA5]        # last byte flips 4 bits -> Hamming 4
+    far = [0x00] * 8
+    def hexs(bs):
+        return "".join(f"{v:02x}" for v in bs)
+    rows = [
+        (1, True, 9, 8, 1.0, None, hexs(base), base),
+        (2, True, 9, 8, 1.0, None, hexs(base), base),   # exact dup of 1
+        (3, True, 9, 8, 1.0, None, hexs(one), one),     # near dup (H=1)
+        (4, True, 9, 8, 1.0, None, hexs(three), three), # H=4: own group
+        (5, True, 9, 8, 1.0, None, hexs(far), far),     # own group
+        (6, False, None, None, None, None, None, None), # undecodable: dropped
+    ]
+    df = spark.createDataFrame(rows, M.IMG_HASH_SCHEMA)
+    got = {r.doc_id: r for r in M.image_near_dup_groups(df, max_hamming=2).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1].rep_id == got[2].rep_id == got[3].rep_id == 1
+    assert got[1].group_size == 3
+    assert got[4].rep_id == 4 and got[4].group_size == 1
+    assert got[5].rep_id == 5 and got[5].group_size == 1
+
+
+def test_seeded_corpus_separation():
+    """The 97 seed-class dHashes are pairwise far apart (min Hamming
+    16 — asserted exactly so a drifting formula is caught), computed
+    straight from the md5 gray formula, independent of the codec."""
+    import hashlib
+    import itertools
+
+    def dhash_bits(seed: int) -> int:
+        bits = 0
+        for r in range(8):
+            for x in range(8):
+                g0 = hashlib.md5(f"{seed}:{x}:{r}".encode()).digest()[0]
+                g1 = hashlib.md5(f"{seed}:{x + 1}:{r}".encode()).digest()[0]
+                bits = (bits << 1) | (1 if g1 > g0 else 0)
+        return bits
+    hs = [dhash_bits(s) for s in range(97)]
+    assert len(set(hs)) == 97
+    mn = min(bin(a ^ b).count("1") for a, b in itertools.combinations(hs, 2))
+    assert mn == 16
+
+
+def test_image_pipeline_end_to_end_seeded(spark):
+    """synth(seeded) -> real BMP decode -> dHash -> groups == seed classes."""
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id bigint")
+    out = M.image_near_dup_groups(
+        M.image_hashes(M.synth_bmp_blobs(docs, mode="seeded")), max_hamming=2
+    )
+    rows = out.collect()
+    assert len(rows) == 300
+    for r in rows:
+        assert r.rep_id == r.doc_id % 97
+        assert r.group_size == (4 if r.doc_id % 97 < 9 else 3)  # 300 = 3*97 + 9
