@@ -183,3 +183,95 @@ SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair_left ASC, pair_rig
 FROM pc2
 QUALIFY rnk <= {top_n}
 """
+
+
+# ---------------------------------------------------------------------------
+# Frozen-tokenizer encoding (X139): apply a TRAINED merge list in rank
+# order — the deployment shape of the X100/X109 training loop (train
+# once, encode every batch under the frozen artifact, like the frozen
+# LM/DSIR models). Reference parity: tokenizer application is the step
+# between corpus curation and token-budget planning (X115/X134).
+# ---------------------------------------------------------------------------
+
+# A frozen merge table (rank-ordered, later merges may consume earlier
+# outputs — ('th','e') builds on ('t','h')). In production this literal
+# is the artifact the X109 training iterations emit.
+FROZEN_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("an", "d"), ("o", "n"), ("r", "e"),
+)
+
+# Applying ONE merge (l, r) is a greedy left-to-right fold over the
+# token list: if the accumulator's last token is l and the next is r,
+# replace the tail with lr, else append. One pass is exhaustive for a
+# single pair (a new (l, r) adjacency would need lr == l or lr == r,
+# impossible for non-empty halves), and the fold reproduces BPE's
+# non-overlap rule ('aaaa' + (a,a) -> [aa, aa]) — the same definition
+# X109's window algebra pins. k merges = k nested folds, pure per-row
+# compute: ZERO shuffles at any corpus size.
+
+
+def encode_expr_spark(word: str, merges=FROZEN_MERGES) -> str:
+    """Spark SQL expression: ``word`` (a column/lambda-var reference)
+    -> token array under the frozen merges. CASE branches (not AND
+    chains) guard the empty accumulator — CASE is contractually lazy,
+    so ANSI element_at can never see an empty array."""
+    e = f"transform(sequence(1, length({word})), i -> substring({word}, i, 1))"
+    for l, r in merges:
+        e = (
+            f"aggregate({e}, cast(array() as array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) = 0 THEN array(x) "
+            f"WHEN element_at(acc, -1) = '{l}' AND x = '{r}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}')) "
+            f"ELSE concat(acc, array(x)) END)"
+        )
+    return e
+
+
+def encode_expr_duckdb(word: str, merges=FROZEN_MERGES) -> str:
+    """DuckDB twin of :func:`encode_expr_spark`. list_reduce has no
+    initial-value overload, so elements ride as singleton lists and the
+    first singleton IS the initial accumulator — which matches the fold
+    exactly (out = [t1], then process the rest)."""
+    e = (
+        f"list_transform(list_transform(range(1, length({word}) + 1), "
+        f"i -> {word}[i:i]), t -> [t])"
+    )
+    for l, r in merges:
+        e = (
+            f"list_transform(list_reduce({e}, (acc, x) -> "
+            f"CASE WHEN acc[-1] = '{l}' AND x[1] = '{r}' "
+            f"THEN acc[1:len(acc)-1] || ['{l}{r}'] ELSE acc || x END), "
+            f"t -> [t])"
+        )
+    return f"list_transform({e}, s -> s[1])"
+
+
+def frozen_encode_oracle_sql() -> str:
+    """DuckDB twin of the registered frozen-encode query."""
+    enc = encode_expr_duckdb("w")
+    return rf"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+), agg AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) = 0 THEN 0 ELSE
+           list_aggregate(list_transform(words, w -> length(w)), 'sum')
+         END AS n_base_tokens,
+         CASE WHEN len(words) = 0 THEN 0 ELSE
+           list_aggregate(list_transform(words, w -> len({enc})), 'sum')
+         END AS n_tokens
+  FROM ws
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_base_tokens AS BIGINT) AS n_base_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE round(n_base_tokens * 1.0 / n_tokens, 6) END AS compression
+FROM agg
+"""

@@ -4832,6 +4832,44 @@ def q_similarity_eval_dim_truncation(spark, sf_dir):
     return out
 
 
+# --- frozen-tokenizer encoding (X139) ---------------------------------------
+
+from gmall_spark.operators import bpe as _bpe_ops  # noqa: E402
+
+
+@query("llm_bpe_encode_frozen", _bpe_ops.frozen_encode_oracle_sql())
+def q_llm_bpe_encode_frozen(spark, sf_dir):
+    """Frozen-tokenizer encoding (X139): every document tokenized
+    under a TRAINED rank-ordered merge list — the deployment shape of
+    the X109 BPE training loop (train once, encode every batch under
+    the frozen artifact; the per-doc token counts are what the X134
+    budget plan and X115 fertility report consume). Applying one merge
+    is a greedy left-to-right fold (the X109-pinned non-overlap rule);
+    k merges are k NESTED per-row folds over the word array — no
+    explode, no token shuffle, zero exchanges at any corpus size. Both
+    engines run the same fold from the same merge literal
+    (operators/bpe.encode_expr_spark / encode_expr_duckdb)."""
+    enc = _bpe_ops.encode_expr_spark("w")
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        r"filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS words",
+    ).selectExpr(
+        "doc_id",
+        "cast(size(words) as bigint) AS n_words",
+        "cast(aggregate(words, 0L, (a, w) -> a + length(w)) as bigint)"
+        " AS n_base_tokens",
+        f"cast(aggregate(words, 0L, (a, w) -> a + size({enc})) as bigint)"
+        " AS n_tokens",
+    ).selectExpr(
+        "doc_id",
+        "n_words",
+        "n_base_tokens",
+        "n_tokens",
+        "CASE WHEN n_tokens = 0 THEN NULL"
+        " ELSE round(n_base_tokens * 1.0 / n_tokens, 6) END AS compression",
+    )
+
+
 # --- image perceptual hashing (X135/X136) ---------------------------------
 
 

@@ -1231,3 +1231,51 @@ def test_dim_truncation_recall_shape(spark, sf_dir):
     for r in rows:
         assert r.bf_pairs > 0 and 0 <= r.hits <= r.bf_pairs
         assert r.recall_at_10 == round(r.hits / r.bf_pairs, 6)
+
+
+def test_frozen_bpe_encode_matches_python_reference(spark):
+    """The nested-fold encode (X139) equals a literal pure-Python BPE
+    apply (scan left to right, merge non-overlapping occurrences, one
+    merge rank at a time) on adversarial words — including the 'aaaa'
+    overlap case and chained merges that consume earlier outputs."""
+    from gmall_spark.operators import bpe
+
+    def py_encode(word, merges):
+        toks = list(word)
+        for l, r in merges:
+            out = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    words = ["there", "and", "running", "x", "inthe", "thethe",
+             "rere", "anand", "interesting", "ontheother"]
+    merges = bpe.FROZEN_MERGES
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.toks
+        for r in df.selectExpr(
+            "w", f"{bpe.encode_expr_spark('w')} AS toks"
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == py_encode(w, merges), w
+    # the overlap rule, isolated: (a,a) on runs of a
+    aa = [("a", "a")]
+    df2 = spark.createDataFrame([("aaaa",), ("aaa",), ("aaaaa",)], "w string")
+    got2 = {
+        r.w: r.toks
+        for r in df2.selectExpr(
+            "w", f"{bpe.encode_expr_spark('w', aa)} AS toks"
+        ).collect()
+    }
+    assert got2["aaaa"] == ["aa", "aa"]
+    assert got2["aaa"] == ["aa", "a"]
+    assert got2["aaaaa"] == ["aa", "aa", "a"]
