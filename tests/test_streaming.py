@@ -1698,3 +1698,85 @@ def test_incremental_containment_foreach_batch_e2e(spark, sf_dir, tmpdir):
         for r in llm_dedup.containment_pairs_rare_blocking(docs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_image_dedup_equals_batch_and_retroactive(spark, tmpdir):
+    """X136's streaming twin (incremental_image_dedup): fingerprints
+    freeze at ingest (dHash is deterministic through the codec), the
+    group structure re-derives from the merged store via the exact
+    batch operator — two-batch == one-batch — and representatives are
+    retroactive: a later arrival with a smaller doc_id re-labels every
+    earlier member of its group."""
+    from gmall_spark.operators import multimodal as M
+    from gmall_spark.streaming import incremental_image_dedup as ii
+
+    def blobs(ids):
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        return M.synth_bmp_blobs(docs, mode="seeded")
+
+    store = f"{tmpdir}/img_store"
+    # seeds: 10 -> {10, 107}; 59 -> {156, 253}
+    ii.process_batch(spark, blobs([10, 107, 156, 253]), store, 0)
+    after1 = {r.doc_id: (r.rep_id, r.group_size)
+              for r in ii.current_groups(spark, store).collect()}
+    assert after1 == {10: (10, 2), 107: (10, 2),
+                      156: (156, 2), 253: (156, 2)}
+
+    # batch 2: 204 joins seed class 10; 59 UNDERCUTS class 59's rep
+    ii.process_batch(spark, blobs([204, 59]), store, 1)
+    after2 = {r.doc_id: (r.rep_id, r.group_size)
+              for r in ii.current_groups(spark, store).collect()}
+    assert after2[10] == (10, 3) and after2[204] == (10, 3)  # size grew
+    # retroactive re-labeling: 156 and 253 now answer to rep 59
+    assert after2[156] == (59, 3) and after2[253] == (59, 3)
+    assert after2[59] == (59, 3)
+
+    # streaming == batch: one-shot over all six docs
+    want = {r.doc_id: (r.rep_id, r.group_size)
+            for r in M.image_near_dup_groups(
+                M.image_hashes(blobs([10, 107, 156, 253, 204, 59]))
+            ).collect()}
+    assert after2 == want
+
+    # foreachBatch replay: re-processing batch 1 changes nothing
+    ii.process_batch(spark, blobs([204, 59]), store, 1)
+    again = {r.doc_id: (r.rep_id, r.group_size)
+             for r in ii.current_groups(spark, store).collect()}
+    assert again == after2
+
+
+def test_incremental_image_dedup_foreach_batch_e2e(spark, tmpdir):
+    """End-to-end streaming form of the image near-dup twin: a real
+    readStream file source (maxFilesPerTrigger=1 -> two micro-batches)
+    of (doc_id, blob) rows through runner.run_foreach_batch; the final
+    assignment must equal the one-shot batch operator over all
+    streamed images."""
+    from gmall_spark.operators import multimodal as M
+    from gmall_spark.streaming import incremental_image_dedup as ii
+    from gmall_spark.streaming import runner
+
+    docs = spark.createDataFrame([(i,) for i in range(240)], "doc_id bigint")
+    blobs = M.synth_bmp_blobs(docs, mode="seeded")
+    store = f"{tmpdir}/img_e2e_store"
+    src = f"{tmpdir}/img_e2e_src"
+    blobs.filter(F.col("doc_id") < 120).coalesce(1).write.parquet(f"{src}/b0")
+    blobs.filter(F.col("doc_id") >= 120).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, blob binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, eid: ii.process_batch(spark, b, store, eid),
+        checkpoint=f"{tmpdir}/ckpt_incr_img",
+    )
+    q.awaitTermination(180)
+
+    got = {(r.doc_id, r.rep_id, r.group_size)
+           for r in ii.current_groups(spark, store).collect()}
+    want = {(r.doc_id, r.rep_id, r.group_size)
+            for r in M.image_near_dup_groups(M.image_hashes(blobs)).collect()}
+    assert got == want and len(want) == 240
