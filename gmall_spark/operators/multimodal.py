@@ -228,6 +228,7 @@ def _parse_wav(b: bytes) -> dict | None:
         "duration_ms": round(n * 1000.0 / rate, 6),
         "rms": round(float(np.sqrt(np.mean(x * x))), 6) if n else 0.0,
         "peak": int(np.max(np.abs(x))) if n else 0,
+        "samples": x,  # interleaved float64, for downstream DSP
     }
 
 
@@ -1061,3 +1062,118 @@ def image_near_dup_groups(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
         F.col("rep_id").cast("bigint").alias("rep_id"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral features (X141): REAL DFT over REAL decoded PCM — the
+# feature-extraction pass (dominant tone, amplitude) an audio pipeline
+# runs for fingerprinting / language-ID / quality gating. The synthetic
+# corpus is pure sine tones at exact DFT bins, so the oracle states the
+# CLOSED FORM the encode -> decode -> rfft chain must recover.
+# ---------------------------------------------------------------------------
+
+SPECTRAL_SCHEMA = (
+    "doc_id bigint, decode_ok boolean, n_samples bigint, "
+    "dominant_bin bigint, dominant_hz bigint, amp_est bigint"
+)
+
+
+def synth_sine_wav_blobs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 2000,
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic sine-tone corpus: per document a REAL 16-bit mono
+    PCM WAV of amplitude ``doc_id % 1000`` at DFT bin
+    ``101 + 2·(doc_id % 10)`` of a ``n_samples`` frame (404–476 Hz at
+    8 kHz/2000). Two deliberate number-theory choices give the
+    spectrum a closed form: the tone sits on an EXACT bin (f·N/rate
+    integer — zero leakage with a rectangular window), and the bin is
+    COPRIME to the frame length, so the int16 rounding error visits
+    2000 distinct phases instead of repeating a short cycle — a
+    round-number grid like 800 Hz has only 10 phases and its COHERENT
+    quantization bias (measured up to ±524) crosses the amplitude
+    rounding boundary; the coprime grid's worst measured deviation is
+    103 vs the 500 boundary."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        t = np.arange(n_samples)
+        for b in batches:
+            ids, blobs = [], []
+            for doc_id in b[id_col]:
+                doc_id = int(doc_id)
+                amp = doc_id % 1000
+                freq = (101 + 2 * (doc_id % 10)) * rate // n_samples
+                pcm = np.round(
+                    amp * np.sin(2 * np.pi * freq * t / rate)
+                ).astype(np.int16)
+                data = pcm.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                ids.append(doc_id)
+                blobs.append(hdr + data)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "blob": blobs}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, blob binary"
+    )
+
+
+def wav_spectral_features(blobs: DataFrame, frame_len: int = 2000) -> DataFrame:
+    """REAL spectral analysis over (doc_id, blob): decode WAV PCM via
+    the genuine RIFF parser, rfft the first ``frame_len`` samples,
+    report the dominant non-DC bin, its frequency, and the implied
+    tone amplitude (2·|X[k]|/N rounded — exact for on-bin tones).
+    Silent frames (no bin above the quantization-noise floor) carry
+    NULLs rather than a noise argmax. Arrow mapInPandas; the FFT is
+    O(N log N) per blob and blobs never leave executors."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["blob"]):
+                parsed = _parse_wav(bytes(blob))
+                if parsed is None or parsed["n_samples"] < frame_len:
+                    rows.append({"doc_id": doc_id, "decode_ok": False,
+                                 "n_samples": None, "dominant_bin": None,
+                                 "dominant_hz": None, "amp_est": None})
+                    continue
+                x = parsed["samples"]
+                if parsed["n_channels"] > 1:  # downmix to mono
+                    x = x.reshape(-1, parsed["n_channels"]).mean(axis=1)
+                x = x[:frame_len]
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0  # exclude DC
+                k = int(spec.argmax())
+                # noise floor: rounding error is ~sqrt(N)/2 per bin;
+                # a real tone of amplitude >= 1 stands N/2 tall
+                if spec[k] < frame_len / 4:
+                    rows.append({"doc_id": doc_id, "decode_ok": True,
+                                 "n_samples": parsed["n_samples"],
+                                 "dominant_bin": None, "dominant_hz": None,
+                                 "amp_est": None})
+                    continue
+                rows.append({
+                    "doc_id": doc_id, "decode_ok": True,
+                    "n_samples": parsed["n_samples"],
+                    "dominant_bin": k,
+                    "dominant_hz": round(k * parsed["sample_rate"] / frame_len),
+                    "amp_est": round(2.0 * spec[k] / frame_len),
+                })
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(gen, schema=SPECTRAL_SCHEMA)

@@ -4960,6 +4960,43 @@ def q_dedup_image_dhash_groups(spark, sf_dir):
     )
 
 
+# --- audio spectral features (X141) -----------------------------------------
+
+
+@query(
+    "multimodal_wav_spectral",
+    """
+SELECT doc_id,
+       CAST(2000 AS BIGINT) AS n_samples,
+       CASE WHEN doc_id % 1000 = 0 THEN NULL
+            ELSE CAST(101 + 2 * (doc_id % 10) AS BIGINT) END AS dominant_bin,
+       CASE WHEN doc_id % 1000 = 0 THEN NULL
+            ELSE CAST(4 * (101 + 2 * (doc_id % 10)) AS BIGINT) END AS dominant_hz,
+       CASE WHEN doc_id % 1000 = 0 THEN NULL
+            ELSE CAST(doc_id % 1000 AS BIGINT) END AS amp_est
+FROM documents
+""",
+)
+def q_multimodal_wav_spectral(spark, sf_dir):
+    """Audio spectral analysis end to end (X141): a deterministic
+    sine-tone corpus (amplitude doc_id%1000 at DFT bin 101+2(doc%10),
+    REAL RIFF encoding; tones on EXACT bins COPRIME to the frame so a
+    rectangular window has zero leakage AND the int16 quantization
+    error decorrelates — see synth_sine_wav_blobs for the measured
+    coherent-bias failure on a round-number grid) rides encode ->
+    decode -> numpy rfft -> dominant-bin detection, and the oracle
+    states the CLOSED FORM the chain must recover: bin, hz = 4·bin,
+    amplitude = 2|X[k]|/N rounded back to the exact integer (worst
+    measured deviation 103 vs the 500 rounding boundary).
+    Zero-amplitude docs stay below the noise floor and carry NULLs,
+    pinning the silence gate too
+    (operators/multimodal.wav_spectral_features)."""
+    blobs = multimodal.synth_sine_wav_blobs(_docs(spark, sf_dir))
+    return multimodal.wav_spectral_features(blobs).select(
+        "doc_id", "n_samples", "dominant_bin", "dominant_hz", "amp_est"
+    )
+
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

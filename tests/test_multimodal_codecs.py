@@ -376,3 +376,30 @@ def test_image_pipeline_end_to_end_seeded(spark):
     for r in rows:
         assert r.rep_id == r.doc_id % 97
         assert r.group_size == (4 if r.doc_id % 97 < 9 else 3)  # 300 = 3*97 + 9
+
+
+def test_wav_spectral_hand_built_tones(spark):
+    """Spectral features (X141) on hand-built PCM: exact-bin tone
+    recovered (bin, hz, amplitude), stereo downmixes before the FFT,
+    silence yields NULLs, corrupt blobs decode_ok=false."""
+    t = np.arange(2000)
+    tone = np.round(700 * np.sin(2 * np.pi * 303 * t / 2000)).astype(int)
+    rows = [
+        (1, make_wav(list(tone))),                       # bin 303 @ 8 kHz
+        (2, make_wav([0] * 2000)),                       # silence
+        (3, make_wav([v for v in tone for _ in (0, 1)],  # same tone, stereo
+                     n_ch=2)),
+        (4, b"RIFFnope"),
+        (5, make_wav([5, -5] * 100)),                    # too short (< 2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    got = {r.doc_id: r for r in M.wav_spectral_features(df).collect()}
+    a = got[1]
+    assert a.decode_ok and a.n_samples == 2000
+    assert (a.dominant_bin, a.dominant_hz, a.amp_est) == (303, 1212, 700)
+    s = got[2]
+    assert s.decode_ok and s.dominant_bin is None and s.amp_est is None
+    st = got[3]
+    assert st.decode_ok and st.dominant_bin == 303 and st.amp_est == 700
+    assert not got[4].decode_ok
+    assert not got[5].decode_ok  # shorter than one frame
