@@ -995,15 +995,24 @@ def image_near_dup_groups(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
        transitive closure is the components operator's job when a
        corpus needs chains).
 
+    The hashed relation and the distinct-fingerprint table are
+    persisted: ``hashes`` usually sits on top of the DECODE pass, and
+    this plan consumes it from several subtrees (band sides, rep
+    derivation, final assignment) — without the persist the codec
+    re-runs once per subtree (measured 6×).
+
     Returns (doc_id, dhash_hex, rep_id, group_size)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    fp = hashes.filter(F.col("decode_ok") & F.col("dhash_hex").isNotNull())
+    fp = hashes.filter(
+        F.col("decode_ok") & F.col("dhash_hex").isNotNull()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # exact tier: one row per distinct fingerprint
     d = fp.groupBy("dhash_hex").agg(
         F.min("doc_id").alias("fp_min"),
         F.first("dhash_bytes").alias("bytes"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = d.select(
         "dhash_hex",
         "fp_min",
@@ -1041,9 +1050,24 @@ def image_near_dup_groups(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    # symmetrize via explode so `near` is ONE subtree (a union of two
+    # selects would evaluate the verify join twice)
     partner_min = (
-        near.select(F.col("hex_a").alias("dhash_hex"), F.col("min_b").alias("pmin"))
-        .union(near.select(F.col("hex_b").alias("dhash_hex"), F.col("min_a").alias("pmin")))
+        near.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("hex_a").alias("dhash_hex"),
+                        F.col("min_b").alias("pmin"),
+                    ),
+                    F.struct(
+                        F.col("hex_b").alias("dhash_hex"),
+                        F.col("min_a").alias("pmin"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.dhash_hex", "e.pmin")
         .groupBy("dhash_hex")
         .agg(F.min("pmin").alias("near_min"))
     )

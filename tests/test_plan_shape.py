@@ -296,6 +296,19 @@ BUDGETS = [
     ("important_stock_parts", 3, 7),
     ("supplier_count_by_part_attrs", 3, 2),
     ("promotion_candidate_suppliers", 4, 5),
+    # r7 additions — per-row codec/fold pipelines: scan fan-out ONLY
+    # (the frozen-BPE nested folds and both media feature passes must
+    # never grow a token- or pixel-level shuffle)
+    ("llm_bpe_encode_frozen", 1, 0),
+    ("multimodal_wav_spectral", 1, 0),
+    ("multimodal_image_ahash", 1, 0),
+    # image near-dup grouping: persisted hash/fingerprint tiers, band
+    # self-join, rep derivation + assignment (counts include cached-
+    # lineage re-prints inside InMemoryTableScan nodes)
+    ("dedup_image_dhash_groups", 12, 0),
+    # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
+    # scan + window + agg; arms must broadcast the 5-query side
+    ("similarity_eval_dim_truncation", 28, 4),
 ]
 
 
