@@ -4960,6 +4960,108 @@ def q_dedup_image_dhash_groups(spark, sf_dir):
     )
 
 
+# --- l-diversity release gate (X142) ----------------------------------------
+
+L_DIVERSITY = 3
+
+
+@query(
+    "events_l_diversity",
+    f"""
+SELECT event_type,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT CAST(floor(value / 100) AS BIGINT)) AS BIGINT)
+         AS distinct_sensitive
+FROM events
+GROUP BY 1, 2
+HAVING count(DISTINCT CAST(floor(value / 100) AS BIGINT)) < {L_DIVERSITY}
+""",
+)
+def q_events_l_diversity(spark, sf_dir):
+    """l-diversity release gate (X142; Machanavajjhala et al. 2007) —
+    the attack k-anonymity misses: a quasi-identifier class can hold
+    many rows (k-anonymous) yet expose everyone in it if they all
+    share ONE sensitive value. Same QI grid as X131 minus the value
+    bucket, which is now the SENSITIVE attribute: report every
+    (event_type, hour) class carrying fewer than L distinct value
+    buckets — a release coarsens or suppresses exactly these. ONE
+    hash aggregate (the distinct rides the same exchange as a partial
+    Expand); output bounded by the QI grid, not the corpus."""
+    e = _t(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 100).cast("bigint")
+    return (
+        e.groupBy("event_type", F.hour("ts").cast("bigint").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(b).cast("bigint").alias("distinct_sensitive"),
+        )
+        .filter(F.col("distinct_sensitive") < L_DIVERSITY)
+    )
+
+
+# --- length-bucketed batching padding report (X143) --------------------------
+
+
+@query(
+    "llm_length_bucket_padding",
+    r"""
+WITH lens AS (
+  SELECT greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')), 1) AS n
+  FROM documents
+), bucketed AS (
+  SELECT ((n + 63) // 64) * 64 AS bucket_len, n FROM lens
+)
+SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+       round(1.0 - sum(n) * 1.0 / (count(*) * bucket_len), 6) AS waste_frac
+FROM bucketed GROUP BY bucket_len
+""",
+)
+def q_llm_length_bucket_padding(spark, sf_dir):
+    """Length-bucketed batching padding report (X143): documents
+    batch by 64-token length buckets (every sequence pads to its
+    bucket cap), and the table says what fraction of the compute each
+    bucket wastes on pad tokens — the serving/training-efficiency
+    twin of the X26 packing pass (packing eliminates padding by
+    concatenation; bucketing keeps document boundaries and pays the
+    reported waste; padding to the single corpus max is the
+    degenerate one-bucket case). Empty docs occupy one slot
+    (greatest(n,1)); all arithmetic integer-exact, one hash aggregate
+    bounded by the bucket grid."""
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            r"greatest(size(filter(split(text, '\\s+'), x -> x != '')), 1)"
+            " AS n"
+        )
+        .selectExpr("((n + 63) div 64) * 64 AS bucket_len", "n")
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.col("bucket_len"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.round(
+                1.0
+                - F.sum("n") * 1.0 / (F.count(F.lit(1)) * F.col("bucket_len")),
+                6,
+            ).alias("waste_frac"),
+        )
+        .select(
+            F.col("bucket_len").cast("bigint").alias("bucket_len"),
+            "n_docs",
+            "sum_tokens",
+            "padded_tokens",
+            "waste_frac",
+        )
+    )
+
+
 # --- audio spectral features (X141) -----------------------------------------
 
 
