@@ -99,6 +99,15 @@ HEADLINE = [
     "multimodal_wav_segments",
     "llm_decontam_audit",
     "llm_token_budget_plan",
+    "dedup_lsh_band_plan",
+    "similarity_eval_dim_truncation",
+    "multimodal_image_ahash",
+    "dedup_image_dhash_groups",
+    "llm_bpe_encode_frozen",
+    "multimodal_wav_spectral",
+    "events_l_diversity",
+    "llm_length_bucket_padding",
+    "llm_vocab_oov",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5062,6 +5062,92 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- frozen-vocabulary OOV report (X144) ------------------------------------
+
+VOCAB_MIN_COUNT = 2
+
+
+@query(
+    "llm_vocab_oov",
+    rf"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM tok WHERE doc_id % 2 = 0
+  GROUP BY w HAVING count(*) >= {VOCAB_MIN_COUNT}
+), hold AS (
+  SELECT t.lang, t.w, v.w IS NOT NULL AS known
+  FROM tok t LEFT JOIN vocab v ON v.w = t.w
+  WHERE t.doc_id % 2 = 1
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT) AS oov_tokens,
+       round(sum(CASE WHEN known THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
+         AS oov_token_rate,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT CASE WHEN known THEN NULL ELSE w END) AS BIGINT)
+         AS oov_types,
+       round(count(DISTINCT CASE WHEN known THEN NULL ELSE w END) * 1.0
+             / count(DISTINCT w), 6) AS oov_type_rate
+FROM hold GROUP BY lang
+""",
+)
+def q_llm_vocab_oov(spark, sf_dir):
+    """Frozen-vocabulary OOV report (X144): the closed word vocabulary
+    is trained on the even-doc half (count >= 2 — hapaxes excluded,
+    the classic min-count cut) and FROZEN; the odd half is the
+    deployment traffic, reported per language as token- and
+    type-weighted OOV rates — the preprocessing acceptance table that
+    decides between a closed vocab and the X139 BPE fallback (whose
+    whole point is an OOV rate of zero). Vocab is count-bounded and
+    joins the holdout token stream on the word key; two hash
+    aggregates plus one join, everything else rides the same
+    exchange."""
+    d = _docs(spark, sf_dir)
+    tok = d.selectExpr(
+        "doc_id",
+        "lang",
+        r"explode(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''))"
+        " AS w",
+    )
+    vocab = (
+        tok.filter("doc_id % 2 = 0")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= VOCAB_MIN_COUNT)
+        .select("w")
+    )
+    hold = (
+        tok.filter("doc_id % 2 = 1")
+        .join(vocab.withColumn("known", F.lit(True)), "w", "left")
+        .select("lang", "w", F.coalesce("known", F.lit(False)).alias("known"))
+    )
+    return hold.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("known"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("oov_tokens"),
+        F.round(
+            F.sum(F.when(F.col("known"), 0).otherwise(1)) * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_token_rate"),
+        F.countDistinct("w").cast("bigint").alias("n_types"),
+        F.countDistinct(F.when(~F.col("known"), F.col("w")))
+        .cast("bigint")
+        .alias("oov_types"),
+        F.round(
+            F.countDistinct(F.when(~F.col("known"), F.col("w"))) * 1.0
+            / F.countDistinct("w"),
+            6,
+        ).alias("oov_type_rate"),
+    )
+
+
 # --- audio spectral features (X141) -----------------------------------------
 
 

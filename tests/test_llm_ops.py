@@ -1279,3 +1279,30 @@ def test_frozen_bpe_encode_matches_python_reference(spark):
     assert got2["aaaa"] == ["aa", "aa"]
     assert got2["aaa"] == ["aa", "a"]
     assert got2["aaaaa"] == ["aa", "aa", "a"]
+
+
+def test_vocab_oov_planted_counts(spark, tmpdir):
+    """X144 on a planted corpus where the OOV branch actually fires
+    (the synthetic testdata's ~31-type vocabulary never misses): the
+    frozen vocab keeps only train words with count >= 2, and holdout
+    OOV is counted token- and type-weighted."""
+    import gmall_spark.queries_llm as ql
+
+    rows = [
+        (0, "aa aa bb", "en"),   # train: aa x2 (kept), bb x1 (hapax, cut)
+        (2, "aa cc cc", "en"),   # train: cc x2 (kept)
+        (1, "aa bb dd dd", "en"),  # holdout: bb, dd, dd are OOV
+        (3, "cc", "fr"),           # holdout: fully covered
+    ]
+    sf = f"{tmpdir}/vocab_sf"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r.lang: r for r in ql.q_llm_vocab_oov(spark, sf).collect()}
+    en = got["en"]
+    assert (en.n_tokens, en.oov_tokens) == (4, 3)
+    assert en.oov_token_rate == 0.75
+    assert (en.n_types, en.oov_types) == (3, 2)
+    assert en.oov_type_rate == round(2 / 3, 6)
+    fr = got["fr"]
+    assert (fr.n_tokens, fr.oov_tokens, fr.oov_type_rate) == (1, 0, 0.0)
