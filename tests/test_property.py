@@ -560,3 +560,105 @@ def test_dsir_weights_match_python(spark, docs):
     for k in expected:
         assert got[k][0] == expected[k][0], (k, got[k], expected[k])
         assert abs(got[k][1] - expected[k][1]) <= 1e-6, (k, got[k], expected[k])
+
+
+# --- frozen-BPE encode (X139) ------------------------------------------------
+
+_tok = st.text(alphabet="abc", min_size=1, max_size=2)
+bpe_words_strategy = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=12),
+    min_size=1,
+    max_size=15,
+)
+bpe_merges_strategy = st.lists(
+    st.tuples(_tok, _tok), min_size=1, max_size=5
+)
+
+
+def _py_bpe_encode(word, merges):
+    toks = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+@given(words=bpe_words_strategy, merges=bpe_merges_strategy)
+@settings(**_SETTINGS)
+def test_frozen_bpe_encode_matches_python(spark, words, merges):
+    """The nested aggregate-HOF fold == a literal greedy
+    left-to-right BPE apply, for RANDOM merge lists (including
+    never-matching, self-overlapping, and chained merges) on random
+    words."""
+    from gmall_spark.operators import bpe
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.toks
+        for r in df.selectExpr(
+            "w", f"{bpe.encode_expr_spark('w', merges)} AS toks"
+        ).collect()
+    }
+    for w in set(words):
+        assert got[w] == _py_bpe_encode(w, merges), (w, merges)
+
+
+# --- image perceptual hashes (X135/X136) --------------------------------------
+
+img_strategy = st.lists(
+    st.tuples(
+        st.integers(8, 10),  # width
+        st.integers(8, 9),   # height
+        st.integers(0, 2**32 - 1),  # pixel seed
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(imgs=img_strategy)
+@settings(**_SETTINGS)
+def test_image_hashes_match_python(spark, imgs):
+    """aHash/dHash through the REAL BMP round trip == a plain-Python
+    reference computed straight from the pixel grid, on random image
+    sizes (with and without row padding) and random pixel content."""
+    import numpy as np
+
+    from gmall_spark.operators import multimodal as M
+    from tests.test_multimodal_codecs import make_bmp
+
+    rows, want = [], {}
+    for i, (w, h, seed) in enumerate(imgs):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, make_bmp(img)))
+        gray = img[:, :, 0].astype(int)  # channel 0 is the hash plane
+        grid = gray[:8, :8]
+        mean = grid.sum() / 64.0
+        abits = [
+            [1 if grid[y, x] > mean else 0 for x in range(8)] for y in range(8)
+        ]
+        ahex = "".join(
+            f"{sum(b << (7 - x) for x, b in enumerate(row)):02x}"
+            for row in abits
+        )
+        dhex = None
+        if w >= 9:
+            dhex = "".join(
+                f"{sum((1 if gray[y, x + 1] > gray[y, x] else 0) << (7 - x) for x in range(8)):02x}"
+                for y in range(8)
+            )
+        want[i] = (ahex, dhex, round(float(gray.mean()), 6))
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    got = {r.doc_id: r for r in M.image_hashes(df).collect()}
+    for i, (ahex, dhex, gmean) in want.items():
+        r = got[i]
+        assert r.decode_ok
+        assert (r.ahash_hex, r.dhash_hex, r.gray_mean) == (ahex, dhex, gmean), i
