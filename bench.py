@@ -108,6 +108,7 @@ HEADLINE = [
     "events_l_diversity",
     "llm_length_bucket_padding",
     "llm_vocab_oov",
+    "events_join_cardinality_sketch",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5062,6 +5062,141 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- KMV join-cardinality estimation (X145) ----------------------------------
+
+KMV_K = 256
+KMV_M = 1152921504606846976  # 2^60: the hash domain (15 md5 hex chars)
+
+
+def _kmv_oracle() -> str:
+    return f"""
+WITH a AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h
+  FROM events
+), b AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h
+  FROM customer
+), a_sk AS (SELECT h FROM a ORDER BY h LIMIT {KMV_K}),
+b_sk AS (SELECT h FROM b ORDER BY h LIMIT {KMV_K}),
+u_sk AS (
+  SELECT h FROM (SELECT h FROM a_sk UNION SELECT h FROM b_sk)
+  ORDER BY h LIMIT {KMV_K}
+), sa AS (
+  SELECT count(*) AS n, max(h) AS hk FROM a_sk
+), sb AS (
+  SELECT count(*) AS n, max(h) AS hk FROM b_sk
+), su AS (
+  SELECT count(*) AS n, max(u_sk.h) AS hk,
+         sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_both
+  FROM u_sk LEFT JOIN a_sk ia ON ia.h = u_sk.h
+            LEFT JOIN b_sk ib ON ib.h = u_sk.h
+), ex AS (
+  SELECT (SELECT count(*) FROM a) AS na,
+         (SELECT count(*) FROM b) AS nb,
+         (SELECT count(*) FROM a JOIN b USING (h)) AS ni
+)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       CAST(ex.na AS BIGINT) AS n_a_exact,
+       round(CASE WHEN sa.n < {KMV_K} THEN sa.n * 1.0
+                  ELSE ({KMV_K} - 1) * CAST({KMV_M} AS DOUBLE) / sa.hk END, 6)
+         AS n_a_est,
+       CAST(ex.nb AS BIGINT) AS n_b_exact,
+       round(CASE WHEN sb.n < {KMV_K} THEN sb.n * 1.0
+                  ELSE ({KMV_K} - 1) * CAST({KMV_M} AS DOUBLE) / sb.hk END, 6)
+         AS n_b_est,
+       CAST(ex.ni AS BIGINT) AS n_inter_exact,
+       round(su.n_both
+             * (CASE WHEN su.n < {KMV_K} THEN su.n * 1.0
+                     ELSE ({KMV_K} - 1) * CAST({KMV_M} AS DOUBLE) / su.hk END)
+             / su.n, 6) AS n_inter_est
+FROM sa, sb, su, ex
+"""
+
+
+@query("events_join_cardinality_sketch", _kmv_oracle())
+def q_events_join_cardinality_sketch(spark, sf_dir):
+    """KMV join-cardinality estimation (X145; Beyer et al. 2007 —
+    k-minimum-values sketches): estimate |distinct keys|, and the
+    DISTINCT-KEY OVERLAP of events.user_id vs customer.c_custkey,
+    from three 64-value sketches — the statistics pass an optimizer
+    (or the X93 ANALYZE twin) runs before choosing a join strategy,
+    at sketch cost instead of a full join. The union sketch's K
+    smallest hashes decide membership honestly: any union-sketch
+    value present in a side is necessarily inside that side's own
+    sketch (h <= Kth(A∪B) <= Kth(A)), so the intersection ratio
+    needs no second pass. Exact counts ride along as the
+    verification columns (at 100 TB you'd drop them — they ARE the
+    join being avoided). md5-hash determinism makes both engines
+    build identical sketches, so estimates match to the bit."""
+    k = KMV_K
+    m = float(KMV_M)
+
+    def hashes(df, col):
+        return df.selectExpr(
+            f"cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10)"
+            " as bigint) AS h"
+        ).distinct()
+
+    a = hashes(_t(spark, sf_dir, "events"), "user_id")
+    b = hashes(_t(spark, sf_dir, "customer"), "c_custkey")
+    a_sk = a.orderBy("h").limit(k)
+    b_sk = b.orderBy("h").limit(k)
+    u_sk = a_sk.union(b_sk).distinct().orderBy("h").limit(k)
+
+    def est(n_col, hk_col):
+        return F.round(
+            F.when(F.col(n_col) < k, F.col(n_col) * 1.0).otherwise(
+                (k - 1) * F.lit(m) / F.col(hk_col)
+            ),
+            6,
+        )
+
+    sa = a_sk.agg(F.count("h").alias("n_a"), F.max("h").alias("hk_a"))
+    sb = b_sk.agg(F.count("h").alias("n_b"), F.max("h").alias("hk_b"))
+    su = (
+        u_sk.join(a_sk.withColumn("in_a", F.lit(1)), "h", "left")
+        .join(b_sk.withColumn("in_b", F.lit(1)), "h", "left")
+        .agg(
+            F.count("h").alias("n_u"),
+            F.max("h").alias("hk_u"),
+            F.sum(
+                F.when(
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_both"),
+        )
+    )
+    ex = (
+        a.agg(F.count("h").alias("n_a_exact"))
+        .crossJoin(b.agg(F.count("h").alias("n_b_exact")))
+        .crossJoin(a.join(b, "h").agg(F.count("h").alias("n_inter_exact")))
+    )
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(su)
+        .crossJoin(ex)
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("n_a_exact").cast("bigint").alias("n_a_exact"),
+            est("n_a", "hk_a").alias("n_a_est"),
+            F.col("n_b_exact").cast("bigint").alias("n_b_exact"),
+            est("n_b", "hk_b").alias("n_b_est"),
+            F.col("n_inter_exact").cast("bigint").alias("n_inter_exact"),
+            F.round(
+                F.col("n_both")
+                * F.when(F.col("n_u") < k, F.col("n_u") * 1.0).otherwise(
+                    (k - 1) * F.lit(m) / F.col("hk_u")
+                )
+                / F.col("n_u"),
+                6,
+            ).alias("n_inter_est"),
+        )
+    )
+
+
 # --- frozen-vocabulary OOV report (X144) ------------------------------------
 
 VOCAB_MIN_COUNT = 2

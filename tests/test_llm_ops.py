@@ -1306,3 +1306,22 @@ def test_vocab_oov_planted_counts(spark, tmpdir):
     assert en.oov_type_rate == round(2 / 3, 6)
     fr = got["fr"]
     assert (fr.n_tokens, fr.oov_tokens, fr.oov_type_rate) == (1, 0, 0.0)
+
+
+def test_kmv_join_cardinality_accuracy(spark, sf_dir):
+    """KMV sketch estimates (X145) must land near the exact counts:
+    a side smaller than K is EXACT by construction (the sketch holds
+    every value), and the K=256 estimates carry ~1/sqrt(K-1) ≈ 6%
+    standard error — gate at 25% relative."""
+    import gmall_spark.queries_llm as ql
+
+    r = ql.q_events_join_cardinality_sketch(spark, sf_dir).collect()[0]
+    assert r.k == ql.KMV_K
+    if r.n_a_exact < r.k:
+        assert r.n_a_est == float(r.n_a_exact)
+    for est, exact in [
+        (r.n_a_est, r.n_a_exact),
+        (r.n_b_est, r.n_b_exact),
+        (r.n_inter_est, r.n_inter_exact),
+    ]:
+        assert exact > 0 and abs(est - exact) / exact < 0.25, (est, exact)
