@@ -109,6 +109,7 @@ HEADLINE = [
     "llm_length_bucket_padding",
     "llm_vocab_oov",
     "events_join_cardinality_sketch",
+    "layout_compaction_plan",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5062,6 +5062,76 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- small-file compaction planning (X146) -----------------------------------
+
+COMPACT_MIN_ROWS = 230  # target file floor, scaled to the test corpus
+
+
+def _compaction_oracle() -> str:
+    from gmall_spark.queries import ORACLES
+
+    t = COMPACT_MIN_ROWS
+    return f"""
+WITH z AS ({ORACLES["layout_zorder_orders"]}),
+files AS (SELECT file_id, count(*) AS n_rows FROM z GROUP BY file_id),
+u AS (
+  SELECT file_id, row_number() OVER (ORDER BY file_id) AS rn
+  FROM files WHERE n_rows < {t}
+), p AS (
+  SELECT file_id, min(file_id) OVER (PARTITION BY (rn + 1) // 2) AS tgt
+  FROM u
+)
+SELECT f.file_id,
+       CAST(f.n_rows AS BIGINT) AS n_rows,
+       f.n_rows < {t} AS undersized,
+       CAST(coalesce(p.tgt, f.file_id) AS BIGINT) AS merge_target,
+       CAST(sum(f.n_rows) OVER (PARTITION BY coalesce(p.tgt, f.file_id))
+            AS BIGINT) AS merged_rows
+FROM files f LEFT JOIN p ON p.file_id = f.file_id
+"""
+
+
+@query("layout_compaction_plan", _compaction_oracle())
+def q_layout_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (X146) — the OPTIMIZE half of
+    the X130 layout story: from the Z-order file assignment, files
+    under the target row floor pair up with their NEXT undersized
+    neighbor in z order (the X109 even-offset run idiom at file
+    grain), so merges stay z-contiguous and the clustering the layout
+    bought is preserved; a trailing unpaired file waits for the next
+    OPTIMIZE cycle, exactly like Delta's. Every window here runs over
+    the FILE table — bounded by the layout grid (64 files), never the
+    corpus — and the only corpus-sized work is the file_id count
+    rollup the plan starts from."""
+    from pyspark.sql import Window
+
+    t = COMPACT_MIN_ROWS
+    z = q_layout_zorder_orders(spark, sf_dir)
+    files = z.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    u = (
+        files.filter(F.col("n_rows") < t)
+        .withColumn("rn", F.row_number().over(Window.orderBy("file_id")))
+        .withColumn(
+            "tgt",
+            F.min("file_id").over(
+                Window.partitionBy(((F.col("rn") + 1) / 2).cast("int"))
+            ),
+        )
+        .select("file_id", "tgt")
+    )
+    j = files.join(u, "file_id", "left")
+    w = Window.partitionBy(F.coalesce("tgt", F.col("file_id")))
+    return j.select(
+        F.col("file_id").cast("bigint").alias("file_id"),
+        "n_rows",
+        (F.col("n_rows") < t).alias("undersized"),
+        F.coalesce("tgt", F.col("file_id")).cast("bigint").alias("merge_target"),
+        F.sum("n_rows").over(w).cast("bigint").alias("merged_rows"),
+    )
+
+
 # --- KMV join-cardinality estimation (X145) ----------------------------------
 
 KMV_K = 256

@@ -37,3 +37,31 @@ def test_zorder_mapping_structure_and_pruning(spark):
     for r in rows:
         by_pair.setdefault((r.cust_bucket, r.day_bucket), set()).add(r.file_id)
     assert all(len(v) == 1 for v in by_pair.values())
+
+
+def test_compaction_plan_pairs_adjacent_undersized(spark, sf_dir):
+    """X146 invariants: only undersized files move, merge groups hold
+    at most two files, partners are ADJACENT in the undersized z
+    sequence (clustering preserved), merged_rows is the group sum,
+    and a trailing odd file stays for the next cycle."""
+    import gmall_spark.queries_llm as ql
+
+    rows = ql.q_layout_compaction_plan(spark, sf_dir).collect()
+    by_target = {}
+    for r in rows:
+        by_target.setdefault(r.merge_target, []).append(r)
+        if not r.undersized:
+            assert r.merge_target == r.file_id  # big files never move
+    under = sorted(r.file_id for r in rows if r.undersized)
+    for tgt, grp in by_target.items():
+        assert len(grp) <= 2
+        assert sum(r.n_rows for r in grp) == grp[0].merged_rows
+        if len(grp) == 2:
+            a, b = sorted(r.file_id for r in grp)
+            assert a == tgt
+            assert all(r.undersized for r in grp)
+            # adjacency in the undersized sequence
+            assert under.index(b) == under.index(a) + 1
+    if len(under) % 2 == 1:  # trailing odd file stays put
+        last = under[-1]
+        assert len(by_target[last]) == 1
