@@ -1005,14 +1005,22 @@ def image_near_dup_groups(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    fp = hashes.filter(
-        F.col("decode_ok") & F.col("dhash_hex").isNotNull()
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from gmall_spark import persist as _persist
+
+    fp = _persist.register(
+        hashes.filter(
+            F.col("decode_ok") & F.col("dhash_hex").isNotNull()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # exact tier: one row per distinct fingerprint
-    d = fp.groupBy("dhash_hex").agg(
-        F.min("doc_id").alias("fp_min"),
-        F.first("dhash_bytes").alias("bytes"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    d = _persist.register(
+        fp.groupBy("dhash_hex")
+        .agg(
+            F.min("doc_id").alias("fp_min"),
+            F.first("dhash_bytes").alias("bytes"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bands = d.select(
         "dhash_hex",
         "fp_min",

@@ -124,3 +124,51 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cell_ct"), F.lit(0))).alias("est_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch (X145; Beyer et al. 2007).
+# Mergeable by min-union: the K smallest of a union of per-partition /
+# per-batch K-smallest sets equals the K smallest of everything (any
+# globally-small value is small within its own batch), so the streaming
+# twin is EXACT — and the merge is idempotent (replay-safe for free).
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+KMV_M = 1152921504606846976  # 2^60: 15 md5 hex chars of hash domain
+
+
+def kmv_hash_sql(col: str) -> str:
+    """Engine-portable 60-bit hash of a key column (Spark text; the
+    DuckDB twin is CAST('0x' || substr(md5(...), 1, 15) AS BIGINT))."""
+    return (
+        f"cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+
+
+def kmv_hashes(df: DataFrame, key_col: str) -> DataFrame:
+    """DISTINCT 60-bit hashes of a key column, as column ``h``."""
+    return df.selectExpr(f"{kmv_hash_sql(key_col)} AS h").distinct()
+
+
+def kmv_sketch(hashes: DataFrame, k: int = KMV_K) -> DataFrame:
+    """The K smallest distinct hashes (TakeOrdered — per-partition
+    top-k then a driver-side merge of K·partitions values, never a
+    global sort)."""
+    return hashes.orderBy("h").limit(k)
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """One-row (n_sketch, est) from a KMV sketch: exact when the
+    sketch holds fewer than K values (it then holds ALL values),
+    (K-1)·M/h_K otherwise."""
+    return sketch.agg(
+        F.count("h").cast("bigint").alias("n_sketch"),
+        F.round(
+            F.when(F.count("h") < k, F.count("h") * 1.0).otherwise(
+                (k - 1) * F.lit(float(KMV_M)) / F.max("h")
+            ),
+            6,
+        ).alias("est"),
+    )

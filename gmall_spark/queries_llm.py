@@ -5134,8 +5134,7 @@ def q_layout_compaction_plan(spark, sf_dir):
 
 # --- KMV join-cardinality estimation (X145) ----------------------------------
 
-KMV_K = 256
-KMV_M = 1152921504606846976  # 2^60: the hash domain (15 md5 hex chars)
+from gmall_spark.operators.sketches import KMV_K, KMV_M  # noqa: E402
 
 
 def _kmv_oracle() -> str:
@@ -5201,20 +5200,15 @@ def q_events_join_cardinality_sketch(spark, sf_dir):
     verification columns (at 100 TB you'd drop them — they ARE the
     join being avoided). md5-hash determinism makes both engines
     build identical sketches, so estimates match to the bit."""
+    from gmall_spark.operators import sketches
+
     k = KMV_K
     m = float(KMV_M)
-
-    def hashes(df, col):
-        return df.selectExpr(
-            f"cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10)"
-            " as bigint) AS h"
-        ).distinct()
-
-    a = hashes(_t(spark, sf_dir, "events"), "user_id")
-    b = hashes(_t(spark, sf_dir, "customer"), "c_custkey")
-    a_sk = a.orderBy("h").limit(k)
-    b_sk = b.orderBy("h").limit(k)
-    u_sk = a_sk.union(b_sk).distinct().orderBy("h").limit(k)
+    a = sketches.kmv_hashes(_t(spark, sf_dir, "events"), "user_id")
+    b = sketches.kmv_hashes(_t(spark, sf_dir, "customer"), "c_custkey")
+    a_sk = sketches.kmv_sketch(a, k)
+    b_sk = sketches.kmv_sketch(b, k)
+    u_sk = sketches.kmv_sketch(a_sk.union(b_sk).distinct(), k)
 
     def est(n_col, hk_col):
         return F.round(

@@ -1780,3 +1780,46 @@ def test_incremental_image_dedup_foreach_batch_e2e(spark, tmpdir):
     want = {(r.doc_id, r.rep_id, r.group_size)
             for r in M.image_near_dup_groups(M.image_hashes(blobs)).collect()}
     assert got == want and len(want) == 240
+
+
+def test_incremental_kmv_exactly_equals_batch_and_replay(spark, tmpdir):
+    """KMV streaming twin (X145's pipeline form): min-union merging
+    makes streaming == batch EXACT (row-identical sketch, bit-equal
+    estimate) after any split, and idempotent under foreachBatch
+    replay with NO batch-id bookkeeping."""
+    from gmall_spark.operators import sketches
+    from gmall_spark.streaming import incremental_kmv as ik
+
+    store = f"{tmpdir}/kmv_store"
+    b1 = spark.range(0, 400).selectExpr("id AS k")
+    b2 = spark.range(300, 900).selectExpr("id AS k")  # overlaps b1
+    ik.process_batch(spark, b1, "k", store)
+    ik.process_batch(spark, b2, "k", store)
+
+    got_sketch = sorted(r.h for r in ik.current_sketch(spark, store).collect())
+    want_sketch = sorted(
+        r.h
+        for r in sketches.kmv_sketch(
+            sketches.kmv_hashes(b1.unionByName(b2), "k")
+        ).collect()
+    )
+    assert got_sketch == want_sketch and len(got_sketch) == sketches.KMV_K
+
+    got_est = ik.distinct_estimate(spark, store).collect()[0]
+    want_est = sketches.kmv_distinct_estimate(
+        sketches.kmv_sketch(sketches.kmv_hashes(b1.unionByName(b2), "k"))
+    ).collect()[0]
+    assert (got_est.n_sketch, got_est.est) == (want_est.n_sketch, want_est.est)
+    # 900 true distinct; K=256 estimator should land close
+    assert abs(got_est.est - 900) / 900 < 0.2
+
+    # replay: re-merging batch 2 is a no-op (min-union idempotence)
+    ik.process_batch(spark, b2, "k", store)
+    again = sorted(r.h for r in ik.current_sketch(spark, store).collect())
+    assert again == got_sketch
+
+    # sub-K corpus: sketch holds everything, estimate EXACT
+    store2 = f"{tmpdir}/kmv_small"
+    ik.process_batch(spark, spark.range(0, 100).selectExpr("id AS k"), "k", store2)
+    e = ik.distinct_estimate(spark, store2).collect()[0]
+    assert (e.n_sketch, e.est) == (100, 100.0)
