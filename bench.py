@@ -110,6 +110,7 @@ HEADLINE = [
     "llm_vocab_oov",
     "events_join_cardinality_sketch",
     "layout_compaction_plan",
+    "llm_bitext_mining",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -640,3 +640,104 @@ def gemm_allpairs_topk(
             "cos_sim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (X148; Artetxe & Schwenk 2019,
+# arXiv:1811.01136 §3 "ratio" margin): cross-lingual parallel-sentence
+# candidates scored by cos(x, y) relative to BOTH sides' nearest-
+# neighborhood averages — absolute cosine thresholds fail because some
+# sentences live in dense regions; the margin normalizes that out.
+# ---------------------------------------------------------------------------
+
+BITEXT_NN_K = 4
+
+
+def bitext_margin_top1(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = BITEXT_NN_K,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per source doc, the best-margin target doc:
+    margin = 2·cos(x,y) / (avg_k(x→tgt) + avg_k(y→src)).
+
+    Cross-engine float discipline: cosines round to 6 dp first, and
+    each side's top-k neighborhood SUM folds over a SORTED array
+    (aggregate HOF / list_reduce) — a plain SUM() aggregates in
+    shuffle order and its last-ulp noise would flip rounded margins.
+    The division happens once, on bit-identical doubles.
+
+    Scale shape: the cross join is lang-pair-bounded here (the
+    registered corpus) and swaps for IVF/LSH candidate generation
+    (X8/X11) at 100 TB — margins only need each candidate's top-k
+    neighborhood, which the index returns anyway.
+
+    Domain: the ratio margin assumes a mostly POSITIVE similarity
+    range (LASER-style sentence embeddings); if a neighborhood sum
+    goes negative the ratio flips sign and the score is meaningless —
+    pinned by the planted-fixture test.
+
+    Returns (src_id, tgt_id, cos_sim, margin)."""
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tv"))
+    pairs = s.crossJoin(F.broadcast(t)).select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos6"),
+    )
+
+    def topk_sum(df, key, other):
+        # deterministic order: (-cos, other-id) ascending, fold in order
+        return (
+            df.groupBy(key)
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col("cos6")).alias("nc"), F.col(other))
+                        )
+                    ),
+                    1,
+                    k,
+                ).alias("top")
+            )
+            .select(
+                key,
+                F.aggregate(
+                    "top", F.lit(0.0), lambda a, x: a - x["nc"]
+                ).alias("nn_sum"),
+                F.size("top").alias("nn_k"),
+            )
+        )
+
+    sx = topk_sum(pairs, "src_id", "tgt_id").withColumnRenamed(
+        "nn_sum", "sum_x"
+    ).withColumnRenamed("nn_k", "k_x")
+    sy = topk_sum(pairs, "tgt_id", "src_id").withColumnRenamed(
+        "nn_sum", "sum_y"
+    ).withColumnRenamed("nn_k", "k_y")
+    scored = (
+        pairs.join(F.broadcast(sx), "src_id")
+        .join(F.broadcast(sy), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.col("cos6").alias("cos_sim"),
+            F.round(
+                2.0
+                * F.col("cos6")
+                / (F.col("sum_x") / F.col("k_x") + F.col("sum_y") / F.col("k_y")),
+                6,
+            ).alias("margin"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -5062,6 +5062,79 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- margin-based bitext mining (X148) ----------------------------------------
+
+BITEXT_SRC_LANG, BITEXT_TGT_LANG = "en", "de"
+
+
+def _bitext_oracle() -> str:
+    k = similarity.BITEXT_NN_K
+    return f"""
+WITH e AS (
+  SELECT d.doc_id, d.lang, em.embedding
+  FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
+), s AS (SELECT doc_id AS src_id, embedding AS sv FROM e WHERE lang = '{BITEXT_SRC_LANG}'),
+t AS (SELECT doc_id AS tgt_id, embedding AS tv FROM e WHERE lang = '{BITEXT_TGT_LANG}'),
+px AS (
+  SELECT src_id, tgt_id, unnest(sv)::DOUBLE AS a, unnest(tv)::DOUBLE AS b
+  FROM s CROSS JOIN t
+), pairs AS (
+  SELECT src_id, tgt_id,
+         round(SUM(a * b) / (sqrt(SUM(a * a)) * sqrt(SUM(b * b))), 6) AS cos6
+  FROM px GROUP BY src_id, tgt_id
+), sx AS (
+  SELECT src_id,
+         list_reduce((list(cos6 ORDER BY cos6 DESC, tgt_id ASC))[1:{k}],
+                     (x, y) -> x + y) AS sum_x,
+         len((list(cos6 ORDER BY cos6 DESC, tgt_id ASC))[1:{k}]) AS k_x
+  FROM pairs GROUP BY src_id
+), sy AS (
+  SELECT tgt_id,
+         list_reduce((list(cos6 ORDER BY cos6 DESC, src_id ASC))[1:{k}],
+                     (x, y) -> x + y) AS sum_y,
+         len((list(cos6 ORDER BY cos6 DESC, src_id ASC))[1:{k}]) AS k_y
+  FROM pairs GROUP BY tgt_id
+), scored AS (
+  SELECT p.src_id, p.tgt_id, p.cos6 AS cos_sim,
+         round(2.0 * p.cos6 / (sx.sum_x / sx.k_x + sy.sum_y / sy.k_y), 6)
+           AS margin
+  FROM pairs p JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY margin DESC, cos_sim DESC, tgt_id ASC)
+              AS rn
+  FROM scored
+)
+SELECT src_id, tgt_id, cos_sim, margin FROM ranked WHERE rn = 1
+"""
+
+
+@query("llm_bitext_mining", _bitext_oracle())
+def q_llm_bitext_mining(spark, sf_dir):
+    """Margin-based bitext mining (X148; Artetxe & Schwenk 2019 —
+    the LASER/CCMatrix parallel-corpus mining shape): for every
+    English document, the best German candidate scored by the ratio
+    margin 2·cos/(avg_k(x→de) + avg_k(y→en)) — absolute cosine
+    thresholds misfire in dense embedding regions; the margin
+    normalizes by both sides' neighborhoods. Float discipline: each
+    neighborhood sum folds over a SORTED array (a plain SUM()
+    aggregates in shuffle order and its last-ulp noise would flip
+    rounded margins); Spark's fold subtracts negated keys, which IEEE
+    guarantees equals the oracle's plain additions. Cross join is
+    lang-pair-bounded; at 100 TB candidates come from the X8/X11
+    index, which returns the needed top-k neighborhoods anyway
+    (operators/similarity.bitext_margin_top1)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    j = d.join(e, "doc_id")
+    return similarity.bitext_margin_top1(
+        j.filter(F.col("lang") == BITEXT_SRC_LANG),
+        j.filter(F.col("lang") == BITEXT_TGT_LANG),
+    )
+
+
 # --- small-file compaction planning (X146) -----------------------------------
 
 COMPACT_MIN_ROWS = 230  # target file floor, scaled to the test corpus

@@ -1325,3 +1325,35 @@ def test_kmv_join_cardinality_accuracy(spark, sf_dir):
         (r.n_inter_est, r.n_inter_exact),
     ]:
         assert exact > 0 and abs(est - exact) / exact < 0.25, (est, exact)
+
+
+def test_bitext_margin_finds_planted_translation(spark):
+    """X148 on a planted fixture: a source doc whose embedding is
+    (nearly) identical to one target doc must select it with the top
+    margin, while a source doc sitting in a DENSE region (everything
+    equally close) earns margin ~1 — the normalization absolute
+    cosine lacks."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return (v / np.linalg.norm(v)).tolist()
+
+    # positive-orthant vectors: the ratio margin assumes a mostly
+    # positive similarity range (LASER-style sentence embeddings);
+    # negative neighborhood sums flip its sign and the score is
+    # meaningless — out of the operator's documented domain.
+    base = rng.random(8)
+    # targets: one "translation" + noise docs
+    tgt = [(100, unit(base + rng.normal(scale=0.01, size=8)))] + [
+        (101 + i, unit(rng.random(8))) for i in range(6)
+    ]
+    dense = unit(rng.random(8))
+    src = [(1, unit(base)), (2, dense)]
+    s = spark.createDataFrame(src, "doc_id long, embedding array<double>")
+    t = spark.createDataFrame(tgt, "doc_id long, embedding array<double>")
+    got = {r.src_id: r for r in similarity.bitext_margin_top1(s, t).collect()}
+    assert got[1].tgt_id == 100 and got[1].cos_sim > 0.99
+    assert got[1].margin > got[2].margin  # planted pair beats dense doc
