@@ -111,6 +111,7 @@ HEADLINE = [
     "events_join_cardinality_sketch",
     "layout_compaction_plan",
     "llm_bitext_mining",
+    "embedding_knn_triangles",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -614,3 +614,54 @@ def ivfpq_residual_topk_oracle(
 )
 {_cosine_topk_tail(k)}"""
     )
+
+
+def triangles_oracle(k: int = 5) -> str:
+    """DuckDB twin of ``operators.graph.triangle_stats`` over the
+    exact kNN(k) cosine graph: the kNN edge CTE reuses the proven
+    brute-force cosine shape (unnest-zip, round 6, neighbor-id
+    tiebreak), the undirected edge set is least/greatest + DISTINCT,
+    and every triangle appears exactly once as an ordered triple
+    a < b < c — a literal twin of the Spark joins, integer-exact
+    counts, one rounded ratio."""
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         unnest(a.embedding)::DOUBLE AS qx, unnest(b.embedding)::DOUBLE AS nx
+  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))), 6) AS cos_sim
+  FROM pairs GROUP BY query_id, neighbor_id
+), knn AS (
+  SELECT query_id AS src, neighbor_id AS dst
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM scored)
+  WHERE rnk <= {k}
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM knn WHERE src <> dst
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), tn AS (
+  SELECT node_id, count(*) AS t
+  FROM (SELECT x AS node_id FROM tri UNION ALL
+        SELECT y FROM tri UNION ALL
+        SELECT z FROM tri)
+  GROUP BY node_id
+), deg AS (
+  SELECT node_id, count(*) AS d
+  FROM (SELECT a AS node_id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node_id
+)
+SELECT deg.node_id,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(tn.t, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.d < 2 THEN 0.0
+            ELSE round(2.0 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1.0)), 6)
+       END AS clustering
+FROM deg LEFT JOIN tn ON tn.node_id = deg.node_id
+"""

@@ -95,3 +95,69 @@ def pagerank(
         F.col("r").cast("bigint").alias("rank_micro"),
         F.round(F.col("r") / F.lit(float(PR_SCALE)), 6).alias("rank"),
     )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over a
+    directed edge list (X149) — the standard graph-health /
+    community-structure statistic (a kNN graph whose triangles vanish
+    is noise; one whose coefficients approach 1 is clustered — the
+    signal SemDeDup exploits).
+
+    The graph is made UNDIRECTED (least/greatest + distinct), then
+    every triangle materializes exactly once as an ordered triple
+    x < y < z via two self-joins. Per-node counts explode each
+    triangle into its three corners; coefficient = 2T/(d(d-1)).
+
+    Scale: the self-join fan-out is bounded by per-node degree (k for
+    a kNN graph — the wedge count is Σd², not n²); for skewed general
+    graphs the standard degree-ordered orientation bounds the fan-out
+    by the arboricity instead, noted here and skipped for the
+    bounded-degree kNN case so the oracle stays a literal a<b<c
+    twin."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node_id")
+    )
+    tn = corners.groupBy("node_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("triangles")
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.join(tn, "node_id", "left").select(
+        "node_id",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                2.0 * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1.0)),
+                6,
+            )
+        )
+        .alias("clustering"),
+    )

@@ -5062,6 +5062,28 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- kNN-graph triangle statistics (X149) --------------------------------------
+
+from gmall_spark.ann_oracles import triangles_oracle  # noqa: E402
+
+
+@query("embedding_knn_triangles", triangles_oracle(k=5))
+def q_embedding_knn_triangles(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficients over
+    the kNN(5) cosine graph (X149) — the graph-health statistic read
+    next to X82's PageRank: a kNN graph with vanishing clustering is
+    noise, one approaching 1 is the clustered structure SemDeDup
+    exploits. Shares the checkpointed kNN edge fixture with the
+    PageRank query (one GEMM build per session); each triangle
+    materializes exactly once as an ordered triple a<b<c via two
+    self-joins whose fan-out is degree-bounded (k per node — wedge
+    count Σd², never n²); degree-ordered orientation is the noted
+    skew upgrade for general graphs (operators/graph.triangle_stats)."""
+    from gmall_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_knn_edges(spark, sf_dir, PR_KNN_K))
+
+
 # --- margin-based bitext mining (X148) ----------------------------------------
 
 BITEXT_SRC_LANG, BITEXT_TGT_LANG = "en", "de"

@@ -1357,3 +1357,22 @@ def test_bitext_margin_finds_planted_translation(spark):
     got = {r.src_id: r for r in similarity.bitext_margin_top1(s, t).collect()}
     assert got[1].tgt_id == 100 and got[1].cos_sim > 0.99
     assert got[1].margin > got[2].margin  # planted pair beats dense doc
+
+
+def test_triangle_stats_hand_computed(spark):
+    """X149 on a hand-built graph: K4 (every node in 3 triangles,
+    clustering 1.0) plus a pendant vertex (degree 1, clustering 0)
+    attached to node 0, whose own coefficient drops to 3/(4*3/2)."""
+    from gmall_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(9, 0)]  # pendant, reversed orientation on purpose
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node_id: r for r in triangle_stats(df).collect()}
+    assert got[0].degree == 4 and got[0].triangles == 3
+    assert got[0].clustering == 0.5  # 2*3/(4*3)
+    for n in (1, 2, 3):
+        assert got[n].degree == 3 and got[n].triangles == 3
+        assert got[n].clustering == 1.0
+    assert got[9].degree == 1 and got[9].triangles == 0
+    assert got[9].clustering == 0.0
