@@ -112,6 +112,7 @@ HEADLINE = [
     "layout_compaction_plan",
     "llm_bitext_mining",
     "embedding_knn_triangles",
+    "orders_ingest_gaps",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

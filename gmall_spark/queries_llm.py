@@ -5062,6 +5062,63 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- ingest-completeness monitoring (X150) -------------------------------------
+
+
+@query(
+    "orders_ingest_gaps",
+    """
+WITH c AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS cnt
+  FROM orders GROUP BY 1
+), r AS (SELECT min(d) AS d0, max(d) AS d1 FROM c),
+all_days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM r
+), m AS (SELECT median(cnt) AS med FROM c)
+SELECT CAST(a.d AS VARCHAR) AS day,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_rows,
+       CASE WHEN c.d IS NULL THEN 'missing' ELSE 'low' END AS status
+FROM all_days a LEFT JOIN c ON c.d = a.d CROSS JOIN m
+WHERE c.d IS NULL OR 2 * c.cnt < m.med
+""",
+)
+def q_orders_ingest_gaps(spark, sf_dir):
+    """Ingest-completeness monitoring (X150): the per-day partition
+    audit a warehouse runs after every load — days MISSING from the
+    observed [min, max] date range (a dropped partition / dead
+    upstream) and days whose row count fell below half the median
+    (a partial load), the two failure shapes the X85 backfill repairs.
+    The day spine generates from one broadcast (min, max) row — never
+    a driver action; the 'low' threshold compares 2·cnt against the
+    exact median (integer-vs-midpoint — engines agree exactly, no
+    float boundary class); output bounded by anomalous days. Honest
+    scale note: the synthetic sf0.01 corpus has 6 genuinely missing
+    days; a denser SF may legitimately report none."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    r = c.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = r.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    m = c.agg(F.expr("percentile(cnt, 0.5)").alias("med"))
+    return (
+        days.join(c, "d", "left")
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("cnt").isNull() | (2 * F.col("cnt") < F.col("med")))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.when(F.col("cnt").isNull(), "missing")
+            .otherwise("low")
+            .alias("status"),
+        )
+    )
+
+
 # --- kNN-graph triangle statistics (X149) --------------------------------------
 
 from gmall_spark.ann_oracles import triangles_oracle  # noqa: E402
