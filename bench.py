@@ -113,6 +113,7 @@ HEADLINE = [
     "llm_bitext_mining",
     "embedding_knn_triangles",
     "orders_ingest_gaps",
+    "lineitem_copurchase_pairs",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

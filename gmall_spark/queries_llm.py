@@ -5062,6 +5062,89 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- market-basket co-purchase pairs (X151) -------------------------------------
+
+COPURCHASE_TOP = 100
+
+
+@query(
+    "lineitem_copurchase_pairs",
+    f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), pc AS (
+  SELECT p, count(*) AS n_p FROM op GROUP BY p
+), no AS (
+  SELECT count(DISTINCT o) AS n_orders FROM op
+), pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_ab
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+  GROUP BY a.p, b.p
+), scored AS (
+  SELECT part_a, part_b, n_ab,
+         round(n_ab * 1.0 * no.n_orders / (pa.n_p * pb.n_p), 6) AS lift
+  FROM pairs
+  JOIN pc pa ON pa.p = part_a
+  JOIN pc pb ON pb.p = part_b
+  CROSS JOIN no
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab, lift,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY n_ab DESC, part_a, part_b) AS rnk
+      FROM scored)
+WHERE rnk <= {COPURCHASE_TOP}
+""",
+)
+def q_lineitem_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-purchase mining (X151; the A-Priori support
+    count at pair size 2): the top co-ordered part pairs with
+    support and LIFT n_ab·N/(n_a·n_b) — the association statistic a
+    recommender or assortment analysis starts from. The self-join
+    fan-out is bounded by parts-per-order (≤13 in this corpus, a
+    constant in any real basket table — Σ|basket|² never n²); counts
+    stay integer to the end and lift divides exact integers once,
+    rounded. Deterministic top-{COPURCHASE_TOP} by (support, part
+    ids) keeps the output fixed-size at any SF."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pc = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    no = op.agg(F.countDistinct("o").alias("n_orders"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.o") == F.col("a.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    scored = (
+        pairs.join(F.broadcast(pc.withColumnRenamed("p", "part_a")
+                               .withColumnRenamed("n_p", "n_a")), "part_a")
+        .join(F.broadcast(pc.withColumnRenamed("p", "part_b")
+                          .withColumnRenamed("n_p", "n_b")), "part_b")
+        .crossJoin(F.broadcast(no))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_ab"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= COPURCHASE_TOP)
+        .select("part_a", "part_b", F.col("n_ab").cast("bigint").alias("n_ab"),
+                "lift", "rnk")
+    )
+
+
 # --- ingest-completeness monitoring (X150) -------------------------------------
 
 
