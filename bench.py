@@ -114,6 +114,7 @@ HEADLINE = [
     "embedding_knn_triangles",
     "orders_ingest_gaps",
     "lineitem_copurchase_pairs",
+    "embedding_lpa_communities",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -665,3 +665,54 @@ SELECT deg.node_id,
        END AS clustering
 FROM deg LEFT JOIN tn ON tn.node_id = deg.node_id
 """
+
+
+def lpa_oracle(k: int = 5, rounds: int = 3) -> str:
+    """DuckDB twin of ``operators.graph.label_propagation`` over the
+    exact kNN(k) cosine graph: the fixed synchronous rounds unroll as
+    chained CTEs (the pagerank_oracle pattern); the mode tie order
+    (count desc, smallest label) is total, so both engines converge
+    to identical labels — integer end to end, no float anywhere."""
+    head = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         unnest(a.embedding)::DOUBLE AS qx, unnest(b.embedding)::DOUBLE AS nx
+  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))), 6) AS cos_sim
+  FROM pairs GROUP BY query_id, neighbor_id
+), knn AS (
+  SELECT query_id AS src, neighbor_id AS dst
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM scored)
+  WHERE rnk <= {k}
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM knn WHERE src <> dst
+), dir_e AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+), l0 AS (
+  SELECT DISTINCT u AS node_id, u AS lab FROM dir_e
+)"""
+    body = []
+    for r in range(1, rounds + 1):
+        body.append(f""",
+n{r} AS (
+  SELECT d.v AS node_id, l.lab, count(*) AS c
+  FROM dir_e d JOIN l{r - 1} l ON l.node_id = d.u
+  GROUP BY d.v, l.lab
+), l{r} AS (
+  SELECT node_id, lab FROM (
+    SELECT node_id, lab,
+           row_number() OVER (PARTITION BY node_id
+                              ORDER BY c DESC, lab ASC) AS rn
+    FROM n{r}) WHERE rn = 1
+)""")
+    tail = f"""
+SELECT node_id,
+       CAST(lab AS BIGINT) AS community,
+       CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+FROM l{rounds}
+"""
+    return head + "".join(body) + tail

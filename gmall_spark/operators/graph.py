@@ -161,3 +161,62 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
         .alias("clustering"),
     )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous label-propagation communities (X152; Raghavan et
+    al. 2007) with fully deterministic semantics: labels start as
+    node ids; each round every node adopts the MODE of its neighbors'
+    labels over the undirected graph (count desc, then smallest label
+    — a total tie order, so no run-to-run or engine drift), for a
+    FIXED number of rounds (synchronous LPA can oscillate; a fixed
+    horizon pins the result instead of a convergence race).
+
+    Per round: one join (labels onto directed edges) + one (node,
+    label) count + one mode window — all keyed shuffles; lineage
+    truncates per round like pagerank's. Returns
+    (node_id, community, community_size)."""
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    dir_e = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).union(und.select(F.col("b").alias("u"), F.col("a").alias("v"))).persist()
+    nodes = dir_e.select(F.col("u").alias("node_id")).distinct().persist()
+    try:
+        labels = nodes.select("node_id", F.col("node_id").alias("lab"))
+        w = Window.partitionBy("node_id").orderBy(
+            F.desc("c"), F.asc("lab")
+        )
+        for _ in range(int(rounds)):
+            neigh = (
+                dir_e.join(
+                    labels.withColumnRenamed("node_id", "u"), "u"
+                )
+                .groupBy(F.col("v").alias("node_id"), "lab")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = (
+                neigh.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node_id", "lab")
+                .localCheckpoint(eager=False)
+            )
+        labels = labels.localCheckpoint(eager=True)
+    finally:
+        dir_e.unpersist()
+        nodes.unpersist()
+    sz = Window.partitionBy("lab")
+    return labels.select(
+        "node_id",
+        F.col("lab").cast("bigint").alias("community"),
+        F.count(F.lit(1)).over(sz).cast("bigint").alias("community_size"),
+    )

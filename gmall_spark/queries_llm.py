@@ -5204,7 +5204,26 @@ def q_orders_ingest_gaps(spark, sf_dir):
 
 # --- kNN-graph triangle statistics (X149) --------------------------------------
 
-from gmall_spark.ann_oracles import triangles_oracle  # noqa: E402
+from gmall_spark.ann_oracles import lpa_oracle, triangles_oracle  # noqa: E402
+
+
+@query("embedding_lpa_communities", lpa_oracle(k=5, rounds=3))
+def q_embedding_lpa_communities(spark, sf_dir):
+    """Label-propagation communities over the kNN(5) cosine graph
+    (X152; Raghavan et al. 2007) — the near-linear community detector
+    between X28's connected components (too coarse: one giant
+    component) and X25's k-means SemDeDup clusters (needs a k):
+    labels start as node ids, each synchronous round every node
+    adopts its neighborhood's MODE label with a TOTAL tie order
+    (count desc, smallest label), for a fixed 3 rounds — a fixed
+    horizon pins the result where free-running synchronous LPA can
+    oscillate. Integer end to end; the oracle unrolls the rounds as
+    chained CTEs exactly like the PageRank twin; shares the
+    checkpointed kNN edge fixture (operators/graph
+    .label_propagation)."""
+    from gmall_spark.operators.graph import label_propagation
+
+    return label_propagation(_knn_edges(spark, sf_dir, PR_KNN_K), rounds=3)
 
 
 @query("embedding_knn_triangles", triangles_oracle(k=5))

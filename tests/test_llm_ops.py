@@ -1376,3 +1376,20 @@ def test_triangle_stats_hand_computed(spark):
         assert got[n].clustering == 1.0
     assert got[9].degree == 1 and got[9].triangles == 0
     assert got[9].clustering == 0.0
+
+
+def test_label_propagation_hand_traced(spark):
+    """X152 on two triangles joined by a bridge, traced by hand
+    through all 3 synchronous rounds (labels are opaque ids — the
+    second clique legitimately ends up under label 2, which traveled
+    across the bridge in round 1)."""
+    from gmall_spark.operators.graph import label_propagation
+
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node_id: (r.community, r.community_size)
+           for r in label_propagation(df, rounds=3).collect()}
+    assert got == {
+        0: (0, 3), 1: (0, 3), 2: (0, 3),
+        10: (2, 3), 11: (2, 3), 12: (2, 3),
+    }
