@@ -208,3 +208,32 @@ def read_or_empty(spark: SparkSession, store_dir: str, schema) -> DataFrame:
         if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
             return spark.createDataFrame([], schema)
         raise
+
+
+def list_versions(store_dir: str) -> list[int]:
+    """COMPLETE (committed) version numbers still on disk, ascending.
+    The window is bounded by ``keep_previous`` — this is Delta-style
+    time travel over the retained tail, not an unbounded log."""
+    final = store_dir.rstrip("/")
+    return sorted(vn for vn, path in _versions(final) if _complete(path))
+
+
+def read_version(
+    spark: SparkSession, store_dir: str, schema, version: int
+) -> DataFrame:
+    """Snapshot read of one retained store version (the
+    ``versionAsOf`` contract): version directories are immutable once
+    ``_SUCCESS``-marked, so the read is stable even while newer swaps
+    land concurrently. Raises ``ValueError`` (listing what IS
+    retained) for a reaped or never-committed version — silently
+    returning the live store would be a wrong-answer bug in any
+    consumer doing an audit diff."""
+    final = store_dir.rstrip("/")
+    avail = list_versions(final)
+    if version not in avail:
+        raise ValueError(
+            f"version {version} not retained for {final!r}; "
+            f"available: {avail} (older versions are reaped "
+            f"keep_previous swaps after they stop being live)"
+        )
+    return spark.read.schema(schema).parquet(f"{final}.v{version}")

@@ -175,3 +175,29 @@ def test_concurrent_version_claim_is_exclusive(spark, tmp_path):
     store.swap_write(_df(spark, [(2, 20)]), p)
     assert _read(spark, p) == {(2, 20)}
     assert os.path.realpath(p).endswith("s.v2")
+
+
+def test_time_travel_reads_retained_versions(spark, tmpdir):
+    """Snapshot reads (X153): each committed version stays readable
+    for keep_previous swaps; a reaped version raises with the list of
+    what IS retained; the live read always matches the newest
+    version."""
+    import pytest
+
+    from gmall_spark.streaming import store
+
+    d = f"{tmpdir}/tt_store"
+    schema = "k long"
+    for n in (1, 2, 3):
+        store.swap_write(
+            spark.range(n * 10).selectExpr("id AS k"), d, keep_previous=1
+        )
+    vs = store.list_versions(d)
+    assert len(vs) == 2  # live + one previous
+    live, prev = vs[-1], vs[0]
+    assert store.read_version(spark, d, schema, live).count() == 30
+    assert store.read_version(spark, d, schema, prev).count() == 20
+    assert store.read_or_empty(spark, d, schema).count() == 30
+    with pytest.raises(ValueError) as ei:
+        store.read_version(spark, d, schema, prev - 1)
+    assert str(prev) in str(ei.value)  # the error lists retained versions
