@@ -115,6 +115,7 @@ HEADLINE = [
     "orders_ingest_gaps",
     "lineitem_copurchase_pairs",
     "embedding_lpa_communities",
+    "text_lm_greedy_decode",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -220,3 +220,66 @@ def perplexity_buckets(
         "bucket_id",
         label.alias("bucket"),
     )
+
+
+DECODE_STEPS = 12
+
+
+def greedy_decode(
+    docs: DataFrame,
+    steps: int = DECODE_STEPS,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Deterministic greedy decoding from the corpus char-bigram LM
+    (X154) — the GENERATE corner of the train → score → generate
+    loop (X95 trains, X112 scores, this deploys the same counts as a
+    language model proper): per language, start at the most frequent
+    bigram's first character and repeatedly append
+    argmax_c count(prev→c), ties to the lexicographically smallest
+    character, for a FIXED number of steps. Greedy argmax is the
+    deterministic decode (sampling needs randomness the oracle
+    cannot replay); a character with no outgoing transition stops
+    growth (text shorter than steps+1 is legitimate).
+
+    Everything is vocabulary-bounded after the one corpus-sized
+    bigram count: the transition argmax table is |chars|² per
+    language and broadcasts into each unrolled step.
+
+    Returns (lang, seed, generated)."""
+    m = bigram_model(docs, text_col=text_col, lang_col=lang_col)
+    trans = m.select(
+        "lang",
+        F.substring("b", 1, 1).alias("prev"),
+        F.substring("b", 2, 1).alias("nxt"),
+        "c",
+    )
+    w_t = Window.partitionBy("lang", "prev").orderBy(F.desc("c"), F.asc("nxt"))
+    best = (
+        trans.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") == 1)
+        .select("lang", "prev", "nxt")
+    )
+    w_s = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("b"))
+    seed = (
+        m.withColumn("rn", F.row_number().over(w_s))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.substring("b", 1, 1).alias("seed"))
+    )
+    cur = seed.select(
+        "lang", "seed", F.col("seed").alias("generated"),
+        F.col("seed").alias("prev"),
+    )
+    for _ in range(int(steps)):
+        cur = (
+            cur.join(F.broadcast(best), ["lang", "prev"], "left")
+            .select(
+                "lang",
+                "seed",
+                F.concat(
+                    "generated", F.coalesce(F.col("nxt"), F.lit(""))
+                ).alias("generated"),
+                F.col("nxt").alias("prev"),
+            )
+        )
+    return cur.select("lang", "seed", "generated")

@@ -5062,6 +5062,68 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- greedy LM decoding (X154) ---------------------------------------------------
+
+
+def _greedy_decode_oracle(steps: int) -> str:
+    head = """
+WITH d AS (
+  SELECT lang, lower(text) AS t FROM documents
+), pos AS (
+  SELECT lang, t, unnest(range(1, length(t))) AS i
+  FROM d WHERE length(t) >= 2
+), model AS (
+  SELECT lang, substr(t, CAST(i AS INTEGER), 2) AS b, count(*) AS c
+  FROM pos GROUP BY lang, b
+), best AS (
+  SELECT lang, substr(b, 1, 1) AS prev, substr(b, 2, 1) AS nxt
+  FROM (SELECT *, row_number() OVER (PARTITION BY lang, substr(b, 1, 1)
+          ORDER BY c DESC, substr(b, 2, 1) ASC) AS rn FROM model)
+  WHERE rn = 1
+), g0 AS (
+  SELECT lang, substr(b, 1, 1) AS seed, substr(b, 1, 1) AS generated,
+         substr(b, 1, 1) AS prev
+  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+          ORDER BY c DESC, b ASC) AS rn FROM model)
+  WHERE rn = 1
+)"""
+    body = []
+    for s in range(1, steps + 1):
+        body.append(f""",
+g{s} AS (
+  SELECT g.lang, g.seed,
+         g.generated || coalesce(b.nxt, '') AS generated,
+         b.nxt AS prev
+  FROM g{s - 1} g LEFT JOIN best b ON b.lang = g.lang AND b.prev = g.prev
+)""")
+    return head + "".join(body) + f"""
+SELECT lang, seed, generated FROM g{steps}
+"""
+
+
+from gmall_spark.operators import lm as _lm_ops  # noqa: E402
+
+
+@query("text_lm_greedy_decode", _greedy_decode_oracle(_lm_ops.DECODE_STEPS))
+def q_text_lm_greedy_decode(spark, sf_dir):
+    """Deterministic greedy decoding from the corpus char-bigram LM
+    (X154) — the GENERATE corner completing the loop the LM family
+    already trains (X95) and scores under when frozen (X112): per
+    language, start at the most frequent bigram's first character and
+    append argmax count(prev→c) for a fixed 12 steps, ties to the
+    smallest character (greedy argmax IS the deterministic decode —
+    sampling needs randomness no oracle can replay). After the one
+    corpus-sized bigram count everything is vocabulary-bounded: the
+    argmax transition table is |chars|² per language, broadcast into
+    each unrolled step; the oracle chains the steps as CTEs exactly
+    like the PageRank/LPA twins (operators/lm.greedy_decode). The
+    corpus output degenerates into a ' st' cycle within a few steps —
+    greedy decode's classic repetition loop, the same pathology
+    X105's Gopher filters hunt in model OUTPUT corpora, observable
+    here end to end."""
+    return _lm_ops.greedy_decode(_docs(spark, sf_dir))
+
+
 # --- market-basket co-purchase pairs (X151) -------------------------------------
 
 COPURCHASE_TOP = 100

@@ -1393,3 +1393,18 @@ def test_label_propagation_hand_traced(spark):
         0: (0, 3), 1: (0, 3), 2: (0, 3),
         10: (2, 3), 11: (2, 3), 12: (2, 3),
     }
+
+
+def test_greedy_decode_hand_computed_with_dead_end(spark):
+    """X154 on a three-doc corpus with hand-countable transitions:
+    seed from the most frequent bigram, argmax walk b->d (2 beats 1),
+    and a dead-end character stops growth before the step budget."""
+    from gmall_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "abc", "aa"), (2, "abd", "aa"), (3, "abd", "aa")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.lang: r for r in lm.greedy_decode(docs, steps=4).collect()}
+    assert got["aa"].seed == "a"
+    assert got["aa"].generated == "abd"  # d has no outgoing bigram
