@@ -116,6 +116,7 @@ HEADLINE = [
     "lineitem_copurchase_pairs",
     "embedding_lpa_communities",
     "text_lm_greedy_decode",
+    "llm_corpus_datasheet",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

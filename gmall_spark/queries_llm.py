@@ -5062,6 +5062,100 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- corpus datasheet (X155) ------------------------------------------------------
+
+
+def _datasheet_oracle() -> str:
+    from gmall_spark.queries import ORACLES
+
+    return rf"""
+WITH base AS (
+  SELECT count(*) AS n_docs,
+         count(DISTINCT lang) AS n_langs,
+         sum(len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> ''))) AS total_ws_tokens,
+         count(*) - count(DISTINCT md5(text)) AS exact_dup_docs
+  FROM documents
+), g AS (
+  SELECT sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS kept
+  FROM ({ORACLES["text_quality_gopher"]})
+), p AS (
+  SELECT sum(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS tail_docs
+  FROM ({ORACLES["text_perplexity_buckets"]})
+), nd AS (
+  SELECT count(*) AS near_dup_pairs FROM ({ORACLES["dedup_minhash_lsh"]})
+)
+SELECT CAST(base.n_docs AS BIGINT) AS n_docs,
+       CAST(base.n_langs AS BIGINT) AS n_langs,
+       CAST(base.total_ws_tokens AS BIGINT) AS total_ws_tokens,
+       CAST(base.exact_dup_docs AS BIGINT) AS exact_dup_docs,
+       CAST(nd.near_dup_pairs AS BIGINT) AS near_dup_pairs,
+       round(g.kept * 1.0 / base.n_docs, 6) AS gopher_keep_rate,
+       round(p.tail_docs * 1.0 / base.n_docs, 6) AS ppl_tail_share
+FROM base, g, p, nd
+"""
+
+
+@query("llm_corpus_datasheet", _datasheet_oracle())
+def q_llm_corpus_datasheet(spark, sf_dir):
+    """Corpus datasheet (X155; Gebru et al. 2021 'Datasheets for
+    Datasets' — the one-row release artifact published next to a
+    corpus): size (docs, languages, whitespace tokens), duplication
+    (exact-dup docs, verified MinHash near-dup pairs), and quality
+    composition (Gopher keep rate, CCNet tail share). Every arm IS a
+    registered stage — the Spark side composes the query functions,
+    the oracle wraps their registered oracle texts as subqueries, so
+    the datasheet can never drift from the measurements it
+    summarizes. One row out; each arm's cost is its stage's cost
+    (shared session fixtures make repeats cheap)."""
+    d = _docs(spark, sf_dir)
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(
+            F.size(F.expr(r"filter(split(text, '\\s+'), x -> x != '')"))
+        ).alias("total_ws_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "exact_dup_docs"
+        ),
+    )
+    from gmall_spark.queries import QUERIES
+
+    g = (
+        QUERIES["text_quality_gopher"](spark, sf_dir)
+        .agg(F.sum(F.when(F.col("gopher_keep"), 1).otherwise(0)).alias("kept"))
+    )
+    p = (
+        QUERIES["text_perplexity_buckets"](spark, sf_dir)
+        .agg(
+            F.sum(F.when(F.col("bucket") == "tail", 1).otherwise(0)).alias(
+                "tail_docs"
+            )
+        )
+    )
+    nd = QUERIES["dedup_minhash_lsh"](spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("near_dup_pairs")
+    )
+    return (
+        base.crossJoin(g)
+        .crossJoin(p)
+        .crossJoin(nd)
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+            F.col("total_ws_tokens").cast("bigint").alias("total_ws_tokens"),
+            F.col("exact_dup_docs").cast("bigint").alias("exact_dup_docs"),
+            F.col("near_dup_pairs").cast("bigint").alias("near_dup_pairs"),
+            F.round(F.col("kept") * 1.0 / F.col("n_docs"), 6).alias(
+                "gopher_keep_rate"
+            ),
+            F.round(F.col("tail_docs") * 1.0 / F.col("n_docs"), 6).alias(
+                "ppl_tail_share"
+            ),
+        )
+    )
+
+
 # --- greedy LM decoding (X154) ---------------------------------------------------
 
 
