@@ -153,3 +153,62 @@ def sessionize_gap(
     return events.withColumn(
         "session_seq", F.sum(is_new).over(run).cast("bigint")
     )
+
+
+COPURCHASE_TOP = 100
+
+
+def copurchase_pairs(op: DataFrame, top: int = COPURCHASE_TOP) -> DataFrame:
+    """Top co-occurring item pairs with support + lift over a DISTINCT
+    (o, p) basket-membership relation (X151's exact core, shared by
+    the registered query and the streaming twin): pairs self-join on
+    the basket key (fan-out Σ|basket|², never n²), counts stay integer
+    to the end, lift = n_ab·N/(n_a·n_b) divides exact integers once,
+    and the deterministic top-``top`` (support desc, part ids) keeps
+    the output fixed-size at any scale."""
+    pc = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    no = op.agg(F.countDistinct("o").alias("n_orders"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.o") == F.col("a.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                pc.withColumnRenamed("p", "part_a").withColumnRenamed("n_p", "n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                pc.withColumnRenamed("p", "part_b").withColumnRenamed("n_p", "n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(no))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_ab"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= top)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            "lift",
+            "rnk",
+        )
+    )

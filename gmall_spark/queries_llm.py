@@ -5220,7 +5220,7 @@ def q_text_lm_greedy_decode(spark, sf_dir):
 
 # --- market-basket co-purchase pairs (X151) -------------------------------------
 
-COPURCHASE_TOP = 100
+from gmall_spark.operators.relational import COPURCHASE_TOP  # noqa: E402
 
 
 @query(
@@ -5255,50 +5255,20 @@ def q_lineitem_copurchase_pairs(spark, sf_dir):
     """Market-basket co-purchase mining (X151; the A-Priori support
     count at pair size 2): the top co-ordered part pairs with
     support and LIFT n_ab·N/(n_a·n_b) — the association statistic a
-    recommender or assortment analysis starts from. The self-join
-    fan-out is bounded by parts-per-order (≤13 in this corpus, a
-    constant in any real basket table — Σ|basket|² never n²); counts
-    stay integer to the end and lift divides exact integers once,
-    rounded. Deterministic top-{COPURCHASE_TOP} by (support, part
-    ids) keeps the output fixed-size at any SF."""
+    recommender or assortment analysis starts from. Exact core in
+    operators/relational.copurchase_pairs (shared by the streaming
+    twin): self-join fan-out bounded by parts-per-order (≤13 in this
+    corpus — Σ|basket|², never n²), integer counts to the end, one
+    exact-integer division rounded, deterministic fixed-size top-100
+    at any SF."""
+    from gmall_spark.operators.relational import copurchase_pairs
+
     op = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    pc = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
-    no = op.agg(F.countDistinct("o").alias("n_orders"))
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = (
-        a.join(b, (F.col("b.o") == F.col("a.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
-    scored = (
-        pairs.join(F.broadcast(pc.withColumnRenamed("p", "part_a")
-                               .withColumnRenamed("n_p", "n_a")), "part_a")
-        .join(F.broadcast(pc.withColumnRenamed("p", "part_b")
-                          .withColumnRenamed("n_p", "n_b")), "part_b")
-        .crossJoin(F.broadcast(no))
-        .select(
-            "part_a",
-            "part_b",
-            "n_ab",
-            F.round(
-                F.col("n_ab") * 1.0 * F.col("n_orders")
-                / (F.col("n_a") * F.col("n_b")),
-                6,
-            ).alias("lift"),
-        )
-    )
-    w = Window.orderBy(F.desc("n_ab"), F.asc("part_a"), F.asc("part_b"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= COPURCHASE_TOP)
-        .select("part_a", "part_b", F.col("n_ab").cast("bigint").alias("n_ab"),
-                "lift", "rnk")
-    )
+    return copurchase_pairs(op, top=COPURCHASE_TOP)
 
 
 # --- ingest-completeness monitoring (X150) -------------------------------------

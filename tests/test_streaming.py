@@ -1823,3 +1823,40 @@ def test_incremental_kmv_exactly_equals_batch_and_replay(spark, tmpdir):
     ik.process_batch(spark, spark.range(0, 100).selectExpr("id AS k"), "k", store2)
     e = ik.distinct_estimate(spark, store2).collect()[0]
     assert (e.n_sketch, e.est) == (100, 100.0)
+
+
+def test_incremental_copurchase_split_basket_and_replay(spark, tmpdir):
+    """X151's streaming twin: pair deltas are NOT sum-mergeable (an
+    order's lines span batches), so state is the (order, part)
+    membership postings and pairs re-derive through the exact batch
+    core — a pair APPEARS when a later batch completes its basket,
+    lift marginals move with it, and replays are no-ops."""
+    from gmall_spark.operators.relational import copurchase_pairs
+    from gmall_spark.streaming import incremental_copurchase as ic
+
+    store = f"{tmpdir}/cop_store"
+    # batch 1: order 1 gets part 7 only; order 2 completes {7, 8}
+    b1 = spark.createDataFrame([(1, 7), (2, 7), (2, 8)], "o long, p long")
+    # batch 2: order 1's second line arrives -> pair (7, 8) doubles
+    b2 = spark.createDataFrame([(1, 8), (3, 9)], "o long, p long")
+    ic.process_batch(spark, b1, store, 0)
+    after1 = {(r.part_a, r.part_b): r.n_ab
+              for r in ic.current_pairs(spark, store).collect()}
+    assert after1 == {(7, 8): 1}
+
+    ic.process_batch(spark, b2, store, 1)
+    after2 = {(r.part_a, r.part_b): (r.n_ab, r.lift)
+              for r in ic.current_pairs(spark, store).collect()}
+    # order 1's basket completed retroactively: support 2; N=3 orders,
+    # n_7 = n_8 = 2 -> lift = 2*3/(2*2)
+    assert after2 == {(7, 8): (2, round(2 * 3 / 4, 6))}
+
+    # streaming == batch over the union, including the split basket
+    want = {(r.part_a, r.part_b): (r.n_ab, r.lift)
+            for r in copurchase_pairs(b1.unionByName(b2)).collect()}
+    assert after2 == want
+
+    # replay of batch 2 changes nothing
+    ic.process_batch(spark, b2, store, 1)
+    assert after2 == {(r.part_a, r.part_b): (r.n_ab, r.lift)
+                      for r in ic.current_pairs(spark, store).collect()}
