@@ -117,6 +117,7 @@ HEADLINE = [
     "embedding_lpa_communities",
     "text_lm_greedy_decode",
     "llm_corpus_datasheet",
+    "events_price_band_join",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

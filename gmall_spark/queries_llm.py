@@ -5062,6 +5062,72 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- range join as equi join (X157) ------------------------------------------------
+
+BAND_CENTS = 5000  # 50.00-wide price bands
+N_BANDS = 10
+
+
+@query(
+    "events_price_band_join",
+    f"""
+WITH bands AS (
+  SELECT b AS band_id, b * {BAND_CENTS} AS lo_cents,
+         (b + 1) * {BAND_CENTS} AS hi_cents
+  FROM (SELECT unnest(range(0, {N_BANDS})) AS b)
+), v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT CAST(bands.band_id AS BIGINT) AS band_id,
+       CAST(bands.lo_cents AS BIGINT) AS lo_cents,
+       CAST(bands.hi_cents AS BIGINT) AS hi_cents,
+       CAST(count(v.cents) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(v.cents), 0) AS BIGINT) AS sum_cents
+FROM bands LEFT JOIN v
+  ON v.cents >= bands.lo_cents AND v.cents < bands.hi_cents
+GROUP BY 1, 2, 3
+""",
+)
+def q_events_price_band_join(spark, sf_dir):
+    """Range join rewritten as an equi join (X157): the oracle states
+    the DECLARATIVE semantics — every event joins the band whose
+    [lo, hi) interval contains it (a non-equi BETWEEN join, which
+    Spark executes as a broadcast nested loop) — while the Spark plan
+    computes band_id = cents div {BAND_CENTS} and hash-joins it: the
+    uniform-interval rewrite that turns O(rows x bands) comparisons
+    into one projection + one hash join (non-uniform intervals take
+    the same shape via an interval-index table). Hash parity between
+    the two formulations IS the proof the rewrite preserves
+    semantics. Everything runs in integer cents (round(value·100) —
+    2-dp data lands ~1e-10 from integers, never at a half), so no
+    float boundary exists anywhere, including the band edges that
+    would be the bug magnet in a double formulation."""
+    bands = spark.createDataFrame(
+        [(b, b * BAND_CENTS, (b + 1) * BAND_CENTS) for b in range(N_BANDS)],
+        "band_id long, lo_cents long, hi_cents long",
+    )
+    v = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    agg = (
+        v.withColumn(
+            "band_id", F.expr(f"cents div {BAND_CENTS}").cast("long")
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    return bands.join(agg, "band_id", "left").select(
+        F.col("band_id").cast("bigint").alias("band_id"),
+        F.col("lo_cents").cast("bigint").alias("lo_cents"),
+        F.col("hi_cents").cast("bigint").alias("hi_cents"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("sum_cents", F.lit(0)).cast("bigint").alias("sum_cents"),
+    )
+
+
 # --- corpus datasheet (X155) ------------------------------------------------------
 
 
