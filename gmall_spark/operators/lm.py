@@ -255,16 +255,23 @@ def greedy_decode(
         "c",
     )
     w_t = Window.partitionBy("lang", "prev").orderBy(F.desc("c"), F.asc("nxt"))
+    # eager-checkpoint the tiny (vocab-bounded) argmax table and seed:
+    # without it every unrolled step EMBEDS the full corpus-sized model
+    # subtree, so the analyzer and the executors pay it `steps` times
+    # (measured: 12-join plan at ~10 s driver CPU per run, and the
+    # model re-evaluated per step)
     best = (
         trans.withColumn("rn", F.row_number().over(w_t))
         .filter(F.col("rn") == 1)
         .select("lang", "prev", "nxt")
+        .localCheckpoint(eager=True)
     )
     w_s = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("b"))
     seed = (
         m.withColumn("rn", F.row_number().over(w_s))
         .filter(F.col("rn") == 1)
         .select("lang", F.substring("b", 1, 1).alias("seed"))
+        .localCheckpoint(eager=True)
     )
     cur = seed.select(
         "lang", "seed", F.col("seed").alias("generated"),
