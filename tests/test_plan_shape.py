@@ -309,6 +309,17 @@ BUDGETS = [
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),
+    # late-r7 additions. Single-row scalar attaches (crossJoin of a
+    # 1-row aggregate) legitimately appear as BroadcastNestedLoopJoin
+    # — O(n), not quadratic; the quadratic NL case is pinned out by
+    # test_price_band_join_is_hash_not_nested_loop below.
+    ("events_price_band_join", 2, 1),
+    ("events_l_diversity", 3, 0),
+    ("llm_length_bucket_padding", 2, 0),
+    ("llm_vocab_oov", 5, 1),
+    ("orders_ingest_gaps", 8, 1),
+    ("lineitem_copurchase_pairs", 15, 3),
+    ("events_join_cardinality_sketch", 24, 6),
 ]
 
 
@@ -491,3 +502,15 @@ def test_stage_fixture_build_plans(spark, sf_dir):
     shuffles, broadcast, plan = _counts(v2)
     assert shuffles == 0 and broadcast == 0, (shuffles, broadcast, plan[:2000])
     assert "Scan ExistingRDD" in plan
+
+
+def test_price_band_join_is_hash_not_nested_loop(spark, sf_dir):
+    """X157's entire point: the BETWEEN-semantics range join executes
+    as a hash join on the derived band id — a BroadcastNestedLoopJoin
+    against the events relation would be the O(rows x bands) plan the
+    rewrite exists to avoid (the oracle keeps the nested-loop
+    formulation; parity proves the rewrite)."""
+    q.clear_cache()
+    df = q.QUERIES["events_price_band_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:2000]
