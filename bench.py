@@ -118,6 +118,7 @@ HEADLINE = [
     "text_lm_greedy_decode",
     "llm_corpus_datasheet",
     "events_price_band_join",
+    "llm_systematic_resample",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

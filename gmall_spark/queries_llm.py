@@ -5062,6 +5062,101 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- deterministic systematic resampling (X158) -------------------------------------
+
+RESAMPLE_DRAWS = 2000
+
+
+@query(
+    "llm_systematic_resample",
+    rf"""
+WITH w AS (
+  SELECT doc_id,
+         greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')), 1) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum,
+         SUM(n_tokens) OVER () AS total
+  FROM w
+), g AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN 2 * {RESAMPLE_DRAWS} * cum <= total THEN 0
+              ELSE (2 * {RESAMPLE_DRAWS} * cum - total + 2 * total - 1)
+                   // (2 * total) END AS g_lo,
+         CASE WHEN 2 * {RESAMPLE_DRAWS} * (cum + n_tokens) <= total THEN 0
+              ELSE (2 * {RESAMPLE_DRAWS} * (cum + n_tokens) - total
+                    + 2 * total - 1) // (2 * total) END AS g_hi
+  FROM c
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(g_hi - g_lo AS BIGINT) AS draws
+FROM g
+""",
+)
+def q_llm_systematic_resample(spark, sf_dir):
+    """Deterministic systematic resampling (X158; the particle-filter
+    / data-mixture standard — Douc & Cappé 2005): materialize
+    token-proportional sampling into EXACT per-doc draw counts by
+    laying a fixed lattice of {RESAMPLE_DRAWS} equally-spaced points
+    over the cumulative token mass — the executable form of the
+    X117/X134 mixture plans (those say 'sample language L at rate q';
+    this says 'emit doc d exactly k times'), with zero variance and
+    zero randomness (rand() would break replay/shard/engine
+    determinism — same argument as the X86/X101 md5 draws). All
+    arithmetic is integer (lattice membership counts via ceil
+    division on token counts), so Σ draws == {RESAMPLE_DRAWS} exactly
+    — asserted in tests. One global cumsum window (range-partition by
+    the order key at scale, the X26 packing note)."""
+    d = RESAMPLE_DRAWS
+    w = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        r"greatest(size(filter(split(text, '\\s+'), x -> x != '')), 1)"
+        " AS n_tokens",
+    )
+    win = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = w.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).alias("cum"),
+        F.sum("n_tokens").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+
+    c = c.withColumn(
+        "g_lo",
+        F.when(2 * d * F.col("cum") <= F.col("total"), F.lit(0)).otherwise(
+            F.expr(
+                f"(2 * {d} * cum - total + 2 * total - 1) div (2 * total)"
+            )
+        ),
+    ).withColumn(
+        "g_hi",
+        F.when(
+            2 * d * (F.col("cum") + F.col("n_tokens")) <= F.col("total"),
+            F.lit(0),
+        ).otherwise(
+            F.expr(
+                f"(2 * {d} * (cum + n_tokens) - total + 2 * total - 1)"
+                " div (2 * total)"
+            )
+        ),
+    )
+    return c.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("g_hi") - F.col("g_lo")).cast("bigint").alias("draws"),
+    )
+
+
 # --- range join as equi join (X157) ------------------------------------------------
 
 BAND_CENTS = 5000  # 50.00-wide price bands

@@ -1408,3 +1408,21 @@ def test_greedy_decode_hand_computed_with_dead_end(spark):
     got = {r.lang: r for r in lm.greedy_decode(docs, steps=4).collect()}
     assert got["aa"].seed == "a"
     assert got["aa"].generated == "abd"  # d has no outgoing bigram
+
+
+def test_systematic_resample_exactness_properties(spark, sf_dir):
+    """X158's defining guarantees: the draw counts sum to EXACTLY the
+    budget, and every doc's count is floor or ceil of its expectation
+    w_i*D/W (zero-variance systematic sampling — no other unbiased
+    scheme is this tight)."""
+    import math
+
+    import gmall_spark.queries_llm as ql
+
+    rows = ql.q_llm_systematic_resample(spark, sf_dir).collect()
+    D = ql.RESAMPLE_DRAWS
+    W = sum(r.n_tokens for r in rows)
+    assert sum(r.draws for r in rows) == D
+    for r in rows:
+        exp = r.n_tokens * D / W
+        assert math.floor(exp) <= r.draws <= math.ceil(exp), (r, exp)
