@@ -119,6 +119,8 @@ HEADLINE = [
     "llm_corpus_datasheet",
     "events_price_band_join",
     "llm_systematic_resample",
+    "layout_file_stats_pruning",
+    "customers_rfm_segments",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

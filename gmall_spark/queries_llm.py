@@ -5062,6 +5062,198 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- RFM customer segmentation (X160) -------------------------------------------------
+
+
+@query(
+    "customers_rfm_segments",
+    """
+WITH o AS (
+  SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), mx AS (SELECT max(d) AS dmax FROM o),
+rfm AS (
+  SELECT c,
+         datediff('day', max(d), (SELECT dmax FROM mx)) AS recency_days,
+         count(*) AS frequency,
+         sum(cents) AS monetary_cents
+  FROM o GROUP BY c
+), scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days DESC, c) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, c) AS f_score,
+         ntile(5) OVER (ORDER BY monetary_cents ASC, c) AS m_score
+  FROM rfm
+)
+SELECT c AS custkey,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary_cents AS BIGINT) AS monetary_cents,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
+""",
+)
+def q_customers_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (X160) — the classic
+    feature-engineering table a churn/LTV model trains on: per
+    customer, recency (days since last order vs the corpus max
+    date), frequency (order count), monetary (lifetime spend), each
+    quintile-scored with ntile(5) under a TOTAL order (metric +
+    custkey tiebreak — ntile's equal-fill rule is then
+    engine-identical), plus the standard champion/new/at_risk/regular
+    segment rule. Monetary sums in integer CENTS (the price column
+    is a double; a double SUM's shuffle-order noise would flip
+    quintile boundaries — round each row to cents first, then the
+    sum is exact). One customer aggregate + three windows sharing
+    one single-partition exchange over the customer-bounded rollup;
+    at scale the windows swap to the X84 equi-depth cuts computed on
+    the histogram instead of a global sort."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    mx = o.agg(F.max("d").alias("dmax"))
+    rfm = (
+        o.groupBy("c")
+        .agg(
+            F.max("d").alias("dlast"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "c",
+            F.datediff("dmax", "dlast").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("c"))),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("c"))),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(
+                Window.orderBy(F.asc("monetary_cents"), F.asc("c"))
+            ),
+        )
+    )
+    return scored.select(
+        F.col("c").alias("custkey"),
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary_cents").cast("bigint").alias("monetary_cents"),
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+
+
+# --- min-max file-stats pruning (X159) ----------------------------------------------
+
+PRUNE_PREDICATES = tuple(
+    (dim, val) for dim in ("cust", "day") for val in (0, 64, 128, 192)
+)
+
+
+def _file_stats_oracle() -> str:
+    from gmall_spark.queries import ORACLES
+
+    preds = ",".join(f"('{d}',{v})" for d, v in PRUNE_PREDICATES)
+    return f"""
+WITH z AS ({ORACLES["layout_zorder_orders"]}),
+fs AS (
+  SELECT file_id, count(*) AS n_rows,
+         min(cust_bucket) AS cmin, max(cust_bucket) AS cmax,
+         min(day_bucket) AS dmin, max(day_bucket) AS dmax
+  FROM z GROUP BY file_id
+), preds(dim, val) AS (VALUES {preds}),
+j AS (
+  SELECT p.dim, p.val, fs.n_rows,
+         CASE WHEN p.dim = 'cust'
+              THEN p.val < fs.cmin OR p.val > fs.cmax
+              ELSE p.val < fs.dmin OR p.val > fs.dmax END AS pruned
+  FROM preds p CROSS JOIN fs
+)
+SELECT dim, CAST(val AS BIGINT) AS val,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS files_pruned,
+       CAST(sum(CASE WHEN pruned THEN 0 ELSE n_rows END) AS BIGINT)
+         AS rows_scanned
+FROM j GROUP BY dim, val
+"""
+
+
+@query("layout_file_stats_pruning", _file_stats_oracle())
+def q_layout_file_stats_pruning(spark, sf_dir):
+    """Min-max file-stats pruning made observable (X159) — the
+    Parquet/Iceberg zone-map mechanism the X130 layout exists to
+    feed: per z-order file, the (min, max) of each clustering key
+    becomes the stats a scan planner consults, and the table reports,
+    for a grid of single-key point predicates, how many files a
+    filtered scan SKIPS and how many rows it still touches. Composed
+    from the registered layout assignment (Spark side composes the
+    query, the oracle wraps its registered text); the stats rollup is
+    one grid-bounded aggregate and the predicate join is
+    |preds| × |files| — both layout-bounded, never corpus-scaled.
+    Integer end to end."""
+    z = q_layout_zorder_orders(spark, sf_dir)
+    fs = z.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cust_bucket").alias("cmin"),
+        F.max("cust_bucket").alias("cmax"),
+        F.min("day_bucket").alias("dmin"),
+        F.max("day_bucket").alias("dmax"),
+    )
+    preds = spark.createDataFrame(
+        list(PRUNE_PREDICATES), "dim string, val long"
+    )
+    j = preds.crossJoin(fs).select(
+        "dim",
+        "val",
+        "n_rows",
+        F.when(
+            F.col("dim") == "cust",
+            (F.col("val") < F.col("cmin")) | (F.col("val") > F.col("cmax")),
+        )
+        .otherwise(
+            (F.col("val") < F.col("dmin")) | (F.col("val") > F.col("dmax"))
+        )
+        .alias("pruned"),
+    )
+    return j.groupBy("dim", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("files_total"),
+        F.sum(F.when(F.col("pruned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("files_pruned"),
+        F.sum(F.when(F.col("pruned"), 0).otherwise(F.col("n_rows")))
+        .cast("bigint")
+        .alias("rows_scanned"),
+    ).select(
+        "dim", F.col("val").cast("bigint").alias("val"),
+        "files_total", "files_pruned", "rows_scanned",
+    )
+
+
 # --- deterministic systematic resampling (X158) -------------------------------------
 
 RESAMPLE_DRAWS = 2000
