@@ -121,6 +121,8 @@ HEADLINE = [
     "llm_systematic_resample",
     "layout_file_stats_pruning",
     "customers_rfm_segments",
+    "events_ewma_forecast",
+    "warehouse_data_tests",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5062,6 +5062,184 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- warehouse data-test audit (X162) ----------------------------------------------------
+
+
+@query(
+    "warehouse_data_tests",
+    """
+SELECT 'orders' AS tbl, 'o_orderkey_unique' AS test,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS failures
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_custkey_not_null',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_custkey_in_customer',
+       -- dbt relationships semantics: NULL child keys are the
+       -- not_null test's finding, not an orphan
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem', 'l_orderkey_in_orders',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer', 'c_custkey_unique',
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'events', 'value_in_range',
+       CAST(sum(CASE WHEN value < 0 OR value >= 1000 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events', 'event_type_accepted',
+       CAST(sum(CASE WHEN event_type NOT IN
+                     ('click','view','purchase','signup','error')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'documents', 'text_nonempty',
+       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+""",
+)
+def q_warehouse_data_tests(spark, sf_dir):
+    """Warehouse data-test audit (X162; the dbt test taxonomy run as
+    ONE query): uniqueness, not-null, referential integrity
+    (anti-join counts against the parent table), accepted ranges and
+    accepted values — the contract table a load pipeline gates a
+    release on (zero failures expected on healthy data; a nonzero
+    row names the broken contract). Each arm is a single aggregate
+    or a broadcast/anti join on its own table; the union is 8 fixed
+    rows, so the audit costs one pass per table regardless of how
+    many contracts it checks per table."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    docs = _docs(spark, sf_dir)
+
+    def row(tbl, test, df):
+        return df.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(test).alias("test"),
+            F.col("failures").cast("bigint").alias("failures"),
+        )
+
+    arms = [
+        row("orders", "o_orderkey_unique",
+            orders.agg((F.count(F.lit(1))
+                        - F.countDistinct("o_orderkey")).alias("failures"))),
+        row("orders", "o_custkey_not_null",
+            orders.agg(F.sum(F.when(F.col("o_custkey").isNull(), 1)
+                             .otherwise(0)).alias("failures"))),
+        row("orders", "o_custkey_in_customer",
+            orders.filter(F.col("o_custkey").isNotNull())
+            .join(customer,
+                  orders.o_custkey == customer.c_custkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("failures"))),
+        row("lineitem", "l_orderkey_in_orders",
+            lineitem.join(orders,
+                          lineitem.l_orderkey == orders.o_orderkey,
+                          "left_anti")
+            .agg(F.count(F.lit(1)).alias("failures"))),
+        row("customer", "c_custkey_unique",
+            customer.agg((F.count(F.lit(1))
+                          - F.countDistinct("c_custkey")).alias("failures"))),
+        row("events", "value_in_range",
+            events.agg(F.sum(F.when((F.col("value") < 0)
+                                    | (F.col("value") >= 1000), 1)
+                             .otherwise(0)).alias("failures"))),
+        row("events", "event_type_accepted",
+            events.agg(F.sum(F.when(~F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"), 1)
+                .otherwise(0)).alias("failures"))),
+        row("documents", "text_nonempty",
+            docs.agg(F.sum(F.when(F.col("text").isNull()
+                                  | (F.length("text") == 0), 1)
+                           .otherwise(0)).alias("failures"))),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+# --- EWMA daily-volume forecast (X161) --------------------------------------------------
+
+
+@query(
+    "events_ewma_forecast",
+    """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         list(cnt ORDER BY d ASC) AS series,
+         max(d) AS last_day,
+         count(*) AS n_days
+  FROM c GROUP BY event_type
+)
+SELECT event_type,
+       CAST(last_day AS VARCHAR) AS last_day,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(series[len(series)] AS BIGINT) AS last_count,
+       -- CAST everything to DOUBLE: DuckDB parses 0.5/1.0 literals as
+       -- DECIMAL and a decimal fold truncates to scale 1
+       round(list_reduce(list_transform(series, x -> x::DOUBLE),
+                         (acc, x) -> (acc + x) * 0.5::DOUBLE), 6)
+         AS ewma_forecast
+FROM s
+""",
+)
+def q_events_ewma_forecast(spark, sf_dir):
+    """EWMA daily-volume forecast per event type (X161; exponential
+    smoothing, α = 1/2) — the capacity/anomaly baseline a monitoring
+    pipeline keeps per series: s_t = (s_{t-1} + v_t)/2 folded over
+    the day-ordered count series. The fold is the cross-engine float
+    discipline again: each step is one IEEE add and one halving
+    executed in the SAME order by Spark's aggregate HOF and DuckDB's
+    list_reduce, so the result is bit-identical — whereas any
+    window-algebra formulation with pow(α, n−t) weights would hit
+    libm drift. The series collects per (type, day) rollup —
+    day-grid-bounded, never corpus-scaled; one hash agg + one
+    type-keyed agg."""
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = c.groupBy("event_type").agg(
+        F.expr(
+            "array_sort(collect_list(struct(d, cnt)))"
+        ).alias("ser"),
+        F.max("d").alias("last_day"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return s.select(
+        "event_type",
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.element_at(F.col("ser"), -1)["cnt"].cast("bigint").alias("last_count"),
+        F.round(
+            F.expr(
+                "aggregate(slice(ser, 2, size(ser) - 1),"
+                " cast(ser[0].cnt as double),"
+                " (acc, x) -> (acc + x.cnt) * 0.5)"
+            ),
+            6,
+        ).alias("ewma_forecast"),
+    )
+
+
 # --- RFM customer segmentation (X160) -------------------------------------------------
 
 

@@ -1426,3 +1426,48 @@ def test_systematic_resample_exactness_properties(spark, sf_dir):
     for r in rows:
         exp = r.n_tokens * D / W
         assert math.floor(exp) <= r.draws <= math.ceil(exp), (r, exp)
+
+
+def test_data_tests_fire_on_planted_violations(spark, tmpdir):
+    """X162's arms must actually detect breakage (the healthy corpus
+    reports all zeros, which would also be the output of a broken
+    test): a planted warehouse with a duplicate order key, a NULL and
+    an orphan custkey, an orphan lineitem, a duplicate customer, an
+    out-of-range value, an unknown event type, and an empty doc."""
+    import gmall_spark.queries_llm as ql
+
+    sf = f"{tmpdir}/bad_sf"
+    spark.createDataFrame(
+        [(1, 10, 5.0, "1995-01-01"), (1, None, 5.0, "1995-01-02"),
+         (2, 99, 5.0, "1995-01-03")],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(10,), (10,)], "c_custkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(1, 100), (777, 100)], "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "click", 5.0, "{}"),
+         (2, "2024-01-01 00:00:00", 1, "bogus", -3.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props").write.parquet(
+        f"{sf}/events.parquet")
+    spark.createDataFrame(
+        [(1, "", "en"), (2, "ok text", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {(r.tbl, r.test): r.failures
+           for r in ql.q_warehouse_data_tests(spark, sf).collect()}
+    assert got[("orders", "o_orderkey_unique")] == 1
+    assert got[("orders", "o_custkey_not_null")] == 1
+    assert got[("orders", "o_custkey_in_customer")] == 1  # custkey 99
+    assert got[("lineitem", "l_orderkey_in_orders")] == 1  # order 777
+    assert got[("customer", "c_custkey_unique")] == 1
+    assert got[("events", "value_in_range")] == 1  # -3.0
+    assert got[("events", "event_type_accepted")] == 1  # bogus
+    assert got[("documents", "text_nonempty")] == 1
