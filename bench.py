@@ -123,6 +123,8 @@ HEADLINE = [
     "customers_rfm_segments",
     "events_ewma_forecast",
     "warehouse_data_tests",
+    "events_transition_matrix",
+    "customers_cohort_ltv",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5062,6 +5062,130 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- event transition matrix (X163) --------------------------------------------------------
+
+
+@query(
+    "events_transition_matrix",
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), t AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM s WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, sum(n) AS n_from FROM t GROUP BY from_type
+)
+SELECT t.from_type, t.to_type,
+       CAST(t.n AS BIGINT) AS n,
+       round(t.n * 1.0 / tot.n_from, 6) AS p
+FROM t JOIN tot USING (from_type)
+""",
+)
+def q_events_transition_matrix(spark, sf_dir):
+    """Per-user event transition matrix (X163) — the first-order
+    Markov table product analytics reads for path optimization (what
+    follows a view? where do errors lead?) and the behavioral twin
+    of X154's char-level transitions: consecutive event pairs within
+    each user's (ts, event_id)-ordered stream, counted and
+    row-normalized. One user-keyed window exchange (the stream's
+    natural partitioning) + one |types|²-bounded aggregate; the
+    deterministic (ts, event_id) order pins tie handling
+    cross-engine; probabilities divide exact integers once."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") * 1.0 / F.col("n_from"), 6).alias("p"),
+    )
+
+
+# --- cohort LTV curve (X164) ----------------------------------------------------------------
+
+
+@query(
+    "customers_cohort_ltv",
+    """
+WITH o AS (
+  SELECT o_custkey AS c,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), first_m AS (
+  SELECT c, min(m) AS cohort FROM o GROUP BY c
+), rev AS (
+  SELECT f.cohort,
+         (extract(year FROM o.m) - extract(year FROM f.cohort)) * 12
+           + (extract(month FROM o.m) - extract(month FROM f.cohort))
+           AS months_since,
+         sum(o.cents) AS rev_cents
+  FROM o JOIN first_m f ON f.c = o.c
+  GROUP BY 1, 2
+), cs AS (
+  SELECT cohort, count(*) AS cohort_size FROM first_m GROUP BY cohort
+)
+SELECT CAST(r.cohort AS VARCHAR) AS cohort,
+       CAST(r.months_since AS BIGINT) AS months_since,
+       CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+       CAST(r.rev_cents AS BIGINT) AS rev_cents,
+       CAST(sum(r.rev_cents) OVER (PARTITION BY r.cohort
+              ORDER BY r.months_since) AS BIGINT) AS cum_rev_cents
+FROM rev r JOIN cs USING (cohort)
+""",
+)
+def q_customers_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve (X164) — the revenue companion of
+    X52's retention cohorts and the table an LTV model calibrates
+    on: customers cohorted by first-order month, revenue rolled up
+    by months-since-acquisition, cumulated per cohort. Revenue
+    accumulates in integer CENTS end to end (the X160 lesson — a
+    double SUM's shuffle order would make the cumulative column
+    nondeterministic); month arithmetic is integer year/month
+    extraction, no date-diff float; one customer aggregate, one
+    (cohort, month) aggregate, one ordered cumsum window over the
+    cohort-grid-bounded rollup."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_m = o.groupBy("c").agg(F.min("m").alias("cohort"))
+    rev = (
+        o.join(first_m, "c")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("m") - F.year("cohort")) * 12
+                + (F.month("m") - F.month("cohort"))
+            ).alias("months_since"),
+        )
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    cs = first_m.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    w = Window.partitionBy("cohort").orderBy("months_since")
+    return rev.join(F.broadcast(cs), "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        F.col("months_since").cast("bigint").alias("months_since"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
+
+
 # --- warehouse data-test audit (X162) ----------------------------------------------------
 
 
