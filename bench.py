@@ -125,6 +125,8 @@ HEADLINE = [
     "warehouse_data_tests",
     "events_transition_matrix",
     "customers_cohort_ltv",
+    "events_top_session_paths",
+    "parts_abc_classification",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5062,6 +5062,156 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- top session paths (X165) ----------------------------------------------------------------
+
+TOP_PATHS = 20
+
+
+@query(
+    "events_top_session_paths",
+    f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+), f AS (
+  SELECT user_id, event_id, ts_us, event_type,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), g AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+), paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM g GROUP BY user_id, sess
+), counted AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+      FROM counted)
+WHERE rnk <= {TOP_PATHS}
+""",
+)
+def q_events_top_session_paths(spark, sf_dir):
+    """Top session paths (X165) — the ranked full-journey table read
+    next to X163's one-step transitions (funnels tell you A→B rates;
+    paths tell you which COMPLETE journeys dominate): per 30-min-gap
+    session the ordered event-type sequence joined into a path
+    string, counted, deterministic top-{TOP_PATHS}. Same native
+    session_window + ordered-reassembly idiom as the X119
+    transcripts (the oracle carries the lag-cumsum sessionization
+    twin, proven equivalent there); the path alphabet bounds the
+    count rollup, not the corpus."""
+    from gmall_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    paths = (
+        ev.select(
+            "user_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_PATHS)
+        .select(
+            "path", F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            "rnk",
+        )
+    )
+
+
+# --- ABC revenue classification (X166) ---------------------------------------------------------
+
+
+@query(
+    "parts_abc_classification",
+    """
+WITH r AS (
+  SELECT l_partkey AS part,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+), c AS (
+  SELECT part, rev_cents,
+         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, part
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         SUM(rev_cents) OVER () AS total_cents
+  FROM r
+)
+SELECT part, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(cum_cents AS BIGINT) AS cum_cents,
+       CASE WHEN 5 * cum_cents <= 4 * total_cents THEN 'A'
+            WHEN 20 * cum_cents <= 19 * total_cents THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+""",
+)
+def q_parts_abc_classification(spark, sf_dir):
+    """ABC (Pareto) revenue classification (X166) — the contribution
+    analysis an assortment/inventory review starts from: parts ranked
+    by lifetime revenue, class A while the running share stays within
+    80%, B to 95%, C after. Revenue in integer CENTS (per-row round,
+    then exact integer sums — the X160 lesson) and the class
+    boundaries cleared to integer comparisons (5·cum ≤ 4·total,
+    20·cum ≤ 19·total), so no engine can disagree at a boundary; the
+    running share is one ordered window over the part-bounded
+    rollup (the X84 histogram-cut swap applies at catalog scale)."""
+    r = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("rev_cents")
+        )
+    )
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("part")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = r.select(
+        "part",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_cents"),
+        F.sum("rev_cents").over(wt).alias("total_cents"),
+    )
+    return c.select(
+        "part",
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        F.col("cum_cents").cast("bigint").alias("cum_cents"),
+        F.when(5 * F.col("cum_cents") <= 4 * F.col("total_cents"), "A")
+        .when(20 * F.col("cum_cents") <= 19 * F.col("total_cents"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
 # --- event transition matrix (X163) --------------------------------------------------------
 
 
