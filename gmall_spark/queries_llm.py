@@ -5255,12 +5255,14 @@ def q_events_transition_matrix(spark, sf_dir):
         F.col("event_type").alias("from_type"),
         F.col("next_type").alias("to_type"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    tot = t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
-    return t.join(F.broadcast(tot), "from_type").select(
+    # row totals as a window over the |types|²-bounded pair table —
+    # a separate agg + join would re-evaluate the whole pair subtree
+    w_tot = Window.partitionBy("from_type")
+    return t.select(
         "from_type",
         "to_type",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("n") * 1.0 / F.col("n_from"), 6).alias("p"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w_tot), 6).alias("p"),
     )
 
 

@@ -320,6 +320,28 @@ BUDGETS = [
     ("orders_ingest_gaps", 8, 1),
     ("lineitem_copurchase_pairs", 15, 3),
     ("events_join_cardinality_sketch", 24, 6),
+    # lattice resampling: scan + ONE global cumsum window
+    ("llm_systematic_resample", 2, 0),
+    # zone-map stats: layout join (broadcast spreads) + file rollup +
+    # predicate grid agg
+    ("layout_file_stats_pruning", 3, 2),
+    # RFM: customer agg + three ntile windows sharing one exchange
+    ("customers_rfm_segments", 5, 1),
+    # EWMA: (type, day) rollup + type-keyed series agg
+    ("events_ewma_forecast", 3, 0),
+    # 8 contract arms, one pass per table each
+    ("warehouse_data_tests", 20, 2),
+    # transitions: user window + pair agg + row-total window (a
+    # separate agg + join would re-evaluate the pair subtree: 7 -> 4)
+    ("events_transition_matrix", 4, 0),
+    ("customers_cohort_ltv", 8, 2),
+    # session paths: session_window agg + path count + top-k window
+    ("events_top_session_paths", 3, 0),
+    # ABC: part rollup + ordered cumshare window
+    ("parts_abc_classification", 3, 0),
+    # greedy decode: checkpointed transition table -> 12 broadcast
+    # joins, ZERO shuffles in the decode chain itself
+    ("text_lm_greedy_decode", 0, 12),
 ]
 
 
