@@ -1860,3 +1860,44 @@ def test_incremental_copurchase_split_basket_and_replay(spark, tmpdir):
     ic.process_batch(spark, b2, store, 1)
     assert after2 == {(r.part_a, r.part_b): (r.n_ab, r.lift)
                       for r in ic.current_pairs(spark, store).collect()}
+
+
+def test_incremental_kmv_foreach_batch_e2e(spark, tmpdir):
+    """End-to-end streaming form of the KMV store: a real readStream
+    file source (maxFilesPerTrigger=1 -> two micro-batches) of key
+    rows through runner.run_foreach_batch; the merged sketch and the
+    estimate must equal the one-shot batch sketch over all streamed
+    keys — exactly, by min-union mergeability."""
+    from gmall_spark.operators import sketches
+    from gmall_spark.streaming import incremental_kmv as ik
+    from gmall_spark.streaming import runner
+
+    keys = spark.range(0, 1200).selectExpr("id AS k")
+    store = f"{tmpdir}/kmv_e2e_store"
+    src = f"{tmpdir}/kmv_e2e_src"
+    keys.filter("k < 600").coalesce(1).write.parquet(f"{src}/b0")
+    keys.filter("k >= 600").coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, eid: ik.process_batch(spark, b, "k", store),
+        checkpoint=f"{tmpdir}/ckpt_incr_kmv",
+    )
+    q.awaitTermination(180)
+
+    got = sorted(r.h for r in ik.current_sketch(spark, store).collect())
+    want = sorted(
+        r.h for r in sketches.kmv_sketch(sketches.kmv_hashes(keys, "k")).collect()
+    )
+    assert got == want and len(got) == sketches.KMV_K
+    ge = ik.distinct_estimate(spark, store).collect()[0]
+    we = sketches.kmv_distinct_estimate(
+        sketches.kmv_sketch(sketches.kmv_hashes(keys, "k"))
+    ).collect()[0]
+    assert (ge.n_sketch, ge.est) == (we.n_sketch, we.est)
