@@ -318,7 +318,9 @@ BUDGETS = [
     ("llm_length_bucket_padding", 2, 0),
     ("llm_vocab_oov", 5, 1),
     ("orders_ingest_gaps", 8, 1),
-    ("lineitem_copurchase_pairs", 15, 3),
+    # one persisted basket rollup feeds pairs/marginals/total; the
+    # count includes cached-lineage re-prints inside InMemoryTableScan
+    ("lineitem_copurchase_pairs", 17, 3),
     ("events_join_cardinality_sketch", 24, 6),
     # lattice resampling: scan + ONE global cumsum window
     ("llm_systematic_resample", 2, 0),
