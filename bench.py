@@ -127,6 +127,7 @@ HEADLINE = [
     "customers_cohort_ltv",
     "events_top_session_paths",
     "parts_abc_classification",
+    "events_funnel_latency",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -239,3 +239,23 @@ def copurchase_pairs(op: DataFrame, top: int = COPURCHASE_TOP) -> DataFrame:
             "rnk",
         )
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(from_type, to_type, n) over consecutive event pairs within
+    each user's (ts, event_id)-ordered stream — the X163 core, shared
+    by the registered query and the streaming twin."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    s = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return s.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -5062,6 +5062,88 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- funnel latency percentiles (X167) ---------------------------------------------------------
+
+
+@query(
+    "events_funnel_latency",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS first_purchase
+  FROM events GROUP BY user_id
+), legs AS (
+  SELECT 'view_to_click' AS leg,
+         first_click - first_view AS us
+  FROM per_user
+  WHERE first_view IS NOT NULL AND first_click > first_view
+  UNION ALL
+  SELECT 'click_to_purchase',
+         first_purchase - first_click
+  FROM per_user
+  WHERE first_click IS NOT NULL AND first_purchase > first_click
+)
+SELECT leg,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(us, 0.5) / 1000000.0, 6) AS p50_sec,
+       round(quantile_cont(us, 0.9) / 1000000.0, 6) AS p90_sec,
+       round(max(us) / 1000000.0, 6) AS max_sec
+FROM legs GROUP BY leg
+""",
+)
+def q_events_funnel_latency(spark, sf_dir):
+    """Funnel time-to-convert distribution (X167) — X45 says HOW MANY
+    users pass each step; this says HOW LONG the passing users took
+    (the metric a checkout/onboarding review actually argues over):
+    per funnel leg, exact p50/p90/max of the first-view→first-click
+    and first-click→first-purchase latencies. Same one-pass
+    conditional-min rollup as the X45 funnel (one user exchange);
+    quantiles are the exact interpolated percentile both engines
+    define identically over integer microsecond deltas (the proven
+    X44 idiom), converted to seconds by one exact dyadic-free
+    division rounded at 6 dp."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "click", F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("first_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("first_purchase"),
+    )
+    legs = (
+        per_user.filter(
+            F.col("first_view").isNotNull()
+            & (F.col("first_click") > F.col("first_view"))
+        )
+        .select(
+            F.lit("view_to_click").alias("leg"),
+            (F.col("first_click") - F.col("first_view")).alias("us"),
+        )
+        .unionByName(
+            per_user.filter(
+                F.col("first_click").isNotNull()
+                & (F.col("first_purchase") > F.col("first_click"))
+            ).select(
+                F.lit("click_to_purchase").alias("leg"),
+                (F.col("first_purchase") - F.col("first_click")).alias("us"),
+            )
+        )
+    )
+    return legs.groupBy("leg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.expr("percentile(us, 0.5)") / 1000000.0, 6).alias("p50_sec"),
+        F.round(F.expr("percentile(us, 0.9)") / 1000000.0, 6).alias("p90_sec"),
+        F.round(F.max("us") / 1000000.0, 6).alias("max_sec"),
+    )
+
+
 # --- top session paths (X165) ----------------------------------------------------------------
 
 TOP_PATHS = 20
@@ -5246,15 +5328,14 @@ def q_events_transition_matrix(spark, sf_dir):
     natural partitioning) + one |types|²-bounded aggregate; the
     deterministic (ts, event_id) order pins tie handling
     cross-engine; probabilities divide exact integers once."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = e.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
-    ).filter(F.col("next_type").isNotNull())
-    t = s.groupBy(
-        F.col("event_type").alias("from_type"),
-        F.col("next_type").alias("to_type"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    from gmall_spark.operators.relational import transition_counts
+    from gmall_spark.queries import _events
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id",
+        "event_type",
+    )
+    t = transition_counts(e)
     # row totals as a window over the |types|²-bounded pair table —
     # a separate agg + join would re-evaluate the whole pair subtree
     w_tot = Window.partitionBy("from_type")

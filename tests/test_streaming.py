@@ -1901,3 +1901,44 @@ def test_incremental_kmv_foreach_batch_e2e(spark, tmpdir):
         sketches.kmv_sketch(sketches.kmv_hashes(keys, "k"))
     ).collect()[0]
     assert (ge.n_sketch, ge.est) == (we.n_sketch, we.est)
+
+
+def test_incremental_transitions_cross_batch_pairs_and_replay(spark, tmpdir):
+    """X163's streaming twin — the family's ORDER-SENSITIVE member: a
+    transition pair spans micro-batches when the user's previous event
+    arrived earlier, so each batch bridges from the stored per-user
+    FRONTIER; reading batch k-1's frontier (never a live one) makes a
+    foreachBatch replay byte-exact. Two-batch == one-shot including a
+    user stream split mid-way."""
+    from gmall_spark.operators.relational import transition_counts
+    from gmall_spark.streaming import incremental_transitions as it
+
+    store = f"{tmpdir}/trans_store"
+    cols = "user_id long, ts_us long, event_id long, event_type string"
+    # user 1 splits across batches (view->click bridge is CROSS-batch);
+    # user 2 is batch-1 only; user 3 appears first in batch 2
+    b1 = spark.createDataFrame(
+        [(1, 10, 1, "view"), (1, 20, 2, "click"),
+         (2, 10, 3, "view"), (2, 30, 4, "purchase")], cols)
+    b2 = spark.createDataFrame(
+        [(1, 40, 5, "purchase"), (3, 5, 6, "signup"), (3, 9, 7, "view")],
+        cols)
+    it.process_batch(spark, b1, store, 0)
+    after1 = {(r.from_type, r.to_type): r.n
+              for r in it.current_matrix(spark, store).collect()}
+    assert after1 == {("view", "click"): 1, ("view", "purchase"): 1}
+
+    it.process_batch(spark, b2, store, 1)
+    got = {(r.from_type, r.to_type): r.n
+           for r in it.current_matrix(spark, store).collect()}
+    # the click->purchase pair exists ONLY via the cross-batch bridge
+    want = {(r.from_type, r.to_type): r.n
+            for r in transition_counts(b1.unionByName(b2)).collect()}
+    assert got == want
+    assert got[("click", "purchase")] == 1
+
+    # replay batch 2: reads frontier b0 again -> identical outputs
+    it.process_batch(spark, b2, store, 1)
+    again = {(r.from_type, r.to_type): r.n
+             for r in it.current_matrix(spark, store).collect()}
+    assert again == got
