@@ -128,6 +128,7 @@ HEADLINE = [
     "events_top_session_paths",
     "parts_abc_classification",
     "events_funnel_latency",
+    "events_transition_eval",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5062,6 +5062,94 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- next-event prediction eval (X169) -----------------------------------------------------------
+
+
+@query(
+    "events_transition_eval",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+), pairs AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS to_type
+  FROM e
+), p AS (SELECT * FROM pairs WHERE to_type IS NOT NULL),
+train AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM p WHERE user_id % 2 = 0 GROUP BY 1, 2
+), model AS (
+  SELECT from_type, to_type AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY from_type
+                                 ORDER BY n DESC, to_type ASC) AS rn
+    FROM train) WHERE rn = 1
+), test AS (
+  SELECT p.from_type, p.to_type, m.pred
+  FROM p JOIN model m USING (from_type)
+  WHERE p.user_id % 2 = 1
+)
+SELECT from_type, pred,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN to_type = pred THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN to_type = pred THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS accuracy
+FROM test GROUP BY from_type, pred
+""",
+)
+def q_events_transition_eval(spark, sf_dir):
+    """Next-event prediction evaluation (X169) — the train/deploy
+    split for the X163 behavioral model, the same discipline the text
+    family already lives by (X112 frozen LM, X144 frozen vocab, X127
+    trained NB): the majority-next-event model fits on even users
+    (argmax with a total tie order) and is scored on odd users' held-
+    out transitions, per from-state. On this memoryless synthetic
+    corpus accuracy ≈ the majority class rate — the honest baseline
+    number a real corpus would have to beat; the harness, not the
+    score, is the artifact. Both stages are |types|²-bounded after
+    one user-keyed window pass."""
+    from gmall_spark.operators.relational import transition_counts
+    from gmall_spark.queries import _events
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    p = e.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    train = (
+        p.filter("user_id % 2 = 0")
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), F.asc("to_type")
+    )
+    model = (
+        train.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("from_type", F.col("to_type").alias("pred"))
+    )
+    test = p.filter("user_id % 2 = 1").join(F.broadcast(model), "from_type")
+    return test.groupBy("from_type", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("to_type") == F.col("pred"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("to_type") == F.col("pred"), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
 # --- funnel latency percentiles (X167) ---------------------------------------------------------
 
 

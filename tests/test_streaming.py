@@ -1942,3 +1942,46 @@ def test_incremental_transitions_cross_batch_pairs_and_replay(spark, tmpdir):
     again = {(r.from_type, r.to_type): r.n
              for r in it.current_matrix(spark, store).collect()}
     assert again == got
+
+
+def test_incremental_ewma_equals_batch_and_retroactive_smoothing(spark, tmpdir):
+    """X161's streaming twin: the fold is order-sensitive and not
+    mergeable, but the day grid underneath IS — so streaming == batch
+    exactly after any split, and a LATE event landing on an old day
+    retroactively re-smooths every later day (a stored running-s
+    design could never correct that)."""
+    from gmall_spark.streaming import incremental_ewma as ie
+
+    store = f"{tmpdir}/ewma_store"
+    cols = "event_id long, ts string, event_type string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, cols)
+
+    # day counts for 'click': d1=4, d2=2 -> fold: (4+2)/2 = 3
+    b1 = df([(i, "2024-01-01 10:00:00", "click") for i in range(4)]
+            + [(10 + i, "2024-01-02 10:00:00", "click") for i in range(2)])
+    ie.process_batch(spark, b1, store, 0)
+    f1 = {r.event_type: r for r in ie.current_forecast(spark, store).collect()}
+    assert f1["click"].n_days == 2 and f1["click"].ewma_forecast == 3.0
+
+    # batch 2: d3=6 AND a LATE event for d1 (4 -> 5)
+    b2 = df([(20 + i, "2024-01-03 10:00:00", "click") for i in range(6)]
+            + [(30, "2024-01-01 23:00:00", "click")])
+    ie.process_batch(spark, b2, store, 1)
+    f2 = {r.event_type: r for r in ie.current_forecast(spark, store).collect()}
+    # retroactive: ((5+2)/2 + 6)/2 = 4.75 — the late d1 event changed
+    # every later smoothed value
+    assert f2["click"].n_days == 3 and f2["click"].ewma_forecast == 4.75
+    assert f2["click"].last_count == 6
+
+    # streaming == one-shot batch over the union
+    store2 = f"{tmpdir}/ewma_one"
+    ie.process_batch(spark, b1.unionByName(b2), store2, 0)
+    f3 = {r.event_type: r for r in ie.current_forecast(spark, store2).collect()}
+    assert f3["click"].ewma_forecast == f2["click"].ewma_forecast
+
+    # replay batch 2: identical delta overwrite -> unchanged
+    ie.process_batch(spark, b2, store, 1)
+    f4 = {r.event_type: r for r in ie.current_forecast(spark, store).collect()}
+    assert f4["click"].ewma_forecast == 4.75
