@@ -129,6 +129,8 @@ HEADLINE = [
     "parts_abc_classification",
     "events_funnel_latency",
     "events_transition_eval",
+    "events_props_profile",
+    "events_trailing_7d_volume",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

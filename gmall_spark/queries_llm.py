@@ -5062,6 +5062,103 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- props JSON extraction profile (X171) ----------------------------------------------------------
+
+
+@query(
+    "events_props_profile",
+    """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS unparsed,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+FROM x GROUP BY event_type
+""",
+)
+def q_events_props_profile(spark, sf_dir):
+    """Semi-structured payload profiling (X171): the events table's
+    JSON ``props`` column — the last raw column no query had touched —
+    extracted with the engine's native JSON path functions
+    (get_json_object / json_extract_string) and profiled per event
+    type: parse-failure count (the schema-on-read health signal),
+    integer min/max/sum/distinct of the payload key. A malformed or
+    shape-drifted payload shows up as ``unparsed`` > 0, not a task
+    failure — TRY_CAST / nullable extraction end to end. One hash
+    aggregate; JSON parsing stays JVM-side (no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("unparsed"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.countDistinct("k").cast("bigint").alias("k_distinct"),
+    )
+
+
+# --- trailing RANGE-frame window (X172) --------------------------------------------------------------
+
+
+@query(
+    "events_trailing_7d_volume",
+    """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS d,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(cnt AS BIGINT) AS n_events,
+       CAST(sum(cnt) OVER (ORDER BY di
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_7d
+FROM c
+""",
+)
+def q_events_trailing_7d_volume(spark, sf_dir):
+    """Trailing 7-day volume via a RANGE frame (X172): the one window
+    frame form the registry hadn't demonstrated — every other window
+    here is ROWS-framed, but a trailing-k-DAYS sum over a day series
+    with GAPS is only correct with RANGE semantics (a ROWS frame
+    would reach past missing days and silently widen the window; the
+    corpus's X150 gap days are exactly where the two diverge on real
+    data). Integer day index (datediff from an epoch) keys the frame,
+    so both engines bound it identically; grid-bounded rollup, one
+    ordered window."""
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+            F.datediff(
+                F.to_date(F.col("ts").cast("timestamp")), F.lit("2024-01-01")
+            ).alias("di"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("di").rangeBetween(-6, 0)
+    return c.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("cnt").cast("bigint").alias("n_events"),
+        F.sum("cnt").over(w).cast("bigint").alias("trailing_7d"),
+    )
+
+
 # --- next-event prediction eval (X169) -----------------------------------------------------------
 
 
