@@ -131,6 +131,8 @@ HEADLINE = [
     "events_transition_eval",
     "events_props_profile",
     "events_trailing_7d_volume",
+    "events_daily_volume_anomalies",
+    "parts_single_source_risk",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

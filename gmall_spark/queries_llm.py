@@ -5062,6 +5062,114 @@ def q_llm_length_bucket_padding(spark, sf_dir):
     )
 
 
+# --- daily-volume control chart (X173) ---------------------------------------------------------------
+
+
+@query(
+    "events_daily_volume_anomalies",
+    """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         count(*) AS n_days, sum(cnt) AS s1, sum(cnt * cnt) AS s2
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, CAST(c.d AS VARCHAR) AS day,
+       CAST(c.cnt AS BIGINT) AS n_events,
+       CAST(s.n_days AS BIGINT) AS n_days,
+       -- |cnt·n − s1| > 3·sqrt(n·(s2·n − s1²)) both sides squared:
+       -- exact integer comparison, no float stddev anywhere
+       (c.cnt * s.n_days - s.s1) * (c.cnt * s.n_days - s.s1)
+         > 9 * (s.s2 * s.n_days - s.s1 * s.s1) AS is_anomaly
+FROM c JOIN s USING (event_type)
+""",
+)
+def q_events_daily_volume_anomalies(spark, sf_dir):
+    """Daily-volume control chart (X173) — the 3-sigma alarm a
+    monitoring pipeline raises next to the X161 EWMA baseline, on the
+    X88 exact-arithmetic discipline taken one step further: the
+    entire test |cnt − μ| > 3σ clears to ONE integer comparison by
+    multiplying through by n and squaring ((cnt·n − Σx)² > 9·(nΣx² −
+    (Σx)²)), so there is no float σ, no rounding boundary, nothing
+    for engines to disagree on — bit-exact flags from integer day
+    counts. Day grid + per-type moment rollup, both grid-bounded."""
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date(F.col("ts").cast("timestamp")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    dev = F.col("cnt") * F.col("n_days") - F.col("s1")
+    var_n = F.col("s2") * F.col("n_days") - F.col("s1") * F.col("s1")
+    j = c.join(F.broadcast(s), "event_type")
+    return j.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("cnt").cast("bigint").alias("n_events"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (dev * dev > 9 * var_n).alias("is_anomaly"),
+    )
+
+
+# --- single-source supply risk (X174) ------------------------------------------------------------------
+
+
+@query(
+    "parts_single_source_risk",
+    """
+WITH ps AS (
+  SELECT l_partkey AS part, count(DISTINCT l_suppkey) AS n_suppliers,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       round(count(*) * 1.0 / (SELECT count(*) FROM ps), 6) AS part_share
+FROM ps GROUP BY n_suppliers
+""",
+)
+def q_parts_single_source_risk(spark, sf_dir):
+    """Single-source supply risk (X174) — the redundancy histogram a
+    supply-chain review reads: how many parts are served by exactly
+    one supplier (the n_suppliers = 1 row IS the risk register), by
+    two, and so on, with the line volume riding on each tier. One
+    part rollup with a distinct count + one histogram aggregate over
+    the supplier-count domain; the share divides exact integers
+    once."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    total = ps.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        ps.groupBy("n_suppliers")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("n_lines").alias("n_lines"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.round(F.col("n_parts") * 1.0 / F.col("n_total"), 6).alias(
+                "part_share"
+            ),
+        )
+    )
+
+
 # --- props JSON extraction profile (X171) ----------------------------------------------------------
 
 

@@ -1471,3 +1471,33 @@ def test_data_tests_fire_on_planted_violations(spark, tmpdir):
     assert got[("events", "value_in_range")] == 1  # -3.0
     assert got[("events", "event_type_accepted")] == 1  # bogus
     assert got[("documents", "text_nonempty")] == 1
+
+
+def test_volume_control_chart_fires_on_planted_spike(spark, tmpdir):
+    """X173's integer 3-sigma test on a planted series: 29 flat days
+    at 10 events + one 100-event spike must flag EXACTLY the spike
+    (the uniform production corpus never breaches 3 sigma, so this
+    fixture is the proof the alarm can fire at all)."""
+    import gmall_spark.queries_llm as ql
+
+    rows = []
+    eid = 0
+    for day in range(1, 30):
+        for _ in range(10):
+            rows.append((eid, f"2024-03-{day:02d} 12:00:00", 1, "click", 1.0, "{}"))
+            eid += 1
+    for _ in range(100):
+        rows.append((eid, "2024-03-30 12:00:00", 1, "click", 1.0, "{}"))
+        eid += 1
+    sf = f"{tmpdir}/spike_sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props").write.parquet(
+        f"{sf}/events.parquet")
+    got = {r.day: r.is_anomaly
+           for r in ql.q_events_daily_volume_anomalies(spark, sf).collect()}
+    assert got["2024-03-30"] is True
+    assert sum(got.values()) == 1  # only the spike
