@@ -5151,21 +5151,24 @@ def q_parts_single_source_risk(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
-    total = ps.agg(F.count(F.lit(1)).alias("n_total"))
+    # total parts = window sum over the tiny histogram — a scalar
+    # crossJoin would re-evaluate the whole part rollup subtree
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         ps.groupBy("n_suppliers")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.sum("n_lines").alias("n_lines"),
         )
-        .crossJoin(F.broadcast(total))
         .select(
             F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
             F.col("n_parts").cast("bigint").alias("n_parts"),
             F.col("n_lines").cast("bigint").alias("n_lines"),
-            F.round(F.col("n_parts") * 1.0 / F.col("n_total"), 6).alias(
-                "part_share"
-            ),
+            F.round(
+                F.col("n_parts") * 1.0 / F.sum("n_parts").over(wt), 6
+            ).alias("part_share"),
         )
     )
 

@@ -344,6 +344,15 @@ BUDGETS = [
     # greedy decode: checkpointed transition table -> 12 broadcast
     # joins, ZERO shuffles in the decode chain itself
     ("text_lm_greedy_decode", 0, 12),
+    # closing r7 batch
+    ("events_funnel_latency", 5, 0),
+    ("events_transition_eval", 7, 1),
+    ("events_props_profile", 3, 0),
+    ("events_trailing_7d_volume", 3, 0),
+    ("events_daily_volume_anomalies", 5, 1),
+    # window-summed total: a scalar crossJoin re-evaluated the part
+    # rollup (7 -> 5 exchanges)
+    ("parts_single_source_risk", 5, 0),
 ]
 
 
