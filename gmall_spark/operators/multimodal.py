@@ -1007,6 +1007,18 @@ def image_near_dup_groups(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
 
     from gmall_spark import persist as _persist
 
+    # the banding recall guarantee is the pigeonhole over 4 bands: up
+    # to max_hamming touched bands still leave one clean band ONLY
+    # while max_hamming < 4 — a larger radius would silently drop true
+    # pairs, so refuse it loudly (more bands, not a bigger threshold,
+    # is the correct knob at a wider radius)
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the 4-band pigeonhole "
+            "(guaranteed recall only for max_hamming <= 3); use more "
+            "bands instead"
+        )
+
     fp = _persist.register(
         hashes.filter(
             F.col("decode_ok") & F.col("dhash_hex").isNotNull()

@@ -403,3 +403,13 @@ def test_wav_spectral_hand_built_tones(spark):
     assert st.decode_ok and st.dominant_bin == 303 and st.amp_est == 700
     assert not got[4].decode_ok
     assert not got[5].decode_ok  # shorter than one frame
+
+
+def test_image_near_dup_rejects_radius_beyond_pigeonhole(spark):
+    """max_hamming > 3 would silently lose true pairs (4 bands only
+    pigeonhole up to 3 flipped bands) — the operator must refuse."""
+    import pytest
+
+    df = spark.createDataFrame([], M.IMG_HASH_SCHEMA)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        M.image_near_dup_groups(df, max_hamming=4)
