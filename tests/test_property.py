@@ -662,3 +662,93 @@ def test_image_hashes_match_python(spark, imgs):
         r = got[i]
         assert r.decode_ok
         assert (r.ahash_hex, r.dhash_hex, r.gray_mean) == (ahex, dhex, gmean), i
+
+
+# --- incremental transitions (X168) -------------------------------------------
+
+trans_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),   # user
+        st.integers(0, 20),  # ts (ties likely)
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(rows=trans_events_strategy, cut=st.integers(0, 24))
+@settings(**_SETTINGS)
+def test_incremental_transitions_any_split_equals_batch(spark, tmpdir_factory, rows, cut):
+    """For ANY corpus and ANY batch split point, the frontier-bridged
+    streaming matrix equals the one-shot batch operator — including
+    ties, single-event users, and empty batches. Events are assigned
+    ids in arrival order (the module's in-order-per-user contract)."""
+    from gmall_spark.operators.relational import transition_counts
+    from gmall_spark.streaming import incremental_transitions as it
+
+    rows = sorted(rows, key=lambda r: (r[1],))  # global arrival order
+    evs = [(u, ts, i, t) for i, (u, ts, t) in enumerate(rows)]
+    cut = min(cut, len(evs))
+    cols = "user_id long, ts_us long, event_id long, event_type string"
+    full = spark.createDataFrame(evs, cols)
+    b1 = spark.createDataFrame(evs[:cut], cols) if cut else spark.createDataFrame([], cols)
+    b2 = spark.createDataFrame(evs[cut:], cols) if cut < len(evs) else spark.createDataFrame([], cols)
+
+    store = str(tmpdir_factory.mktemp("trans_prop"))
+    it.process_batch(spark, b1, store, 0)
+    it.process_batch(spark, b2, store, 1)
+    got = {(r.from_type, r.to_type): r.n
+           for r in it.current_matrix(spark, store).collect()}
+    want = {(r.from_type, r.to_type): r.n
+            for r in transition_counts(full).collect()}
+    assert got == want
+
+
+# --- systematic resampling (X158) ----------------------------------------------
+
+weights_strategy = st.lists(st.integers(1, 50), min_size=1, max_size=30)
+
+
+@given(ws=weights_strategy, draws=st.integers(1, 500))
+@settings(**_SETTINGS)
+def test_systematic_resample_lattice_properties(spark, ws, draws):
+    """For ANY integer weights and ANY budget: draw counts sum to the
+    budget EXACTLY and each count is floor/ceil of its expectation —
+    checked against a literal lattice-membership reference."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    W = sum(ws)
+    d = draws
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(ws)], "doc_id long, n_tokens long"
+    )
+    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = df.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).alias("cum"),
+    ).withColumn("total", F.lit(W))
+    g_lo = F.when(2 * d * F.col("cum") <= W, F.lit(0)).otherwise(
+        F.expr(f"(2 * {d} * cum - total + 2 * total - 1) div (2 * total)")
+    )
+    g_hi = F.when(2 * d * (F.col("cum") + F.col("n_tokens")) <= W, F.lit(0)).otherwise(
+        F.expr(
+            f"(2 * {d} * (cum + n_tokens) - total + 2 * total - 1)"
+            " div (2 * total)"
+        )
+    )
+    got = {r.doc_id: r.k for r in c.select("doc_id", (g_hi - g_lo).alias("k")).collect()}
+    # literal lattice reference
+    pts = [(2 * k + 1) * W / (2 * d) for k in range(d)]
+    cum = 0
+    for i, w in enumerate(ws):
+        want = sum(1 for p in pts if cum <= p < cum + w)
+        assert got[i] == want, (i, ws, draws)
+        exp = w * d / W
+        assert math.floor(exp) <= got[i] <= math.ceil(exp)
+        cum += w
+    assert sum(got.values()) == d
