@@ -3,8 +3,15 @@
 
 Runs the registered headline queries at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE COMPACT JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "core34_total": ..., "n_queries": ..., "materialize": {...},
+"fixtures": {...}, "sf": ...}.
+
+The per-query map is NOT on the final line: at 100+ headline queries
+it pushed the line past the driver's tail capture and round 7's
+number of record was lost (BENCH_r07 "parsed": null — the r4 lesson
+regressing in a new form, VERDICT r7 item 1). Per-query mins and
+per-run audit times go to stderr and bench_runs.json.
 """
 
 from __future__ import annotations
@@ -230,6 +237,16 @@ def main() -> None:
             materialize[name] = min(materialize.get(name, dt), dt)
             print(f"# materialize {name} (run {attempt}): {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # Shared-fixture builds (kNN edges, LM scores, centroids, ...)
+    # happen lazily inside whichever query runs first and are excluded
+    # from the min-of-3 per-query numbers; fixtures_audit records
+    # their wall seconds so the final JSON line-items cold cost
+    # (VERDICT r7 item 3). Reset here so the warm-dir codegen pass
+    # above never pollutes the sf_dir record.
+    from gmall_spark import fixtures_audit
+
+    fixtures_audit.reset()
+
     names = [n for n in HEADLINE if n in q.QUERIES] or sorted(q.QUERIES)
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -263,23 +280,46 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    # total stays the honest wall clock: fixture derivation + queries
-    total = round(sum(timings.values()) + sum(materialize.values()), 3)
+    # total is the honest COLD wall clock: shared-fixture builds +
+    # materialize builds + warm query mins. The fixture line items
+    # keep the headline total from flattering warm reads (VERDICT r7
+    # item 3: 0.03 s lines that are min-of-3 reads of a checkpoint
+    # built once and charged to run 0).
+    fixtures = fixtures_audit.snapshot()
+    total = round(
+        sum(timings.values()) + sum(materialize.values()) + sum(fixtures.values()),
+        3,
+    )
+    # core34_total keeps the r4 composition (timings + the two
+    # materialize builds) so the cross-round comparison series stays
+    # consistent; its fixtures (kNN edges) predate the audit and were
+    # never in the r4 number either.
     core34_total = round(
         sum(timings[n] for n in CORE34 if n in timings)
         + sum(materialize.values()),
         3,
     )
-    # Per-run audit times go to stderr + a side file, NOT the stdout
-    # JSON: the r4 record was unparseable because the "runs" field
-    # pushed the line past the driver's tail capture. The final stdout
-    # line must be the compact headline JSON alone.
+    # Per-query mins and per-run audit times go to stderr + a side
+    # file, NOT the stdout JSON: the r4 record was unparseable because
+    # the "runs" field pushed the line past the driver's tail capture,
+    # and r7's was lost the same way when the per-query MIN map grew
+    # to 102 entries. The final stdout line must stay compact —
+    # scalars plus the two small (O(10) entries) build maps only.
+    print(f"# queries: {json.dumps(timings)}", file=sys.stderr)
     print(f"# runs: {json.dumps(all_runs)}", file=sys.stderr)
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json"), "w"
         ) as f:
-            json.dump({"runs": all_runs, "materialize": materialize}, f)
+            json.dump(
+                {
+                    "queries": timings,
+                    "runs": all_runs,
+                    "materialize": materialize,
+                    "fixtures": fixtures,
+                },
+                f,
+            )
     except OSError:
         pass
     print(
@@ -289,8 +329,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "core34_total": core34_total,
-                "queries": timings,
+                "n_queries": len(timings),
                 "materialize": materialize,
+                "fixtures": fixtures,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,47 @@
+"""Build-time audit for the shared per-(session, sf_dir) fixtures.
+
+The shared fixtures (_lm_scores, _knn_edges, centroids, DSIR weights,
+containment postings, ...) are built lazily inside whichever query
+touches them first and charged to that query's run 0 — the bench's
+min-of-3 then excludes the build, so headline per-query numbers
+measure warm operators (the intended semantics: the fixtures are the
+analog of the reference's materialized DWD Kafka topics). That made
+the headline JSON blind to cold cost (VERDICT r7 item 3). Every
+fixture build records its wall seconds here; bench.py emits the map
+as a ``"fixtures"`` line item next to ``"materialize"`` so cold cost
+stays visible in the round record.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from typing import Iterator
+
+# fixture name -> cumulative build seconds since the last reset()
+TIMINGS: dict[str, float] = {}
+
+
+@contextmanager
+def timed(name: str) -> Iterator[None]:
+    """Record the wall-clock seconds of a fixture build under ``name``.
+
+    Cumulative: a fixture rebuilt after clear_cache() (or built per
+    sf_dir) adds to its entry rather than overwriting, so the map
+    reflects total build cost in the audited window.
+    """
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        TIMINGS[name] = round(
+            TIMINGS.get(name, 0.0) + (time.perf_counter() - t0), 3
+        )
+
+
+def reset() -> None:
+    TIMINGS.clear()
+
+
+def snapshot() -> dict[str, float]:
+    return dict(TIMINGS)

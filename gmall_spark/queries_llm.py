@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gmall_spark import fixtures_audit
 from gmall_spark.functions import text as TX
 from gmall_spark.operators import (
     components,
@@ -189,7 +190,8 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             if loaded is not None:
                 _CENTROIDS[key] = loaded
                 return loaded
-        _CENTROIDS[key] = ivf.train_centroids(_emb(spark, sf_dir))
+        with fixtures_audit.timed("centroids"):
+            _CENTROIDS[key] = ivf.train_centroids(_emb(spark, sf_dir))
         if art is not None:
             os.makedirs(art_dir, exist_ok=True)
             ivf.save_centroids(art, _CENTROIDS[key], src)
@@ -238,9 +240,10 @@ def _trained_books(spark: SparkSession, sf_dir: str) -> list:
             if loaded is not None:
                 _PQ_BOOKS[key] = loaded
                 return _PQ_BOOKS[key]
-        _PQ_BOOKS[key] = _pq.train_codebooks(
-            _emb(spark, sf_dir), _oracle_dim_check(spark, sf_dir)
-        )
+        with fixtures_audit.timed("pq_codebooks"):
+            _PQ_BOOKS[key] = _pq.train_codebooks(
+                _emb(spark, sf_dir), _oracle_dim_check(spark, sf_dir)
+            )
         if art is not None:
             os.makedirs(art_dir, exist_ok=True)
             _pq.save_codebooks(art, _PQ_BOOKS[key], src)
@@ -257,8 +260,11 @@ _DEDUP_GROUPS: dict[tuple[str, str], DataFrame] = {}
 def _transitive_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (_session_token(spark), sf_dir)
     if key not in _DEDUP_GROUPS:
-        pairs = llm_dedup.minhash_lsh_dedup(_docs(spark, sf_dir), NEAR_DUP_THRESHOLD)
-        _DEDUP_GROUPS[key] = components.connected_components(pairs)
+        with fixtures_audit.timed("dedup_groups"):
+            pairs = llm_dedup.minhash_lsh_dedup(
+                _docs(spark, sf_dir), NEAR_DUP_THRESHOLD
+            )
+            _DEDUP_GROUPS[key] = components.connected_components(pairs)
     return _DEDUP_GROUPS[key]
 
 
@@ -282,10 +288,11 @@ def _knn_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         # test_gemm_topk_equals_hof — at BLAS speed instead of one
         # HOF lambda per element (the build was the pagerank query's
         # entire first-run cost)
-        knn = similarity.gemm_allpairs_topk(emb, k=k)
-        _KNN_EDGES[key] = knn.select(
-            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-        ).localCheckpoint(eager=True)
+        with fixtures_audit.timed("knn_edges"):
+            knn = similarity.gemm_allpairs_topk(emb, k=k)
+            _KNN_EDGES[key] = knn.select(
+                F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+            ).localCheckpoint(eager=True)
     return _KNN_EDGES[key]
 
 
@@ -307,9 +314,10 @@ def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _LM_SCORES:
         from gmall_spark.operators import lm
 
-        _LM_SCORES[key] = lm.bigram_logprob_scores(
-            _docs(spark, sf_dir)
-        ).localCheckpoint(eager=True)
+        with fixtures_audit.timed("lm_scores"):
+            _LM_SCORES[key] = lm.bigram_logprob_scores(
+                _docs(spark, sf_dir)
+            ).localCheckpoint(eager=True)
     return _LM_SCORES[key]
 
 
@@ -329,18 +337,20 @@ _CURATION_V2: dict[tuple[str, str], DataFrame] = {}
 def _contain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (_session_token(spark), sf_dir)
     if key not in _CONTAIN_PAIRS:
-        _CONTAIN_PAIRS[key] = llm_dedup.containment_pairs_rare_blocking(
-            _docs(spark, sf_dir)
-        ).localCheckpoint(eager=True)
+        with fixtures_audit.timed("contain_pairs"):
+            _CONTAIN_PAIRS[key] = llm_dedup.containment_pairs_rare_blocking(
+                _docs(spark, sf_dir)
+            ).localCheckpoint(eager=True)
     return _CONTAIN_PAIRS[key]
 
 
 def _boiler_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (_session_token(spark), sf_dir)
     if key not in _BOILER_CLEAN:
-        _BOILER_CLEAN[key] = llm_dedup.boilerplate_span_clean(
-            _docs(spark, sf_dir), SPAN_CLEAN_W, BOILER_DOC_FREQ
-        ).localCheckpoint(eager=True)
+        with fixtures_audit.timed("boiler_clean"):
+            _BOILER_CLEAN[key] = llm_dedup.boilerplate_span_clean(
+                _docs(spark, sf_dir), SPAN_CLEAN_W, BOILER_DOC_FREQ
+            ).localCheckpoint(eager=True)
     return _BOILER_CLEAN[key]
 
 
@@ -355,11 +365,12 @@ _DSIR_WEIGHTS: dict[tuple[str, str], DataFrame] = {}
 def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (_session_token(spark), sf_dir)
     if key not in _DSIR_WEIGHTS:
-        d = _docs(spark, sf_dir)
-        _DSIR_WEIGHTS[key] = dsir.importance_weights(
-            d.filter(F.col("doc_id") % 20 != 0),
-            d.filter(F.col("doc_id") % 20 == 0),
-        ).localCheckpoint(eager=True)
+        with fixtures_audit.timed("dsir_weights"):
+            d = _docs(spark, sf_dir)
+            _DSIR_WEIGHTS[key] = dsir.importance_weights(
+                d.filter(F.col("doc_id") % 20 != 0),
+                d.filter(F.col("doc_id") % 20 == 0),
+            ).localCheckpoint(eager=True)
     return _DSIR_WEIGHTS[key]
 
 
@@ -1162,12 +1173,13 @@ def q_similarity_sq_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     key = (_session_token(spark), sf_dir)
     if key not in _SQ_STATS:
-        dim = _oracle_dim_check(spark, sf_dir)
-        row = sq.train_minmax(emb, dim).collect()[0]
-        _SQ_STATS[key] = (
-            [float(v) for v in row["mins"]],
-            [float(v) for v in row["steps"]],
-        )
+        with fixtures_audit.timed("sq_stats"):
+            dim = _oracle_dim_check(spark, sf_dir)
+            row = sq.train_minmax(emb, dim).collect()[0]
+            _SQ_STATS[key] = (
+                [float(v) for v in row["mins"]],
+                [float(v) for v in row["steps"]],
+            )
     return sq.sq_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
@@ -1253,9 +1265,10 @@ def q_similarity_ivfpq_residual_topk(spark, sf_dir):
     cents = _trained_centroids(spark, sf_dir)
     key = (_session_token(spark), sf_dir)
     if key not in _PQ_RESIDUAL_BOOKS:
-        _PQ_RESIDUAL_BOOKS[key] = pq.train_codebooks_residual(
-            emb, cents, _oracle_dim_check(spark, sf_dir)
-        )
+        with fixtures_audit.timed("pq_residual_books"):
+            _PQ_RESIDUAL_BOOKS[key] = pq.train_codebooks_residual(
+                emb, cents, _oracle_dim_check(spark, sf_dir)
+            )
     return pq.ivfpq_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
@@ -3536,21 +3549,22 @@ def q_llm_corpus_curation_v2(spark, sf_dir):
     recompute every stage they compose')."""
     key = (_session_token(spark), sf_dir)
     if key not in _CURATION_V2:
-        d = _docs(spark, sf_dir)
-        v1 = q_llm_corpus_curation(spark, sf_dir)
-        xmatch = llm_dedup.cross_corpus_near_dups(
-            d.filter(F.col("doc_id") % 20 != 0),
-            d.filter(F.col("doc_id") % 20 == 0),
-            DECONTAM_THRESHOLD,
-        ).select("doc_id").distinct()
-        scores = _lm_scores(spark, sf_dir).select("doc_id", "bigram_logprob")
-        _CURATION_V2[key] = (
-            v1.filter(F.col("doc_id") % 20 != 0)
-            .join(xmatch, "doc_id", "anti")
-            .join(scores, "doc_id")
-            .select("doc_id", "lang_pred", "n_words", "bigram_logprob")
-            .localCheckpoint(eager=True)
-        )
+        with fixtures_audit.timed("curation_v2"):
+            d = _docs(spark, sf_dir)
+            v1 = q_llm_corpus_curation(spark, sf_dir)
+            xmatch = llm_dedup.cross_corpus_near_dups(
+                d.filter(F.col("doc_id") % 20 != 0),
+                d.filter(F.col("doc_id") % 20 == 0),
+                DECONTAM_THRESHOLD,
+            ).select("doc_id").distinct()
+            scores = _lm_scores(spark, sf_dir).select("doc_id", "bigram_logprob")
+            _CURATION_V2[key] = (
+                v1.filter(F.col("doc_id") % 20 != 0)
+                .join(xmatch, "doc_id", "anti")
+                .join(scores, "doc_id")
+                .select("doc_id", "lang_pred", "n_words", "bigram_logprob")
+                .localCheckpoint(eager=True)
+            )
     return _CURATION_V2[key]
 
 
