@@ -140,6 +140,8 @@ HEADLINE = [
     "events_trailing_7d_volume",
     "events_daily_volume_anomalies",
     "parts_single_source_risk",
+    # r8 additions
+    "llm_bitext_mining_ann",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

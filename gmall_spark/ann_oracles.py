@@ -716,3 +716,84 @@ SELECT node_id,
 FROM l{rounds}
 """
     return head + "".join(body) + tail
+
+
+def bitext_ann_oracle(
+    src_lang: str = "en",
+    tgt_lang: str = "de",
+    k: int = 4,
+    n_lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+    iters: int = IVF_ITERS,
+    sample: int = IVF_SAMPLE,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of ``similarity.bitext_margin_top1_ann``: the
+    shared unrolled k-means (the SAME quantizer every IVF consumer
+    trains — full-corpus md5 sample), then IVF candidate generation
+    in both directions, rank-ordered neighborhood folds and the ratio
+    margin. ``list_reduce`` folds ``list(cos6 ORDER BY rank)`` —
+    DuckDB has no-init reduce, and c1 + c2 + ... bit-matches Spark's
+    (0.0 + c1) + c2 + ... seed."""
+
+    def _direction(tag: str, q_lang: str, c_lang: str, qid: str, cid: str) -> str:
+        # probes: every q-side vec's nprobe nearest lists; candidates:
+        # c-side vecs assigned to a probed list; exact rounded cosine;
+        # per-query top-k by (cos desc, id asc) == Spark's rank order.
+        return f"""
+{tag}probe AS (
+  SELECT r.vec_id, r.list_id FROM idx_rn r
+  JOIN documents d ON d.doc_id = r.vec_id
+  WHERE d.lang = '{q_lang}' AND r.rn <= {nprobe}
+), {tag}cand AS (
+  SELECT p.vec_id AS {qid}, i.vec_id AS {cid}
+  FROM {tag}probe p
+  JOIN idx i USING (list_id)
+  JOIN documents d ON d.doc_id = i.vec_id
+  WHERE d.lang = '{c_lang}'
+), {tag}px AS (
+  SELECT c.{qid}, c.{cid},
+         unnest(a.embedding)::DOUBLE AS ax, unnest(b.embedding)::DOUBLE AS bx
+  FROM {tag}cand c
+  JOIN embeddings a ON a.vec_id = c.{qid}
+  JOIN embeddings b ON b.vec_id = c.{cid}
+), {tag}cos AS (
+  SELECT {qid}, {cid},
+         round(SUM(ax * bx) / (sqrt(SUM(ax * ax)) * sqrt(SUM(bx * bx))), 6) AS cos6
+  FROM {tag}px GROUP BY {qid}, {cid}
+), {tag}top AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT {qid}, {cid}, cos6,
+           row_number() OVER (PARTITION BY {qid}
+                              ORDER BY cos6 DESC, {cid} ASC) AS rank
+    FROM {tag}cos) WHERE rank <= {k}
+)"""
+
+    return (
+        _kmeans_ctes(n_lists, iters, sample, dim)
+        + ","
+        + _direction("f", src_lang, tgt_lang, "src_id", "tgt_id")
+        + ","
+        + _direction("b", tgt_lang, src_lang, "tgt_id", "src_id")
+        + f""", sx AS (
+  SELECT src_id,
+         list_reduce(list(cos6 ORDER BY rank), (x, y) -> x + y) AS sum_x,
+         count(*) AS k_x
+  FROM ftop GROUP BY src_id
+), sy AS (
+  SELECT tgt_id,
+         list_reduce(list(cos6 ORDER BY rank), (x, y) -> x + y) AS sum_y,
+         count(*) AS k_y
+  FROM btop GROUP BY tgt_id
+), scored AS (
+  SELECT t.src_id, t.tgt_id, t.cos6 AS cos_sim,
+         round(2.0 * t.cos6 / (sx.sum_x / sx.k_x + sy.sum_y / sy.k_y), 6) AS margin
+  FROM ftop t JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY margin DESC, cos_sim DESC, tgt_id ASC) AS rn2
+  FROM scored
+)
+SELECT src_id, tgt_id, cos_sim, margin FROM ranked WHERE rn2 = 1
+"""
+    )

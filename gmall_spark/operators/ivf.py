@@ -285,10 +285,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    hint_broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF ANN top-k: train -> index -> probe nprobe lists -> exact
     cosine + per-query top-k. Schema matches ``brute_force_topk``:
-    (query_id, neighbor_id, rank, cos_sim)."""
+    (query_id, neighbor_id, rank, cos_sim).
+
+    ``hint_broadcast_probes``: the default (a handful of point
+    queries probing a big index) broadcasts the exploded probe set.
+    Pass False when QUERIES are corpus-scale too (bitext mining maps
+    a whole language side through the index) — the probe join then
+    shuffles both sides on ``list_id``, the partitioning the index
+    is stored under anyway, instead of forcing a corpus-sized
+    broadcast."""
     centroids = centroids or train_centroids(
         embeddings, n_lists, iters, id_col=id_col, vec_col=vec_col
     )
@@ -305,7 +314,9 @@ def ivf_topk(
     )
 
     scored = (
-        index.join(F.broadcast(probes), "list_id")
+        index.join(
+            F.broadcast(probes) if hint_broadcast_probes else probes, "list_id"
+        )
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",

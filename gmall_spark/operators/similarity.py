@@ -652,6 +652,14 @@ def gemm_allpairs_topk(
 
 BITEXT_NN_K = 4
 
+# All-pairs guard for the exact bitext pass (VERDICT r7 item 2): the
+# cross join scores |src| x |tgt| pairs AND broadcasts the whole
+# target side — 200M pairs is already far above the driver's SFs and
+# far below any production lang pair. At scale run
+# ``bitext_margin_top1_ann`` (IVF candidate generation feeding the
+# same margin fold) instead.
+BITEXT_MAX_PAIRS = 200_000_000
+
 
 def bitext_margin_top1(
     src: DataFrame,
@@ -659,6 +667,7 @@ def bitext_margin_top1(
     k: int = BITEXT_NN_K,
     id_col: str = "doc_id",
     vec_col: str = "embedding",
+    max_pairs: int | None = BITEXT_MAX_PAIRS,
 ) -> DataFrame:
     """Per source doc, the best-margin target doc:
     margin = 2·cos(x,y) / (avg_k(x→tgt) + avg_k(y→src)).
@@ -680,6 +689,18 @@ def bitext_margin_top1(
     pinned by the planted-fixture test.
 
     Returns (src_id, tgt_id, cos_sim, margin)."""
+    if max_pairs is not None:
+        n_src, n_tgt = src.count(), tgt.count()
+        if n_src * n_tgt > max_pairs:
+            raise RuntimeError(
+                f"bitext_margin_top1: {n_src} x {n_tgt} = "
+                f"{n_src * n_tgt} candidate pairs, above the all-pairs "
+                f"guard ({max_pairs}). This operator is the quadratic "
+                "oracle baseline (it also BROADCASTS the whole target "
+                "side); at this size run bitext_margin_top1_ann "
+                "instead, or pass an explicit higher bound / None to "
+                "force it."
+            )
     s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv"))
     t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tv"))
     pairs = s.crossJoin(F.broadcast(t)).select(
@@ -721,6 +742,103 @@ def bitext_margin_top1(
     scored = (
         pairs.join(F.broadcast(sx), "src_id")
         .join(F.broadcast(sy), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.col("cos6").alias("cos_sim"),
+            F.round(
+                2.0
+                * F.col("cos6")
+                / (F.col("sum_x") / F.col("k_x") + F.col("sum_y") / F.col("k_y")),
+                6,
+            ).alias("margin"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def bitext_margin_top1_ann(
+    src: DataFrame,
+    tgt: DataFrame,
+    centroids: list[list[float]],
+    k: int = BITEXT_NN_K,
+    nprobe: int | None = None,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-backed bitext mining: the exact pass's scale path
+    (VERDICT r7 item 2). Candidate generation is IVF (X11) in BOTH
+    directions — each language side probes its nprobe nearest
+    inverted lists of the OTHER side's index — and the ratio margin
+    folds over exactly the approximate top-k neighborhoods the index
+    returns (Artetxe & Schwenk 2019 §3: margins only ever need each
+    candidate's k-nearest neighborhood, which CCMatrix also takes
+    from an IVF index rather than exact search).
+
+    Scale shape: no cross join, no corpus broadcast — the probe
+    joins shuffle on ``list_id`` (the partitioning an IVF index is
+    stored under), candidate volume is nprobe/n_lists of the exact
+    pass's |src| x |tgt|, and every downstream fold is per-key
+    bounded by k. The centroids are the caller's trained coarse
+    quantizer (a bounded broadcast literal, shared with the other
+    IVF consumers).
+
+    Float discipline matches the exact pass: cosines round to 6 dp
+    inside ``ivf_topk``; each neighborhood sum folds in rank order
+    (cos desc, id asc — deterministic, oracle-replayable); the
+    margin divides once on bit-identical doubles. Pairs whose target
+    side found no src-probe candidates (so has no neighborhood) drop
+    out — margins need both sides' neighborhoods.
+
+    Returns (src_id, tgt_id, cos_sim, margin) — top-1 margin per src.
+    """
+    from gmall_spark.operators import ivf as _ivf
+
+    if nprobe is None:
+        nprobe = _ivf.IVF_NPROBE
+    s = src.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    t = tgt.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    # x -> tgt top-k: these pairs ARE the candidate set, and x's
+    # neighborhood; y -> src top-k supplies y's neighborhood.
+    cand = _ivf.ivf_topk(
+        t, s, k=k, nprobe=nprobe, centroids=centroids,
+        hint_broadcast_probes=False,
+    )
+    back = _ivf.ivf_topk(
+        s, t, k=k, nprobe=nprobe, centroids=centroids,
+        hint_broadcast_probes=False,
+    )
+
+    def _nn_sum(topk: DataFrame, out_id: str, out_sum: str, out_k: str) -> DataFrame:
+        # fold in rank order (struct sorts on its first field; ranks
+        # are unique per query): 0.0 + c1 + c2 + ... bit-matches the
+        # oracle's list_reduce over the same ordering
+        return topk.groupBy(F.col("query_id").alias(out_id)).agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("rank", "cos_sim"))),
+                F.lit(0.0),
+                lambda a, x: a + x["cos_sim"],
+            ).alias(out_sum),
+            F.count(F.lit(1)).alias(out_k),
+        )
+
+    sx = _nn_sum(cand, "src_id", "sum_x", "k_x")
+    sy = _nn_sum(back, "tgt_id", "sum_y", "k_y")
+    scored = (
+        cand.select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            F.col("cos_sim").alias("cos6"),
+        )
+        .join(sx, "src_id")
+        .join(sy, "tgt_id")
         .select(
             "src_id",
             "tgt_id",

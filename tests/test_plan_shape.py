@@ -287,6 +287,11 @@ BUDGETS = [
     ("events_value_mad_outliers", 7, 3),
     ("dedup_eval_simhash_vs_jaccard", 14, 5),
     ("dedup_eval_simhash64_vs_jaccard", 14, 5),
+    # r8: IVF-backed bitext mining — two probe directions, each an
+    # index join on list_id + per-query rank window, neighborhood
+    # folds, margin joins; the docs x emb lang split is re-derived
+    # per direction (scan-side cheap)
+    ("llm_bitext_mining_ann", 23, 1),
     # nprobe sweep: 4 eval arms x (brute-force + ivf probe/rank) —
     # an offline acceptance harness, not a production path
     ("similarity_eval_ivf_nprobe_sweep", 36, 4),
