@@ -33,7 +33,14 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 _VERSION_RE = re.compile(r"\.v(\d+)$")
-_CLAIM = "_CLAIM"  # pid of the writer that claimed a version dir
+# pid of the writer that claimed a version dir. The claim means
+# "in-flight: claimed, possibly fully written, NOT yet pointed" — it
+# is removed right after the claimant's _point, so a complete-but-
+# still-claimed dir must never be reaped while the claimant runs (the
+# writer is between its _SUCCESS and its _point; reaping there makes
+# its swap publish a dangling link — caught by the r8 multiprocess
+# property test).
+_CLAIM = "_CLAIM"
 
 
 def _pid_alive(pid: int) -> bool:
@@ -180,6 +187,30 @@ def swap_write(df: DataFrame, store_dir: str, keep_previous: int = 1) -> None:
     # mid-write. Spark readers ignore underscore-prefixed files.
     df.write.mode("append").parquet(vdir)
     _point(final, vdir)
+    # published: drop the claim so future reapers may age this version
+    # out once it stops being current
+    try:
+        os.remove(os.path.join(vdir, _CLAIM))
+    except OSError:
+        pass
+
+    def _reapable(path: str) -> bool:
+        # Order matters (r8 property-test finding): a complete dir
+        # whose claimant is alive is a concurrent swap between its
+        # _SUCCESS and its _point — reaping it makes that swap publish
+        # a dangling link. The claim is removed only AFTER _point, so
+        # checking the claim FIRST and the link target SECOND closes
+        # the race: if the claim is gone the point already happened,
+        # and a subsequent realpath sees that version when it is the
+        # live target.
+        if _claimed_by_live_writer(path):
+            return False
+        try:
+            cur = os.path.realpath(final)
+        except OSError:
+            return False
+        return os.path.realpath(path) != cur
+
     # Reap on COMPLETE versions only (ADVICE r6): counting junk or
     # crashed-writer leftovers in `versions` deleted the real previous
     # live version one swap early, breaking the keep-previous reader
@@ -188,7 +219,8 @@ def swap_write(df: DataFrame, store_dir: str, keep_previous: int = 1) -> None:
     # concurrent swap_write mid-parquet-write).
     complete = [(vn, path) for vn, path in versions if _complete(path)]
     for vn, path in complete[: max(0, len(complete) - keep_previous)]:
-        shutil.rmtree(path, ignore_errors=True)
+        if _reapable(path):
+            shutil.rmtree(path, ignore_errors=True)
     for vn, path in versions:
         if not _complete(path) and not _claimed_by_live_writer(path):
             shutil.rmtree(path, ignore_errors=True)
