@@ -142,6 +142,7 @@ HEADLINE = [
     "parts_single_source_risk",
     # r8 additions
     "llm_bitext_mining_ann",
+    "llm_sequence_packing",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -752,3 +752,54 @@ def test_systematic_resample_lattice_properties(spark, ws, draws):
         assert math.floor(exp) <= got[i] <= math.ceil(exp)
         cum += w
     assert sum(got.values()) == d
+
+
+def _reference_pack(lengths: dict[int, int], cap: int = 2048):
+    """Plain-Python reference of the X175 hybrid packer: per 64-token
+    bucket, docs sorted (n desc, id asc); the bucket uses slot
+    assignment when it yields no more packs than the cumsum-chop,
+    else the chop at width cap - bucket + 1."""
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for i, n in lengths.items():
+        buckets.setdefault(((n + 63) // 64) * 64, []).append((-n, i))
+    out = {}
+    for b, items in buckets.items():
+        items.sort()
+        ns = [-nn for nn, _ in items]
+        cnt, btot = len(ns), sum(ns)
+        cp, slots = cap - b + 1, cap // b
+        p_slot = -(-cnt // slots)
+        p_cum = -(-btot // cp)
+        start = 0
+        for rn, (negn, i) in enumerate(items):
+            if p_slot <= p_cum:
+                pack = rn // slots
+            else:
+                pack = start // cp
+            start += -negn
+            out[i] = f"{b}_{pack}"
+    return out
+
+
+@given(
+    lens=st.lists(st.integers(1, 2048), min_size=1, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_sequence_packing_matches_python_and_respects_cap(spark, lens):
+    """X175 (VERDICT r7 item 5): the Spark closed-form assignment
+    equals the Python reference packer doc for doc, and the 2048 cap
+    is a theorem — no pack's actual token sum may exceed it."""
+    from gmall_spark.queries_llm import pack_rows
+
+    rows = [(i, n) for i, n in enumerate(lens)]
+    got = pack_rows(
+        spark.createDataFrame(rows, "doc_id long, n_tok long"), 2048
+    ).collect()
+    ref = _reference_pack(dict(rows))
+    assert {r.doc_id: r.pack_id for r in got} == ref
+    fills: dict[str, int] = {}
+    for r in got:
+        fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tok
+    assert all(v <= 2048 for v in fills.values()), fills
+    for r in got:  # the reported per-pack fill is the actual sum
+        assert r.pack_fill == fills[r.pack_id]
