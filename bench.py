@@ -142,7 +142,8 @@ HEADLINE = [
     "parts_single_source_risk",
     # r8 additions
     "llm_bitext_mining_ann",
-    "llm_sequence_packing",
+    "llm_sequence_packing_ffd",
+    "llm_bpe_decode_frozen",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

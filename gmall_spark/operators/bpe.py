@@ -275,3 +275,74 @@ SELECT doc_id,
             ELSE round(n_base_tokens * 1.0 / n_tokens, 6) END AS compression
 FROM agg
 """
+
+
+# Decode = the merge list replayed in REVERSE (X175-adjacent, VERDICT
+# r7 item 6): every multi-char token was produced by exactly one
+# frozen merge (products are distinct strings), so expanding tokens
+# equal to l||r back into (l, r) in reverse merge order, innermost
+# last, restores the original character sequence; concatenation then
+# restores the word. A token that survives the full replay as
+# anything but a single alphabet char was never producible by this
+# tokenizer — it decodes to the OOV marker instead of corrupting the
+# text silently.
+BPE_OOV_MARKER = "#"  # outside the [a-z0-9] alphabet by construction
+
+
+def decode_expr_spark(tokens: str, merges=FROZEN_MERGES) -> str:
+    """Spark SQL expression: token array -> decoded word string."""
+    e = tokens
+    for l, r in reversed(merges):
+        e = (
+            f"flatten(transform({e}, t -> "
+            f"CASE WHEN t = '{l}{r}' THEN array('{l}', '{r}') "
+            f"ELSE array(t) END))"
+        )
+    return (
+        f"array_join(transform({e}, t -> "
+        f"CASE WHEN t rlike '^[a-z0-9]$' THEN t "
+        f"ELSE '{BPE_OOV_MARKER}' END), '')"
+    )
+
+
+def decode_expr_duckdb(tokens: str, merges=FROZEN_MERGES) -> str:
+    """DuckDB twin of :func:`decode_expr_spark`."""
+    e = tokens
+    for l, r in reversed(merges):
+        e = (
+            f"flatten(list_transform({e}, t -> "
+            f"CASE WHEN t = '{l}{r}' THEN ['{l}', '{r}'] "
+            f"ELSE [t] END))"
+        )
+    return (
+        f"array_to_string(list_transform({e}, t -> "
+        f"CASE WHEN regexp_matches(t, '^[a-z0-9]$') THEN t "
+        f"ELSE '{BPE_OOV_MARKER}' END), '')"
+    )
+
+
+def frozen_decode_oracle_sql() -> str:
+    """DuckDB twin of the registered decode round-trip query."""
+    enc = encode_expr_duckdb("w")
+    dec = decode_expr_duckdb(f"({enc})")
+    return rf"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+), rt AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) = 0 THEN 0 ELSE
+           list_aggregate(list_transform(words,
+             w -> CASE WHEN ({dec}) = w THEN 1 ELSE 0 END), 'sum')
+         END AS n_roundtrip
+  FROM ws
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_roundtrip AS BIGINT) AS n_roundtrip,
+       n_roundtrip = n_words AS roundtrip_exact
+FROM rt
+"""

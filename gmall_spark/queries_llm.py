@@ -4884,6 +4884,36 @@ def q_llm_bpe_encode_frozen(spark, sf_dir):
     )
 
 
+@query("llm_bpe_decode_frozen", _bpe_ops.frozen_decode_oracle_sql())
+def q_llm_bpe_decode_frozen(spark, sf_dir):
+    """Frozen-tokenizer DECODE + round-trip audit (X176, VERDICT r7
+    item 6 — closes the X109/X139 loop): every word re-encoded under
+    the frozen merge list, decoded back by replaying the merges in
+    REVERSE (each multi-char token expands to its unique (l, r)
+    producer, innermost last), and compared — the invariant
+    decode(encode(w)) == w is additionally hypothesis-tested over
+    random alphabet words, and a token NOT producible by the frozen
+    tokenizer decodes to the OOV marker instead of silently
+    corrupting text (planted-fixture test). Same zero-shuffle nested
+    per-row fold shape as the encode pass; both engines replay the
+    identical merge literal (operators/bpe.decode_expr_*)."""
+    enc = _bpe_ops.encode_expr_spark("w")
+    dec = _bpe_ops.decode_expr_spark(f"({enc})")
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        r"filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS words",
+    ).selectExpr(
+        "doc_id",
+        "cast(size(words) as bigint) AS n_words",
+        f"cast(aggregate(words, 0L,"
+        f" (a, w) -> a + CASE WHEN ({dec}) = w THEN 1L ELSE 0L END)"
+        f" as bigint) AS n_roundtrip",
+    ).selectExpr(
+        "doc_id", "n_words", "n_roundtrip",
+        "n_roundtrip = n_words AS roundtrip_exact",
+    )
+
+
 # --- image perceptual hashing (X135/X136) ---------------------------------
 
 
@@ -5082,7 +5112,7 @@ SEQ_PACK_CAP = 2048
 
 
 @query(
-    "llm_sequence_packing",
+    "llm_sequence_packing_ffd",
     rf"""
 WITH lens AS (
   SELECT doc_id,
@@ -5120,7 +5150,7 @@ SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
 FROM a
 """,
 )
-def q_llm_sequence_packing(spark, sf_dir):
+def q_llm_sequence_packing_ffd(spark, sf_dir):
     """Fixed-row sequence packing (X175, VERDICT r7 item 5): the
     executable companion of the X143 padding report — assign every
     (truncated-to-cap) document to a {SEQ_PACK_CAP}-token training

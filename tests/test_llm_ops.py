@@ -1545,7 +1545,7 @@ def test_sequence_packing_beats_bucketed_padding(spark, sf_dir):
     sf0.001, 0.88 vs 0.61 at sf0.01)."""
     from gmall_spark import queries_llm
 
-    pack = queries_llm.q_llm_sequence_packing(spark, sf_dir)
+    pack = queries_llm.q_llm_sequence_packing_ffd(spark, sf_dir)
     agg = pack.agg(
         F.sum("n_tok").alias("tok"),
         F.countDistinct("pack_id").alias("packs"),

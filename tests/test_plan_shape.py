@@ -292,10 +292,13 @@ BUDGETS = [
     # folds, margin joins; the docs x emb lang split is re-derived
     # per direction (scan-side cheap)
     ("llm_bitext_mining_ann", 23, 1),
-    # r8: sequence packing — scan fan-out + ONE bucket_len exchange
+    # r8: FFD sequence packing — scan fan-out + ONE bucket_len exchange
     # serving all three windows (rank/prefix-sum, bucket totals,
     # per-pack fill share the partitioning)
-    ("llm_sequence_packing", 2, 0),
+    ("llm_sequence_packing_ffd", 2, 0),
+    # r8: BPE decode round-trip — pure nested per-row folds, scan
+    # fan-out only
+    ("llm_bpe_decode_frozen", 1, 0),
     # nprobe sweep: 4 eval arms x (brute-force + ivf probe/rank) —
     # an offline acceptance harness, not a production path
     ("similarity_eval_ivf_nprobe_sweep", 36, 4),

@@ -803,3 +803,47 @@ def test_sequence_packing_matches_python_and_respects_cap(spark, lens):
     assert all(v <= 2048 for v in fills.values()), fills
     for r in got:  # the reported per-pack fill is the actual sum
         assert r.pack_fill == fills[r.pack_id]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=12),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_frozen_bpe_decode_roundtrip(spark, words):
+    """X176 (VERDICT r7 item 6): decode(encode(w)) == w for every
+    alphabet word under the frozen merge list — the reverse replay
+    undoes each merge product exactly once, innermost last."""
+    from gmall_spark.operators import bpe
+
+    enc = bpe.encode_expr_spark("w")
+    dec = bpe.decode_expr_spark(f"({enc})")
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = df.selectExpr("w", f"{dec} AS back").collect()
+    for r in got:
+        assert r.back == r.w, (r.w, r.back)
+
+
+def test_frozen_bpe_decode_oov_marker(spark):
+    """A token the frozen tokenizer cannot produce (not a merge
+    product, not an alphabet char) must decode to the OOV marker,
+    never silently corrupt the text; real merge products decode to
+    their expansion even standing alone."""
+    from gmall_spark.operators import bpe
+
+    dec = bpe.decode_expr_spark("toks")
+    df = spark.createDataFrame(
+        [
+            (1, ["zz", "q"]),      # 'zz' unproducible -> marker
+            (2, ["th", "e"]),      # product expands: 'th' -> t,h
+            (3, ["and"]),          # nested product -> a,n,d
+            (4, ["Z"]),            # out-of-alphabet char -> marker
+        ],
+        "doc_id long, toks array<string>",
+    )
+    got = {r.doc_id: r.back for r in df.selectExpr("doc_id", f"{dec} AS back").collect()}
+    m = bpe.BPE_OOV_MARKER
+    assert got == {1: f"{m}q", 2: "the", 3: "and", 4: m}
