@@ -144,6 +144,7 @@ HEADLINE = [
     "llm_bitext_mining_ann",
     "llm_sequence_packing_ffd",
     "llm_bpe_decode_frozen",
+    "dedup_image_phash_groups",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

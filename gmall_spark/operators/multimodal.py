@@ -1221,3 +1221,216 @@ def wav_spectral_features(blobs: DataFrame, frame_len: int = 2000) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(gen, schema=SPECTRAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image pHash — DCT low-frequency signatures (X177, VERDICT r7 item
+# 7): the tier above aHash/dHash. Pixel-domain hashes are blind to
+# geometry: a 2x upscale rewrites every pixel comparison dHash reads,
+# yet the image is the same picture. pHash normalizes scale first
+# (block-mean downscale to a 32x32 canvas), takes the 2-D DCT-II, and
+# signs the 8x8 LOW-FREQUENCY block (DC excluded, so global
+# brightness shifts vanish too). The synthetic corpus is built FROM
+# planted DCT basis functions, the X141 discipline transplanted:
+# amplitude 24 against a worst-case uint8-quantization coefficient
+# error bound of ~13 keeps every planted sign provably stable, so the
+# oracle can state each class's 64-bit hash in closed form — straight
+# from the sign formula, never through the codec the Spark side must
+# round-trip.
+# ---------------------------------------------------------------------------
+
+PHASH_CLASSES = 29
+PHASH_AMP = 24.0
+PHASH_CANVAS = 32
+
+
+def _encode_bmp(img: "np.ndarray") -> bytes:
+    """Uncompressed 24-bit bottom-up BMP (same conventions as
+    synth_bmp_blobs' encoder and the tests' make_bmp)."""
+    import struct
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = b""
+    for y in reversed(range(h)):  # bottom-up, BGR, padded rows
+        row = img[y][:, ::-1].tobytes()
+        rows += row + b"\x00" * (stride - len(row))
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(rows), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + info + rows
+
+IMG_PHASH_SCHEMA = (
+    "doc_id bigint, decode_ok boolean, width bigint, height bigint, "
+    "phash_hex string, phash_bytes array<int>"
+)
+
+
+def phash_sign(cls: int, u: int, v: int) -> int:
+    """Planted sign of DCT coefficient (u, v) for a class: +1 when the
+    first md5 byte of 'p{cls}:{u}:{v}' is odd. (0, 0) carries no sign
+    — DC is excluded from the hash."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"p{cls}:{u}:{v}".encode()).digest()[0] % 2 else -1
+
+
+def phash_hex_for_class(cls: int) -> str:
+    """Closed-form pHash of a class: bit (u, v) = planted sign > 0,
+    row-major u-byte layout, MSB = v=0; the DC bit is always 0."""
+    out = []
+    for u in range(8):
+        byte = 0
+        for v in range(8):
+            bit = 0 if (u, v) == (0, 0) else (1 if phash_sign(cls, u, v) > 0 else 0)
+            byte = (byte << 1) | bit
+        out.append(byte)
+    return "".join(f"{b:02x}" for b in out)
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II matrix: C[u, x] = a(u) cos(pi (2x+1) u / 2n)."""
+    import numpy as np
+
+    x = np.arange(n, dtype=np.float64)
+    u = np.arange(n, dtype=np.float64)[:, None]
+    c = np.cos(np.pi * (2.0 * x + 1.0) * u / (2.0 * n))
+    c[0] *= np.sqrt(1.0 / n)
+    c[1:] *= np.sqrt(2.0 / n)
+    return c
+
+
+def _phash_base_image(cls: int) -> "np.ndarray":
+    """32x32 uint8 image = 128 + sum of the planted 8x8 AC basis
+    functions at amplitude PHASH_AMP. Worst-case pixel swing is
+    63 * 24 / 16 = 94.5 (every u,v>0 basis peaks at 1/16), so values
+    stay in [33, 222] before the brightness variant adds 24."""
+    import numpy as np
+
+    n = PHASH_CANVAS
+    c = _dct_matrix(n)
+    coef = np.zeros((n, n), dtype=np.float64)
+    for u in range(8):
+        for v in range(8):
+            if (u, v) != (0, 0):
+                coef[u, v] = phash_sign(cls, u, v) * PHASH_AMP
+    img = c.T @ coef @ c + 128.0
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
+def synth_phash_bmp_blobs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per document: class = doc_id % PHASH_CLASSES picks the planted
+    base image; variant = (doc_id // PHASH_CLASSES) % 3 applies the
+    perturbation pHash must see through —
+
+    - 0: the base 32x32 image;
+    - 1: brightness +24 (only the excluded DC coefficient moves);
+    - 2: 2x block-replicated upscale to 64x64 (the block-mean
+      downscale recovers the base pixels EXACTLY, so the hash is
+      bit-identical — while dHash reads a completely different
+      top-left pixel grid; asserted by the planted-fixture test)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int], bytes] = {}
+        for b in batches:
+            ids, blobs = [], []
+            for doc_id in b[id_col]:
+                doc_id = int(doc_id)
+                cls = doc_id % PHASH_CLASSES
+                var = (doc_id // PHASH_CLASSES) % 3
+                blob = cache.get((cls, var))
+                if blob is None:
+                    img = _phash_base_image(cls)
+                    if var == 1:
+                        img = (img.astype(np.int64) + 24).clip(0, 255).astype(np.uint8)
+                    elif var == 2:
+                        img = np.kron(img, np.ones((2, 2), dtype=np.uint8))
+                    rgb = np.repeat(img[:, :, None], 3, axis=2)
+                    blob = _encode_bmp(rgb)
+                    cache[(cls, var)] = blob
+                ids.append(doc_id)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "blob": blobs}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, blob binary"
+    )
+
+
+def image_phash(blobs: DataFrame) -> DataFrame:
+    """REAL BMP decode -> scale-normalize -> 2-D DCT-II -> sign of the
+    8x8 low-frequency block (DC bit forced 0), packed like the dHash
+    row bytes so the banded grouping runs unchanged JVM-side.
+
+    Normalization: an image whose sides are integer multiples of the
+    32x32 canvas block-means down (float64 — no intermediate
+    re-quantization); anything else is decode_ok = False rather than
+    a silently incomparable hash (the production resampler would
+    land here; its contract is the same canvas)."""
+    import numpy as np
+
+    n = PHASH_CANVAS
+    cmat = _dct_matrix(n)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["blob"]):
+                img = _parse_bmp(bytes(blob))
+                ok = (
+                    img is not None
+                    and img.shape[0] >= n
+                    and img.shape[1] >= n
+                    and img.shape[0] % n == 0
+                    and img.shape[1] % n == 0
+                )
+                if not ok:
+                    rows.append(
+                        {"doc_id": doc_id, "decode_ok": False,
+                         "width": None if img is None else img.shape[1],
+                         "height": None if img is None else img.shape[0],
+                         "phash_hex": None, "phash_bytes": None}
+                    )
+                    continue
+                gray = _gray_plane(img).astype(np.float64)
+                fy, fx = gray.shape[0] // n, gray.shape[1] // n
+                small = gray.reshape(n, fy, n, fx).mean(axis=(1, 3))
+                coef = cmat @ small @ cmat.T
+                bits = coef[:8, :8] > 0.0
+                bits[0, 0] = False  # DC excluded
+                pbytes = _msb_bytes(bits)
+                rows.append(
+                    {"doc_id": doc_id, "decode_ok": True,
+                     "width": img.shape[1], "height": img.shape[0],
+                     "phash_hex": "".join(f"{v:02x}" for v in pbytes),
+                     "phash_bytes": pbytes}
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(gen, schema=IMG_PHASH_SCHEMA)
+
+
+def image_phash_near_dup_groups(
+    phashes: DataFrame, max_hamming: int = 2
+) -> DataFrame:
+    """The X136 exact-tier + 4-band near-tier grouping over pHash
+    fingerprints — same 64-bit/8-byte layout, so the dHash machinery
+    (pigeonhole guard included) runs unchanged on renamed columns.
+
+    Returns (doc_id, phash_hex, rep_id, group_size)."""
+    renamed = phashes.select(
+        "doc_id",
+        "decode_ok",
+        F.col("phash_hex").alias("dhash_hex"),
+        F.col("phash_bytes").alias("dhash_bytes"),
+    )
+    return image_near_dup_groups(renamed, max_hamming=max_hamming).select(
+        "doc_id",
+        F.col("dhash_hex").alias("phash_hex"),
+        "rep_id",
+        "group_size",
+    )

@@ -5004,6 +5004,56 @@ def q_dedup_image_dhash_groups(spark, sf_dir):
     )
 
 
+def _image_phash_oracle() -> str:
+    """Oracle twin of q_dedup_image_phash_groups: each of the 29
+    classes' 64-bit DCT sign hashes stated CLOSED-FORM straight from
+    the planted sign formula (multimodal.phash_hex_for_class — never
+    through the codec/DCT the Spark side must round-trip; amplitude
+    24 vs a worst-case quantization error ~13 keeps every sign
+    stable, measured min margin 23.1). Groups are the class
+    partition: all three variants (base, brightness +24, 2x upscale)
+    hash bit-identically, and the min cross-class Hamming is 20, so
+    nothing else survives max_hamming = 2."""
+    values = ",".join(
+        f"({c},'{multimodal.phash_hex_for_class(c)}')"
+        for c in range(multimodal.PHASH_CLASSES)
+    )
+    return f"""
+WITH fp(cls, phash_hex) AS (VALUES {values}),
+g AS (SELECT doc_id, doc_id % {multimodal.PHASH_CLASSES} AS cls FROM documents),
+r AS (SELECT cls, min(doc_id) AS rep_id, count(*) AS group_size
+      FROM g GROUP BY cls)
+SELECT g.doc_id, fp.phash_hex,
+       CAST(r.rep_id AS BIGINT) AS rep_id,
+       CAST(r.group_size AS BIGINT) AS group_size
+FROM g JOIN r USING (cls) JOIN fp USING (cls)
+"""
+
+
+@query("dedup_image_phash_groups", _image_phash_oracle())
+def q_dedup_image_phash_groups(spark, sf_dir):
+    """DCT perceptual-hash near-dup grouping (X177, VERDICT r7 item
+    7) — the tier above aHash/dHash (X135/X136): pixel-domain hashes
+    are blind to geometry, so the corpus plants exactly the variants
+    they miss — per class, a base 32x32 image built FROM planted DCT
+    basis signs, a brightness-shifted copy (+24: only the EXCLUDED DC
+    coefficient moves) and a 2x block-replicated upscale (the
+    block-mean canvas normalization recovers the base pixels exactly,
+    while dHash reads a completely different top-left pixel grid).
+    The chain is encode -> REAL BMP decode -> float64 block-mean
+    downscale -> 2-D DCT-II -> sign of the 8x8 low-frequency block ->
+    the X136 exact-tier/4-band grouping unchanged (same 8-byte
+    layout). X141's discipline makes it oracle-checkable: planted
+    amplitude 24 against a worst-case uint8-quantization coefficient
+    error bound keeps every sign provably stable, so the oracle
+    states each class's hash in closed form
+    (operators/multimodal.image_phash, synth_phash_bmp_blobs)."""
+    blobs = multimodal.synth_phash_bmp_blobs(_docs(spark, sf_dir))
+    return multimodal.image_phash_near_dup_groups(
+        multimodal.image_phash(blobs), max_hamming=2
+    )
+
+
 # --- l-diversity release gate (X142) ----------------------------------------
 
 L_DIVERSITY = 3

@@ -413,3 +413,74 @@ def test_image_near_dup_rejects_radius_beyond_pigeonhole(spark):
     df = spark.createDataFrame([], M.IMG_HASH_SCHEMA)
     with pytest.raises(ValueError, match="pigeonhole"):
         M.image_near_dup_groups(df, max_hamming=4)
+
+
+def test_image_phash_sees_through_brightness_and_scale(spark):
+    """X177 planted fixture: all three variants of a class (base,
+    +24 brightness, 2x upscale) must produce the IDENTICAL closed-form
+    pHash — while dHash, which reads raw top-left pixels, assigns the
+    upscaled copy a different fingerprint (the blind spot the DCT tier
+    exists to close)."""
+    from gmall_spark.operators import multimodal as M
+
+    # doc_ids 5, 34, 63 = class 5 with variants 0, 1, 2
+    ids = [5, 5 + 29, 5 + 58]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    blobs = M.synth_phash_bmp_blobs(docs)
+    ph = {r.doc_id: r for r in M.image_phash(blobs).collect()}
+    want = M.phash_hex_for_class(5)
+    assert all(ph[i].decode_ok for i in ids)
+    assert {ph[i].phash_hex for i in ids} == {want}
+    assert (ph[5].width, ph[5 + 58].width) == (32, 64)
+
+    dh = {r.doc_id: r for r in M.image_hashes(blobs).collect()}
+    assert dh[5].dhash_hex == dh[5 + 29].dhash_hex  # brightness: monotone-safe
+    assert dh[5 + 58].dhash_hex != dh[5].dhash_hex  # scale: dHash misses it
+
+
+def test_image_phash_groups_recover_classes_exactly(spark):
+    """X177 grouping precision 1.0: over several classes x all three
+    variants, the pHash groups are EXACTLY the planted classes —
+    nothing merged across classes (min cross-class Hamming 20),
+    nothing split within one."""
+    from gmall_spark.operators import multimodal as M
+
+    ids = [c + 29 * v for c in (0, 7, 11, 28) for v in range(3)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r.doc_id: (r.rep_id, r.group_size)
+        for r in M.image_phash_near_dup_groups(
+            M.image_phash(M.synth_phash_bmp_blobs(docs))
+        ).collect()
+    }
+    assert got == {c + 29 * v: (c, 3) for c in (0, 7, 11, 28) for v in range(3)}
+
+
+def test_phash_class_separation():
+    """Pure closed form: the 29 planted sign patterns keep a min
+    pairwise Hamming of 20 — far above the max_hamming=2 grouping
+    radius AND the 4-band pigeonhole bound."""
+    from gmall_spark.operators import multimodal as M
+
+    hexes = [M.phash_hex_for_class(c) for c in range(M.PHASH_CLASSES)]
+    mh = min(
+        bin(int(a, 16) ^ int(b, 16)).count("1")
+        for i, a in enumerate(hexes)
+        for b in hexes[i + 1:]
+    )
+    assert mh == 20
+
+
+def test_image_phash_rejects_non_canvas_sizes(spark):
+    """An image the canvas normalization cannot express (not an
+    integer multiple of 32) is decode_ok=False, never a silently
+    incomparable hash."""
+    import numpy as np
+
+    from gmall_spark.operators import multimodal as M
+
+    img = np.full((40, 40, 3), 99, dtype=np.uint8)
+    df = spark.createDataFrame([(1, M._encode_bmp(img))], "doc_id bigint, blob binary")
+    r = M.image_phash(df).collect()[0]
+    assert r.decode_ok is False and r.phash_hex is None
+    assert (r.width, r.height) == (40, 40)

@@ -318,6 +318,9 @@ BUDGETS = [
     # self-join, rep derivation + assignment (counts include cached-
     # lineage re-prints inside InMemoryTableScan nodes)
     ("dedup_image_dhash_groups", 12, 0),
+    # r8: the DCT tier rides the same grouping machinery over renamed
+    # fingerprint columns
+    ("dedup_image_phash_groups", 12, 0),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),

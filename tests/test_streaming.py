@@ -1985,3 +1985,42 @@ def test_incremental_ewma_equals_batch_and_retroactive_smoothing(spark, tmpdir):
     ie.process_batch(spark, b2, store, 1)
     f4 = {r.event_type: r for r in ie.current_forecast(spark, store).collect()}
     assert f4["click"].ewma_forecast == 4.75
+
+
+def test_incremental_image_phash_equals_batch_and_retroactive(spark, tmpdir):
+    """X177's streaming twin (incremental_image_phash, the X140
+    shape): fingerprints freeze at ingest, groups re-derive from the
+    merged store via the exact batch operator — two-batch ==
+    one-batch — and a later smaller doc_id retroactively re-labels
+    its class's earlier members."""
+    from gmall_spark.operators import multimodal as M
+    from gmall_spark.streaming import incremental_image_phash as ip
+
+    def blobs(ids):
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        return M.synth_phash_bmp_blobs(docs)
+
+    store = f"{tmpdir}/phash_store"
+    # batch 1: class 3 as {32 (v1), 61 (v2)}; class 7 as {7, 36}
+    ip.process_batch(spark, blobs([32, 61, 7, 36]), store, 0)
+    after1 = {r.doc_id: (r.rep_id, r.group_size)
+              for r in ip.current_groups(spark, store).collect()}
+    assert after1 == {32: (32, 2), 61: (32, 2), 7: (7, 2), 36: (7, 2)}
+
+    # batch 2: 3 UNDERCUTS class 3's rep; 65 (class 7, v2) grows it
+    ip.process_batch(spark, blobs([3, 65]), store, 1)
+    after2 = {r.doc_id: (r.rep_id, r.group_size)
+              for r in ip.current_groups(spark, store).collect()}
+    assert after2[32] == (3, 3) and after2[61] == (3, 3) and after2[3] == (3, 3)
+    assert after2[7] == (7, 3) and after2[65] == (7, 3)
+
+    # streaming == batch, and replay is idempotent
+    want = {r.doc_id: (r.rep_id, r.group_size)
+            for r in M.image_phash_near_dup_groups(
+                M.image_phash(blobs([32, 61, 7, 36, 3, 65]))
+            ).collect()}
+    assert after2 == want
+    ip.process_batch(spark, blobs([3, 65]), store, 1)
+    again = {r.doc_id: (r.rep_id, r.group_size)
+             for r in ip.current_groups(spark, store).collect()}
+    assert again == after2
