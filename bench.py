@@ -145,6 +145,7 @@ HEADLINE = [
     "llm_sequence_packing_ffd",
     "llm_bpe_decode_frozen",
     "dedup_image_phash_groups",
+    "events_value_quantile_sketch",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -172,3 +172,60 @@ def kmv_distinct_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
             6,
         ).alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantile sketch (X179): the mergeable quantile
+# estimator a monitoring pipeline keeps next to the X145 KMV and X13
+# CMS sketches. State is one count per W-wide value bucket — bounded
+# by the value domain, NOT the corpus — and counts merge by plain SUM,
+# so (like KMV's min-union, unlike a t-digest) the streaming twin is
+# EXACTLY equal to the batch sketch after any split. A quantile
+# estimate reads the cumulative histogram: the q-th percentile lies in
+# the first bucket whose cumulative count reaches ceil(q*n/100), i.e.
+# (integer-exact, no float rank) 100*cum >= q*n; the reported value is
+# the bucket's upper edge, so the error is bounded by W by
+# construction (gated against the exact percentile in-suite).
+# ---------------------------------------------------------------------------
+
+HIST_W = 25  # bucket width over events.value (domain ~[0, 500])
+HIST_QS = (25, 50, 90, 99)
+
+
+def value_hist(df: DataFrame, value_col: str = "value", w: int = HIST_W) -> DataFrame:
+    """(bucket, cnt): the mergeable sketch state. floor(value/w) is a
+    single IEEE double division from the same literal in both engines
+    — the X131 grid idiom."""
+    return (
+        df.select(F.floor(F.col(value_col) / w).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame, qs: tuple[int, ...] = HIST_QS, w: int = HIST_W
+) -> DataFrame:
+    """Quantile estimates from the (bucket, cnt) sketch:
+    (q_pct, bucket, est_upper, n)."""
+    from pyspark.sql import Window
+
+    c = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bucket"))
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+    qdf = hist.sparkSession.createDataFrame([(q,) for q in qs], "q_pct bigint")
+    hit = (
+        qdf.crossJoin(c)
+        .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+        .groupBy("q_pct")
+        .agg(
+            F.min("bucket").cast("bigint").alias("bucket"),
+            F.first("n").alias("n"),
+        )
+    )
+    return hit.select(
+        "q_pct",
+        "bucket",
+        ((F.col("bucket") + 1) * w).cast("double").alias("est_upper"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -5284,6 +5284,49 @@ def pack_rows(d: DataFrame, cap: int = SEQ_PACK_CAP) -> DataFrame:
     )
 
 
+# --- mergeable histogram quantile sketch (X179) -------------------------------
+
+from gmall_spark.operators import sketches as _sketches  # noqa: E402
+
+
+@query(
+    "events_value_quantile_sketch",
+    f"""
+WITH b AS (
+  SELECT CAST(floor(value / {_sketches.HIST_W}) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), c AS (
+  SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket) AS cum,
+         sum(cnt) OVER () AS n
+  FROM b
+), qs(q_pct) AS (VALUES {", ".join(f"({q})" for q in _sketches.HIST_QS)})
+SELECT q_pct,
+       CAST(min(bucket) AS BIGINT) AS bucket,
+       CAST((min(bucket) + 1) * {_sketches.HIST_W} AS DOUBLE) AS est_upper,
+       CAST(min(n) AS BIGINT) AS n
+FROM qs JOIN c ON c.cum * 100 >= qs.q_pct * c.n
+GROUP BY q_pct
+""",
+)
+def q_events_value_quantile_sketch(spark, sf_dir):
+    """Mergeable histogram quantile sketch (X179): the quantile
+    estimator a monitoring pipeline keeps next to the KMV (X145) and
+    CMS (X13) sketches — state is one count per 25-wide value bucket
+    (bounded by the DOMAIN, not the corpus), counts merge by plain
+    SUM, so the streaming twin equals the batch sketch EXACTLY after
+    any split (incremental_value_hist, the KMV equality class). The
+    q-th percentile lies in the first bucket whose cumulative count
+    reaches ceil(q*n/100) — tested as the integer-exact 100*cum >=
+    q*n, no float rank anywhere; the reported upper edge is within
+    one bucket width of the exact percentile by construction (gated
+    in-suite). Scale shape: ONE corpus pass builds the grid-bounded
+    histogram; the quantile read is window algebra over ~20 rows."""
+    e = _t(spark, sf_dir, "events")
+    return _sketches.hist_quantiles(_sketches.value_hist(e))
+
+
 # --- daily-volume control chart (X173) ---------------------------------------------------------------
 
 

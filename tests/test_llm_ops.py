@@ -1555,3 +1555,21 @@ def test_sequence_packing_beats_bucketed_padding(spark, sf_dir):
         F.sum("sum_tokens").alias("tok"), F.sum("padded_tokens").alias("pad")
     ).collect()[0]
     assert packed_util >= pad.tok / pad.pad, (packed_util, pad)
+
+
+def test_hist_quantile_sketch_error_bound(spark, sf_dir):
+    """X179 accuracy gate: every estimated upper edge is within one
+    bucket width ABOVE the exact percentile (and not below it) —
+    the construction's error bound, checked against percentile_disc
+    semantics (smallest value with cum share >= q)."""
+    import math
+
+    from gmall_spark.operators import sketches
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vals = sorted(r.value for r in e.select("value").collect())
+    got = {r.q_pct: r.est_upper
+           for r in sketches.hist_quantiles(sketches.value_hist(e)).collect()}
+    for q, est in got.items():
+        exact = vals[math.ceil(q * len(vals) / 100) - 1]
+        assert exact <= est <= exact + sketches.HIST_W, (q, exact, est)

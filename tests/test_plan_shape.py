@@ -321,6 +321,10 @@ BUDGETS = [
     # r8: the DCT tier rides the same grouping machinery over renamed
     # fingerprint columns
     ("dedup_image_phash_groups", 12, 0),
+    # r8: histogram quantile sketch — scan + the grid agg + the two
+    # single-partition windows over ~20 bucket rows; the 4-row probe
+    # side broadcasts
+    ("events_value_quantile_sketch", 4, 1),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),

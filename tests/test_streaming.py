@@ -2024,3 +2024,33 @@ def test_incremental_image_phash_equals_batch_and_retroactive(spark, tmpdir):
     again = {r.doc_id: (r.rep_id, r.group_size)
              for r in ip.current_groups(spark, store).collect()}
     assert again == after2
+
+
+def test_incremental_value_hist_exactly_equals_batch(spark, tmpdir):
+    """X179's streaming twin: bucket counts are SUM-mergeable, so
+    after any batch split the stored sketch — and every quantile read
+    from it — is EXACTLY the batch operator over the union; replay of
+    a batch subdir is idempotent."""
+    from gmall_spark.operators import sketches
+    from gmall_spark.streaming import incremental_value_hist as ih
+
+    store = f"{tmpdir}/hist_store"
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    b1 = e.filter(F.col("event_id") % 2 == 0)
+    b2 = e.filter(F.col("event_id") % 2 == 1)
+    ih.process_batch(spark, b1, store, 0)
+    ih.process_batch(spark, b2, store, 1)
+
+    got_hist = {(r.bucket, r.cnt) for r in ih.stored_hist(spark, store).collect()}
+    want_hist = {(r.bucket, r.cnt) for r in sketches.value_hist(e).collect()}
+    assert got_hist == want_hist and want_hist
+
+    got_q = {(r.q_pct, r.bucket, r.est_upper, r.n)
+             for r in ih.current_quantiles(spark, store).collect()}
+    want_q = {(r.q_pct, r.bucket, r.est_upper, r.n)
+              for r in sketches.hist_quantiles(sketches.value_hist(e)).collect()}
+    assert got_q == want_q
+
+    ih.process_batch(spark, b2, store, 1)  # replay: idempotent
+    again = {(r.bucket, r.cnt) for r in ih.stored_hist(spark, store).collect()}
+    assert again == want_hist
