@@ -146,6 +146,7 @@ HEADLINE = [
     "llm_bpe_decode_frozen",
     "dedup_image_phash_groups",
     "events_value_quantile_sketch",
+    "layout_range_partition_plan",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

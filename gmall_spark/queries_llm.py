@@ -5284,6 +5284,103 @@ def pack_rows(d: DataFrame, cap: int = SEQ_PACK_CAP) -> DataFrame:
     )
 
 
+# --- range-partition boundary plan (X180) -------------------------------------
+
+RANGE_PARTS = 8
+RANGE_SAMPLE = 512
+
+
+@query(
+    "layout_range_partition_plan",
+    f"""
+WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+samp AS (
+  SELECT k, v FROM (
+    SELECT k, v, md5(CAST(k AS VARCHAR)) AS h FROM o ORDER BY h LIMIT {RANGE_SAMPLE})
+), ranked AS (
+  SELECT k, v, row_number() OVER (ORDER BY v, k) AS rn FROM samp
+), b AS (
+  SELECT v AS bv, k AS bk FROM ranked
+  WHERE rn % ({RANGE_SAMPLE} // {RANGE_PARTS}) = 0 AND rn < {RANGE_SAMPLE}
+), a AS (
+  SELECT o.k,
+         COALESCE(SUM(CASE WHEN b.bv < o.v OR (b.bv = o.v AND b.bk < o.k)
+                           THEN 1 ELSE 0 END), 0) AS part_no
+  FROM o CROSS JOIN b GROUP BY o.k
+)
+SELECT CAST(part_no AS BIGINT) AS part_no,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(count(*) * {RANGE_PARTS}.0 / (sum(count(*)) OVER ()), 6)
+         AS fill_ratio
+FROM a GROUP BY part_no
+""",
+)
+def q_layout_range_partition_plan(spark, sf_dir):
+    """Range-partition boundary planning (X180) — the heart of every
+    distributed global sort (Spark's RangePartitioner, TeraSort's
+    sampler): a BOUNDED deterministic sample (the smallest-md5 rows,
+    the k-means/KMV sampling idiom) is ranked by the sort key and its
+    P-1 evenly-spaced order statistics become the partition
+    boundaries; every row then assigns to the count of boundaries
+    below it. Boundaries are COMPOSITE (value, key) so massive ties
+    still split deterministically — the real RangePartitioner's
+    tie-break, and the reason the audit is exact in both engines
+    (double comparisons on identical parquet bits, no float
+    arithmetic). The output is the balance audit a layout job reads
+    before committing to the plan: rows and fill ratio per planned
+    partition (fill_ratio ~1 everywhere = the sample was
+    representative). Scale shape: the sample is constant-bounded, the
+    7-row boundary table broadcasts, assignment is one scan —
+    EXACTLY the plan a 100 TB sort wants."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    samp = (
+        o.select("k", "v", F.md5(F.col("k").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(RANGE_SAMPLE)
+    )
+    step = RANGE_SAMPLE // RANGE_PARTS
+    ranked = samp.select(
+        "k",
+        "v",
+        F.row_number().over(Window.orderBy("v", "k")).alias("rn"),
+    )
+    b = ranked.filter(
+        (F.col("rn") % step == 0) & (F.col("rn") < RANGE_SAMPLE)
+    ).select(F.col("v").alias("bv"), F.col("k").alias("bk"))
+    a = (
+        o.crossJoin(F.broadcast(b))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("bv") < F.col("v"))
+                        | ((F.col("bv") == F.col("v")) & (F.col("bk") < F.col("k"))),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("part_no")
+        )
+    )
+    return (
+        a.groupBy("part_no")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            F.col("part_no").cast("bigint").alias("part_no"),
+            "n_rows",
+            F.round(
+                F.col("n_rows")
+                * float(RANGE_PARTS)
+                / F.sum("n_rows").over(Window.partitionBy()),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )
+
+
 # --- mergeable histogram quantile sketch (X179) -------------------------------
 
 from gmall_spark.operators import sketches as _sketches  # noqa: E402

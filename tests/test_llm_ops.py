@@ -1573,3 +1573,48 @@ def test_hist_quantile_sketch_error_bound(spark, sf_dir):
     for q, est in got.items():
         exact = vals[math.ceil(q * len(vals) / 100) - 1]
         assert exact <= est <= exact + sketches.HIST_W, (q, exact, est)
+
+
+def test_range_partition_plan_balance_and_ties(spark, sf_dir):
+    """X180: the planned partitions must cover all P slots with
+    near-uniform fill (the sample-quantile guarantee), and a
+    MASSIVE-TIE key distribution must still split — the composite
+    (value, key) boundary is the real RangePartitioner's tie-break,
+    without it every tied row lands in one partition."""
+    from gmall_spark import queries_llm as QL
+
+    plan = {r.part_no: r.n_rows
+            for r in QL.q_layout_range_partition_plan(spark, sf_dir).collect()}
+    assert set(plan) == set(range(QL.RANGE_PARTS))
+    total = sum(plan.values())
+    for p, n in plan.items():
+        assert 0.5 <= n * QL.RANGE_PARTS / total <= 2.0, (p, n)
+
+    # ties: 4000 rows, ONE value — composite boundaries still balance
+    o = spark.range(4000).selectExpr(
+        "id AS k", "cast(42.0 as double) AS v"
+    )
+    samp = (
+        o.select("k", "v", F.md5(F.col("k").cast("string")).alias("h"))
+        .orderBy("h").limit(QL.RANGE_SAMPLE)
+    )
+    step = QL.RANGE_SAMPLE // QL.RANGE_PARTS
+    from pyspark.sql import Window as W
+
+    ranked = samp.select(
+        "k", "v", F.row_number().over(W.orderBy("v", "k")).alias("rn"))
+    b = ranked.filter(
+        (F.col("rn") % step == 0) & (F.col("rn") < QL.RANGE_SAMPLE)
+    ).select(F.col("v").alias("bv"), F.col("k").alias("bk"))
+    parts = (
+        o.crossJoin(F.broadcast(b))
+        .groupBy("k")
+        .agg(F.sum(
+            F.when((F.col("bv") < F.col("v"))
+                   | ((F.col("bv") == F.col("v")) & (F.col("bk") < F.col("k"))),
+                   1).otherwise(0)).alias("p"))
+        .groupBy("p").count().collect()
+    )
+    counts = {r.p: r["count"] for r in parts}
+    assert set(counts) == set(range(QL.RANGE_PARTS))
+    assert all(0.5 <= c * 8 / 4000 <= 2.0 for c in counts.values()), counts

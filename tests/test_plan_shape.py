@@ -325,6 +325,10 @@ BUDGETS = [
     # single-partition windows over ~20 bucket rows; the 4-row probe
     # side broadcasts
     ("events_value_quantile_sketch", 4, 1),
+    # r8: range-partition planner — sample TakeOrdered + rank window
+    # (constant-bounded) + per-key assignment agg + part rollup; the
+    # 7-row boundary table broadcasts
+    ("layout_range_partition_plan", 5, 1),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),
