@@ -147,6 +147,8 @@ HEADLINE = [
     "dedup_image_phash_groups",
     "events_value_quantile_sketch",
     "layout_range_partition_plan",
+    "text_vocab_growth_curve",
+    "events_value_drift_chisq",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5284,6 +5284,161 @@ def pack_rows(d: DataFrame, cap: int = SEQ_PACK_CAP) -> DataFrame:
     )
 
 
+# --- vocabulary growth curve (X182) -------------------------------------------
+
+VOCAB_CUTS = (10, 25, 50, 100)
+
+
+@query(
+    "text_vocab_growth_curve",
+    rf"""
+WITH d AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) AS rn,
+         count(*) OVER () AS n,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+), tok AS (
+  SELECT rn, n, unnest(words) AS w FROM d
+), firsts AS (
+  SELECT w, min(rn) AS frn, min(n) AS n FROM tok GROUP BY w
+), cuts(pct) AS (VALUES {", ".join(f"({c})" for c in VOCAB_CUTS)})
+SELECT c.pct,
+       CAST((SELECT count(*) FROM d WHERE d.rn * 100 <= c.pct * d.n) AS BIGINT)
+         AS n_docs,
+       CAST((SELECT count(*) FROM tok t WHERE t.rn * 100 <= c.pct * t.n) AS BIGINT)
+         AS n_tokens,
+       CAST((SELECT count(*) FROM firsts f WHERE f.frn * 100 <= c.pct * f.n) AS BIGINT)
+         AS n_types
+FROM cuts c
+""",
+)
+def q_text_vocab_growth_curve(spark, sf_dir):
+    """Vocabulary growth curve (X182; Heaps' law observable): distinct
+    word types vs corpus prefix size at 10/25/50/100% cuts — the
+    scaling diagnostic that says whether a corpus keeps paying new
+    vocabulary (types ~ K·tokens^beta) or has gone stale, and the
+    acceptance table a tokenizer-budget plan (X134/X144) reads before
+    freezing a vocab. Everything integer-exact: prefix membership is
+    rn·100 <= pct·n (no float rank), a type counts at the cut iff its
+    FIRST-occurrence rank is inside — so the four cuts need ONE
+    corpus pass (per-word min rank + per-doc counts), not four
+    re-scans. Scale shape: token explode -> one hash agg keyed by
+    word; the 4-row cut grid joins grid-side."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.expr(
+            r"filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        ).alias("words"),
+    )
+    tok = d.select("rn", "n", F.explode("words").alias("w"))
+    firsts = tok.groupBy("w").agg(
+        F.min("rn").alias("frn"), F.min("n").alias("n")
+    )
+    cuts = spark.createDataFrame([(c,) for c in VOCAB_CUTS], "pct bigint")
+    docs_at = (
+        cuts.join(d.select("rn", "n"), F.col("rn") * 100 <= F.col("pct") * F.col("n"))
+        .groupBy("pct")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    toks_at = (
+        cuts.join(tok, F.col("rn") * 100 <= F.col("pct") * F.col("n"))
+        .groupBy("pct")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    types_at = (
+        cuts.join(firsts, F.col("frn") * 100 <= F.col("pct") * F.col("n"))
+        .groupBy("pct")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    )
+    return (
+        docs_at.join(toks_at, "pct").join(types_at, "pct").select(
+            "pct", "n_docs", "n_tokens", "n_types"
+        )
+    )
+
+
+# --- value-distribution drift (X183) -------------------------------------------
+
+DRIFT_W = 50
+
+
+@query(
+    "events_value_drift_chisq",
+    f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(floor(value / {DRIFT_W}) AS BIGINT) AS bucket
+  FROM events
+), span AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM e
+), tagged AS (
+  SELECT bucket,
+         CASE WHEN datediff('day', s.lo, e.d) * 2
+                   <= datediff('day', s.lo, s.hi) THEN 1 ELSE 0 END AS is_ref
+  FROM e, span s
+), g AS (
+  SELECT bucket,
+         SUM(is_ref) AS ref_cnt,
+         SUM(1 - is_ref) AS cur_cnt
+  FROM tagged GROUP BY bucket
+), tot AS (
+  SELECT sum(ref_cnt) AS ref_t, sum(cur_cnt) AS cur_t FROM g
+)
+SELECT CAST(g.bucket AS BIGINT) AS bucket,
+       CAST(g.ref_cnt AS BIGINT) AS ref_cnt,
+       CAST(g.cur_cnt AS BIGINT) AS cur_cnt,
+       round(
+         (g.cur_cnt - (g.ref_cnt + 1.0) * t.cur_t / (t.ref_t + 1.0))
+         * (g.cur_cnt - (g.ref_cnt + 1.0) * t.cur_t / (t.ref_t + 1.0))
+         / ((g.ref_cnt + 1.0) * t.cur_t / (t.ref_t + 1.0)), 6) AS chi_term
+FROM g, tot t
+""",
+)
+def q_events_value_drift_chisq(spark, sf_dir):
+    """Value-distribution drift monitor (X183): the chi-square
+    goodness-of-fit terms between a reference window (first half of
+    the day span) and the current window, per value bucket — the data
+    drift check a training pipeline runs before each ingest wave. The
+    statistic needs NO logarithm (unlike PSI/KL), so there is no libm
+    to disagree on: expected counts are ref proportions scaled to the
+    current total with the X112 add-one floor (a bucket absent from
+    the reference can't divide by zero, it just scores high), one
+    double expression tree evaluated identically by both engines, and
+    EVERY bucket is emitted with its term (the X173 lesson: an
+    alarm-only table is vacuously green). Single scan + a grid-bounded
+    aggregate; the 1-row totals broadcast."""
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") / DRIFT_W).cast("bigint").alias("bucket"),
+    )
+    span = e.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    tagged = e.crossJoin(F.broadcast(span)).select(
+        "bucket",
+        F.when(
+            F.datediff("d", "lo") * 2 <= F.datediff("hi", "lo"), 1
+        ).otherwise(0).alias("is_ref"),
+    )
+    g = tagged.groupBy("bucket").agg(
+        F.sum("is_ref").alias("ref_cnt"),
+        F.sum(1 - F.col("is_ref")).alias("cur_cnt"),
+    )
+    tot = g.agg(
+        F.sum("ref_cnt").alias("ref_t"), F.sum("cur_cnt").alias("cur_t")
+    )
+    exp = (F.col("ref_cnt") + 1.0) * F.col("cur_t") / (F.col("ref_t") + 1.0)
+    return g.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("ref_cnt").cast("bigint").alias("ref_cnt"),
+        F.col("cur_cnt").cast("bigint").alias("cur_cnt"),
+        F.round(
+            (F.col("cur_cnt") - exp) * (F.col("cur_cnt") - exp) / exp, 6
+        ).alias("chi_term"),
+    )
+
+
 # --- range-partition boundary plan (X180) -------------------------------------
 
 RANGE_PARTS = 8

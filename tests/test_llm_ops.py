@@ -1618,3 +1618,73 @@ def test_range_partition_plan_balance_and_ties(spark, sf_dir):
     counts = {r.p: r["count"] for r in parts}
     assert set(counts) == set(range(QL.RANGE_PARTS))
     assert all(0.5 <= c * 8 / 4000 <= 2.0 for c in counts.values()), counts
+
+
+def test_vocab_growth_curve_structure(spark, sf_dir):
+    """X182 invariants on the real corpus (types non-decreasing,
+    bounded by tokens, full cut == whole corpus) plus a synthetic
+    corpus where vocabulary genuinely grows — the driver corpus
+    saturates its 31 types inside the first cut, so Heaps-law growth
+    needs a planted fixture to be observable."""
+    from gmall_spark import queries_llm as QL
+
+    rows = sorted(
+        QL.q_text_vocab_growth_curve(spark, sf_dir).collect(),
+        key=lambda r: r.pct,
+    )
+    assert [r.pct for r in rows] == list(QL.VOCAB_CUTS)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_types <= b.n_types and a.n_tokens <= b.n_tokens
+        assert a.n_docs <= b.n_docs
+    assert all(r.n_types <= r.n_tokens for r in rows)
+
+    # planted growth: doc i introduces one NEW word plus one shared
+    docs = spark.createDataFrame(
+        [(i, "x", f"common word{i}", 0) for i in range(100)],
+        "doc_id long, lang string, text string, source int",
+    )
+    import gmall_spark.queries_llm as _ql
+
+    orig = _ql._docs
+    try:
+        _ql._docs = lambda s, sd: docs
+        got = {r.pct: r.n_types
+               for r in QL.q_text_vocab_growth_curve(spark, "ignored").collect()}
+    finally:
+        _ql._docs = orig
+    # types = prefix size + 1 ('common' plus one new word per doc)
+    assert got == {10: 11, 25: 26, 50: 51, 100: 101}
+
+
+def test_drift_chisq_planted_shift_fires(spark):
+    """X183: a second-half distribution shift must produce a large
+    chi term in the vacated/receiving buckets, while identical halves
+    stay near zero — the planted-violation discipline (X162/X173):
+    the uniform driver corpus honestly never drifts, so the alarm
+    branch needs a fixture to be observable."""
+    import datetime
+
+    from gmall_spark import queries_llm as QL
+
+    base = datetime.datetime(2022, 1, 1)
+    rows = []
+    for i in range(400):
+        # first 10 days: values ~25 (bucket 0); last 10 days: ~125 (bucket 2)
+        day = i % 20
+        val = 25.0 if day < 10 else 125.0
+        rows.append((i, base + datetime.timedelta(days=day), 1, "view", val, "{}"))
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    import gmall_spark.queries_llm as _ql
+
+    orig = _ql._t
+    try:
+        _ql._t = lambda s, sd, name: e
+        got = {r.bucket: r.chi_term
+               for r in QL.q_events_value_drift_chisq(spark, "ignored").collect()}
+    finally:
+        _ql._t = orig
+    # all mass moved bucket 0 -> bucket 2: both terms huge
+    assert got[0] > 50 and got[2] > 50, got

@@ -329,6 +329,13 @@ BUDGETS = [
     # (constant-bounded) + per-key assignment agg + part rollup; the
     # 7-row boundary table broadcasts
     ("layout_range_partition_plan", 5, 1),
+    # r8: vocab growth — explode + first-occurrence agg + the three
+    # 4-row-grid cut joins (grid broadcasts); rn windows share the
+    # single-partition exchange
+    ("text_vocab_growth_curve", 9, 3),
+    # r8: drift chi-square — scan + span/totals single-row broadcasts
+    # + the grid-bounded bucket agg
+    ("events_value_drift_chisq", 9, 3),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),

@@ -2054,3 +2054,45 @@ def test_incremental_value_hist_exactly_equals_batch(spark, tmpdir):
     ih.process_batch(spark, b2, store, 1)  # replay: idempotent
     again = {(r.bucket, r.cnt) for r in ih.stored_hist(spark, store).collect()}
     assert again == want_hist
+
+
+def test_incremental_packing_rederives_exactly_and_retroactively(spark, tmpdir):
+    """X175's streaming twin (the X156 re-derive class): lengths
+    freeze at ingest, the packed table re-derives from the merged
+    store via the exact batch packer — two-batch == one-batch — and a
+    late arrival can retroactively RE-PACK its bucket (a bucket's
+    slot-vs-chop choice depends on its global census)."""
+    from gmall_spark.queries_llm import pack_rows
+    from gmall_spark.streaming import incremental_packing as ipk
+
+    store = f"{tmpdir}/pack_store"
+    b1 = spark.createDataFrame(
+        [(i, 1000 + (i % 3)) for i in range(6)], "doc_id long, n_tok long"
+    )
+    ipk.process_batch(spark, b1, store, 0)
+    after1 = {r.doc_id: r.pack_id
+              for r in ipk.current_packs(spark, store).collect()}
+    want1 = {r.doc_id: r.pack_id for r in pack_rows(b1).collect()}
+    assert after1 == want1
+
+    # batch 2: short docs land in a different bucket AND LONGER docs
+    # arrive in the 1024 bucket — they rank above every batch-1 doc
+    # (n desc order), shifting batch-1 ranks and pack membership
+    b2 = spark.createDataFrame(
+        [(i, 40 + i % 5) for i in range(100, 130)]
+        + [(i, 1010) for i in range(200, 205)],
+        "doc_id long, n_tok long",
+    )
+    ipk.process_batch(spark, b2, store, 1)
+    after2 = {r.doc_id: r.pack_id
+              for r in ipk.current_packs(spark, store).collect()}
+    want2 = {r.doc_id: r.pack_id
+             for r in pack_rows(b1.unionByName(b2)).collect()}
+    assert after2 == want2 and len(after2) == 41
+    # retroactive: batch-1 docs re-packed when the bucket census grew
+    assert any(after2[i] != after1[i] for i in range(6)), (after1, after2)
+
+    ipk.process_batch(spark, b2, store, 1)  # replay idempotent
+    again = {r.doc_id: r.pack_id
+             for r in ipk.current_packs(spark, store).collect()}
+    assert again == after2
