@@ -149,6 +149,7 @@ HEADLINE = [
     "layout_range_partition_plan",
     "text_vocab_growth_curve",
     "events_value_drift_chisq",
+    "text_skipgram_cooccurrence",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5284,6 +5284,96 @@ def pack_rows(d: DataFrame, cap: int = SEQ_PACK_CAP) -> DataFrame:
     )
 
 
+# --- skip-gram co-occurrence lift (X184) ---------------------------------------
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_PAIR = 5
+
+
+@query(
+    "text_skipgram_cooccurrence",
+    rf"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS w,
+         unnest(range(1, len(w) + 1)) AS pos
+  FROM ws
+), n AS (SELECT count(*) AS n_tok FROM tok),
+uni AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+pairs AS (
+  SELECT a.w AS w_a, b.w AS w_b, count(*) AS pair_cnt
+  FROM tok a JOIN tok b
+    ON b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos + 1 AND a.pos + {SKIPGRAM_WINDOW}
+  GROUP BY a.w, b.w
+  HAVING count(*) >= {SKIPGRAM_MIN_PAIR}
+)
+SELECT p.w_a, p.w_b,
+       CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+       CAST(ua.cnt AS BIGINT) AS cnt_a,
+       CAST(ub.cnt AS BIGINT) AS cnt_b,
+       round(p.pair_cnt * 1.0 * n.n_tok / (ua.cnt * ub.cnt), 6) AS lift
+FROM pairs p JOIN uni ua ON ua.w = p.w_a
+JOIN uni ub ON ub.w = p.w_b, n
+""",
+)
+def q_text_skipgram_cooccurrence(spark, sf_dir):
+    """Skip-gram co-occurrence statistics (X184) — the counting pass
+    under word2vec/GloVe and collocation extraction: ORDERED word
+    pairs within a +/-{SKIPGRAM_WINDOW} forward window, with
+    unigram-normalized lift (pair_cnt·N / (cnt_a·cnt_b) — PMI's
+    argument WITHOUT the logarithm, so no libm anywhere; the X151
+    co-purchase lift discipline at token grain). min-count {SKIPGRAM_MIN_PAIR}
+    keeps the output collocation-sized. Scale shape: pairs are built
+    PER ROW from the word array (an indexed transform + bounded
+    slice — each token meets at most {SKIPGRAM_WINDOW} forward
+    partners, {SKIPGRAM_WINDOW}x corpus tokens total, never a
+    self-join, never quadratic); two hash aggs + broadcast unigram
+    joins are the only exchanges. The oracle keeps the readable
+    positional-join SQL — it pins semantics, not plans."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        r"filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS w",
+    )
+    tok = docs.select(F.explode("w").alias("w"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        docs.selectExpr(
+            f"""explode(flatten(transform(w, (x, i) ->
+                  transform(slice(w, i + 2, {SKIPGRAM_WINDOW}),
+                            y -> struct(x AS w_a, y AS w_b))))) AS pr"""
+        )
+        .select("pr.w_a", "pr.w_b")
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= SKIPGRAM_MIN_PAIR)
+    )
+    ua = uni.select(F.col("w").alias("w_a"), F.col("cnt").alias("cnt_a"))
+    ub = uni.select(F.col("w").alias("w_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ua), "w_a")
+        .join(F.broadcast(ub), "w_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w_a",
+            "w_b",
+            F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+            F.col("cnt_a").cast("bigint").alias("cnt_a"),
+            F.col("cnt_b").cast("bigint").alias("cnt_b"),
+            F.round(
+                F.col("pair_cnt") * 1.0 * F.col("n_tok")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 # --- vocabulary growth curve (X182) -------------------------------------------
 
 VOCAB_CUTS = (10, 25, 50, 100)

@@ -1688,3 +1688,47 @@ def test_drift_chisq_planted_shift_fires(spark):
         _ql._t = orig
     # all mass moved bucket 0 -> bucket 2: both terms huge
     assert got[0] > 50 and got[2] > 50, got
+
+
+def test_skipgram_cooccurrence_hand_computed(spark):
+    """X184 on a hand-built corpus: 'a b a b a' with window 2 yields
+    the 7 ordered forward pairs (a,b)x2 (positions 1-2, 3-4), (b,a)x2
+    (2-3, 4-5), (a,a)x2 (1-3, 3-5), (b,b)x1 (2-4)."""
+    from gmall_spark import queries_llm as _ql
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b a b a", 0)],
+        "doc_id long, lang string, text string, source int",
+    )
+    orig = _ql._docs
+    try:
+        _ql._docs = lambda s, sd: docs
+        # min-count 5 hides everything on a 5-token corpus — the
+        # threshold branch, asserted explicitly
+        got = {
+            (r.w_a, r.w_b): (r.pair_cnt, r.cnt_a, r.cnt_b, r.lift)
+            for r in _ql.q_text_skipgram_cooccurrence(spark, "ignored")
+            .collect()
+        }
+    finally:
+        _ql._docs = orig
+    # only pairs with count >= SKIPGRAM_MIN_PAIR=5 survive: none here
+    assert got == {}
+
+    # verify the raw pair algebra below the threshold via the array
+    # expression directly
+    pairs = (
+        docs.selectExpr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS w"
+        )
+        .selectExpr(
+            """explode(flatten(transform(w, (x, i) ->
+                 transform(slice(w, i + 2, 2),
+                           y -> struct(x AS w_a, y AS w_b))))) AS pr"""
+        )
+        .groupBy("pr.w_a", "pr.w_b")
+        .count()
+        .collect()
+    )
+    cnt = {(r.w_a, r.w_b): r["count"] for r in pairs}
+    assert cnt == {("a", "b"): 2, ("b", "a"): 2, ("a", "a"): 2, ("b", "b"): 1}

@@ -336,6 +336,9 @@ BUDGETS = [
     # r8: drift chi-square — scan + span/totals single-row broadcasts
     # + the grid-bounded bucket agg
     ("events_value_drift_chisq", 9, 3),
+    # r8: skipgram lift — per-row array pairing (no self-join): pair
+    # agg + unigram agg + broadcast joins + single-row total
+    ("text_skipgram_cooccurrence", 8, 3),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),
