@@ -799,22 +799,63 @@ def bitext_margin_top1_ann(
 
     Returns (src_id, tgt_id, cos_sim, margin) — top-1 margin per src.
     """
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
     from gmall_spark.operators import ivf as _ivf
 
     if nprobe is None:
         nprobe = _ivf.IVF_NPROBE
-    s = src.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    t = tgt.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+
+    # Each side is BOTH an index (top-1 list assignment) and a probe
+    # set (top-nprobe lists) — one centroid-ranking UDF pass per side
+    # serves both roles (lists[0] IS the assignment: same gemm, same
+    # stable-argsort tie rule), and the persisted ranked relation
+    # keeps the docs-join subtree from re-evaluating once per role
+    # (4 evaluations -> 2 builds; measured 5.1 -> ~2 s at sf0.1).
+    def _ranked(side: DataFrame) -> DataFrame:
+        return _persist.register(
+            side.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                _ivf._nearest_lists_udf(centroids, nprobe)(
+                    F.col(vec_col)
+                ).alias("lists"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    rs, rt = _ranked(src), _ranked(tgt)
+
+    def _index(r: DataFrame) -> DataFrame:
+        return r.select(
+            "vec_id", "embedding", F.element_at("lists", 1).alias("list_id")
+        )
+
+    def _probes(r: DataFrame) -> DataFrame:
+        return r.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.explode("lists").alias("list_id"),
+        )
+
+    def _topk(index: DataFrame, probes: DataFrame) -> DataFrame:
+        scored = index.join(probes, "list_id").select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     # x -> tgt top-k: these pairs ARE the candidate set, and x's
     # neighborhood; y -> src top-k supplies y's neighborhood.
-    cand = _ivf.ivf_topk(
-        t, s, k=k, nprobe=nprobe, centroids=centroids,
-        hint_broadcast_probes=False,
-    )
-    back = _ivf.ivf_topk(
-        s, t, k=k, nprobe=nprobe, centroids=centroids,
-        hint_broadcast_probes=False,
-    )
+    cand = _topk(_index(rt), _probes(rs))
+    back = _topk(_index(rs), _probes(rt))
 
     def _nn_sum(topk: DataFrame, out_id: str, out_sum: str, out_k: str) -> DataFrame:
         # fold in rank order (struct sorts on its first field; ranks
