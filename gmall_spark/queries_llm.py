@@ -5415,7 +5415,11 @@ def q_text_vocab_growth_curve(spark, sf_dir):
     FIRST-occurrence rank is inside — so the four cuts need ONE
     corpus pass (per-word min rank + per-doc counts), not four
     re-scans. Scale shape: token explode -> one hash agg keyed by
-    word; the 4-row cut grid joins grid-side."""
+    word; the 4-row cut grid joins grid-side. The global doc rank is
+    one ordering window here (measured cheaper than a slim-rank
+    join-back at every driver SF — the join re-evaluates the scan);
+    at petabyte scale the rank swaps for X180's sampled range
+    boundaries, leaving the cut algebra unchanged."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
