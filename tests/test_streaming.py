@@ -2096,3 +2096,45 @@ def test_incremental_packing_rederives_exactly_and_retroactively(spark, tmpdir):
     again = {r.doc_id: r.pack_id
              for r in ipk.current_packs(spark, store).collect()}
     assert again == after2
+
+
+def test_incremental_drift_rederives_and_resplits(spark, tmpdir):
+    """X183's streaming twin: the (day, bucket) grid is SUM-mergeable
+    so streaming == batch exactly after any split, and a late batch
+    that EXTENDS the day span retroactively moves the ref/current
+    midpoint — the re-derive class, asserted by comparing against the
+    batch operator over the union at every step."""
+    from gmall_spark import queries_llm as QL
+    from gmall_spark.streaming import incremental_drift as idr
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    store = f"{tmpdir}/drift_store"
+    b1 = e.filter(F.dayofmonth("ts") <= 15)
+    b2 = e.filter(F.dayofmonth("ts") > 15)
+
+    def batch_report(events):
+        orig = QL._t
+        try:
+            QL._t = lambda s, sd, name: events
+            return {(r.bucket): (r.ref_cnt, r.cur_cnt, r.chi_term)
+                    for r in QL.q_events_value_drift_chisq(spark, "x").collect()}
+        finally:
+            QL._t = orig
+
+    idr.process_batch(spark, b1, store, 0)
+    got1 = {r.bucket: (r.ref_cnt, r.cur_cnt, r.chi_term)
+            for r in idr.current_drift(spark, store).collect()}
+    assert got1 == batch_report(b1)
+
+    idr.process_batch(spark, b2, store, 1)
+    got2 = {r.bucket: (r.ref_cnt, r.cur_cnt, r.chi_term)
+            for r in idr.current_drift(spark, store).collect()}
+    assert got2 == batch_report(e)
+    # the span grew: at least one bucket's ref/cur split moved
+    moved = any(b in got1 and got1[b][:2] != got2[b][:2] for b in got2)
+    assert moved, (got1, got2)
+
+    idr.process_batch(spark, b2, store, 1)  # replay idempotent
+    again = {r.bucket: (r.ref_cnt, r.cur_cnt, r.chi_term)
+             for r in idr.current_drift(spark, store).collect()}
+    assert again == got2
