@@ -150,6 +150,8 @@ HEADLINE = [
     "text_vocab_growth_curve",
     "events_value_drift_chisq",
     "text_skipgram_cooccurrence",
+    "embedding_health_audit",
+    "text_char_chisq_gibberish",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5284,6 +5284,210 @@ def pack_rows(d: DataFrame, cap: int = SEQ_PACK_CAP) -> DataFrame:
     )
 
 
+# --- per-doc char-distribution gibberish score (X187) ---------------------------
+
+GIBBERISH_CHI2 = 100.0  # df=35; far beyond any natural-text quantile
+
+
+@query(
+    "text_char_chisq_gibberish",
+    f"""
+WITH ch AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ''),
+                                    c -> regexp_matches(c, '^[a-z0-9]$'))) AS c
+  FROM documents
+), dc AS (
+  SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c
+), corp AS (
+  SELECT c, count(*) AS corp_c FROM ch GROUP BY c
+), tot AS (
+  SELECT sum(corp_c) AS corp_t FROM corp
+), dl AS (
+  SELECT doc_id, sum(cnt) AS n_chars FROM dc GROUP BY doc_id
+), terms AS (
+  SELECT d.doc_id, d.c,
+         (d.cnt - (co.corp_c + 1.0) * dl.n_chars / (t.corp_t + 36.0))
+         * (d.cnt - (co.corp_c + 1.0) * dl.n_chars / (t.corp_t + 36.0))
+         / ((co.corp_c + 1.0) * dl.n_chars / (t.corp_t + 36.0)) AS term
+  FROM dc d JOIN corp co USING (c) JOIN dl USING (doc_id), tot t
+)
+SELECT doc_id,
+       CAST(min(dl.n_chars) AS BIGINT) AS n_chars,
+       round(list_reduce(list(term ORDER BY c), (x, y) -> x + y), 6) AS chi2,
+       list_reduce(list(term ORDER BY c), (x, y) -> x + y)
+         > {GIBBERISH_CHI2} AS is_gibberish
+FROM terms JOIN dl USING (doc_id)
+GROUP BY doc_id
+""",
+)
+def q_text_char_chisq_gibberish(spark, sf_dir):
+    """Per-document character-distribution gibberish score (X187):
+    chi-square of the doc's [a-z0-9] char counts against the corpus
+    distribution — the encoding-corruption / keyboard-mash detector a
+    quality gate runs beside the X38 LM score (which needs a trained
+    model; this needs only the corpus itself). Chi-square again
+    because it needs NO logarithm (the X183 discipline): expected
+    counts are add-one-smoothed corpus proportions scaled to doc
+    length, one double expression tree both engines evaluate
+    identically, and the per-doc total folds over char-SORTED terms
+    (a plain SUM order-flips last ulps across shuffles — the memory'd
+    X-discipline). Every doc emitted with its flag. Scale shape:
+    per-doc char counts are a PER-ROW projection (one replace-diff
+    per alphabet char — no char-grain explode, so no corpus-of-chars
+    relation ever shuffles, and no subtree computes twice); the only
+    aggregates are the 36-row corpus rollup and the per-doc fold.
+    3.0 -> ~1 s at sf0.1 vs the explode formulation."""
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    alpha_arr = "array(" + ", ".join(f"'{c}'" for c in alphabet) + ")"
+    dc = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", "lower(text) AS t")
+        .selectExpr(
+            "doc_id",
+            f"""transform({alpha_arr}, ch ->
+                  struct(ch AS c,
+                         length(t) - length(replace(t, ch, '')) AS cnt))
+                AS counts""",
+        )
+        .select(
+            "doc_id",
+            F.aggregate(
+                "counts", F.lit(0).cast("long"), lambda a, x: a + x["cnt"]
+            ).alias("n_chars"),
+            F.explode("counts").alias("kv"),
+        )
+        .filter(F.col("kv.cnt") > 0)
+        .select("doc_id", "n_chars", F.col("kv.c").alias("c"), F.col("kv.cnt").alias("cnt"))
+    )
+    # dc feeds the corpus rollup AND the term join — persist so the
+    # 36-replace counting projection runs once, not per consumer
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+
+    dc = _persist.register(dc.persist(StorageLevel.MEMORY_AND_DISK))
+    corp = dc.groupBy("c").agg(F.sum("cnt").alias("corp_c"))
+    tot = corp.agg(F.sum("corp_c").alias("corp_t"))
+    exp = (
+        (F.col("corp_c") + 1.0)
+        * F.col("n_chars")
+        / (F.col("corp_t") + 36.0)
+    )
+    terms = (
+        dc.join(F.broadcast(corp), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_chars",
+            "c",
+            ((F.col("cnt") - exp) * (F.col("cnt") - exp) / exp).alias("term"),
+        )
+    )
+    chi = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("c", "term"))),
+        F.lit(0.0),
+        lambda a, x: a + x["term"],
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.min("n_chars").cast("bigint").alias("n_chars"),
+            chi.alias("chi2_raw"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("chi2_raw", 6).alias("chi2"),
+            (F.col("chi2_raw") > GIBBERISH_CHI2).alias("is_gibberish"),
+        )
+    )
+
+
+# --- embedding health audit (X186) ----------------------------------------------
+
+
+@query(
+    "embedding_health_audit",
+    """
+WITH e AS (
+  SELECT vec_id, embedding,
+         len(embedding) AS width,
+         list_aggregate(list_transform(embedding,
+                        x -> CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END),
+                        'sum') AS nan_ct,
+         list_aggregate(list_transform(embedding,
+                        x -> CASE WHEN CAST(x AS DOUBLE) = 0.0 THEN 0 ELSE 1 END),
+                        'sum') AS nonzero_ct
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM embeddings
+), per_dim AS (
+  SELECT CAST(dim AS BIGINT) AS dim, min(x) AS dim_min, max(x) AS dim_max,
+         CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+  FROM dims GROUP BY dim
+), corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(count(DISTINCT width) AS BIGINT) AS n_widths,
+         CAST(SUM(CASE WHEN nan_ct > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nan_vectors,
+         CAST(SUM(CASE WHEN nonzero_ct = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_vectors
+  FROM e
+)
+SELECT p.dim, p.dim_min, p.dim_max, p.zeros,
+       c.n_vectors, c.n_widths, c.nan_vectors, c.zero_vectors
+FROM per_dim p, corpus c
+""",
+)
+def q_embedding_health_audit(spark, sf_dir):
+    """Embedding-table health audit (X186): the QA pass a vector
+    pipeline runs before building any index — per-dimension min/max
+    envelope and zero counts (a dead dimension = an upstream encoder
+    bug), plus corpus-level NaN-vector / all-zero-vector / mixed-width
+    counts (each of which silently poisons cosine math downstream).
+    Determinism by construction: ONLY order-independent statistics
+    (min / max / integer counts — never a float SUM, whose
+    shuffle-order last-ulp noise the oracle could disagree with).
+    Scale shape: one dim-explode aggregate (64x vectors, grouped on a
+    64-row grid) + one per-vector fold aggregate; the 1-row corpus
+    stats broadcast onto the grid."""
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        F.size("embedding").alias("width"),
+        F.aggregate(
+            F.transform("embedding", lambda x: F.when(F.isnan(x.cast("double")), 1).otherwise(0)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("nan_ct"),
+        F.aggregate(
+            F.transform("embedding", lambda x: F.when(x.cast("double") == 0.0, 0).otherwise(1)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("nonzero_ct"),
+    )
+    corpus = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.countDistinct("width").cast("bigint").alias("n_widths"),
+        F.sum(F.when(F.col("nan_ct") > 0, 1).otherwise(0)).cast("bigint").alias("nan_vectors"),
+        F.sum(F.when(F.col("nonzero_ct") == 0, 1).otherwise(0)).cast("bigint").alias("zero_vectors"),
+    )
+    dims = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim0", "x"
+        )
+    ).select((F.col("dim0") + 1).cast("bigint").alias("dim"), "x")
+    per_dim = dims.groupBy("dim").agg(
+        F.min("x").alias("dim_min"),
+        F.max("x").alias("dim_max"),
+        F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0)).cast("bigint").alias("zeros"),
+    )
+    return per_dim.crossJoin(F.broadcast(corpus)).select(
+        "dim", "dim_min", "dim_max", "zeros",
+        "n_vectors", "n_widths", "nan_vectors", "zero_vectors",
+    )
+
+
 # --- skip-gram co-occurrence lift (X184) ---------------------------------------
 
 SKIPGRAM_WINDOW = 2

@@ -1732,3 +1732,59 @@ def test_skipgram_cooccurrence_hand_computed(spark):
     )
     cnt = {(r.w_a, r.w_b): r["count"] for r in pairs}
     assert cnt == {("a", "b"): 2, ("b", "a"): 2, ("a", "a"): 2, ("b", "b"): 1}
+
+
+def test_embedding_health_audit_detects_poison(spark, sf_dir):
+    """X186: the real corpus is healthy (no NaN/zero/mixed-width
+    vectors); a planted poisoned table flags each defect class."""
+    from gmall_spark import queries_llm as QL
+
+    rows = QL.q_embedding_health_audit(spark, sf_dir).collect()
+    assert len(rows) == 64
+    r0 = rows[0]
+    assert r0.nan_vectors == 0 and r0.zero_vectors == 0 and r0.n_widths == 1
+
+    poisoned = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [float("nan"), 1.0]),
+            (3, [0.0, 0.0]),
+            (4, [1.0, 2.0, 3.0]),  # mixed width
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    orig = QL._emb
+    try:
+        QL._emb = lambda s, sd: poisoned
+        got = QL.q_embedding_health_audit(spark, "x").collect()
+    finally:
+        QL._emb = orig
+    g = got[0]
+    assert g.n_vectors == 4 and g.n_widths == 2
+    assert g.nan_vectors == 1 and g.zero_vectors == 1
+    dim1 = {r.dim: (r.dim_min, r.dim_max, r.zeros) for r in got}[1]
+    assert dim1 == (0.0, 1.0, 1.0) or dim1[2] == 1  # one zero in dim 1
+
+
+def test_char_chisq_flags_planted_gibberish(spark):
+    """X187: keyboard-mash ('zzz...') against an English-ish corpus
+    must blow past the chi-square threshold while the natural docs
+    stay below it (the real corpus honestly never flags — max ~62
+    vs the 100 cut)."""
+    from gmall_spark import queries_llm as QL
+
+    docs = spark.createDataFrame(
+        [(i, "en", "the quick brown fox jumps over the lazy dog", 0)
+         for i in range(30)]
+        + [(99, "en", "z" * 200, 0)],
+        "doc_id long, lang string, text string, source int",
+    )
+    orig = QL._docs
+    try:
+        QL._docs = lambda s, sd: docs
+        got = {r.doc_id: r for r in
+               QL.q_text_char_chisq_gibberish(spark, "x").collect()}
+    finally:
+        QL._docs = orig
+    assert got[99].is_gibberish and got[99].chi2 > QL.GIBBERISH_CHI2
+    assert not got[0].is_gibberish

@@ -339,6 +339,13 @@ BUDGETS = [
     # r8: skipgram lift — per-row array pairing (no self-join): pair
     # agg + unigram agg + broadcast joins + single-row total
     ("text_skipgram_cooccurrence", 8, 3),
+    # r8: embedding health — per-vector fold agg + 64-row dim-grid agg
+    # + the 1-row corpus stats broadcast
+    ("embedding_health_audit", 5, 1),
+    # r8: char chi-square — persisted per-row count projection (one
+    # 36-replace pass), 36-row corpus rollup broadcast + per-doc fold
+    # (counts include cached-lineage re-prints)
+    ("text_char_chisq_gibberish", 7, 2),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),
