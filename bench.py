@@ -152,6 +152,7 @@ HEADLINE = [
     "text_skipgram_cooccurrence",
     "embedding_health_audit",
     "text_char_chisq_gibberish",
+    "llm_corpus_curation_v4",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

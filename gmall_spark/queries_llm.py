@@ -5160,16 +5160,22 @@ def q_llm_length_bucket_padding(spark, sf_dir):
 
 SEQ_PACK_CAP = 2048
 
+# token-length expression shared by the packing oracles: whitespace
+# words clamped to [1, cap]
+_PACK_LEN_SQL = (
+    r"least(greatest(len(list_filter(string_split_regex(text, '\s+'),"
+    rf" x -> x <> '')), 1), {SEQ_PACK_CAP})"
+)
 
-@query(
-    "llm_sequence_packing_ffd",
-    rf"""
-WITH lens AS (
-  SELECT doc_id,
-         least(greatest(len(list_filter(string_split_regex(text, '\s+'),
-                                        x -> x <> '')), 1), {SEQ_PACK_CAP}) AS n_tok
-  FROM documents
-), b AS (
+
+def _ffd_pack_oracle(lens_cte: str) -> str:
+    """The X175 FFD assignment as chained CTEs over ``lens_cte``, a
+    CTE body producing (doc_id, n_tok) with n_tok in [1, cap] —
+    parameterized so compositions (X188 curation v4) replay the
+    identical packer on a FILTERED corpus."""
+    cap = SEQ_PACK_CAP
+    return f"""
+WITH lens AS ({lens_cte}), b AS (
   SELECT doc_id, n_tok, ((n_tok + 63) // 64) * 64 AS bucket_len FROM lens
 ), w AS (
   SELECT doc_id, n_tok, bucket_len,
@@ -5181,8 +5187,8 @@ WITH lens AS (
   WINDOW win AS (PARTITION BY bucket_len ORDER BY n_tok DESC, doc_id ASC)
 ), m AS (
   SELECT *,
-         {SEQ_PACK_CAP} - bucket_len + 1 AS cp,
-         {SEQ_PACK_CAP} // bucket_len AS slots
+         {cap} - bucket_len + 1 AS cp,
+         {cap} // bucket_len AS slots
   FROM w
 ), a AS (
   SELECT doc_id, n_tok, bucket_len,
@@ -5198,7 +5204,12 @@ SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(sum(n_tok) OVER (PARTITION BY bucket_len, pack_no) AS BIGINT)
          AS pack_fill
 FROM a
-""",
+"""
+
+
+@query(
+    "llm_sequence_packing_ffd",
+    _ffd_pack_oracle(f"SELECT doc_id, {_PACK_LEN_SQL} AS n_tok FROM documents"),
 )
 def q_llm_sequence_packing_ffd(spark, sf_dir):
     """Fixed-row sequence packing (X175, VERDICT r7 item 5): the
@@ -5401,6 +5412,75 @@ def q_text_char_chisq_gibberish(spark, sf_dir):
             (F.col("chi2_raw") > GIBBERISH_CHI2).alias("is_gibberish"),
         )
     )
+
+
+# --- curation v4: gated release manifest, packed (X188) --------------------------
+
+
+def _curation_v4_oracle() -> str:
+    """Composes the registered v3 and gibberish oracles (the X155
+    discipline: compositions wrap already-registered oracle texts so
+    the stages stay in lockstep by construction), then replays the
+    X175 packer on the kept set via the shared parameterized CTE
+    chain."""
+    from gmall_spark.queries import ORACLES as _OR
+
+    lens = f"""
+  SELECT d.doc_id, {_PACK_LEN_SQL} AS n_tok
+  FROM documents d
+  JOIN (SELECT doc_id FROM ({_OR["llm_corpus_curation_v3"]})) v3
+    ON v3.doc_id = d.doc_id
+  WHERE d.doc_id NOT IN (
+    SELECT doc_id FROM ({_OR["text_char_chisq_gibberish"]}) WHERE is_gibberish)
+"""
+    return f"""
+WITH packed AS MATERIALIZED ({_ffd_pack_oracle(lens)})
+SELECT p.doc_id, v.lang_pred, v.bucket, p.n_tok, p.pack_id, p.pack_fill
+FROM packed p
+JOIN ({_OR["llm_corpus_curation_v3"]}) v ON v.doc_id = p.doc_id
+"""
+
+
+@query("llm_corpus_curation_v4", None)  # oracle attached below
+def q_llm_corpus_curation_v4(spark, sf_dir):
+    """Corpus curation v4 (X188): the r8 capstone composition — the
+    v3 release set additionally gated by the X187 gibberish
+    chi-square, then handed to the X175 FFD packer, emitting the
+    per-document TRAINING-ROW MANIFEST (doc -> pack assignment with
+    the doc's language and perplexity bucket riding along) a
+    pretraining loader consumes directly. Same composition discipline
+    as v3/the datasheet: every stage is the registered operator (v3
+    reads its shared stage fixture; the packer is the identical
+    closed form on the kept lengths), and the oracle wraps the
+    registered oracle texts so Spark and DuckDB compose the same
+    stages by construction."""
+    kept = q_llm_corpus_curation_v3(spark, sf_dir).select(
+        "doc_id", "lang_pred", "bucket"
+    )
+    gib = (
+        q_text_char_chisq_gibberish(spark, sf_dir)
+        .filter("is_gibberish")
+        .select("doc_id")
+    )
+    cap = SEQ_PACK_CAP
+    lens = (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id",
+            rf"least(greatest(size(filter(split(text, '\\s+'), x -> x != '')), 1),"
+            rf" {cap}) AS n_tok",
+        )
+        .join(kept.select("doc_id"), "doc_id")
+        .join(gib, "doc_id", "anti")
+    )
+    return pack_rows(lens, cap).join(kept, "doc_id").select(
+        "doc_id", "lang_pred", "bucket", "n_tok", "pack_id", "pack_fill"
+    )
+
+
+from gmall_spark.queries import ORACLES as _OR4  # noqa: E402
+
+_OR4["llm_corpus_curation_v4"] = _curation_v4_oracle()
 
 
 # --- embedding health audit (X186) ----------------------------------------------

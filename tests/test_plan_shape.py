@@ -346,6 +346,9 @@ BUDGETS = [
     # 36-replace pass), 36-row corpus rollup broadcast + per-doc fold
     # (counts include cached-lineage re-prints)
     ("text_char_chisq_gibberish", 7, 2),
+    # r8: curation v4 — v3's fixture-read join chain + the gibberish
+    # gate (persisted count projection) + the packer's bucket window
+    ("llm_corpus_curation_v4", 22, 4),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),
