@@ -153,6 +153,7 @@ HEADLINE = [
     "embedding_health_audit",
     "text_char_chisq_gibberish",
     "llm_corpus_curation_v4",
+    "llm_split_leakage_audit",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

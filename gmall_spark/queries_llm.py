@@ -5414,6 +5414,66 @@ def q_text_char_chisq_gibberish(spark, sf_dir):
     )
 
 
+# --- split leakage audit (X189) ---------------------------------------------------
+
+# 3 md5 hex chars -> 0..4095: ~1% val, ~1% test, 98% train
+SPLIT_VAL_HI, SPLIT_TEST_HI = 41, 82
+
+_SPLIT_SQL_SPARK = (
+    "CASE WHEN cast(conv(substring(md5(cast(doc_id as string)), 1, 3), 16, 10)"
+    f" as int) < {SPLIT_VAL_HI} THEN 'val' "
+    "WHEN cast(conv(substring(md5(cast(doc_id as string)), 1, 3), 16, 10)"
+    f" as int) < {SPLIT_TEST_HI} THEN 'test' ELSE 'train' END"
+)
+_SPLIT_SQL_DUCK = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS BIGINT)"
+    f" < {SPLIT_VAL_HI} THEN 'val' "
+    "WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS BIGINT)"
+    f" < {SPLIT_TEST_HI} THEN 'test' ELSE 'train' END"
+)
+
+
+@query(
+    "llm_split_leakage_audit",
+    SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
+    + _SQL_GROUP_CTES
+    + f"""
+, sp AS (
+  SELECT g.doc_id, g.group_id, {_SPLIT_SQL_DUCK} AS split
+  FROM grp g JOIN documents USING (doc_id)
+)
+SELECT group_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+       array_to_string(list(DISTINCT split ORDER BY split), ',') AS splits,
+       count(DISTINCT split) > 1 AS is_leaked
+FROM sp GROUP BY group_id
+""",
+)
+def q_llm_split_leakage_audit(spark, sf_dir):
+    """Train/val/test split leakage audit (X189) — the
+    eval-contamination check a dedup-aware splitter runs before any
+    benchmark number is trusted: documents split 98/1/1 by a
+    deterministic md5 hash, then every TRANSITIVE near-dup group
+    (the shared X6 components fixture) is checked for spanning more
+    than one split — a val doc whose near-duplicate sits in train IS
+    leakage, however the split was randomized (the reason production
+    pipelines split by GROUP, not by document). Every group emitted
+    with its flag (X173: alarm-only tables are vacuously green); the
+    oracle replays the identical pipeline and closes the pair graph
+    with the registered recursive min-label CTE."""
+    groups = _transitive_groups(spark, sf_dir)
+    sp = groups.selectExpr(
+        "doc_id", "group_id", f"{_SPLIT_SQL_SPARK} AS split"
+    )
+    return sp.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("split").cast("bigint").alias("n_splits"),
+        F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+        (F.countDistinct("split") > 1).alias("is_leaked"),
+    )
+
+
 # --- curation v4: gated release manifest, packed (X188) --------------------------
 
 

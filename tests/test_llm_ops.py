@@ -1788,3 +1788,23 @@ def test_char_chisq_flags_planted_gibberish(spark):
         QL._docs = orig
     assert got[99].is_gibberish and got[99].chi2 > QL.GIBBERISH_CHI2
     assert not got[0].is_gibberish
+
+
+@pytest.mark.sf001
+def test_split_leakage_audit_finds_real_leaks_sf001(spark):
+    """X189 at the driver's sf0.01: the hash split genuinely leaks —
+    near-dup groups spanning train and another split exist in the
+    corpus (2 when registered), so the alarm branch fires on real
+    data, not just a fixture; every group is emitted flagged."""
+    from gmall_spark import queries_llm as QL
+
+    rows = QL.q_llm_split_leakage_audit(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows, "expected near-dup groups"
+    leaked = [r for r in rows if r.is_leaked]
+    assert leaked, "expected at least one cross-split near-dup group"
+    for r in leaked:
+        assert r.n_splits > 1 and "," in r.splits
+    for r in rows:
+        assert r.is_leaked == (r.n_splits > 1)

@@ -349,6 +349,9 @@ BUDGETS = [
     # r8: curation v4 — v3's fixture-read join chain + the gibberish
     # gate (persisted count projection) + the packer's bucket window
     ("llm_corpus_curation_v4", 22, 4),
+    # r8: split leakage — the transitive-groups fixture read + split
+    # projection + one group agg
+    ("llm_split_leakage_audit", 4, 0),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),
