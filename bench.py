@@ -154,6 +154,7 @@ HEADLINE = [
     "text_char_chisq_gibberish",
     "llm_corpus_curation_v4",
     "llm_split_leakage_audit",
+    "similarity_eval_jl_projection",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -4846,6 +4846,135 @@ def q_similarity_eval_dim_truncation(spark, sf_dir):
     return out
 
 
+# --- JL random-projection recall eval (X190) ----------------------------------
+
+JL_DIMS = (32, 16)
+
+
+def _jl_project_exprs(d: int, dim: int) -> list:
+    """``d`` projected coordinates as sequential zip_with folds over
+    md5-derived +/-1 sign rows (similarity._plane_coefs, salt 'jl:').
+    Sequential fold order == DuckDB's list_dot_product order, so the
+    projected doubles are BIT-IDENTICAL cross-engine — no pairwise-
+    vs-sequential ulp drift reaches the rounded cosine ranking."""
+    out = []
+    for j, row in enumerate(similarity._plane_coefs(d, dim, salt="jl:")):
+        plane = F.array(*[F.lit(c) for c in row])
+        out.append(
+            F.aggregate(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    plane,
+                    lambda x, c: x * c,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias(f"p{j}")
+        )
+    return out
+
+
+def _jl_bf_oracle(d: int | None, dim: int) -> str:
+    """Brute-force cosine top-10 over the JL-projected vectors (sign
+    rows baked as literal arrays, list_dot_product per coordinate);
+    full-width when d is None."""
+    if d is None:
+        vec = "list_transform(embedding, (x) -> CAST(x AS DOUBLE))"
+    else:
+        coords = []
+        for row in similarity._plane_coefs(d, dim, salt="jl:"):
+            arr = "[" + ", ".join(str(float(c)) for c in row) + "]::DOUBLE[]"
+            coords.append(
+                f"list_dot_product(list_transform(embedding,"
+                f" (x) -> CAST(x AS DOUBLE)), {arr})"
+            )
+        vec = "[" + ", ".join(coords) + "]"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {vec} AS qvec FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, {vec} AS nvec FROM embeddings
+), pairs AS (
+  SELECT query_id, neighbor_id,
+         unnest(qvec)::DOUBLE AS qx, unnest(nvec)::DOUBLE AS nx
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))), 6) AS cos_sim
+  FROM pairs GROUP BY query_id, neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10
+"""
+
+
+def _jl_eval_oracle() -> str:
+    from gmall_spark.ann_oracles import EMBED_DIM as _DIM
+
+    withs = ",\n".join(
+        f"a{d} AS (SELECT query_id, neighbor_id FROM ({_jl_bf_oracle(d, _DIM)}))"
+        for d in JL_DIMS
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS BIGINT) AS dims,
+       CAST((SELECT count(*) FROM bf) AS BIGINT) AS bf_pairs,
+       CAST((SELECT count(*) FROM bf JOIN a{d} USING (query_id, neighbor_id)) AS BIGINT) AS hits,
+       round(CAST((SELECT count(*) FROM bf JOIN a{d} USING (query_id, neighbor_id)) AS DOUBLE)
+             / (SELECT count(*) FROM bf), 6) AS recall_at_10"""
+        for d in JL_DIMS
+    )
+    return (
+        f"WITH bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM "
+        f"({_jl_bf_oracle(None, _DIM)})),\n{withs}\n{arms}"
+    )
+
+
+@query("similarity_eval_jl_projection", _jl_eval_oracle())
+def q_similarity_eval_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection evaluation (X190;
+    Achlioptas 2003's database-friendly +/-1 projections): recall@10
+    of brute-force cosine over md5-derived sign projections to 32/16
+    dims against the full-width ground truth — the OTHER way to
+    shrink a vector index (X138 truncates assuming Matryoshka
+    training; JL needs no such property, at the cost of a dense
+    gemm per vector). Same acceptance-table harness as X138. Sign
+    rows are plan-time literals; each projected coordinate is one
+    sequential zip_with fold, bit-identical to the oracle's
+    list_dot_product, so the rounded cosine ranking can't drift
+    cross-engine."""
+    emb = _emb(spark, sf_dir)
+    dim = _oracle_dim_check(spark, sf_dir)
+    bf = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    ).select("query_id", "neighbor_id")
+    arms = []
+    for d in JL_DIMS:
+        proj = emb.select("vec_id", *_jl_project_exprs(d, dim)).select(
+            "vec_id",
+            F.array(*[F.col(f"p{j}") for j in range(d)]).alias("embedding"),
+        )
+        arm = similarity.brute_force_topk(
+            proj, proj.filter(F.col("vec_id") < 5), k=10
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        j = bf.join(arm, ["query_id", "neighbor_id"], "left")
+        arms.append(
+            j.agg(
+                F.lit(d).cast("bigint").alias("dims"),
+                F.count(F.lit(1)).cast("bigint").alias("bf_pairs"),
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("hits"),
+                F.round(
+                    F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 6
+                ).alias("recall_at_10"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 # --- frozen-tokenizer encoding (X139) ---------------------------------------
 
 from gmall_spark.operators import bpe as _bpe_ops  # noqa: E402

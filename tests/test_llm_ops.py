@@ -1808,3 +1808,21 @@ def test_split_leakage_audit_finds_real_leaks_sf001(spark):
         assert r.n_splits > 1 and "," in r.splits
     for r in rows:
         assert r.is_leaked == (r.n_splits > 1)
+
+
+def test_jl_projection_eval_structure(spark, sf_dir):
+    """X190: the JL acceptance table is structurally sound — both
+    arms cover all 5 queries' top-10, recall in [0,1], and on this
+    (deterministic) corpus more projected dims retain more recall.
+    The LOW absolute recall is the honest finding: +/-1 JL at 32 of
+    64 dims is a poor shrink for this corpus, unlike X138's
+    truncation — exactly what the table exists to reveal."""
+    from gmall_spark import queries_llm as QL
+
+    rows = {r.dims: r for r in
+            QL.q_similarity_eval_jl_projection(spark, sf_dir).collect()}
+    assert set(rows) == set(QL.JL_DIMS)
+    for r in rows.values():
+        assert r.bf_pairs == 50 and 0.0 <= r.recall_at_10 <= 1.0
+        assert r.hits <= r.bf_pairs
+    assert rows[32].recall_at_10 >= rows[16].recall_at_10

@@ -352,6 +352,9 @@ BUDGETS = [
     # r8: split leakage — the transitive-groups fixture read + split
     # projection + one group agg
     ("llm_split_leakage_audit", 4, 0),
+    # r8: JL eval — 3 brute-force arms (full + 2 projections), each
+    # scan + window + agg; 5-query sides broadcast
+    ("similarity_eval_jl_projection", 18, 3),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),
