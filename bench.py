@@ -155,6 +155,8 @@ HEADLINE = [
     "llm_corpus_curation_v4",
     "llm_split_leakage_audit",
     "similarity_eval_jl_projection",
+    "llm_corpus_fingerprint",
+    "dedup_source_attribution",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5543,6 +5543,89 @@ def q_text_char_chisq_gibberish(spark, sf_dir):
     )
 
 
+# --- corpus release fingerprint (X191) ---------------------------------------------
+
+
+@query(
+    "llm_corpus_fingerprint",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)
+                     AS BIGINT)) AS DECIMAL(38, 0)) AS content_sum,
+       CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT)) AS DECIMAL(38, 0)) AS id_sum
+FROM documents
+""",
+)
+def q_llm_corpus_fingerprint(spark, sf_dir):
+    """Corpus release fingerprint (X191): the one-row
+    reproducibility stamp a dataset card carries — doc count, char
+    volume, and ORDER-INDEPENDENT content/id checksums (plain SUM of
+    per-row 60-bit md5 hashes, held in DECIMAL(38,0) so the integer
+    sum is exact at any corpus size — integer addition commutes, so
+    shuffle order can't flip a digit, unlike a float fold; XOR would
+    also work but Spark ships no bit_xor aggregate). Two corpora
+    agree on this row iff they agree on every (doc_id, text) pair
+    with overwhelming probability — the cheap 'same data?' check
+    before any cross-run regression hunt. One scan, one aggregate."""
+    return _docs(spark, sf_dir).selectExpr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':', text)), 1, 15), 16, 10) as decimal(38,0)) AS ch",
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as decimal(38,0)) AS ih",
+        "length(text) AS len",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("n_chars"),
+        F.sum("ch").cast("decimal(38,0)").alias("content_sum"),
+        F.sum("ih").cast("decimal(38,0)").alias("id_sum"),
+    )
+
+
+# --- cross-source duplicate attribution (X192) --------------------------------------
+
+
+@query(
+    "dedup_source_attribution",
+    SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
+    + _SQL_GROUP_CTES
+    + """
+, gs AS (
+  SELECT g.group_id, d.source
+  FROM grp g JOIN documents d USING (doc_id)
+), pairs AS (
+  SELECT a.group_id,
+         least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM gs a JOIN gs b ON b.group_id = a.group_id
+  WHERE a.source < b.source
+)
+SELECT source_a, source_b,
+       CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
+FROM pairs GROUP BY source_a, source_b
+""",
+)
+def q_dedup_source_attribution(spark, sf_dir):
+    """Cross-source duplicate attribution (X192): WHERE the
+    redundancy comes from — for every pair of sources, how many
+    transitive near-dup groups span both (the governance table that
+    decides which feed to dedup against which; CommonCrawl-vs-books
+    overlap is the classic instance). Composes the shared X6
+    components fixture; the within-group source pairing is bounded
+    by group sizes (duplicate structure), never the corpus. Source
+    pairs are canonicalized (lo, hi) so each spanning group counts
+    once per pair."""
+    groups = _transitive_groups(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    gs = groups.join(src, "doc_id").select("group_id", "source").distinct()
+    a = gs.select("group_id", F.col("source").alias("source_a"))
+    b = gs.select(F.col("group_id").alias("gid"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, (F.col("gid") == F.col("group_id")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("group_id").cast("bigint").alias("n_groups"))
+    )
+
+
 # --- split leakage audit (X189) ---------------------------------------------------
 
 # 3 md5 hex chars -> 0..4095: ~1% val, ~1% test, 98% train

@@ -1826,3 +1826,55 @@ def test_jl_projection_eval_structure(spark, sf_dir):
         assert r.bf_pairs == 50 and 0.0 <= r.recall_at_10 <= 1.0
         assert r.hits <= r.bf_pairs
     assert rows[32].recall_at_10 >= rows[16].recall_at_10
+
+
+def test_corpus_fingerprint_order_independent_and_sensitive(spark):
+    """X191: the fingerprint must be identical under any row order
+    (integer sums commute) and must CHANGE when one character
+    changes — the two properties that make it a release stamp."""
+    from gmall_spark import queries_llm as QL
+
+    base = [(i, "en", f"doc number {i}", 0) for i in range(50)]
+
+    def fp(rows):
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string, source int"
+        )
+        orig = QL._docs
+        try:
+            QL._docs = lambda s, sd: docs
+            r = QL.q_llm_corpus_fingerprint(spark, "x").collect()[0]
+        finally:
+            QL._docs = orig
+        return (r.n_docs, r.n_chars, str(r.content_sum), str(r.id_sum))
+
+    a = fp(base)
+    b = fp(list(reversed(base)))
+    assert a == b  # order-independent
+    mutated = base.copy()
+    mutated[7] = (7, "en", "doc number 7!", 0)
+    c = fp(mutated)
+    assert c[2] != a[2] and c[3] == a[3]  # content moved, ids didn't
+
+
+def test_source_attribution_counts_spanning_groups(spark, sf_dir):
+    """X192: every reported pair count equals the number of
+    transitive groups containing BOTH sources — recomputed
+    independently from the raw group/source assignment."""
+    from gmall_spark import queries_llm as QL
+
+    groups = QL._transitive_groups(spark, sf_dir).collect()
+    src = {r.doc_id: r.source
+           for r in QL._docs(spark, sf_dir).select("doc_id", "source").collect()}
+    by_group: dict = {}
+    for r in groups:
+        by_group.setdefault(r.group_id, set()).add(src[r.doc_id])
+    want: dict = {}
+    for g, ss in by_group.items():
+        ss = sorted(ss)
+        for i, x in enumerate(ss):
+            for y in ss[i + 1:]:
+                want[(x, y)] = want.get((x, y), 0) + 1
+    got = {(r.source_a, r.source_b): r.n_groups
+           for r in QL.q_dedup_source_attribution(spark, sf_dir).collect()}
+    assert got == want and want

@@ -355,6 +355,11 @@ BUDGETS = [
     # r8: JL eval — 3 brute-force arms (full + 2 projections), each
     # scan + window + agg; 5-query sides broadcast
     ("similarity_eval_jl_projection", 18, 3),
+    # r8: release fingerprint — one scan + one global agg
+    ("llm_corpus_fingerprint", 2, 0),
+    # r8: source attribution — groups-fixture reads x2 + source joins
+    # + the within-group pairing and pair agg
+    ("dedup_source_attribution", 11, 2),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),
