@@ -157,6 +157,7 @@ HEADLINE = [
     "similarity_eval_jl_projection",
     "llm_corpus_fingerprint",
     "dedup_source_attribution",
+    "llm_curation_funnel",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -5543,6 +5543,79 @@ def q_text_char_chisq_gibberish(spark, sf_dir):
     )
 
 
+# --- curation funnel (X193) ----------------------------------------------------------
+
+
+def _curation_funnel_oracle() -> str:
+    from gmall_spark.queries import ORACLES as _OR
+
+    return f"""
+WITH s0 AS (SELECT doc_id FROM documents),
+s1 AS MATERIALIZED (SELECT doc_id FROM ({_OR["llm_corpus_curation"]})),
+s2 AS MATERIALIZED (SELECT doc_id FROM ({_OR["llm_corpus_curation_v2"]})),
+s3 AS MATERIALIZED (SELECT doc_id FROM ({_OR["llm_corpus_curation_v3"]})),
+s4 AS MATERIALIZED (SELECT doc_id FROM ({_OR["llm_corpus_curation_v4"]})),
+counts(stage_no, stage, n_kept) AS (
+  SELECT 0, 'raw', (SELECT count(*) FROM s0) UNION ALL
+  SELECT 1, 'v1_quality', (SELECT count(*) FROM s1) UNION ALL
+  SELECT 2, 'v2_decontam_holdout', (SELECT count(*) FROM s2) UNION ALL
+  SELECT 3, 'v3_containment_ppl', (SELECT count(*) FROM s3) UNION ALL
+  SELECT 4, 'v4_gibberish_packed', (SELECT count(*) FROM s4)
+)
+SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(lag(n_kept) OVER (ORDER BY stage_no) - n_kept AS BIGINT)
+         AS n_dropped,
+       round(n_kept * 1.0 / first_value(n_kept) OVER (ORDER BY stage_no), 6)
+         AS keep_rate
+FROM counts
+"""
+
+
+@query("llm_curation_funnel", None)  # oracle attached post-registration
+def q_llm_curation_funnel(spark, sf_dir):
+    """Curation funnel (X193): the stage-by-stage survival table of
+    the whole curation chain (raw -> v1 quality filters -> v2
+    decontam + holdout split -> v3 containment/perplexity cut -> v4
+    gibberish gate + packing) — the headline chart of every dataset
+    release report, and the regression canary: a filter change shows
+    up as a moved stage count before any downstream metric moves.
+    Every stage is the REGISTERED operator's own output (v1-v3 read
+    their shared stage fixtures), so the funnel can't drift from the
+    pipeline it describes; the oracle composes the registered oracle
+    texts the same way."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    stages = [
+        ("raw", d),
+        ("v1_quality", q_llm_corpus_curation(spark, sf_dir).select("doc_id")),
+        ("v2_decontam_holdout", q_llm_corpus_curation_v2(spark, sf_dir).select("doc_id")),
+        ("v3_containment_ppl", q_llm_corpus_curation_v3(spark, sf_dir).select("doc_id")),
+        ("v4_gibberish_packed", q_llm_corpus_curation_v4(spark, sf_dir).select("doc_id")),
+    ]
+    rows = None
+    for i, (name, df) in enumerate(stages):
+        one = df.agg(F.count(F.lit(1)).alias("n_kept")).select(
+            F.lit(i).cast("bigint").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col("n_kept").cast("bigint"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    w = Window.orderBy("stage_no")
+    return rows.select(
+        "stage_no",
+        "stage",
+        "n_kept",
+        (F.lag("n_kept").over(w) - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+        F.round(
+            F.col("n_kept") * 1.0 / F.first("n_kept").over(w), 6
+        ).alias("keep_rate"),
+    )
+
+
+# (funnel oracle attached after the v4 oracle exists — see the
+# _OR4 block below the v4 definition)
+
+
 # --- corpus release fingerprint (X191) ---------------------------------------------
 
 
@@ -5753,6 +5826,7 @@ def q_llm_corpus_curation_v4(spark, sf_dir):
 from gmall_spark.queries import ORACLES as _OR4  # noqa: E402
 
 _OR4["llm_corpus_curation_v4"] = _curation_v4_oracle()
+_OR4["llm_curation_funnel"] = _curation_funnel_oracle()
 
 
 # --- embedding health audit (X186) ----------------------------------------------

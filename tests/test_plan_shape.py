@@ -360,6 +360,10 @@ BUDGETS = [
     # r8: source attribution — groups-fixture reads x2 + source joins
     # + the within-group pairing and pair agg
     ("dedup_source_attribution", 11, 2),
+    # r8: curation funnel — five stage counts (v1-v4 read their stage
+    # fixtures; v4 adds the gibberish gate + packer) + the 5-row
+    # window; counts include cached-lineage re-prints
+    ("llm_curation_funnel", 39, 6),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),

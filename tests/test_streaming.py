@@ -2138,3 +2138,25 @@ def test_incremental_drift_rederives_and_resplits(spark, tmpdir):
     again = {r.bucket: (r.ref_cnt, r.cur_cnt, r.chi_term)
              for r in idr.current_drift(spark, store).collect()}
     assert again == got2
+
+
+def test_incremental_fingerprint_exactly_equals_batch(spark, tmpdir):
+    """X191's streaming twin: all four statistics are integer sums,
+    so streaming == batch EXACTLY after any split, and replay of a
+    batch subdir is idempotent."""
+    from gmall_spark import queries_llm as QL
+    from gmall_spark.streaming import incremental_fingerprint as ifp
+
+    store = f"{tmpdir}/fp_store"
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ifp.process_batch(spark, d.filter("doc_id % 2 = 0"), store, 0)
+    ifp.process_batch(spark, d.filter("doc_id % 2 = 1"), store, 1)
+
+    got = ifp.current_fingerprint(spark, store).collect()[0]
+    want = QL.q_llm_corpus_fingerprint(spark, "/root/testdata/sf0.001").collect()[0]
+    assert (got.n_docs, got.n_chars, got.content_sum, got.id_sum) == (
+        want.n_docs, want.n_chars, want.content_sum, want.id_sum)
+
+    ifp.process_batch(spark, d.filter("doc_id % 2 = 1"), store, 1)  # replay
+    again = ifp.current_fingerprint(spark, store).collect()[0]
+    assert again == got
