@@ -111,6 +111,7 @@ def clear_cache() -> None:
     queries_llm._CONTAIN_PAIRS.clear()
     queries_llm._BOILER_CLEAN.clear()
     queries_llm._CURATION_V2.clear()
+    queries_llm._CURATION_V4.clear()
     queries_llm._DSIR_WEIGHTS.clear()
     queries_llm._PQ_RESIDUAL_BOOKS.clear()
     # scan-fanout decisions are keyed by file paths; the driver

@@ -346,9 +346,10 @@ BUDGETS = [
     # 36-replace pass), 36-row corpus rollup broadcast + per-doc fold
     # (counts include cached-lineage re-prints)
     ("text_char_chisq_gibberish", 7, 2),
-    # r8: curation v4 — v3's fixture-read join chain + the gibberish
-    # gate (persisted count projection) + the packer's bucket window
-    ("llm_corpus_curation_v4", 22, 4),
+    # r8: curation v4 — the registered query RETURNS the shared
+    # release-manifest checkpoint (build shape exercised while the
+    # fixture materializes)
+    ("llm_corpus_curation_v4", 0, 0),
     # r8: split leakage — the transitive-groups fixture read + split
     # projection + one group agg
     ("llm_split_leakage_audit", 4, 0),
@@ -360,10 +361,10 @@ BUDGETS = [
     # r8: source attribution — groups-fixture reads x2 + source joins
     # + the within-group pairing and pair agg
     ("dedup_source_attribution", 11, 2),
-    # r8: curation funnel — five stage counts (v1-v4 read their stage
-    # fixtures; v4 adds the gibberish gate + packer) + the 5-row
-    # window; counts include cached-lineage re-prints
-    ("llm_curation_funnel", 39, 6),
+    # r8: curation funnel — five stage counts (v1-v4 all read their
+    # stage fixtures now) + the 5-row window; counts include
+    # cached-lineage re-prints
+    ("llm_curation_funnel", 18, 3),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),
