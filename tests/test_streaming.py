@@ -2160,3 +2160,40 @@ def test_incremental_fingerprint_exactly_equals_batch(spark, tmpdir):
     ifp.process_batch(spark, d.filter("doc_id % 2 = 1"), store, 1)  # replay
     again = ifp.current_fingerprint(spark, store).collect()[0]
     assert again == got
+
+
+def test_incremental_value_hist_foreach_batch_e2e(spark, tmpdir):
+    """End-to-end streaming form of the X179 twin: a real readStream
+    file source (maxFilesPerTrigger=1 -> two micro-batches) of events
+    through runner.run_foreach_batch; the final quantile table must
+    equal the one-shot batch operator over all streamed rows."""
+    from gmall_spark.operators import sketches
+    from gmall_spark.streaming import incremental_value_hist as ih
+    from gmall_spark.streaming import runner
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "value"
+    )
+    store = f"{tmpdir}/hist_e2e_store"
+    src = f"{tmpdir}/hist_e2e_src"
+    e.filter("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/b0")
+    e.filter("event_id % 2 = 1").coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema("event_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, eid: ih.process_batch(spark, b, store, eid),
+        checkpoint=f"{tmpdir}/ckpt_incr_hist",
+    )
+    q.awaitTermination(180)
+
+    got = {(r.q_pct, r.bucket, r.est_upper, r.n)
+           for r in ih.current_quantiles(spark, store).collect()}
+    want = {(r.q_pct, r.bucket, r.est_upper, r.n)
+            for r in sketches.hist_quantiles(sketches.value_hist(e)).collect()}
+    assert got == want and len(want) == 4
