@@ -6215,10 +6215,15 @@ samp AS (
   SELECT v AS bv, k AS bk FROM ranked
   WHERE rn % ({RANGE_SAMPLE} // {RANGE_PARTS}) = 0 AND rn < {RANGE_SAMPLE}
 ), a AS (
+  -- LEFT join on TRUE, not CROSS: a corpus smaller than one sample
+  -- step has NO boundaries, and a cross join with an empty boundary
+  -- set would silently drop every row — the total plan is
+  -- "everything in partition 0" (caught by the hypothesis property
+  -- suite vs the Python reference)
   SELECT o.k,
          COALESCE(SUM(CASE WHEN b.bv < o.v OR (b.bv = o.v AND b.bk < o.k)
                            THEN 1 ELSE 0 END), 0) AS part_no
-  FROM o CROSS JOIN b GROUP BY o.k
+  FROM o LEFT JOIN b ON TRUE GROUP BY o.k
 )
 SELECT CAST(part_no AS BIGINT) AS part_no,
        CAST(count(*) AS BIGINT) AS n_rows,
@@ -6261,8 +6266,11 @@ def q_layout_range_partition_plan(spark, sf_dir):
     b = ranked.filter(
         (F.col("rn") % step == 0) & (F.col("rn") < RANGE_SAMPLE)
     ).select(F.col("v").alias("bv"), F.col("k").alias("bk"))
+    # LEFT join on TRUE, not crossJoin: with no boundaries (corpus
+    # smaller than one sample step) a cross join drops every row; the
+    # total semantics is "everything in partition 0"
     a = (
-        o.crossJoin(F.broadcast(b))
+        o.join(F.broadcast(b), F.lit(True), "left")
         .groupBy("k")
         .agg(
             F.coalesce(

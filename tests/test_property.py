@@ -847,3 +847,96 @@ def test_frozen_bpe_decode_oov_marker(spark):
     got = {r.doc_id: r.back for r in df.selectExpr("doc_id", f"{dec} AS back").collect()}
     m = bpe.BPE_OOV_MARKER
     assert got == {1: f"{m}q", 2: "the", 3: "and", 4: m}
+
+
+@given(vals=st.lists(st.floats(0.01, 490.0, allow_nan=False), min_size=1, max_size=80))
+@settings(**_SETTINGS)
+def test_hist_quantiles_match_python(spark, vals):
+    """X179 vs a plain-Python reference: identical bucket counts and,
+    per probe quantile, the identical first bucket whose cumulative
+    count reaches ceil(q*n/100) — plus the construction's error
+    bound (exact percentile <= reported upper edge)."""
+    import math
+
+    from gmall_spark.operators import sketches
+
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    hist = {r.bucket: r.cnt
+            for r in sketches.value_hist(df).collect()}
+    ref_hist: dict = {}
+    for v in vals:
+        b = math.floor(v / sketches.HIST_W)
+        ref_hist[b] = ref_hist.get(b, 0) + 1
+    assert hist == ref_hist
+
+    got = {r.q_pct: (r.bucket, r.est_upper, r.n)
+           for r in sketches.hist_quantiles(sketches.value_hist(df)).collect()}
+    n = len(vals)
+    svals = sorted(vals)
+    for q in sketches.HIST_QS:
+        cum = 0
+        for b in sorted(ref_hist):
+            cum += ref_hist[b]
+            if cum * 100 >= q * n:
+                want_bucket = b
+                break
+        assert got[q][0] == want_bucket and got[q][2] == n
+        exact = svals[math.ceil(q * n / 100) - 1]
+        assert exact <= got[q][1]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.floats(1.0, 1000.0, allow_nan=False)),
+        min_size=9,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_range_partition_assignment_matches_python(spark, rows):
+    """X180 vs a plain-Python reference: identical sample, identical
+    composite boundaries, identical per-row partition — and every
+    partition index is within [0, P-1]."""
+    import hashlib
+
+    from gmall_spark import queries_llm as QL
+
+    P, S = QL.RANGE_PARTS, QL.RANGE_SAMPLE
+    o = spark.createDataFrame(rows, "k long, v double")
+    samp = (
+        o.select("k", "v", F.md5(F.col("k").cast("string")).alias("h"))
+        .orderBy("h").limit(S)
+    )
+    from pyspark.sql import Window as W
+
+    step = S // P
+    ranked = samp.select(
+        "k", "v", F.row_number().over(W.orderBy("v", "k")).alias("rn"))
+    b = ranked.filter((F.col("rn") % step == 0) & (F.col("rn") < S)).select(
+        F.col("v").alias("bv"), F.col("k").alias("bk"))
+    # LEFT join on TRUE (the operator's fixed shape): an empty
+    # boundary set must mean "everything in partition 0", not an
+    # empty plan — this property test caught the cross-join bug
+    got = {r.k: r.p for r in (
+        o.join(F.broadcast(b), F.lit(True), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum(
+            F.when((F.col("bv") < F.col("v"))
+                   | ((F.col("bv") == F.col("v")) & (F.col("bk") < F.col("k"))),
+                   1).otherwise(0)), F.lit(0)).alias("p"))
+    ).collect()}
+
+    # python reference
+    pool = sorted(rows, key=lambda t: hashlib.md5(str(t[0]).encode()).hexdigest())[:S]
+    pool.sort(key=lambda t: (t[1], t[0]))
+    # boundaries only exist at exact ranks rn = step, 2*step, ... < S
+    bounds = []
+    for i, (k, v) in enumerate(pool, start=1):
+        if i % step == 0 and i < S:
+            bounds.append((v, k))
+    want = {}
+    for k, v in rows:
+        want[k] = sum(1 for bv, bk in bounds if (bv < v) or (bv == v and bk < k))
+    assert got == want
+    assert all(0 <= p < P for p in got.values())
