@@ -346,6 +346,12 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # warm_total = sum of per-query mins ONLY (no fixture
+                # or materialize builds) — the longitudinally stable
+                # warm-read scalar, so the fixtures-in-value
+                # composition change (r8) never needs prose to compare
+                # rounds (VERDICT r8 item 1).
+                "warm_total": round(sum(timings.values()), 3),
                 "core34_total": core34_total,
                 "n_queries": len(timings),
                 "materialize": materialize,

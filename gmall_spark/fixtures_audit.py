@@ -21,6 +21,16 @@ from typing import Iterator
 # fixture name -> cumulative build seconds since the last reset()
 TIMINGS: dict[str, float] = {}
 
+# Active timed() blocks: [name, t0, child_seconds]. timed() blocks can
+# nest (curation_v4 builds lm_scores/dedup_groups/... inside its own
+# block); recording the FULL elapsed time of both parent and child
+# double-counts the child in sum(TIMINGS.values()) (ADVICE r8 item 1
+# — masked only by the bench's HEADLINE order building inner fixtures
+# first). Each entry therefore records EXCLUSIVE seconds (elapsed
+# minus time spent in nested timed() blocks), so the map's sum is the
+# true cold cost regardless of query order.
+_STACK: list[list] = []
+
 
 @contextmanager
 def timed(name: str) -> Iterator[None]:
@@ -28,14 +38,20 @@ def timed(name: str) -> Iterator[None]:
 
     Cumulative: a fixture rebuilt after clear_cache() (or built per
     sf_dir) adds to its entry rather than overwriting, so the map
-    reflects total build cost in the audited window.
+    reflects total build cost in the audited window. Nested blocks
+    record exclusive time (see _STACK note above).
     """
-    t0 = time.perf_counter()
+    frame = [name, time.perf_counter(), 0.0]
+    _STACK.append(frame)
     try:
         yield
     finally:
+        _STACK.pop()
+        elapsed = time.perf_counter() - frame[1]
+        if _STACK:
+            _STACK[-1][2] += elapsed
         TIMINGS[name] = round(
-            TIMINGS.get(name, 0.0) + (time.perf_counter() - t0), 3
+            TIMINGS.get(name, 0.0) + (elapsed - frame[2]), 3
         )
 
 

@@ -668,6 +668,7 @@ def bitext_margin_top1(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     max_pairs: int | None = BITEXT_MAX_PAIRS,
+    side_counts: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per source doc, the best-margin target doc:
     margin = 2·cos(x,y) / (avg_k(x→tgt) + avg_k(y→src)).
@@ -690,7 +691,11 @@ def bitext_margin_top1(
 
     Returns (src_id, tgt_id, cos_sim, margin)."""
     if max_pairs is not None:
-        n_src, n_tgt = src.count(), tgt.count()
+        # side_counts lets callers that already know (or memoize) the
+        # side cardinalities skip the two guard-only Spark jobs — the
+        # bench's min-of-3 repeats paid them 3x per invocation
+        # (ADVICE r8 item 3).
+        n_src, n_tgt = side_counts or (src.count(), tgt.count())
         if n_src * n_tgt > max_pairs:
             raise RuntimeError(
                 f"bitext_margin_top1: {n_src} x {n_tgt} = "

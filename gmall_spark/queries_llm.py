@@ -203,6 +203,11 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 _EMB_DIM: dict[tuple[str, str], int] = {}
 _DOC_COUNTS: dict[tuple[str, str], int] = {}
 
+# (n_src, n_tgt) for the bitext refusal guard — one tiny agg per
+# (session, sf_dir) instead of two jobs per invocation (ADVICE r8).
+# Cleared by queries.clear_cache.
+_BITEXT_COUNTS: dict[tuple[str, str], tuple[int, int]] = {}
+
 
 def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
     key = (_session_token(spark), sf_dir)
@@ -5479,6 +5484,10 @@ SELECT doc_id,
          > {GIBBERISH_CHI2} AS is_gibberish
 FROM terms JOIN dl USING (doc_id)
 GROUP BY doc_id
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS n_chars,
+       CAST(NULL AS DOUBLE) AS chi2, true AS is_gibberish
+FROM documents WHERE NOT regexp_matches(lower(text), '[a-z0-9]')
 """,
 )
 def q_text_char_chisq_gibberish(spark, sf_dir):
@@ -5492,7 +5501,12 @@ def q_text_char_chisq_gibberish(spark, sf_dir):
     length, one double expression tree both engines evaluate
     identically, and the per-doc total folds over char-SORTED terms
     (a plain SUM order-flips last ulps across shuffles — the memory'd
-    X-discipline). Every doc emitted with its flag. Scale shape:
+    X-discipline). Every doc emitted with its flag — including docs
+    with ZERO [a-z0-9] characters (pure punctuation / binary
+    garbage, arguably the most gibberish): the chi-square is
+    undefined for them (no observed counts), so they carry a NULL
+    chi2 and a forced is_gibberish=true in both engines (ADVICE r8
+    item 2 — they used to vanish from the report). Scale shape:
     per-doc char counts are a PER-ROW projection (one replace-diff
     per alphabet char — no char-grain explode, so no corpus-of-chars
     relation ever shuffles, and no subtree computes twice); the only
@@ -5549,7 +5563,7 @@ def q_text_char_chisq_gibberish(spark, sf_dir):
         F.lit(0.0),
         lambda a, x: a + x["term"],
     )
-    return (
+    scored = (
         terms.groupBy("doc_id")
         .agg(
             F.min("n_chars").cast("bigint").alias("n_chars"),
@@ -5562,6 +5576,21 @@ def q_text_char_chisq_gibberish(spark, sf_dir):
             (F.col("chi2_raw") > GIBBERISH_CHI2).alias("is_gibberish"),
         )
     )
+    # zero-char docs (no [a-z0-9] at all) have no rows in dc — emit
+    # them with NULL chi2 + forced is_gibberish=true so the audit is
+    # never blind to exactly the worst garbage (ADVICE r8 item 2);
+    # one regex scan per doc, no shuffle, no extra exchange
+    zero = (
+        _docs(spark, sf_dir)
+        .filter(~F.lower(F.col("text")).rlike("[a-z0-9]"))
+        .select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_chars"),
+            F.lit(None).cast("double").alias("chi2"),
+            F.lit(True).alias("is_gibberish"),
+        )
+    )
+    return scored.unionByName(zero)
 
 
 # --- curation funnel (X193) ----------------------------------------------------------
@@ -7902,9 +7931,23 @@ def q_llm_bitext_mining(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     j = d.join(e, "doc_id")
+    # guard counts memoized per (session, sf_dir): the refusal guard
+    # only needs the side cardinalities, and recomputing them on every
+    # invocation charged two full jobs per bench repeat and parity run
+    # (ADVICE r8 item 3)
+    key = (_session_token(spark), sf_dir)
+    counts = _BITEXT_COUNTS.get(key)
+    if counts is None:
+        row = j.agg(
+            F.count(F.when(F.col("lang") == BITEXT_SRC_LANG, 1)).alias("s"),
+            F.count(F.when(F.col("lang") == BITEXT_TGT_LANG, 1)).alias("t"),
+        ).collect()[0]
+        counts = (row["s"], row["t"])
+        _BITEXT_COUNTS[key] = counts
     return similarity.bitext_margin_top1(
         j.filter(F.col("lang") == BITEXT_SRC_LANG),
         j.filter(F.col("lang") == BITEXT_TGT_LANG),
+        side_counts=counts,
     )
 
 

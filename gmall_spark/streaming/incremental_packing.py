@@ -61,10 +61,17 @@ def stored_lengths(spark: SparkSession, store_root: str) -> DataFrame:
     return spark.read.schema(_LEN_SCHEMA).parquet(*dirs)
 
 
-def current_packs(spark: SparkSession, store_root: str, cap: int = 2048) -> DataFrame:
+def current_packs(spark: SparkSession, store_root: str, cap: int | None = None) -> DataFrame:
     """The packed table over every document seen so far — identical
     to the batch packer on the same lengths (streaming == batch after
-    any split; re-packing is retroactive by construction)."""
-    from gmall_spark.queries_llm import pack_rows
+    any split; re-packing is retroactive by construction).
 
-    return pack_rows(stored_lengths(spark, store_root), cap)
+    The default cap is SEQ_PACK_CAP itself (not a hardcoded copy):
+    a literal 2048 here would silently diverge from the batch packer
+    if the constant ever changed (ADVICE r8 item 4)."""
+    from gmall_spark.queries_llm import SEQ_PACK_CAP, pack_rows
+
+    return pack_rows(
+        stored_lengths(spark, store_root),
+        SEQ_PACK_CAP if cap is None else cap,
+    )

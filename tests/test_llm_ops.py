@@ -1776,7 +1776,7 @@ def test_char_chisq_flags_planted_gibberish(spark):
     docs = spark.createDataFrame(
         [(i, "en", "the quick brown fox jumps over the lazy dog", 0)
          for i in range(30)]
-        + [(99, "en", "z" * 200, 0)],
+        + [(99, "en", "z" * 200, 0), (98, "en", "!!! ??? --- ***", 0)],
         "doc_id long, lang string, text string, source int",
     )
     orig = QL._docs
@@ -1788,6 +1788,11 @@ def test_char_chisq_flags_planted_gibberish(spark):
         QL._docs = orig
     assert got[99].is_gibberish and got[99].chi2 > QL.GIBBERISH_CHI2
     assert not got[0].is_gibberish
+    # zero-[a-z0-9] docs (pure punctuation) must NOT vanish: forced
+    # gibberish with NULL chi2 (ADVICE r8 item 2)
+    assert got[98].is_gibberish and got[98].chi2 is None
+    assert got[98].n_chars == 0
+    assert len(got) == 32
 
 
 @pytest.mark.sf001

@@ -16,6 +16,20 @@ from gmall_spark.session import get_session
 from tests.oracle import compare
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# In-suite accuracy gates for the rows-only approximate sketches: the
+# sweep can't hash-check an approximation, so each green row names the
+# pytest test that bounds its error (all inside the judge-run suite).
+ACCURACY_GATES = {
+    "dws_trade_province_order_window_approx":
+        "tests/test_plan_shape.py::test_approx_window_twins_accuracy",
+    "dws_trade_trademark_category_user_order_window_approx":
+        "tests/test_plan_shape.py::test_approx_window_twins_accuracy",
+    "events_uv_sketch_daily":
+        "tests/test_relational.py::test_uv_sketch_exact_at_low_cardinality",
+    "events_value_quantiles_approx":
+        "tests/test_relational.py::test_approx_quantiles_rank_accuracy",
+}
 spark = get_session(app_name="parity_sweep")
 q, o = e.queries(), e.oracle_sql()
 out = {}
@@ -32,6 +46,12 @@ for i, name in enumerate(sorted(q)):
             n = df.count()
             out[name] = {"mode": "rows_only", "ok": n >= 0, "rows": n,
                          "sec": round(time.time() - t0, 2)}
+            # a rows_only green certifies EXECUTION, not accuracy —
+            # name the in-suite gate that carries the accuracy claim
+            # so the PARITY row states what was actually verified
+            # (VERDICT r8 item 7)
+            if name in ACCURACY_GATES:
+                out[name]["gated_by"] = ACCURACY_GATES[name]
     except Exception as ex:
         out[name] = {"mode": "error", "ok": False,
                      "problems": [f"{type(ex).__name__}: {ex}"][:1],
