@@ -158,6 +158,10 @@ HEADLINE = [
     "llm_corpus_fingerprint",
     "dedup_source_attribution",
     "llm_curation_funnel",
+    # r9 additions
+    "llm_unigram_encode_frozen",
+    "llm_unigram_decode_frozen",
+    "text_tokenizer_fertility_frozen",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

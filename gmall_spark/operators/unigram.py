@@ -96,6 +96,18 @@ def _cost_case(piece_expr: str) -> dict[int, str]:
     }
 
 
+def in_vocab_case(piece_expr: str) -> str:
+    """SQL fragment (valid in both engines): 1 when ``piece_expr`` is
+    a frozen-vocab piece, else 0 — the decode audit's OOV detector."""
+    return (
+        "CASE " + piece_expr + " "
+        + " ".join(
+            f"WHEN '{p}' THEN 1" for p in sorted(FROZEN_UNIGRAM_VOCAB)
+        )
+        + " ELSE 0 END"
+    )
+
+
 def viterbi_key_expr_spark(word: str) -> str:
     """Spark SQL expression: ``word`` (column/lambda-var reference) ->
     the final DP key string ``zfill(cost,12)|piece piece ...``."""
@@ -155,6 +167,112 @@ def viterbi_key_expr_duckdb(word: str) -> str:
         f"(acc, x) -> acc || [{best}]"
         f")[CAST(length({word}) + 1 AS INTEGER)]"
     )
+
+
+# Shared oracle scaffolding: corpus -> (doc_id, w, cnt) word counts
+# -> distinct words -> Viterbi once per distinct word (MATERIALIZED:
+# DuckDB re-inlines CTEs at every reference and the seg CTE feeds
+# several chains).
+_TOK_CTE = r"""
+tokx AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+                                                          '[^a-z0-9]+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, w, count(*) AS cnt FROM tokx GROUP BY doc_id, w
+), wd AS (SELECT DISTINCT w FROM tok)
+"""
+
+
+def encode_oracle_sql() -> str:
+    """DuckDB twin of the registered frozen unigram-encode query."""
+    key = viterbi_key_expr_duckdb("w")
+    return rf"""
+WITH {_TOK_CTE},
+seg AS MATERIALIZED (SELECT w, {key} AS key FROM wd),
+segc AS (
+  SELECT w, CAST(key[1:12] AS BIGINT) AS wcost,
+         len(string_split(key[14:], ' ')) AS n_pieces
+  FROM seg
+)
+SELECT t.doc_id,
+       CAST(sum(t.cnt) AS BIGINT) AS n_words,
+       CAST(sum(t.cnt * length(t.w)) AS BIGINT) AS n_chars,
+       CAST(sum(t.cnt * s.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(t.cnt * s.wcost) AS BIGINT) AS unigram_cost,
+       round(CAST(sum(t.cnt * length(t.w)) AS DOUBLE)
+             / sum(t.cnt * s.n_pieces), 6) AS compression
+FROM tok t JOIN segc s USING (w)
+GROUP BY t.doc_id
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+FROM documents WHERE NOT regexp_matches(lower(text), '[a-z0-9]')
+"""
+
+
+def decode_oracle_sql() -> str:
+    """DuckDB twin of the registered unigram decode/round-trip audit."""
+    key = viterbi_key_expr_duckdb("w")
+    member = in_vocab_case("p")
+    return rf"""
+WITH {_TOK_CTE},
+seg AS MATERIALIZED (SELECT w, {key} AS key FROM wd),
+segc AS (
+  SELECT w,
+         CASE WHEN replace(key[14:], ' ', '') = w THEN 1 ELSE 0 END AS rt,
+         len(list_filter(string_split(key[14:], ' '),
+                         p -> ({member}) = 0)) AS n_oov
+  FROM seg
+)
+SELECT t.doc_id,
+       CAST(sum(t.cnt) AS BIGINT) AS n_words,
+       CAST(sum(t.cnt * s.rt) AS BIGINT) AS n_roundtrip,
+       CAST(sum(t.cnt * s.n_oov) AS BIGINT) AS n_oov_pieces,
+       sum(t.cnt * s.rt) = sum(t.cnt) AS roundtrip_exact
+FROM tok t JOIN segc s USING (w)
+GROUP BY t.doc_id
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), true
+FROM documents WHERE NOT regexp_matches(lower(text), '[a-z0-9]')
+"""
+
+
+def fertility_oracle_sql() -> str:
+    """DuckDB twin of the per-language BPE-vs-unigram fertility
+    comparison (the X115 harness over the two frozen tokenizers)."""
+    from gmall_spark.operators.bpe import encode_expr_duckdb
+
+    key = viterbi_key_expr_duckdb("w")
+    bpe = encode_expr_duckdb("w")
+    return rf"""
+WITH ltokx AS (
+  SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'),
+                                  x -> x <> '')) AS w
+  FROM documents
+), ltok AS (
+  SELECT lang, w, count(*) AS cnt FROM ltokx GROUP BY lang, w
+), wd AS (SELECT DISTINCT w FROM ltok),
+seg AS MATERIALIZED (
+  SELECT w, len(string_split(({key})[14:], ' ')) AS n_pieces,
+         len({bpe}) AS n_bpe
+  FROM wd
+)
+SELECT t.lang,
+       CAST(sum(t.cnt) AS BIGINT) AS n_words,
+       CAST(sum(t.cnt * s.n_bpe) AS BIGINT) AS n_subwords_bpe,
+       CAST(sum(t.cnt * s.n_pieces) AS BIGINT) AS n_subwords_unigram,
+       round(CAST(sum(t.cnt * s.n_bpe) AS DOUBLE) / sum(t.cnt), 6)
+         AS fertility_bpe,
+       round(CAST(sum(t.cnt * s.n_pieces) AS DOUBLE) / sum(t.cnt), 6)
+         AS fertility_unigram,
+       round(CAST(sum(t.cnt * s.n_pieces) AS DOUBLE)
+             / sum(t.cnt * s.n_bpe), 6) AS unigram_vs_bpe
+FROM ltok t JOIN seg s USING (w)
+GROUP BY t.lang
+"""
 
 
 def viterbi_py(word: str) -> tuple[int, list[str]]:

@@ -5069,6 +5069,174 @@ def q_llm_bpe_decode_frozen(spark, sf_dir):
     )
 
 
+# --- frozen unigram-LM (SentencePiece-class) tokenizer tier (X194-X196) ----
+
+from gmall_spark.operators import unigram as _uni  # noqa: E402
+
+
+def _unigram_word_stream(spark, sf_dir, group_col: str):
+    """(group_col, w, cnt) word counts + the distinct-word Viterbi
+    segmentation table — the shared scaffolding of the X194-X196
+    queries. The word-count relation feeds both the distinct-word
+    derivation and the final rollup join, so it is persisted (and
+    registered for the plan-budget suite)."""
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+    from gmall_spark.operators.ranking import _toks
+
+    tok = _persist.register(
+        _docs(spark, sf_dir)
+        .select(group_col, F.explode(_toks(F.col("text"))).alias("w"))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    key = _uni.viterbi_key_expr_spark("w")
+    seg = tok.select("w").distinct().selectExpr("w", f"{key} AS key")
+    return tok, seg
+
+
+@query("llm_unigram_encode_frozen", _uni.encode_oracle_sql())
+def q_llm_unigram_encode_frozen(spark, sf_dir):
+    """Frozen unigram-LM segmentation (X194, Kudo 2018; VERDICT r8
+    item 2): every word segmented by Viterbi under the frozen
+    integer-cost vocab — the SentencePiece deployment shape beside
+    the BPE tier (X139). The DP is ONE aggregate() fold per word
+    whose per-prefix state is a sortable key string (zero-padded
+    cost | pieces), so "best" is a plain lexicographic MIN — total
+    order, integer-exact, no libm, identical in Spark, DuckDB, and
+    the hypothesis suite's Python reference
+    (operators/unigram.viterbi_key_expr_spark). Scale shape: Viterbi
+    runs on the DISTINCT-WORD table only (Heaps-bounded, the X109
+    discipline — one corpus-sized explode/count, vocabulary-sized
+    DP, broadcast join back; at 100 TB the join falls back to a hash
+    join on w). Docs with zero [a-z0-9] words are emitted with zeroed
+    counts and NULL compression (the X187 zero-char discipline)."""
+    tok, seg = _unigram_word_stream(spark, sf_dir, "doc_id")
+    segc = seg.selectExpr(
+        "w",
+        "cast(substring(key, 1, 12) as bigint) AS wcost",
+        "cast(size(split(substring(key, 14), ' ')) as bigint) AS n_pieces",
+    )
+    out = (
+        tok.join(F.broadcast(segc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_pieces")).cast("bigint").alias("n_pieces"),
+            F.sum(F.col("cnt") * F.col("wcost")).cast("bigint").alias("unigram_cost"),
+            F.round(
+                F.sum(F.col("cnt") * F.length("w")).cast("double")
+                / F.sum(F.col("cnt") * F.col("n_pieces")),
+                6,
+            ).alias("compression"),
+        )
+    )
+    zero = (
+        _docs(spark, sf_dir)
+        .filter(~F.lower(F.col("text")).rlike("[a-z0-9]"))
+        .select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_words"),
+            F.lit(0).cast("bigint").alias("n_chars"),
+            F.lit(0).cast("bigint").alias("n_pieces"),
+            F.lit(0).cast("bigint").alias("unigram_cost"),
+            F.lit(None).cast("double").alias("compression"),
+        )
+    )
+    return out.unionByName(zero)
+
+
+@query("llm_unigram_decode_frozen", _uni.decode_oracle_sql())
+def q_llm_unigram_decode_frozen(spark, sf_dir):
+    """Unigram decode + round-trip/OOV audit (X195): unigram decode
+    is piece concatenation, so decode(encode(w)) == w is a THEOREM
+    whenever the winning path emits only true substrings — what this
+    audits cross-engine is the sentinel-never-wins property (an OOV
+    piece costs SENTINEL_COST, always beaten by its single chars, so
+    n_oov_pieces must be 0 on every winning segmentation; the
+    companion hypothesis test proves it over random words). Same
+    distinct-word scaffolding as X194."""
+    tok, seg = _unigram_word_stream(spark, sf_dir, "doc_id")
+    member = _uni.in_vocab_case("p")
+    segc = seg.selectExpr(
+        "w",
+        "CASE WHEN replace(substring(key, 14), ' ', '') = w"
+        " THEN 1L ELSE 0L END AS rt",
+        f"cast(size(filter(split(substring(key, 14), ' '),"
+        f" p -> ({member}) = 0)) as bigint) AS n_oov",
+    )
+    out = (
+        tok.join(F.broadcast(segc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("rt")).cast("bigint").alias("n_roundtrip"),
+            F.sum(F.col("cnt") * F.col("n_oov")).cast("bigint").alias("n_oov_pieces"),
+        )
+        .withColumn(
+            "roundtrip_exact", F.col("n_roundtrip") == F.col("n_words")
+        )
+    )
+    zero = (
+        _docs(spark, sf_dir)
+        .filter(~F.lower(F.col("text")).rlike("[a-z0-9]"))
+        .select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_words"),
+            F.lit(0).cast("bigint").alias("n_roundtrip"),
+            F.lit(0).cast("bigint").alias("n_oov_pieces"),
+            F.lit(True).alias("roundtrip_exact"),
+        )
+    )
+    return out.unionByName(zero)
+
+
+@query("text_tokenizer_fertility_frozen", _uni.fertility_oracle_sql())
+def q_text_tokenizer_fertility_frozen(spark, sf_dir):
+    """BPE-vs-unigram fertility comparison (X196): the X115 harness
+    re-run over the two FROZEN tokenizers — per language, subwords
+    per word under the frozen BPE merge list (X139) and under the
+    frozen unigram vocab (X194), from the SAME word stream, plus
+    their ratio (unigram_vs_bpe < 1 where Viterbi's global optimum
+    beats greedy merges) — the standard artifact-selection report a
+    multilingual pipeline reads before committing a tokenizer. Both
+    segmenters run once per DISTINCT word; ratios divide integer
+    sums (one IEEE divide + round, identical cross-engine)."""
+    tok, seg = _unigram_word_stream(spark, sf_dir, "lang")
+    bpe = _bpe_ops.encode_expr_spark("w")
+    segc = seg.selectExpr(
+        "w",
+        "cast(size(split(substring(key, 14), ' ')) as bigint) AS n_pieces",
+    ).selectExpr("w", "n_pieces", f"cast(size({bpe}) as bigint) AS n_bpe")
+    return (
+        tok.join(F.broadcast(segc), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_bpe")).cast("bigint").alias("n_subwords_bpe"),
+            F.sum(F.col("cnt") * F.col("n_pieces"))
+            .cast("bigint")
+            .alias("n_subwords_unigram"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_bpe")).cast("double") / F.sum("cnt"), 6
+            ).alias("fertility_bpe"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_pieces")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("fertility_unigram"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_pieces")).cast("double")
+                / F.sum(F.col("cnt") * F.col("n_bpe")),
+                6,
+            ).alias("unigram_vs_bpe"),
+        )
+    )
+
+
 # --- image perceptual hashing (X135/X136) ---------------------------------
 
 

@@ -1883,3 +1883,54 @@ def test_source_attribution_counts_spanning_groups(spark, sf_dir):
     got = {(r.source_a, r.source_b): r.n_groups
            for r in QL.q_dedup_source_attribution(spark, sf_dir).collect()}
     assert got == want and want
+
+
+def test_unigram_encode_decode_planted(spark):
+    """X194/X195 planted fixture: known words segment to the known
+    Viterbi optimum, the decode audit reports a perfect round trip
+    with zero OOV pieces, and a zero-[a-z0-9] doc is emitted with
+    zeroed counts (the X187 discipline) instead of vanishing."""
+    from gmall_spark import queries_llm as QL
+    from gmall_spark.operators import unigram as U
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the information", 0),
+         (2, "en", "and and", 0),
+         (3, "en", "!!! ---", 0)],
+        "doc_id long, lang string, text string, source int",
+    )
+    orig = QL._docs
+    try:
+        QL._docs = lambda s, sd: docs
+        enc = {r.doc_id: r for r in
+               QL.q_llm_unigram_encode_frozen(spark, "x").collect()}
+        dec = {r.doc_id: r for r in
+               QL.q_llm_unigram_decode_frozen(spark, "x").collect()}
+        fert = {r.lang: r for r in
+                QL.q_text_tokenizer_fertility_frozen(spark, "x").collect()}
+    finally:
+        QL._docs = orig
+
+    # doc 1: 'the' -> [the] (1 piece), 'information' -> Viterbi optimum
+    c_the, t_the = U.viterbi_py("the")
+    c_info, t_info = U.viterbi_py("information")
+    assert t_the == ["the"]
+    assert enc[1].n_words == 2
+    assert enc[1].n_chars == len("the") + len("information")
+    assert enc[1].n_pieces == len(t_the) + len(t_info)
+    assert enc[1].unigram_cost == c_the + c_info
+    # doc 2: repeated word counted with multiplicity
+    assert enc[2].n_words == 2 and enc[2].n_pieces == 2
+    assert enc[2].unigram_cost == 2 * U.FROZEN_UNIGRAM_VOCAB["and"]
+    # doc 3: zero-word doc emitted with zeroed counts, NULL compression
+    assert enc[3].n_words == 0 and enc[3].n_pieces == 0
+    assert enc[3].compression is None
+    # decode: perfect round trip, zero OOV, zero-word doc vacuously exact
+    for d in (1, 2):
+        assert dec[d].roundtrip_exact and dec[d].n_oov_pieces == 0
+    assert dec[3].roundtrip_exact and dec[3].n_words == 0
+    # fertility: same word stream, unigram at least as dense as chars
+    f = fert["en"]
+    assert f.n_words == 4
+    assert f.n_subwords_unigram == enc[1].n_pieces + enc[2].n_pieces
+    assert f.n_subwords_bpe > 0 and f.unigram_vs_bpe is not None

@@ -346,6 +346,13 @@ BUDGETS = [
     # 36-replace pass), 36-row corpus rollup broadcast + per-doc fold
     # (counts include cached-lineage re-prints)
     ("text_char_chisq_gibberish", 7, 2),
+    # r9: frozen unigram tier — Viterbi runs on the persisted
+    # distinct-word table (explode/count + distinct + rollup agg;
+    # counts include the persisted word-count lineage re-prints);
+    # the vocabulary-sized segmentation table broadcasts back
+    ("llm_unigram_encode_frozen", 12, 1),
+    ("llm_unigram_decode_frozen", 12, 1),
+    ("text_tokenizer_fertility_frozen", 11, 1),
     # r8: curation v4 — the registered query RETURNS the shared
     # release-manifest checkpoint (build shape exercised while the
     # fixture materializes)

@@ -940,3 +940,78 @@ def test_range_partition_assignment_matches_python(spark, rows):
         want[k] = sum(1 for bv, bk in bounds if (bv < v) or (bv == v and bk < k))
     assert got == want
     assert all(0 <= p < P for p in got.values())
+
+
+# --- frozen unigram-LM Viterbi (X194/X195) ------------------------------------
+
+unigram_words_strategy = st.lists(
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+        min_size=1,
+        max_size=14,
+    ),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+
+@given(words=unigram_words_strategy)
+@settings(**_SETTINGS)
+def test_unigram_viterbi_matches_python(spark, words):
+    """The key-string Viterbi fold is BIT-IDENTICAL across Spark SQL,
+    DuckDB, and the Python reference on random alphabet words — and
+    the winning segmentation always round-trips (pieces concatenate
+    back to the word) with zero OOV pieces (the sentinel-never-wins
+    theorem the X195 audit pins in-corpus)."""
+    import duckdb
+
+    from gmall_spark.operators import unigram as U
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.key
+        for r in df.selectExpr(
+            "w", f"{U.viterbi_key_expr_spark('w')} AS key"
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            f"SELECT w, {U.viterbi_key_expr_duckdb('w')} "
+            "FROM (SELECT unnest(?) AS w)",
+            [list(words)],
+        ).fetchall()
+    )
+    con.close()
+    for w in words:
+        cost, toks = U.viterbi_py(w)
+        want = str(cost).zfill(12) + "|" + " ".join(toks)
+        assert got[w] == want, (w, got[w], want)
+        assert duck[w] == want, (w, duck[w], want)
+        assert "".join(toks) == w
+        assert all(p in U.FROZEN_UNIGRAM_VOCAB for p in toks)
+
+
+def test_unigram_viterbi_is_globally_optimal():
+    """The DP total equals the brute-force minimum over ALL
+    segmentations (pieces <= max len), so 'Viterbi' is not just
+    deterministic but actually optimal under the frozen costs."""
+    from gmall_spark.operators import unigram as U
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for k in range(1, min(U.UNIGRAM_MAX_PIECE_LEN, len(w)) + 1):
+            for rest in all_segs(w[k:]):
+                yield [w[:k]] + rest
+
+    for w in ["the", "there", "mention", "zq0", "aaaaaa", "tion", "xxj9",
+              "information", "together"]:
+        cost, toks = U.viterbi_py(w)
+        best = min(
+            sum(U.FROZEN_UNIGRAM_VOCAB.get(p, U.SENTINEL_COST) for p in seg)
+            for seg in all_segs(w)
+        )
+        assert cost == best == sum(U.FROZEN_UNIGRAM_VOCAB[p] for p in toks), w
