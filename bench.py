@@ -162,6 +162,7 @@ HEADLINE = [
     "llm_unigram_encode_frozen",
     "llm_unigram_decode_frozen",
     "text_tokenizer_fertility_frozen",
+    "dedup_audio_fingerprint_groups",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

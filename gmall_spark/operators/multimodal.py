@@ -1434,3 +1434,275 @@ def image_phash_near_dup_groups(
         "rep_id",
         "group_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup grouping (X197): Shazam-style spectral
+# peak-pair hashing (Wang 2003, "An Industrial-Strength Audio Search
+# Algorithm") over the X141 rfft path — the audio member of the dedup
+# family next to text (X4/X5b) and image (X136/X177). Per frame the
+# dominant spectral peak, then LANDMARK PAIRS (anchor bin, target bin,
+# frame delta) hashed into integers; near-dup candidates share a pair
+# hash (the X136 banding idea with the hash itself as the band), and
+# a candidate pair is verified by set overlap. Loudness never enters
+# a hash, so the same melody at a different volume fingerprints
+# identically — exactly the invariance the synthetic corpus plants.
+#
+# The synthetic melody corpus keeps the X141 closed-form discipline:
+# every tone sits on an exact DFT bin COPRIME to the frame length
+# (odd, not divisible by 5 — 2000 = 2^4·5^3), so the int16 rounding
+# error decorrelates and the per-frame argmax is provably the planted
+# bin (tone peak amp·N/2 >= 100·1000 vs noise floor N/4 = 500).
+# Classes use DISJOINT bin sets, so cross-class pair-hash overlap is
+# exactly zero and the oracle can state every class fingerprint in
+# closed form.
+# ---------------------------------------------------------------------------
+
+MELODY_CLASSES = 41
+MELODY_FRAMES = 4
+MELODY_FRAME_LEN = 2000
+MELODY_RATE = 8000
+MELODY_FANOUT = 2  # pair a peak with the next `fanout` frames' peaks
+
+# odd, not divisible by 5, inside the rfft band of a 2000-sample frame
+_MELODY_GRID = [b for b in range(101, 1000, 2) if b % 5 != 0]
+
+
+def melody_bins(cls: int) -> list[int]:
+    """The planted per-frame tone bins of melody class ``cls`` —
+    grid slots are unique per (class, frame), so class bin sets are
+    pairwise DISJOINT (precision 1.0 is provable, not observed)."""
+    return [
+        _MELODY_GRID[cls * MELODY_FRAMES + j] for j in range(MELODY_FRAMES)
+    ]
+
+
+def pair_hashes_for_bins(bins: list[int], fanout: int = MELODY_FANOUT) -> list[int]:
+    """Landmark pair hashes for a peak-bin sequence: anchor bin,
+    target bin, and their frame distance packed into one integer.
+    Sorted unique — the canonical fingerprint set."""
+    hs = {
+        bins[i] * 10_000_000 + bins[j] * 1_000 + (j - i)
+        for i in range(len(bins))
+        for j in range(i + 1, min(i + fanout, len(bins) - 1) + 1)
+    }
+    return sorted(hs)
+
+
+def melody_fp_hex(cls: int) -> str:
+    """Closed-form fingerprint digest of a melody class — md5 over the
+    canonical comma-joined sorted pair-hash list, the same digest the
+    Spark extraction computes from decoded audio."""
+    import hashlib
+
+    hs = pair_hashes_for_bins(melody_bins(cls))
+    return hashlib.md5(",".join(map(str, hs)).encode()).hexdigest()
+
+
+def synth_melody_wav_blobs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic melody corpus: per document a REAL 16-bit mono
+    PCM WAV of MELODY_FRAMES frames, frame j a pure tone at the
+    planted bin of class ``doc_id % MELODY_CLASSES``; amplitude
+    100 + doc_id % 900 varies WITHIN a class, so class members are
+    near-dups by melody, not by bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        n, rate = MELODY_FRAME_LEN, MELODY_RATE
+        t = np.arange(n)
+        for b in batches:
+            ids, blobs = [], []
+            for doc_id in b[id_col]:
+                doc_id = int(doc_id)
+                amp = 100 + doc_id % 900
+                frames = []
+                for k in melody_bins(doc_id % MELODY_CLASSES):
+                    freq = k * rate // n  # exact: k coprime grid, n | rate*k? no — k*rate/n
+                    # k*rate/n = k*4 exactly (8000/2000); stays on-bin
+                    frames.append(
+                        np.round(amp * np.sin(2 * np.pi * freq * t / rate))
+                    )
+                pcm = np.concatenate(frames).astype(np.int16)
+                data = pcm.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                ids.append(doc_id)
+                blobs.append(hdr + data)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "blob": blobs}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, blob binary"
+    )
+
+
+AUDIO_FP_SCHEMA = (
+    "doc_id bigint, decode_ok boolean, n_frames bigint, "
+    "pair_hashes array<bigint>, fp_hex string"
+)
+
+
+def wav_peak_pair_fingerprints(
+    blobs: DataFrame,
+    frame_len: int = MELODY_FRAME_LEN,
+    fanout: int = MELODY_FANOUT,
+) -> DataFrame:
+    """REAL audio fingerprinting over (doc_id, blob): decode WAV PCM,
+    frame the signal, per frame the dominant non-DC rfft bin (the
+    X141 noise-floor gate — silent frames contribute no landmark),
+    then the landmark pair-hash set and its md5 digest. Arrow
+    mapInPandas; blobs never leave executors; output is O(frames)
+    integers per document."""
+    import hashlib
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["blob"]):
+                parsed = _parse_wav(bytes(blob))
+                if parsed is None or parsed["n_samples"] < frame_len:
+                    rows.append({"doc_id": doc_id, "decode_ok": False,
+                                 "n_frames": None, "pair_hashes": None,
+                                 "fp_hex": None})
+                    continue
+                x = parsed["samples"]
+                if parsed["n_channels"] > 1:
+                    x = x.reshape(-1, parsed["n_channels"]).mean(axis=1)
+                n_frames = len(x) // frame_len
+                peaks = []  # (frame_idx, bin)
+                for j in range(n_frames):
+                    spec = np.abs(
+                        np.fft.rfft(x[j * frame_len : (j + 1) * frame_len])
+                    )
+                    spec[0] = 0.0
+                    k = int(spec.argmax())
+                    if spec[k] < frame_len / 4:  # silent frame
+                        continue
+                    peaks.append((j, k))
+                hs = sorted(
+                    {
+                        peaks[i][1] * 10_000_000
+                        + peaks[j][1] * 1_000
+                        + (peaks[j][0] - peaks[i][0])
+                        for i in range(len(peaks))
+                        for j in range(i + 1, len(peaks))
+                        if peaks[j][0] - peaks[i][0] <= fanout
+                    }
+                )
+                rows.append({
+                    "doc_id": doc_id, "decode_ok": True,
+                    "n_frames": n_frames,
+                    "pair_hashes": hs,
+                    "fp_hex": hashlib.md5(
+                        ",".join(map(str, hs)).encode()
+                    ).hexdigest(),
+                })
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(gen, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_groups(
+    fps: DataFrame,
+    min_overlap_num: int = 3,
+    min_overlap_den: int = 5,
+) -> DataFrame:
+    """Near-dup grouping over landmark fingerprints — the X136 tier
+    structure with the pair hash itself as the band: exact tier
+    groups identical digests; candidates share >=1 pair hash between
+    DISTINCT digests; a candidate pair is a near-dup when its
+    CONTAINMENT overlap (shared landmarks vs the smaller set — the
+    Shazam match-score semantics) reaches
+    min_overlap_num/min_overlap_den, integer cross-multiplied (no
+    float threshold). Representative = min doc_id over the merged
+    neighborhood, the X136 rep rule.
+
+    Scale shape: the quadratic term is bounded by distinct
+    FINGERPRINTS per pair-hash value, not documents — identical
+    re-encodes collapse in the exact tier and never reach the join.
+
+    Returns (doc_id, fp_hex, rep_id, group_size); undecodable rows
+    are dropped (they carry no fingerprint)."""
+    ok = fps.filter(F.col("decode_ok") & (F.size("pair_hashes") > 0))
+    d = ok.groupBy("fp_hex").agg(
+        F.min("doc_id").alias("fp_min"),
+        F.first("pair_hashes").alias("ph"),  # identical within a digest
+    )
+    buckets = d.select(
+        "fp_hex", "fp_min", "ph", F.explode("ph").alias("h")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    inter = F.size(F.array_intersect(F.col("pa"), F.col("pb")))
+    # CONTAINMENT overlap (hits vs the smaller landmark set), not
+    # Jaccard: the Shazam match score counts aligned landmarks against
+    # the query's constellation — a one-frame edit of a 4-frame melody
+    # keeps 3 of 5 landmarks (0.6 containment) but only 3/7 Jaccard
+    smaller = F.least(F.size(F.col("pa")), F.size(F.col("pb")))
+    near = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.fp_hex") < F.col("b.fp_hex")),
+        )
+        .select(
+            F.col("a.fp_hex").alias("hex_a"),
+            F.col("a.fp_min").alias("min_a"),
+            F.col("b.fp_hex").alias("hex_b"),
+            F.col("b.fp_min").alias("min_b"),
+            F.col("a.ph").alias("pa"),
+            F.col("b.ph").alias("pb"),
+        )
+        .distinct()
+        .filter(min_overlap_den * inter >= min_overlap_num * smaller)
+        .select("hex_a", "min_a", "hex_b", "min_b")
+    )
+    partner_min = (
+        near.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("hex_a").alias("fp_hex"),
+                        F.col("min_b").alias("pmin"),
+                    ),
+                    F.struct(
+                        F.col("hex_b").alias("fp_hex"),
+                        F.col("min_a").alias("pmin"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.fp_hex", "e.pmin")
+        .groupBy("fp_hex")
+        .agg(F.min("pmin").alias("near_min"))
+    )
+    reps = d.join(partner_min, "fp_hex", "left").select(
+        "fp_hex",
+        F.least(
+            F.col("fp_min"), F.coalesce("near_min", F.col("fp_min"))
+        ).alias("rep_id"),
+    )
+    out = ok.select("doc_id", "fp_hex").join(reps, "fp_hex")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rep_id")
+    return out.select(
+        "doc_id",
+        "fp_hex",
+        F.col("rep_id").cast("bigint").alias("rep_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+    )

@@ -8504,6 +8504,55 @@ def q_multimodal_wav_spectral(spark, sf_dir):
     )
 
 
+# --- audio fingerprint near-dup groups (X197) --------------------------------
+
+
+def _audio_fp_oracle() -> str:
+    """Oracle twin of q_dedup_audio_fingerprint_groups: each of the
+    41 melody classes' landmark fingerprints stated CLOSED-FORM
+    straight from the planted bin grid (multimodal.melody_fp_hex —
+    never through the codec/FFT the Spark side must round-trip).
+    Classes use DISJOINT bin sets, so cross-class pair-hash overlap
+    is exactly 0 and the group partition IS the class partition."""
+    values = ",".join(
+        f"({c},'{multimodal.melody_fp_hex(c)}')"
+        for c in range(multimodal.MELODY_CLASSES)
+    )
+    return f"""
+WITH fp(cls, fp_hex) AS (VALUES {values}),
+g AS (SELECT doc_id, doc_id % {multimodal.MELODY_CLASSES} AS cls FROM documents),
+r AS (SELECT cls, min(doc_id) AS rep_id, count(*) AS group_size
+      FROM g GROUP BY cls)
+SELECT g.doc_id, fp.fp_hex,
+       CAST(r.rep_id AS BIGINT) AS rep_id,
+       CAST(r.group_size AS BIGINT) AS group_size
+FROM g JOIN r USING (cls) JOIN fp USING (cls)
+"""
+
+
+@query("dedup_audio_fingerprint_groups", _audio_fp_oracle())
+def q_dedup_audio_fingerprint_groups(spark, sf_dir):
+    """Audio near-dup grouping by spectral landmark fingerprints
+    (X197, VERDICT r8 item 3; Wang 2003 — the Shazam constellation
+    shape): the synthetic melody corpus (per class a 4-frame tone
+    sequence on planted coprime-grid DFT bins, amplitude varying
+    WITHIN a class so members are near-dups by melody, not bytes)
+    rides REAL RIFF encode -> decode -> per-frame rfft peak ->
+    landmark pair hashing (anchor bin, target bin, frame delta) ->
+    the X136 exact-tier/bucket-join grouping with the pair hash as
+    the band and an integer-ratio overlap verify. Loudness never
+    enters a hash — the invariance text/image hashes get from
+    shingling/DCT-sign. The oracle states every class fingerprint in
+    closed form (X141 discipline: on-bin coprime tones keep the
+    per-frame argmax provably the planted bin)
+    (operators/multimodal.wav_peak_pair_fingerprints,
+    audio_near_dup_groups)."""
+    blobs = multimodal.synth_melody_wav_blobs(_docs(spark, sf_dir))
+    return multimodal.audio_near_dup_groups(
+        multimodal.wav_peak_pair_fingerprints(blobs)
+    )
+
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

@@ -484,3 +484,64 @@ def test_image_phash_rejects_non_canvas_sizes(spark):
     r = M.image_phash(df).collect()[0]
     assert r.decode_ok is False and r.phash_hex is None
     assert (r.width, r.height) == (40, 40)
+
+
+def _melody_wav(bins, amp=300, n=2000, rate=8000):
+    """A WAV of pure on-bin tones, one frame per entry of ``bins``."""
+    t = np.arange(n)
+    frames = [
+        np.round(amp * np.sin(2 * np.pi * (k * rate // n) * t / rate))
+        for k in bins
+    ]
+    pcm = np.concatenate(frames).astype(np.int16)
+    return make_wav((pcm + 0).tolist(), rate=rate)
+
+
+def test_audio_fingerprint_extraction_matches_closed_form(spark):
+    """X197: the real decode -> rfft -> landmark chain recovers the
+    planted pair-hash set and digest for melody classes, at two very
+    different amplitudes (loudness invariance), and an undecodable
+    blob carries NULLs."""
+    from gmall_spark.operators import multimodal as M
+
+    rows = []
+    for i, (cls, amp) in enumerate([(0, 120), (0, 950), (7, 500)]):
+        rows.append((i, bytearray(_melody_wav(M.melody_bins(cls), amp=amp))))
+    rows.append((99, bytearray(b"not audio")))
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r for r in M.wav_peak_pair_fingerprints(df).collect()}
+    for i, cls in [(0, 0), (1, 0), (2, 7)]:
+        assert list(got[i].pair_hashes) == M.pair_hashes_for_bins(
+            M.melody_bins(cls)
+        )
+        assert got[i].fp_hex == M.melody_fp_hex(cls)
+    assert got[0].fp_hex == got[1].fp_hex  # loudness never enters a hash
+    assert not got[99].decode_ok and got[99].fp_hex is None
+
+
+def test_audio_near_dup_band_join_containment(spark):
+    """The band-join near tier actually fires (not just the exact
+    tier the in-corpus oracle exercises): a one-frame edit keeps 3/5
+    landmarks (containment 0.6 -> grouped), a two-frame edit keeps
+    1/5 (-> separate group), and an unrelated melody with zero shared
+    landmarks never becomes a candidate (precision 1.0)."""
+    from gmall_spark.operators import multimodal as M
+
+    base = M.melody_bins(0)                      # [101, 103, 107, 109]
+    one_edit = base[:3] + [base[3] + 30]         # last frame changed
+    two_edit = base[:2] + [base[2] + 30, base[3] + 34]
+    other = M.melody_bins(5)                     # disjoint bins
+    rows = [
+        (1, bytearray(_melody_wav(base))),
+        (2, bytearray(_melody_wav(one_edit, amp=800))),
+        (3, bytearray(_melody_wav(two_edit))),
+        (4, bytearray(_melody_wav(other))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: (r.rep_id, r.group_size)
+           for r in M.audio_near_dup_groups(
+               M.wav_peak_pair_fingerprints(df)
+           ).collect()}
+    assert got[1] == (1, 2) and got[2] == (1, 2)   # near-dup grouped
+    assert got[3] == (3, 1)                        # too-far edit alone
+    assert got[4] == (4, 1)                        # unrelated alone

@@ -346,6 +346,10 @@ BUDGETS = [
     # 36-replace pass), 36-row corpus rollup broadcast + per-doc fold
     # (counts include cached-lineage re-prints)
     ("text_char_chisq_gibberish", 7, 2),
+    # r9: audio landmark near-dup grouping — the X136 tier shape over
+    # pair hashes: digest exact-tier agg, bucket self-join between
+    # distinct digests, partner-min agg, rep join back + group window
+    ("dedup_audio_fingerprint_groups", 10, 2),
     # r9: frozen unigram tier — Viterbi runs on the persisted
     # distinct-word table (explode/count + distinct + rollup agg;
     # counts include the persisted word-count lineage re-prints);

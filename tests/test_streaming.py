@@ -2197,3 +2197,42 @@ def test_incremental_value_hist_foreach_batch_e2e(spark, tmpdir):
     want = {(r.q_pct, r.bucket, r.est_upper, r.n)
             for r in sketches.hist_quantiles(sketches.value_hist(e)).collect()}
     assert got == want and len(want) == 4
+
+
+def test_incremental_audio_fp_equals_batch_and_retroactive(spark, tmpdir):
+    """X197's streaming twin (incremental_audio_fp, the X177/X140
+    shape): landmark fingerprints freeze at ingest, groups re-derive
+    from the merged store via the exact batch operator — two-batch ==
+    one-batch — and a later smaller doc_id retroactively re-labels
+    its melody class's earlier members."""
+    from gmall_spark.operators import multimodal as M
+    from gmall_spark.streaming import incremental_audio_fp as af
+
+    def blobs(ids):
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        return M.synth_melody_wav_blobs(docs)
+
+    store = f"{tmpdir}/audio_store"
+    # batch 1: class 3 as {44, 85}; class 7 as {7, 48}
+    af.process_batch(spark, blobs([44, 85, 7, 48]), store, 0)
+    after1 = {r.doc_id: (r.rep_id, r.group_size)
+              for r in af.current_groups(spark, store).collect()}
+    assert after1 == {44: (44, 2), 85: (44, 2), 7: (7, 2), 48: (7, 2)}
+
+    # batch 2: 3 UNDERCUTS class 3's rep; 89 (class 7) grows it
+    af.process_batch(spark, blobs([3, 89]), store, 1)
+    after2 = {r.doc_id: (r.rep_id, r.group_size)
+              for r in af.current_groups(spark, store).collect()}
+    assert after2[44] == (3, 3) and after2[85] == (3, 3) and after2[3] == (3, 3)
+    assert after2[7] == (7, 3) and after2[89] == (7, 3)
+
+    # streaming == batch, and replay is idempotent
+    want = {r.doc_id: (r.rep_id, r.group_size)
+            for r in M.audio_near_dup_groups(
+                M.wav_peak_pair_fingerprints(blobs([44, 85, 7, 48, 3, 89]))
+            ).collect()}
+    assert after2 == want
+    af.process_batch(spark, blobs([3, 89]), store, 1)
+    again = {r.doc_id: (r.rep_id, r.group_size)
+             for r in af.current_groups(spark, store).collect()}
+    assert again == after2
