@@ -2236,3 +2236,95 @@ def test_incremental_audio_fp_equals_batch_and_retroactive(spark, tmpdir):
     again = {r.doc_id: (r.rep_id, r.group_size)
              for r in af.current_groups(spark, store).collect()}
     assert again == after2
+
+
+def test_incremental_skipgram_exactly_equals_batch(spark, tmpdir):
+    """X184's streaming twin: raw pair/unigram counts are
+    SUM-mergeable (documents are atomic within a batch), the
+    min-count filter applies to the MERGED counts, and N is the sum
+    of the unigram counts — so streaming == batch bit-exactly,
+    including a pair that clears the threshold only in the union."""
+    from gmall_spark import queries_llm as QL
+    from gmall_spark.streaming import incremental_skipgram as sg
+
+    texts1 = [(1, "en", "red fox red fox red fox", 0),
+              (2, "en", "red fox jumps", 0)]
+    texts2 = [(3, "en", "red fox red fox", 0),
+              (4, "en", "blue cat blue cat blue cat blue cat blue cat", 0)]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, text string, source int"
+        )
+
+    store = f"{tmpdir}/sg_store"
+    sg.process_batch(spark, df(texts1), store, 0)
+    sg.process_batch(spark, df(texts2), store, 1)
+    got = {(r.w_a, r.w_b): (r.pair_cnt, r.cnt_a, r.cnt_b, r.lift)
+           for r in sg.current_lift(spark, store).collect()}
+
+    orig = QL._docs
+    try:
+        QL._docs = lambda s, sd: df(texts1 + texts2)
+        want = {(r.w_a, r.w_b): (r.pair_cnt, r.cnt_a, r.cnt_b, r.lift)
+                for r in QL.q_text_skipgram_cooccurrence(spark, "x").collect()}
+    finally:
+        QL._docs = orig
+    assert got == want
+    # (red, fox) clears min-count ONLY via the cross-batch sum
+    # (3+2 forward-window hits at dist 1 plus the wraparound dist-2s)
+    assert ("red", "fox") in got
+    # replay idempotence
+    sg.process_batch(spark, df(texts2), store, 1)
+    again = {(r.w_a, r.w_b): (r.pair_cnt, r.cnt_a, r.cnt_b, r.lift)
+             for r in sg.current_lift(spark, store).collect()}
+    assert again == got
+
+
+def test_incremental_embedding_health_exactly_equals_batch(spark, tmpdir):
+    """X186's streaming twin: min/max envelopes and integer counters
+    merge exactly (the audit's order-independent-stats-only design is
+    WHY the twin is exact); n_widths merges because state is keyed by
+    width. Poisoned vectors in different batches all surface."""
+    from gmall_spark import queries_llm as QL
+    from gmall_spark.streaming import incremental_embedding_health as eh
+
+    b1 = [(1, [1.0, -2.0, 0.0]), (2, [0.5, 4.0, 1.0]),
+          (3, [0.0, 0.0, 0.0])]                       # all-zero vector
+    b2 = [(4, [float("nan"), 1.0, 2.0]),              # NaN vector
+          (5, [9.0, -7.0]),                           # mixed width
+          (6, [2.0, 2.0, 2.0])]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def norm(rows):
+        # NaN != NaN would fail a dict compare even on identical
+        # output (dim 1's max IS NaN here — Spark's max sorts NaN
+        # greatest in both arms); stringify floats NaN-safely
+        return {
+            r.dim: {k: repr(v) for k, v in r.asDict().items()}
+            for r in rows
+        }
+
+    store = f"{tmpdir}/eh_store"
+    eh.process_batch(spark, df(b1), store, 0)
+    eh.process_batch(spark, df(b2), store, 1)
+    got = norm(eh.current_health(spark, store).collect())
+
+    orig = QL._emb
+    try:
+        QL._emb = lambda s, sd: df(b1 + b2)
+        want = norm(QL.q_embedding_health_audit(spark, "x").collect())
+    finally:
+        QL._emb = orig
+    assert got == want
+    assert got[1]["n_widths"] == "2" and got[1]["nan_vectors"] == "1"
+    assert got[1]["zero_vectors"] == "1"
+    assert got[3]["zeros"] == "2"  # dim 3 zero in batch 1's vecs 1 and 3
+    # replay idempotence
+    eh.process_batch(spark, df(b2), store, 1)
+    again = norm(eh.current_health(spark, store).collect())
+    assert again == got
