@@ -163,6 +163,7 @@ HEADLINE = [
     "llm_unigram_decode_frozen",
     "text_tokenizer_fertility_frozen",
     "dedup_audio_fingerprint_groups",
+    "layout_range_plan_from_sketch",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -229,3 +229,82 @@ def hist_quantiles(
         ((F.col("bucket") + 1) * w).cast("double").alias("est_upper"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-derived range-partition planning (X198): X180's planner
+# re-based onto the X179 mergeable sketch. The TeraSort-style sample
+# plans a sort ONCE; a long-lived layout service instead maintains the
+# bucket histogram (SUM-mergeable, so always current) and re-derives
+# boundaries from it — boundary i = the first bucket whose cumulative
+# count reaches i/P of the total (the same integer-exact rank rule as
+# the quantile read). Boundaries are bucket-granular: the plan's
+# balance is limited by bucket width, which the audit makes visible
+# rather than hiding (a partition is IN BAND when its fill ratio stays
+# within [1/2, 2] — integer cross-multiplied, no float threshold).
+# ---------------------------------------------------------------------------
+
+
+def hist_range_plan(hist: DataFrame, parts: int) -> DataFrame:
+    """(i, bb): boundary i (1..parts-1) is the first bucket whose
+    cumulative count reaches i*n/parts. Coarse buckets can make two
+    thresholds land on one bucket (bb duplicates) — assignment counts
+    boundaries BELOW a bucket, so duplicates merely leave a planned
+    partition empty, which the audit then flags."""
+    from pyspark.sql import Window
+
+    c = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bucket"))
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+    idf = hist.sparkSession.createDataFrame(
+        [(i,) for i in range(1, parts)], "i bigint"
+    )
+    return (
+        idf.crossJoin(c)
+        .filter(F.col("cum") * parts >= F.col("i") * F.col("n"))
+        .groupBy("i")
+        .agg(F.min("bucket").cast("bigint").alias("bb"))
+    )
+
+
+def hist_range_audit(
+    hist: DataFrame, bounds: DataFrame, parts: int
+) -> DataFrame:
+    """Balance audit of a FROZEN boundary set against the CURRENT
+    histogram: every planned partition (the full 0..parts-1 grid —
+    an empty partition is a wasted executor and must surface), its
+    row count, fill ratio, and the in-band flag
+    (2·rows·parts >= total AND rows·parts <= 2·total).
+
+    Returns (part_no, n_rows, fill_ratio, in_band)."""
+    asg = (
+        hist.join(F.broadcast(bounds), F.lit(True), "left")
+        .groupBy("bucket", "cnt")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bb") < F.col("bucket"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("part_no")
+        )
+        .groupBy("part_no")
+        .agg(F.sum("cnt").alias("n_rows"))
+    )
+    tot = hist.agg(F.sum("cnt").alias("total"))
+    grid = hist.sparkSession.createDataFrame(
+        [(p,) for p in range(parts)], "part_no bigint"
+    )
+    return (
+        grid.join(asg, "part_no", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_no",
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.round(
+                F.coalesce("n_rows", F.lit(0)) * float(parts) / F.col("total"), 6
+            ).alias("fill_ratio"),
+            (
+                (2 * F.coalesce("n_rows", F.lit(0)) * parts >= F.col("total"))
+                & (F.coalesce("n_rows", F.lit(0)) * parts <= 2 * F.col("total"))
+            ).alias("in_band"),
+        )
+    )

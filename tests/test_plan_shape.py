@@ -346,6 +346,11 @@ BUDGETS = [
     # 36-replace pass), 36-row corpus rollup broadcast + per-doc fold
     # (counts include cached-lineage re-prints)
     ("text_char_chisq_gibberish", 7, 2),
+    # r9: histogram-derived range plan — ONE corpus pass builds the
+    # persisted 20-row grid; everything after (cum windows, threshold
+    # join, grid/boundary/total joins) is window algebra over bounded
+    # relations whose cached-lineage re-prints dominate the count
+    ("layout_range_plan_from_sketch", 18, 3),
     # r9: audio landmark near-dup grouping — the X136 tier shape over
     # pair hashes: digest exact-tier agg, bucket self-join between
     # distinct digests, partner-min agg, rep join back + group window

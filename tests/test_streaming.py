@@ -2328,3 +2328,53 @@ def test_incremental_embedding_health_exactly_equals_batch(spark, tmpdir):
     eh.process_batch(spark, df(b2), store, 1)
     again = norm(eh.current_health(spark, store).collect())
     assert again == got
+
+
+def test_incremental_range_plan_replans_exactly_once(spark, tmpdir):
+    """X198's streaming twin (the X185 re-derive class): a balanced
+    ingest freezes a plan that stays in band; a planted skewed batch
+    pushes partitions out of [1/2, 2] and triggers EXACTLY one
+    re-plan (the re-derived boundaries differ once — re-auditing the
+    new plan is in band, so the next call does nothing); and the
+    audit right after a freeze equals the batch operator on the
+    merged data."""
+    from gmall_spark.operators import sketches
+    from gmall_spark.streaming import incremental_range_plan as rp
+
+    P = 8
+
+    def df(bucket_rows):
+        # bucket_rows: {bucket: n} -> values spread inside each bucket
+        rows = [(float(b * 25 + (j % 25)),)
+                for b, n in bucket_rows.items() for j in range(n)]
+        return spark.createDataFrame(rows, "value double")
+
+    store = f"{tmpdir}/rp_store"
+    # batch 1: uniform — 40 rows in each of buckets 0..19
+    rp.process_batch(spark, df({b: 40 for b in range(20)}), store, 0)
+    v1 = rp.freeze_plan(spark, store, P)
+    assert v1 == 1
+    a1 = {r.part_no: r for r in rp.audit(spark, store, P).collect()}
+    assert all(a1[p].in_band for p in range(P))
+    assert rp.maybe_replan(spark, store, P) == (False, 1)
+
+    # batch 2: skewed — 200 extra rows in each of buckets 0..7
+    rp.process_batch(spark, df({b: 200 for b in range(8)}), store, 1)
+    a2 = rp.audit(spark, store, P).collect()
+    assert any(not r.in_band for r in a2)  # drift detected under v1
+    replanned, v2 = rp.maybe_replan(spark, store, P)
+    assert replanned and v2 == 2
+    # the new plan is balanced at this granularity -> no further replan
+    a3 = {r.part_no: r for r in rp.audit(spark, store, P).collect()}
+    assert all(a3[p].in_band for p in range(P))
+    assert rp.maybe_replan(spark, store, P) == (False, 2)
+
+    # audit-after-freeze == the batch operator on the merged data
+    union = df({b: 240 if b < 8 else 40 for b in range(20)})
+    hist = sketches.value_hist(union)
+    want = {r.part_no: (r.n_rows, r.fill_ratio, r.in_band)
+            for r in sketches.hist_range_audit(
+                hist, sketches.hist_range_plan(hist, P), P
+            ).collect()}
+    got = {p: (a3[p].n_rows, a3[p].fill_ratio, a3[p].in_band) for p in a3}
+    assert got == want
