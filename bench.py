@@ -164,6 +164,7 @@ HEADLINE = [
     "text_tokenizer_fertility_frozen",
     "dedup_audio_fingerprint_groups",
     "layout_range_plan_from_sketch",
+    "llm_cluster_capped_sample",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

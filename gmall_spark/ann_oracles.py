@@ -797,3 +797,39 @@ def bitext_ann_oracle(
 SELECT src_id, tgt_id, cos_sim, margin FROM ranked WHERE rn2 = 1
 """
     )
+
+
+def cluster_capped_sample_oracle(
+    pct: int,
+    n_lists: int = IVF_LISTS,
+    iters: int = IVF_ITERS,
+    sample: int = IVF_SAMPLE,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of ``semdedup.cluster_capped_sample`` over the
+    shared k-means assignment: the same unrolled training, then the
+    deterministic md5 rank per cluster and the all-integer balanced
+    cap (ceil(ceil(n*pct/100) / n_lists))."""
+    return (
+        _kmeans_ctes(n_lists, iters, sample, dim)
+        + f""", sz AS (
+  SELECT list_id, count(*) AS cluster_size FROM idx GROUP BY list_id
+), tot AS (
+  SELECT ((count(*) * {pct} + 99) // 100 + {n_lists} - 1) // {n_lists} AS cap
+  FROM idx
+), rk AS (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY list_id
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rnk
+  FROM idx
+)
+SELECT r.vec_id,
+       CAST(r.list_id AS BIGINT) AS list_id,
+       CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(t.cap AS BIGINT) AS cap,
+       s.cluster_size > t.cap AS capped
+FROM rk r JOIN sz s USING (list_id), tot t
+WHERE r.rnk <= t.cap"""
+    )

@@ -25,7 +25,7 @@ lets the registered query carry a generated DuckDB oracle
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gmall_spark.operators import ivf
@@ -80,3 +80,56 @@ def semantic_dedup_keepers(
         .distinct()
     )
     return embeddings.select(id_col).join(drops, id_col, "anti")
+
+
+def cluster_capped_sample(
+    assignment: DataFrame,
+    n_lists: int,
+    pct: int,
+) -> DataFrame:
+    """Cluster-balanced (diversity-capped) selection (X199): given a
+    (vec_id, list_id) cluster assignment, keep at most the BALANCED
+    SHARE of a pct% budget from each cluster — cap = ceil(ceil(n·pct
+    /100) / n_lists) — picked in deterministic md5 order (the k-means
+    sampling idiom). Near-dup clusters are exactly the over-dense
+    ones, so the cap is what stops them dominating a training sample
+    (the selection-side complement of SemDeDup's pruning).
+
+    All-integer arithmetic (ceilings via (a+b-1)//b), so the oracle
+    replays it exactly. Returns the SELECTED rows:
+    (vec_id, list_id, rnk, cluster_size, cap, capped) where capped
+    marks clusters that actually hit the cap.
+
+    Scale shape: one shuffle on list_id serves both the rank and the
+    cluster size; the 1-row total broadcasts."""
+    w = Window.partitionBy("list_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    sz = Window.partitionBy("list_id")
+    ranked = assignment.select(
+        "vec_id",
+        "list_id",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(sz).alias("cluster_size"),
+    )
+    tot = assignment.agg(F.count(F.lit(1)).alias("n"))
+    # cap = ceil(ceil(n*pct/100) / n_lists) — `div` keeps it integer
+    # end to end (no double division to round)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cap",
+            F.expr(
+                f"((n * {pct} + 99) div 100 + {n_lists} - 1) div {n_lists}"
+            ),
+        )
+        .filter(F.col("rnk") <= F.col("cap"))
+        .select(
+            "vec_id",
+            F.col("list_id").cast("bigint").alias("list_id"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("cap").cast("bigint").alias("cap"),
+            (F.col("cluster_size") > F.col("cap")).alias("capped"),
+        )
+    )

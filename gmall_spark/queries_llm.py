@@ -2798,6 +2798,38 @@ from gmall_spark.ann_oracles import semantic_dedup_oracle  # noqa: E402
 ORACLES["dedup_semantic_clusters"] = semantic_dedup_oracle(SEMANTIC_DEDUP_THRESHOLD)
 
 
+# --- cluster-balanced (diversity-capped) sampling (X199) ----------------------
+
+CLUSTER_SAMPLE_PCT = 25
+
+from gmall_spark.ann_oracles import cluster_capped_sample_oracle  # noqa: E402
+
+
+@query(
+    "llm_cluster_capped_sample",
+    cluster_capped_sample_oracle(CLUSTER_SAMPLE_PCT),
+)
+def q_llm_cluster_capped_sample(spark, sf_dir):
+    """Cluster-balanced training-data selection (X199, VERDICT r8
+    item 6): a pct% sample whose per-centroid picks are capped at the
+    balanced share — near-dup clusters are exactly the over-dense
+    ones (the SemDeDup observation, Abbas et al. 2023), so the cap is
+    the selection-side counter to their over-representation, beside
+    X25's pruning and X119's soft down-weighting. Reuses the shared
+    X11/X25 k-means fixture; rank within a cluster is the md5 order
+    (the corpus-sampling idiom), the cap is all-integer
+    (ceil(ceil(n*pct/100)/n_lists)), and the emitted cap/capped
+    columns make the binding clusters auditable. Scale shape: one
+    shuffle on list_id serves rank + cluster size; the 1-row total
+    broadcasts (operators/semdedup.cluster_capped_sample)."""
+    emb = _emb(spark, sf_dir)
+    cents = _trained_centroids(spark, sf_dir)
+    assign = ivf.build_index(emb, cents).select("vec_id", "list_id")
+    return semdedup.cluster_capped_sample(
+        assign, n_lists=len(cents), pct=CLUSTER_SAMPLE_PCT
+    )
+
+
 SEG_WORDS = 10  # words per block for block-level dedup
 SEG_BOILERPLATE_FREQ = 3  # C4 rule: drop units occurring >= 3 times
 

@@ -1934,3 +1934,28 @@ def test_unigram_encode_decode_planted(spark):
     assert f.n_words == 4
     assert f.n_subwords_unigram == enc[1].n_pieces + enc[2].n_pieces
     assert f.n_subwords_bpe > 0 and f.unigram_vs_bpe is not None
+
+
+def test_cluster_capped_sample_cap_binds(spark):
+    """X199 planted fixture: an over-dense cluster (100 members) is
+    truncated to the balanced cap while a sparse cluster keeps all
+    its members uncapped; picks follow the deterministic md5 rank."""
+    import hashlib
+
+    from gmall_spark.operators import semdedup as S
+
+    rows = [(i, 0) for i in range(100)] + [(200, 1), (201, 1), (202, 1)]
+    assign = spark.createDataFrame(rows, "vec_id long, list_id int")
+    got = {r.vec_id: r for r in
+           S.cluster_capped_sample(assign, n_lists=4, pct=25).collect()}
+    # n=103 -> budget ceil(103*25/100)=26 -> cap ceil(26/4)=7
+    dense = [r for r in got.values() if r.list_id == 0]
+    sparse = [r for r in got.values() if r.list_id == 1]
+    assert len(dense) == 7 and all(r.capped and r.cap == 7 for r in dense)
+    assert all(r.cluster_size == 100 for r in dense)
+    assert len(sparse) == 3 and all(not r.capped for r in sparse)
+    # deterministic pick order: the 7 smallest md5(vec_id) of cluster 0
+    want = sorted(range(100),
+                  key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))[:7]
+    assert sorted(r.vec_id for r in dense) == sorted(want)
+    assert sorted(r.rnk for r in dense) == list(range(1, 8))

@@ -346,6 +346,9 @@ BUDGETS = [
     # 36-replace pass), 36-row corpus rollup broadcast + per-doc fold
     # (counts include cached-lineage re-prints)
     ("text_char_chisq_gibberish", 7, 2),
+    # r9: cluster-capped sampling — one list_id shuffle serves rank +
+    # cluster size; the 1-row total broadcasts
+    ("llm_cluster_capped_sample", 5, 1),
     # r9: histogram-derived range plan — ONE corpus pass builds the
     # persisted 20-row grid; everything after (cum windows, threshold
     # join, grid/boundary/total joins) is window algebra over bounded
