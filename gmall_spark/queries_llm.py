@@ -8064,17 +8064,29 @@ def q_orders_ingest_gaps(spark, sf_dir):
     float boundary class); output bounded by anomalous days. Honest
     scale note: the synthetic sf0.01 corpus has 6 genuinely missing
     days; a denser SF may legitimately report none."""
-    c = (
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+
+    # the day-count rollup feeds THREE consumers (the span, the
+    # median, and the spine join) — unpersisted, each re-ran the
+    # orders scan + agg (the N-consumers re-evaluation trap; found
+    # via the r9 quiet-box read of the r7->r8 uptick)
+    c = _persist.register(
         _t(spark, sf_dir, "orders")
         .select(F.to_date("o_orderdate").alias("d"))
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    r = c.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
-    days = r.select(
-        F.explode(F.sequence("d0", "d1")).alias("d")
+    # one 1-row stats pass serves span AND median
+    stats = c.agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.expr("percentile(cnt, 0.5)").alias("med"),
     )
-    m = c.agg(F.expr("percentile(cnt, 0.5)").alias("med"))
+    days = stats.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    m = stats.select("med")
     return (
         days.join(c, "d", "left")
         .crossJoin(F.broadcast(m))
