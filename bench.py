@@ -165,6 +165,8 @@ HEADLINE = [
     "dedup_audio_fingerprint_groups",
     "layout_range_plan_from_sketch",
     "llm_cluster_capped_sample",
+    "llm_unigram_vocab_prune",
+    "llm_sequence_packing_unigram",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -83,16 +83,26 @@ def _pieces_by_len() -> dict[int, list[tuple[str, int]]]:
     return out
 
 
-def _cost_case(piece_expr: str) -> dict[int, str]:
+def _cost_case(piece_expr: str, excl: str | None = None) -> dict[int, str]:
     """Per piece length k, a CASE chain mapping ``piece_expr`` (a SQL
     fragment yielding the k-char substring) to its frozen cost, OOV ->
-    SENTINEL_COST. Identical text works in Spark SQL and DuckDB."""
+    SENTINEL_COST. Identical text works in Spark SQL and DuckDB.
+    With ``excl`` (a column reference), the matching piece is priced
+    at the sentinel instead — the leave-one-out vocab of the X202
+    prune scorer."""
     by_len = _pieces_by_len()
-    return {
+    base = {
         k: "CASE " + piece_expr + " "
         + " ".join(f"WHEN '{p}' THEN {c}" for p, c in by_len[k])
         + f" ELSE {SENTINEL_COST} END"
         for k in by_len
+    }
+    if excl is None:
+        return base
+    return {
+        k: f"CASE WHEN {piece_expr} = {excl} THEN {SENTINEL_COST} "
+        f"ELSE {chain} END"
+        for k, chain in base.items()
     }
 
 
@@ -108,13 +118,15 @@ def in_vocab_case(piece_expr: str) -> str:
     )
 
 
-def viterbi_key_expr_spark(word: str) -> str:
+def viterbi_key_expr_spark(word: str, excl: str | None = None) -> str:
     """Spark SQL expression: ``word`` (column/lambda-var reference) ->
-    the final DP key string ``zfill(cost,12)|piece piece ...``."""
+    the final DP key string ``zfill(cost,12)|piece piece ...``.
+    ``excl`` prices one piece (a column reference) at the sentinel —
+    the leave-one-out segmentation of the prune scorer."""
     cands = []
     for k in range(1, UNIGRAM_MAX_PIECE_LEN + 1):
         piece = f"substring({word}, i - {k} + 1, {k})"
-        cost = _cost_case(piece)[k]
+        cost = _cost_case(piece, excl)[k]
         prev = f"element_at(acc, i - {k} + 1)"
         cands.append(
             f"CASE WHEN i >= {k} THEN concat("
@@ -134,7 +146,7 @@ def viterbi_key_expr_spark(word: str) -> str:
     )
 
 
-def viterbi_key_expr_duckdb(word: str) -> str:
+def viterbi_key_expr_duckdb(word: str, excl: str | None = None) -> str:
     """DuckDB twin of :func:`viterbi_key_expr_spark`. list_reduce has
     no initial-value overload, so the initial accumulator rides as the
     first element and positions ride as singleton VARCHAR lists (the
@@ -145,7 +157,7 @@ def viterbi_key_expr_duckdb(word: str) -> str:
         # singleton element below — DuckDB lambdas allow no scalar
         # subquery, so there is no way to alias it once.
         piece = f"substring({word}, CAST({{I}} - {k} + 1 AS INTEGER), {k})"
-        cost = _cost_case(piece)[k]
+        cost = _cost_case(piece, excl)[k]
         prev = f"acc[CAST({{I}} - {k} + 1 AS INTEGER)]"
         cands.append(
             f"CASE WHEN {{I}} >= {k} THEN "
@@ -275,15 +287,67 @@ GROUP BY t.lang
 """
 
 
-def viterbi_py(word: str) -> tuple[int, list[str]]:
+def prune_oracle_sql() -> str:
+    """DuckDB twin of the registered X202 vocab-prune scorer: corpus
+    word counts, the full Viterbi per distinct word, per-(word, used
+    multi-char piece) leave-one-out re-segmentation, corpus-weighted
+    aggregates onto the full prunable-vocab grid."""
+    key = viterbi_key_expr_duckdb("w")
+    key_x = viterbi_key_expr_duckdb("e.w", excl="e.piece")
+    vocab_vals = ", ".join(
+        f"('{p}')" for p in sorted(FROZEN_UNIGRAM_VOCAB) if len(p) >= 2
+    )
+    return rf"""
+WITH tokx AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), tok AS (
+  SELECT w, count(*) AS cnt FROM tokx GROUP BY w
+), seg AS MATERIALIZED (
+  SELECT w, cnt, {key} AS key FROM tok
+), pw AS (
+  SELECT w, piece, count(*) AS uses
+  FROM (SELECT w, unnest(string_split(key[14:], ' ')) AS piece FROM seg)
+  GROUP BY w, piece
+), ex AS MATERIALIZED (
+  SELECT e.piece, s.cnt, e.uses,
+         CAST(({key_x})[1:12] AS BIGINT)
+           - CAST(s.key[1:12] AS BIGINT) AS delta
+  FROM (SELECT w, piece, uses FROM pw WHERE length(piece) >= 2) e
+  JOIN seg s USING (w)
+), agg AS (
+  SELECT piece,
+         count(*) AS usage_words,
+         sum(cnt * uses) AS usage_occs,
+         sum(cnt * delta) AS cost_delta
+  FROM ex GROUP BY piece
+), vocab(piece) AS (VALUES {vocab_vals})
+SELECT v.piece,
+       CAST(COALESCE(a.usage_words, 0) AS BIGINT) AS usage_words,
+       CAST(COALESCE(a.usage_occs, 0) AS BIGINT) AS usage_occs,
+       CAST(COALESCE(a.cost_delta, 0) AS BIGINT) AS cost_delta,
+       CAST(row_number() OVER (ORDER BY COALESCE(a.cost_delta, 0), v.piece)
+            AS BIGINT) AS prune_rank
+FROM vocab v LEFT JOIN agg a ON a.piece = v.piece
+"""
+
+
+def viterbi_py(word: str, excl: str | None = None) -> tuple[int, list[str]]:
     """Python reference of the identical rule — the hypothesis-suite
-    ground truth. Returns (total_cost, pieces)."""
+    ground truth. Returns (total_cost, pieces). ``excl`` prices that
+    piece at the sentinel (leave-one-out)."""
     keys = [_INIT_KEY]
     for i in range(1, len(word) + 1):
         best = None
         for k in range(1, min(UNIGRAM_MAX_PIECE_LEN, i) + 1):
             piece = word[i - k : i]
-            c = FROZEN_UNIGRAM_VOCAB.get(piece, SENTINEL_COST)
+            c = (
+                SENTINEL_COST
+                if piece == excl
+                else FROZEN_UNIGRAM_VOCAB.get(piece, SENTINEL_COST)
+            )
             prev = keys[i - k]
             cost = int(prev[:12]) + c
             toks = prev[13:] + ("" if i == k else " ") + piece

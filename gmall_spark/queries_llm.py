@@ -5226,6 +5226,79 @@ def q_llm_unigram_decode_frozen(spark, sf_dir):
     return out.unionByName(zero)
 
 
+@query("llm_unigram_vocab_prune", _uni.prune_oracle_sql())
+def q_llm_unigram_vocab_prune(spark, sf_dir):
+    """Unigram vocab prune scoring (X202) — the M-step observable of
+    the SentencePiece training loop (Kudo 2018 §3.2 prunes the pieces
+    whose removal least increases corpus cost): for every prunable
+    (multi-char) vocab piece, its corpus-weighted usage and the exact
+    cost increase if it were dropped — each affected word re-segmented
+    LEAVE-ONE-OUT (the excluded piece priced at the sentinel, so the
+    DP routes around it; single chars guarantee a route exists).
+    prune_rank orders the report cheapest-to-drop first; UNUSED vocab
+    pieces surface at delta 0 — the prime candidates. Scale shape:
+    the re-segmentation runs once per (distinct word, distinct used
+    piece) — bounded by pieces-per-word x distinct words, a small
+    multiple of the X194 encode pass; everything else is the piece-
+    grid rollup. All-integer deltas; oracle replays the identical
+    leave-one-out fold."""
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+    from gmall_spark.operators.ranking import _toks
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_toks(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    key = _uni.viterbi_key_expr_spark("w")
+    seg = _persist.register(
+        tok.selectExpr("w", "cnt", f"{key} AS key").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    pw = (
+        seg.selectExpr(
+            "w", "explode(split(substring(key, 14), ' ')) AS piece"
+        )
+        .groupBy("w", "piece")
+        .agg(F.count(F.lit(1)).alias("uses"))
+        .filter(F.length("piece") >= 2)
+    )
+    key_x = _uni.viterbi_key_expr_spark("w", excl="piece")
+    ex = pw.join(seg, "w").selectExpr(
+        "piece",
+        "cnt",
+        "uses",
+        f"cast(substring({key_x}, 1, 12) as bigint)"
+        " - cast(substring(key, 1, 12) as bigint) AS delta",
+    )
+    agg = ex.groupBy("piece").agg(
+        F.count(F.lit(1)).alias("usage_words"),
+        F.sum(F.col("cnt") * F.col("uses")).alias("usage_occs"),
+        F.sum(F.col("cnt") * F.col("delta")).alias("cost_delta"),
+    )
+    vocab = spark.createDataFrame(
+        [(p,) for p in sorted(_uni.FROZEN_UNIGRAM_VOCAB) if len(p) >= 2],
+        "piece string",
+    )
+    w_rank = Window.orderBy(
+        F.coalesce("cost_delta", F.lit(0)), F.asc("piece")
+    )
+    return (
+        vocab.join(agg, "piece", "left")
+        .select(
+            "piece",
+            F.coalesce("usage_words", F.lit(0)).cast("bigint").alias("usage_words"),
+            F.coalesce("usage_occs", F.lit(0)).cast("bigint").alias("usage_occs"),
+            F.coalesce("cost_delta", F.lit(0)).cast("bigint").alias("cost_delta"),
+        )
+        .withColumn("prune_rank", F.row_number().over(w_rank).cast("bigint"))
+    )
+
+
 @query("text_tokenizer_fertility_frozen", _uni.fertility_oracle_sql())
 def q_text_tokenizer_fertility_frozen(spark, sf_dir):
     """BPE-vs-unigram fertility comparison (X196): the X115 harness
@@ -5602,6 +5675,39 @@ def q_llm_sequence_packing_ffd(spark, sf_dir):
         rf" {cap}) AS n_tok",
     )
     return pack_rows(d, cap)
+
+
+def _unigram_pack_lens_sql() -> str:
+    """(doc_id, n_tok) under the FROZEN unigram tokenizer — the real
+    per-doc piece counts from the registered X194 oracle text, clamped
+    to [1, cap] (zero-word docs pack as 1 token, never vanish from the
+    manifest)."""
+    return (
+        f"SELECT doc_id, least(greatest(n_pieces, 1), {SEQ_PACK_CAP}) AS n_tok"
+        f" FROM ({_uni.encode_oracle_sql()}) enc"
+    )
+
+
+@query(
+    "llm_sequence_packing_unigram",
+    None,  # oracle attached below (composes the X175 CTE chain)
+)
+def q_llm_sequence_packing_unigram(spark, sf_dir):
+    """Tokenizer-aware sequence packing (X201): the X175 FFD packer
+    driven by the REAL frozen-unigram piece counts (X194) instead of
+    the whitespace proxy — what a loader actually packs once a
+    tokenizer is chosen; whitespace lengths undercount fragmenting
+    tokenizers and a cap-fit by proxy can overflow the real row. Pure
+    composition of registered stages (the X188 discipline): the lens
+    relation is the X194 encode output clamped to [1, cap]
+    (zero-word docs pack as 1 token, never dropped), and the oracle
+    replays the identical packer via the shared parameterized CTE
+    chain over the registered encode oracle text."""
+    cap = SEQ_PACK_CAP
+    lens = q_llm_unigram_encode_frozen(spark, sf_dir).selectExpr(
+        "doc_id", f"least(greatest(n_pieces, 1L), {cap}) AS n_tok"
+    )
+    return pack_rows(lens, cap)
 
 
 def pack_rows(d: DataFrame, cap: int = SEQ_PACK_CAP) -> DataFrame:
@@ -6089,6 +6195,12 @@ from gmall_spark.queries import ORACLES as _OR4  # noqa: E402
 
 _OR4["llm_corpus_curation_v4"] = _curation_v4_oracle()
 _OR4["llm_curation_funnel"] = _curation_funnel_oracle()
+# X201: the packer CTE chain over the registered X194 encode oracle —
+# attached here because _ffd_pack_oracle is defined below the X201
+# query body (file order matters for post-registration attaches)
+_OR4["llm_sequence_packing_unigram"] = _ffd_pack_oracle(
+    _unigram_pack_lens_sql()
+)
 
 
 # --- embedding health audit (X186) ----------------------------------------------

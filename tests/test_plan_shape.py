@@ -365,6 +365,13 @@ BUDGETS = [
     ("llm_unigram_encode_frozen", 12, 1),
     ("llm_unigram_decode_frozen", 12, 1),
     ("text_tokenizer_fertility_frozen", 11, 1),
+    # r9: prune scorer — persisted seg table feeds pieces + the
+    # leave-one-out join; piece-grid rollup, 43-row vocab broadcast
+    ("llm_unigram_vocab_prune", 9, 1),
+    # r9: tokenizer-aware packing — the X194 encode (its unigram
+    # scaffolding included) feeding the ONE bucket_len exchange of
+    # the X175 packer
+    ("llm_sequence_packing_unigram", 13, 1),
     # r8: curation v4 — the registered query RETURNS the shared
     # release-manifest checkpoint (build shape exercised while the
     # fixture materializes)

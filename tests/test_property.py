@@ -1015,3 +1015,45 @@ def test_unigram_viterbi_is_globally_optimal():
             for seg in all_segs(w)
         )
         assert cost == best == sum(U.FROZEN_UNIGRAM_VOCAB[p] for p in toks), w
+
+
+@given(words=unigram_words_strategy)
+@settings(**_SETTINGS)
+def test_unigram_leave_one_out_matches_python(spark, words):
+    """X202's leave-one-out fold: excluding each word's own first
+    multi-char piece reproduces the Python reference in BOTH engines,
+    the delta is non-negative, and the re-segmentation never uses the
+    excluded piece."""
+    import duckdb
+
+    from gmall_spark.operators import unigram as U
+
+    cases = []
+    for w in words:
+        _, toks = U.viterbi_py(w)
+        multi = [p for p in toks if len(p) >= 2]
+        cases.append((w, multi[0] if multi else "th"))
+    df = spark.createDataFrame(cases, "w string, piece string")
+    expr = U.viterbi_key_expr_spark("w", excl="piece")
+    got = {
+        (r.w, r.piece): r.key
+        for r in df.selectExpr("w", "piece", f"{expr} AS key").collect()
+    }
+    con = duckdb.connect()
+    dexpr = U.viterbi_key_expr_duckdb("w", excl="piece")
+    duck = {
+        (w, p): k
+        for w, p, k in con.execute(
+            f"SELECT w, piece, {dexpr} FROM (SELECT unnest(?) AS w,"
+            " unnest(?) AS piece)",
+            [[c[0] for c in cases], [c[1] for c in cases]],
+        ).fetchall()
+    }
+    con.close()
+    for w, p in dict(cases).items():
+        cost_x, toks_x = U.viterbi_py(w, excl=p)
+        want = str(cost_x).zfill(12) + "|" + " ".join(toks_x)
+        assert got[(w, p)] == want, (w, p, got[(w, p)], want)
+        assert duck[(w, p)] == want
+        assert p not in toks_x  # the DP routed around the exclusion
+        assert cost_x >= U.viterbi_py(w)[0]  # delta is non-negative
