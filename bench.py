@@ -167,6 +167,7 @@ HEADLINE = [
     "llm_cluster_capped_sample",
     "llm_unigram_vocab_prune",
     "llm_sequence_packing_unigram",
+    "similarity_eval_jl_rerank",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -4912,10 +4912,10 @@ def _jl_project_exprs(d: int, dim: int) -> list:
     return out
 
 
-def _jl_bf_oracle(d: int | None, dim: int) -> str:
-    """Brute-force cosine top-10 over the JL-projected vectors (sign
-    rows baked as literal arrays, list_dot_product per coordinate);
-    full-width when d is None."""
+def _jl_bf_oracle(d: int | None, dim: int, k: int = 10) -> str:
+    """Brute-force cosine top-``k`` over the JL-projected vectors
+    (sign rows baked as literal arrays, list_dot_product per
+    coordinate); full-width when d is None."""
     if d is None:
         vec = "list_transform(embedding, (x) -> CAST(x AS DOUBLE))"
     else:
@@ -4944,7 +4944,7 @@ WITH q AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10
+SELECT query_id, neighbor_id FROM ranked WHERE rank <= {k}
 """
 
 
@@ -5020,6 +5020,145 @@ def q_similarity_eval_jl_projection(spark, sf_dir):
         arms.append(
             j.agg(
                 F.lit(d).cast("bigint").alias("dims"),
+                F.count(F.lit(1)).cast("bigint").alias("bf_pairs"),
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("hits"),
+                F.round(
+                    F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 6
+                ).alias("recall_at_10"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+# --- JL two-stage retrieval eval (X204) ---------------------------------------
+
+JL_RERANK_DIM = 32
+JL_RERANK_DEPTHS = (20, 50)
+
+
+def _jl_rerank_oracle() -> str:
+    from gmall_spark.ann_oracles import EMBED_DIM as _DIM
+
+    exact_scored = f"""
+  SELECT query_id, neighbor_id,
+         round(SUM(qx * nx) / (sqrt(SUM(qx * qx)) * sqrt(SUM(nx * nx))), 6)
+           AS cos_sim
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           unnest(q.embedding)::DOUBLE AS qx, unnest(c.embedding)::DOUBLE AS nx
+    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+    CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id
+  ) GROUP BY query_id, neighbor_id
+"""
+    withs = [
+        f"bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM"
+        f" ({_jl_bf_oracle(None, _DIM)}))",
+        f"exact AS MATERIALIZED ({exact_scored})",
+    ]
+    arms = []
+    for c in JL_RERANK_DEPTHS:
+        withs.append(
+            f"cand{c} AS (SELECT query_id, neighbor_id FROM"
+            f" ({_jl_bf_oracle(JL_RERANK_DIM, _DIM, k=c)}))"
+        )
+        withs.append(
+            f"""rr{c} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+           row_number() OVER (PARTITION BY d.query_id
+                              ORDER BY e.cos_sim DESC, d.neighbor_id ASC)
+             AS rank
+    FROM cand{c} d JOIN exact e
+      ON e.query_id = d.query_id AND e.neighbor_id = d.neighbor_id
+  ) WHERE rank <= 10
+)"""
+        )
+        arms.append(
+            f"""SELECT CAST({c} AS BIGINT) AS cand_depth,
+       CAST((SELECT count(*) FROM bf) AS BIGINT) AS bf_pairs,
+       CAST((SELECT count(*) FROM bf JOIN rr{c} USING (query_id, neighbor_id))
+            AS BIGINT) AS hits,
+       round(CAST((SELECT count(*) FROM bf JOIN rr{c}
+                   USING (query_id, neighbor_id)) AS DOUBLE)
+             / (SELECT count(*) FROM bf), 6) AS recall_at_10"""
+        )
+    return "WITH " + ",\n".join(withs) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+@query("similarity_eval_jl_rerank", _jl_rerank_oracle())
+def q_similarity_eval_jl_rerank(spark, sf_dir):
+    """Two-stage retrieval eval over the JL projection (X204): X190's
+    honest finding is that RAW 32-dim JL ranking recalls poorly; the
+    standard production answer is candidate generation in the cheap
+    projected space followed by EXACT full-width rerank of the top-C
+    — this table says what recall each candidate depth buys, the
+    acceptance report for a two-stage (filter-then-rerank) vector
+    serving stack. Candidates come from the same persisted wide
+    projection as X190 (prefix-slice discipline); the rerank scores
+    ONLY C candidates per query with the registered exact-cosine
+    shape. Scale: stage 1 scans d/64 of the bytes, stage 2 is
+    O(C·queries) — the whole point of the architecture."""
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+    from gmall_spark.functions.vectors import cosine as _cos
+
+    emb = _emb(spark, sf_dir)
+    dim = _oracle_dim_check(spark, sf_dir)
+    bf = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    ).select("query_id", "neighbor_id")
+    proj = _persist.register(
+        emb.select("vec_id", *_jl_project_exprs(JL_RERANK_DIM, dim))
+        .select(
+            "vec_id",
+            F.array(*[F.col(f"p{j}") for j in range(JL_RERANK_DIM)]).alias(
+                "embedding"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nvec")
+    )
+    arms = []
+    for c in JL_RERANK_DEPTHS:
+        cand = similarity.brute_force_topk(
+            proj, proj.filter(F.col("vec_id") < 5), k=c
+        ).select("query_id", "neighbor_id")
+        rerank = (
+            cand.join(F.broadcast(qv), "query_id")
+            .join(nv, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _cos(
+                        F.transform("qvec", lambda x: x.cast("double")),
+                        F.transform("nvec", lambda x: x.cast("double")),
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        rr = (
+            rerank.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        )
+        j = bf.join(rr, ["query_id", "neighbor_id"], "left")
+        arms.append(
+            j.agg(
+                F.lit(c).cast("bigint").alias("cand_depth"),
                 F.count(F.lit(1)).cast("bigint").alias("bf_pairs"),
                 F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("hits"),
                 F.round(

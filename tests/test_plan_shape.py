@@ -382,6 +382,10 @@ BUDGETS = [
     # r8: JL eval — 3 brute-force arms (full + 2 projections), each
     # scan + window + agg; 5-query sides broadcast
     ("similarity_eval_jl_projection", 18, 3),
+    # r9: JL two-stage rerank eval — ground truth + per-depth
+    # (projected candidate gen + bounded exact rerank); query sides
+    # and the 5-vector qv relation broadcast
+    ("similarity_eval_jl_rerank", 23, 6),
     # r8: release fingerprint — one scan + one global agg
     ("llm_corpus_fingerprint", 2, 0),
     # r8: source attribution — groups-fixture reads x2 + source joins

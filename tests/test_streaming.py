@@ -2378,3 +2378,68 @@ def test_incremental_range_plan_replans_exactly_once(spark, tmpdir):
             ).collect()}
     got = {p: (a3[p].n_rows, a3[p].fill_ratio, a3[p].in_band) for p in a3}
     assert got == want
+
+
+def test_incremental_capped_sample_retroactive_displacement(spark, tmpdir):
+    """X199's streaming twin: assignments freeze at ingest (frozen
+    centroids), the selection re-derives from the merged store — and
+    BOTH retroactive effects fire: a later arrival with a smaller md5
+    displaces an earlier pick at the cap boundary, and the moving cap
+    reshapes the selection as n grows. Streaming == batch exactly."""
+    import hashlib
+
+    from gmall_spark.operators import semdedup as S
+    from gmall_spark.streaming import incremental_capped_sample as cs
+
+    # 1-D embeddings: centroid 0 at 1.0, centroid 1 at -1.0
+    cents = [[1.0], [-1.0]]
+
+    def emb(ids_signs):
+        return spark.createDataFrame(
+            [(i, [float(s)]) for i, s in ids_signs],
+            "vec_id long, embedding array<double>",
+        )
+
+    store = f"{tmpdir}/cs_store"
+    # batch 1: 8 vecs in cluster 0, 2 in cluster 1
+    b1 = [(i, 1) for i in range(8)] + [(100, -1), (101, -1)]
+    cs.process_batch(spark, emb(b1), store, 0, cents)
+    # n=10, pct=50 -> budget 5 -> cap ceil(5/2)=3
+    s1 = {r.vec_id for r in cs.current_sample(spark, store, 2, 50).collect()}
+    picked1 = sorted(
+        range(8),
+        key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+    )[:3]
+    assert s1 == set(picked1) | {100, 101}
+
+    # batch 2: 6 more cluster-0 vecs — some with smaller md5s
+    b2 = [(i, 1) for i in range(200, 206)]
+    cs.process_batch(spark, emb(b2), store, 1, cents)
+    # n=16 -> budget 8 -> cap 4
+    s2 = {r.vec_id: r.rnk for r in
+          cs.current_sample(spark, store, 2, 50).collect()}
+    pool = list(range(8)) + list(range(200, 206))
+    picked2 = sorted(
+        pool, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:4]
+    assert set(s2) == set(picked2) | {100, 101}
+    # displacement actually happened: at least one batch-2 arrival
+    # made the merged cluster-0 selection, so a batch-1 pick's slot
+    # was taken by a later, smaller-md5 vector (not just cap growth)
+    assert any(v >= 200 for v in picked2)
+
+    # streaming == batch on the union
+    assign = spark.createDataFrame(
+        [(i, 0) for i in pool] + [(100, 1), (101, 1)],
+        "vec_id long, list_id int",
+    )
+    want = {(r.vec_id, r.rnk) for r in
+            S.cluster_capped_sample(assign, n_lists=2, pct=50).collect()}
+    got = {(v, r) for v, r in s2.items()}
+    assert got == want
+
+    # replay idempotence
+    cs.process_batch(spark, emb(b2), store, 1, cents)
+    again = {r.vec_id: r.rnk for r in
+             cs.current_sample(spark, store, 2, 50).collect()}
+    assert again == s2
