@@ -344,8 +344,9 @@ BUDGETS = [
     ("embedding_health_audit", 5, 1),
     # r8: char chi-square — persisted per-row count projection (one
     # 36-replace pass), 36-row corpus rollup broadcast + per-doc fold
-    # (counts include cached-lineage re-prints)
-    ("text_char_chisq_gibberish", 7, 2),
+    # (counts include cached-lineage re-prints); +1 r9: the zero-char
+    # union arm adds one scan fan-out (no real shuffle)
+    ("text_char_chisq_gibberish", 8, 2),
     # r9: cluster-capped sampling — one list_id shuffle serves rank +
     # cluster size; the 1-row total broadcasts
     ("llm_cluster_capped_sample", 5, 1),
