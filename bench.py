@@ -168,6 +168,11 @@ HEADLINE = [
     "llm_unigram_vocab_prune",
     "llm_sequence_packing_unigram",
     "similarity_eval_jl_rerank",
+    "llm_wordpiece_encode_frozen",
+    "llm_tokenizer_fertility_triple",
+    "dedup_edit_distance_verify",
+    "llm_fim_transform",
+    "llm_split_by_group",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -1959,3 +1959,123 @@ def test_cluster_capped_sample_cap_binds(spark):
                   key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))[:7]
     assert sorted(r.vec_id for r in dense) == sorted(want)
     assert sorted(r.rnk for r in dense) == list(range(1, 8))
+
+
+# --- X207 edit-distance verify tier ----------------------------------------
+
+
+def test_edit_distance_verify_planted_both_branches(spark):
+    """A band collision is NOT automatically an edit-near-dup: two
+    docs sharing a long block of short words (so the MinHash lanes
+    are dominated by shared shingles and the band join fires) but
+    differing in a few VERY LONG words (few shingles, many chars)
+    collide in a band yet fail the 0.8 edit-sim gate — the exact
+    case where the Jaccard tier and the edit tier disagree. The
+    identical-pair control verifies the true branch. Deterministic:
+    md5 minhash, no randomness."""
+    import pyspark.sql.functions as F
+
+    from gmall_spark.operators import llm_dedup
+
+    shared = " ".join(f"a{i}" for i in range(200))
+    tail_a = " ".join("u" * 100 for _ in range(10))
+    tail_b = " ".join("v" * 100 for _ in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + tail_a),
+            (2, shared + " " + tail_b),
+            (3, "identical words repeated " + shared),
+            (4, "identical words repeated " + shared),
+        ],
+        "doc_id long, text string",
+    )
+    sh = docs.select(
+        "doc_id", F.explode(llm_dedup.shingle_array("text")).alias("shingle")
+    )
+    cand = llm_dedup.lsh_candidate_pairs(llm_dedup.minhash_signatures(sh))
+    txt = docs.select("doc_id", "text")
+    flags = {
+        (r.doc_a, r.doc_b): r.is_near_dup
+        for r in F.broadcast(cand)
+        .join(txt.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("text", "text_a"), "doc_a")
+        .join(txt.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("text", "text_b"), "doc_b")
+        .selectExpr(
+            "doc_a", "doc_b",
+            "100 * levenshtein(text_a, text_b)"
+            " <= 20 * greatest(length(text_a), length(text_b))"
+            " AS is_near_dup",
+        )
+        .collect()
+    }
+    assert flags[(3, 4)] is True
+    assert flags[(1, 2)] is False  # band collision, edit-sim ~0.44
+
+
+# --- X208 fill-in-the-middle transform --------------------------------------
+
+
+def test_fim_reassembly_theorem_and_geometry(spark, sf_dir):
+    """prefix || middle || suffix == text for EVERY doc (any
+    0 <= lo <= hi <= len), the cut geometry is in range, and all
+    three modes occur at the corpus grain."""
+    from gmall_spark.queries_llm import _docs, _fim_exprs
+
+    e = _fim_exprs("spark")
+    rows = (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id", "text",
+            f"{e['lo']} AS lo", f"{e['hi']} AS hi",
+            f"{e['gate']} AS gated", f"{e['mode']} AS mode",
+        )
+        .selectExpr(
+            "doc_id", "lo", "hi", "gated", "mode",
+            "length(text) AS n",
+            "concat(substring(text, 1, cast(lo as int)),"
+            " substring(text, cast(lo + 1 as int), cast(hi - lo as int)),"
+            " substring(text, cast(hi + 1 as int))) = text AS rejoined",
+        )
+        .collect()
+    )
+    assert rows and all(r.rejoined for r in rows)
+    assert all(0 <= r.lo <= r.hi <= r.n for r in rows)
+    assert {r.mode for r in rows} == {"psm", "spm"}
+    assert {r.gated for r in rows} == {True, False}
+
+
+# --- X210 group-aware (leakage-safe) split ----------------------------------
+
+
+def test_split_by_group_zero_leaks_and_fixes_doc_split(spark):
+    """The zero-leak theorem: re-running the X189 audit grouping on
+    the group-aware split finds NO group spanning two splits, while
+    the doc-level split (X189) does leak on the same corpus — the
+    remediation demonstrably fixes the measured problem. Ungrouped
+    docs keep their doc-level assignment bit-for-bit; `moved` fires
+    only on grouped docs. Runs at sf0.01: that is the grain where
+    X189's finding (2 leaked groups) exists — at sf0.001 the doc
+    split happens not to leak and the contrast would be vacuous."""
+    import pyspark.sql.functions as F
+
+    from gmall_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = QUERIES["llm_split_by_group"](spark, sf_dir).persist()
+    # zero leaks by construction
+    assert (
+        df.groupBy("group_key")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter("n > 1")
+        .count()
+        == 0
+    )
+    # the doc-level split leaks on the same corpus (X189's finding)
+    audit = QUERIES["llm_split_leakage_audit"](spark, sf_dir)
+    assert audit.filter("is_leaked").count() > 0
+    # ungrouped docs never move; some grouped doc does
+    moved = df.filter("moved")
+    assert moved.count() > 0
+    assert moved.filter(~F.col("is_grouped")).count() == 0
+    df.unpersist()

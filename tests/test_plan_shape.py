@@ -373,6 +373,24 @@ BUDGETS = [
     # scaffolding included) feeding the ONE bucket_len exchange of
     # the X175 packer
     ("llm_sequence_packing_unigram", 13, 1),
+    # r9: frozen WordPiece tier — same distinct-word scaffolding as
+    # the unigram rows (persisted word counts, greedy fold on the
+    # distinct-word table, vocabulary-sized segmentation broadcast
+    # back); the triple adds no exchange — all three folds are
+    # per-row projections over the one distinct-word pass
+    ("llm_wordpiece_encode_frozen", 12, 1),
+    ("llm_tokenizer_fertility_triple", 11, 1),
+    # r9: edit-distance verify — the X4 candidate pipeline (signature
+    # agg + band pair agg) with the tiny pair set broadcast against
+    # the corpus text twice; levenshtein is per-row
+    ("dedup_edit_distance_verify", 8, 2),
+    # r9: FIM transform — pure per-row expressions; the single
+    # exchange is parallel_scan's small-file fan-out (no-op at scale)
+    ("llm_fim_transform", 1, 0),
+    # r9: group-aware split — the shared X6 groups fixture
+    # (checkpoint-scan lineage) broadcast onto one corpus pass;
+    # the split is per-row
+    ("llm_split_by_group", 5, 1),
     # r8: curation v4 — the registered query RETURNS the shared
     # release-manifest checkpoint (build shape exercised while the
     # fixture materializes)

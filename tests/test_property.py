@@ -1057,3 +1057,145 @@ def test_unigram_leave_one_out_matches_python(spark, words):
         assert duck[(w, p)] == want
         assert p not in toks_x  # the DP routed around the exclusion
         assert cost_x >= U.viterbi_py(w)[0]  # delta is non-negative
+
+
+# --- frozen WordPiece tier (X205): cross-engine identity + semantics ------
+
+
+@given(words=unigram_words_strategy)
+@settings(**_SETTINGS)
+def test_wordpiece_matches_python(spark, words):
+    """The greedy longest-match fold is BIT-IDENTICAL across Spark
+    SQL, DuckDB, and the Python reference on random alphabet words
+    (the X194 cross-engine discipline, without costs: greedy is
+    already a total order)."""
+    import duckdb
+
+    from gmall_spark.operators import wordpiece as W
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.pieces
+        for r in df.selectExpr(
+            "w", f"substring({W.wordpiece_key_expr_spark('w')}, 8) AS pieces"
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            f"SELECT w, ({W.wordpiece_key_expr_duckdb('w')})[8:] "
+            "FROM (SELECT unnest(?) AS w)",
+            [list(words)],
+        ).fetchall()
+    )
+    con.close()
+    for w in words:
+        want = " ".join(W.wordpiece_py(w))
+        assert got[w] == want, (w, got[w], want)
+        assert duck[w] == want, (w, duck[w], want)
+
+
+@given(words=unigram_words_strategy)
+@settings(**_SETTINGS)
+def test_wordpiece_python_reference_semantics(words):
+    """The Python reference itself obeys the WordPiece contract:
+    non-UNK segmentations round-trip (strip ## and concatenate back
+    to the word), draw the first piece from the initial vocab and
+    the rest from the continuation vocab, and every greedy pick is
+    maximal (no longer vocab piece matched at that position). UNK
+    fires iff some position has no match at all."""
+    from gmall_spark.operators import wordpiece as W
+
+    for w in words:
+        toks = W.wordpiece_py(w)
+        if toks == [W.UNK]:
+            # replay greedily to find the stuck position
+            i = 0
+            while i < len(w):
+                vocab = W.INIT_PIECES if i == 0 else W.CONT_PIECES
+                for k in range(min(W.WP_MAX_PIECE_LEN, len(w) - i), 0, -1):
+                    if w[i : i + k] in vocab:
+                        i += k
+                        break
+                else:
+                    break
+            assert i < len(w), (w, "UNK without a stuck position")
+            continue
+        assert "".join(t[2:] if t.startswith("##") else t for t in toks) == w
+        assert toks[0] in W.INIT_PIECES
+        assert all(t.startswith("##") and t[2:] in W.CONT_PIECES
+                   for t in toks[1:])
+        # greedy maximality at each position
+        i = 0
+        for j, t in enumerate(toks):
+            body = t[2:] if t.startswith("##") else t
+            vocab = W.INIT_PIECES if i == 0 else W.CONT_PIECES
+            for k in range(len(body) + 1,
+                           min(W.WP_MAX_PIECE_LEN, len(w) - i) + 1):
+                assert w[i : i + k] not in vocab, (w, t, w[i : i + k])
+            i += len(body)
+
+
+def test_wordpiece_unk_is_word_level():
+    """Digits are initial-only in the frozen vocab, so any digit past
+    position 1 sinks the WHOLE word to [UNK] — the BERT word-level
+    UNK semantics (no partial emission), exercised by real corpus
+    numbers."""
+    from gmall_spark.operators import wordpiece as W
+
+    assert W.wordpiece_py("3d") == ["3", "##d"]
+    assert W.wordpiece_py("d3") == [W.UNK]
+    assert W.wordpiece_py("123") == [W.UNK]
+    assert W.wordpiece_py("over9000") == [W.UNK]
+    assert W.wordpiece_py("the") == ["the"]
+    assert W.wordpiece_py("congress") == ["con", "##g", "##re", "##s", "##s"]
+
+
+# --- X207: levenshtein agrees across Spark, DuckDB, and a Python DP --------
+
+_lev_pairs_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="ab c", max_size=24),
+        st.text(alphabet="ab c", max_size=24),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _lev_py(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+@given(pairs=_lev_pairs_strategy)
+@settings(**_SETTINGS)
+def test_levenshtein_cross_engine(spark, pairs):
+    """Both engines' built-in Wagner-Fischer equals the reference DP
+    on random strings — the X207 verify tier's verdict is an integer
+    comparison over this value, so engine agreement here is the
+    whole cross-engine story."""
+    import duckdb
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [(r.a, r.b, r.d) for r in
+           df.selectExpr("a", "b", "levenshtein(a, b) AS d").collect()]
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT a, b, levenshtein(a, b) FROM (SELECT unnest(?) AS a,"
+        " unnest(?) AS b)",
+        [[p[0] for p in pairs], [p[1] for p in pairs]],
+    ).fetchall()
+    con.close()
+    want = {(a, b): _lev_py(a, b) for a, b in pairs}
+    for a, b, d in got:
+        assert d == want[(a, b)], ("spark", a, b, d)
+    for a, b, d in duck:
+        assert d == want[(a, b)], ("duckdb", a, b, d)

@@ -2443,3 +2443,49 @@ def test_incremental_capped_sample_retroactive_displacement(spark, tmpdir):
     again = {r.vec_id: r.rnk for r in
              cs.current_sample(spark, store, 2, 50).collect()}
     assert again == s2
+
+
+def test_incremental_edit_verify_equals_batch(spark, sf_dir, tmpdir):
+    """Streaming twin of the X207 edit-distance verify tier: the
+    documents table split into two micro-batches, each banded
+    against the persisted store and its candidates verified with
+    levenshtein against the stored raw text, must emit exactly the
+    rows the batch query computes on the full corpus — flags
+    included, true AND false branches (levenshtein is a pure
+    function of the two stored texts, so no batch split can move a
+    verdict)."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.streaming import incremental_edit_verify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = f"{tmpdir}/edit_store"
+    src = f"{tmpdir}/edit_src"
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, _eid: incremental_edit_verify.process_batch(
+            spark, b, store
+        ),
+        checkpoint=f"{tmpdir}/ckpt_incr_edit",
+    )
+    q.awaitTermination(180)
+
+    key = lambda r: (r.doc_a, r.doc_b, r.lev, r.max_len, r.edit_sim, r.is_near_dup)
+    got = {
+        key(r)
+        for r in incremental_edit_verify.emitted_rows(spark, store).collect()
+    }
+    want = {
+        key(r)
+        for r in QUERIES["dedup_edit_distance_verify"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
