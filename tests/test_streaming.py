@@ -2489,3 +2489,86 @@ def test_incremental_edit_verify_equals_batch(spark, sf_dir, tmpdir):
         for r in QUERIES["dedup_edit_distance_verify"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_group_split_equals_batch(spark, sf_dir, tmpdir):
+    """Streaming twin of the X210 group-aware split: after ingesting
+    the corpus in two batches (pairs via the proven incremental X4
+    store, groups re-closed per batch, splits re-derived with the
+    identical md5 expression), the FINAL snapshot equals the batch
+    query on the full corpus — the re-derive converges to the batch
+    answer regardless of the split."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.streaming import incremental_group_split as igs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = f"{tmpdir}/group_split_store"
+    igs.process_batch(spark, docs.filter(F.col("doc_id") <= mid), store, 1)
+    igs.process_batch(spark, docs.filter(F.col("doc_id") > mid), store, 2)
+
+    got = {
+        (r.doc_id, r.group_key, r.split)
+        for r in igs.current_assignment(spark, store).collect()
+    }
+    want = {
+        (r.doc_id, r.group_key, r.split)
+        for r in QUERIES["llm_split_by_group"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_incremental_group_split_retroactive_move(spark, tmpdir):
+    """The operational hazard the twin exists to surface: a later
+    arrival BRIDGES two previously-separate docs (transitive chain —
+    near-dup of both, while they are not near-dups of each other),
+    the merged group takes a new representative, and a doc that was
+    serving in train retroactively moves to val. Planted: C shares
+    92 of 100 words with A and with B, but A and B differ at both
+    ends (pairwise jaccard ~0.71 < 0.8); ids are searched so the
+    group rep's split differs from the moving doc's own-hash split.
+    Exactly one move row is emitted, for exactly that doc."""
+    import hashlib
+
+    from gmall_spark.queries_llm import SPLIT_TEST_HI, SPLIT_VAL_HI
+    from gmall_spark.streaming import incremental_group_split as igs
+
+    def bucket(i: int) -> str:
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:3], 16)
+        return "val" if v < SPLIT_VAL_HI else (
+            "test" if v < SPLIT_TEST_HI else "train"
+        )
+
+    b = next(i for i in range(1, 100000) if bucket(i) == "val")
+    a = next(i for i in range(b + 1, 100000) if bucket(i) == "train")
+    c = next(i for i in range(a + 1, 100000) if bucket(i) == "train")
+
+    base = [f"w{i}" for i in range(100)]
+    ta = " ".join([f"x{i}" for i in range(8)] + base[8:])
+    tb = " ".join(base[:92] + [f"y{i}" for i in range(8)])
+    tc = " ".join(base)
+
+    store = f"{tmpdir}/group_split_chain"
+    m1 = igs.process_batch(
+        spark,
+        spark.createDataFrame([(a, ta), (b, tb)], "doc_id long, text string"),
+        store,
+        1,
+    )
+    assert m1.count() == 0  # two singletons, nothing to move
+    snap1 = {r.doc_id: r for r in igs.current_assignment(spark, store).collect()}
+    assert snap1[a].split == "train" and snap1[b].split == "val"
+    assert snap1[a].group_key == a  # A and B did NOT group pairwise
+
+    m2 = igs.process_batch(
+        spark,
+        spark.createDataFrame([(c, tc)], "doc_id long, text string"),
+        store,
+        2,
+    ).collect()
+    assert len(m2) == 1 and m2[0].doc_id == a
+    assert m2[0].old_split == "train" and m2[0].new_split == "val"
+    assert m2[0].old_group_key == a and m2[0].new_group_key == b
+    snap2 = {r.doc_id: r for r in igs.current_assignment(spark, store).collect()}
+    assert {r.group_key for r in snap2.values()} == {b}
+    assert {r.split for r in snap2.values()} == {"val"}
