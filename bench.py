@@ -173,6 +173,8 @@ HEADLINE = [
     "dedup_edit_distance_verify",
     "llm_fim_transform",
     "llm_split_by_group",
+    "multimodal_shot_boundaries",
+    "llm_canary_scan",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

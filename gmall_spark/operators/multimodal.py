@@ -1706,3 +1706,147 @@ def audio_near_dup_groups(
         F.col("rep_id").cast("bigint").alias("rep_id"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
     )
+
+
+# --- shot-boundary detection over the real AVI path (X212) -----------------
+
+SHOT_BASE_FRAMES = 8
+SHOT_JUMP = 60        # R-channel jump planted at each cut
+SHOT_MIN_DIFF = 30    # per-pixel |dR|+|dG|+|dB| verdict threshold
+SHOT_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, total_abs_diff bigint, is_cut boolean"
+)
+
+
+def _shot_count(doc_id: int, i: int) -> int:
+    """Cuts planted at frames ``3 + doc_id % 2`` and ``6`` (every doc
+    has >= 8 frames, so both always exist): shot(i) = cuts <= i."""
+    return (1 if i >= 3 + doc_id % 2 else 0) + (1 if i >= 6 else 0)
+
+
+def synth_shot_avi_blobs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 32,
+    height: int = 8,
+) -> DataFrame:
+    """Deterministic multi-shot video corpus: the synth_avi_blobs
+    container (real RIFF/AVI, `00db` DIB frames) with PLANTED CUTS —
+    ``8 + doc_id % 3`` solid frames in three shots; within a shot the
+    R channel drifts by +1/frame (camera motion), at each cut it
+    jumps by SHOT_JUMP. Colors are closed-form in (doc_id, i) and
+    never wrap (max R = 79 + 2*60 + 10 < 256), so the oracle states
+    every adjacent-frame diff exactly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        stride = (width * 3 + 3) // 4 * 4
+        for b in batches:
+            ids, blobs = [], []
+            for doc_id in b[id_col]:
+                doc_id = int(doc_id)
+                n_frames = SHOT_BASE_FRAMES + doc_id % 3
+                frames = []
+                for i in range(n_frames):
+                    row = np.zeros(stride, dtype=np.uint8)
+                    px = row[: width * 3].reshape(width, 3)
+                    px[:, 0] = 17                                     # B
+                    px[:, 1] = (2 * i) % 256                          # G
+                    px[:, 2] = (                                      # R
+                        doc_id % 80 + SHOT_JUMP * _shot_count(doc_id, i) + i
+                    )
+                    frames.append(row.tobytes() * height)
+                avih = struct.pack(
+                    "<10I", 40000, 0, 0, 0, n_frames, 0, 1, 0, width, height
+                ) + b"\x00" * 16
+                strh = b"vids" + b"DIB " + b"\x00" * 48
+                strf = struct.pack(
+                    "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                    stride * height, 0, 0, 0, 0,
+                )
+                hdrl = _riff_chunk(
+                    b"LIST",
+                    b"hdrl"
+                    + _riff_chunk(b"avih", avih)
+                    + _riff_chunk(
+                        b"LIST",
+                        b"strl"
+                        + _riff_chunk(b"strh", strh)
+                        + _riff_chunk(b"strf", strf),
+                    ),
+                )
+                movi = _riff_chunk(
+                    b"LIST",
+                    b"movi" + b"".join(_riff_chunk(b"00db", f) for f in frames),
+                )
+                body = b"AVI " + hdrl + movi
+                ids.append(doc_id)
+                blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "blob": blobs}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, blob binary"
+    )
+
+
+def avi_shot_boundaries(
+    blobs: DataFrame, min_diff: int = SHOT_MIN_DIFF
+) -> DataFrame:
+    """Shot-boundary detection (X212): walk the RIFF/AVI chunk tree,
+    decode consecutive DIB frame pairs, and emit per adjacent pair
+    the EXACT total absolute pixel difference (summed over pixels and
+    channels — an integer: no float enters the verdict) with
+    ``is_cut = total >= min_diff * w * h`` (i.e. mean per-pixel
+    |dR|+|dG|+|dB| >= min_diff). Every adjacent pair is emitted with
+    its flag, cut or not (the X173 discipline). Undecodable blobs and
+    single-frame videos contribute no rows.
+
+    Scale shape: Arrow-batched mapInPandas 1->N fan-out, blobs never
+    leave the executors, zero shuffles; a real codec swaps into
+    ``_decode_dib`` without touching the plan (the X123 contract)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "total_abs_diff": [],
+                "is_cut": [],
+            }
+            for doc_id, blob in zip(b["doc_id"], b["blob"]):
+                raw = bytes(blob)
+                p = _parse_avi(raw)
+                if p is None:
+                    continue
+                w, h = p["width"], p["height"]
+                prev = None
+                for i, (off, size) in enumerate(p["frames"]):
+                    img = _decode_dib(raw, off, size, w, h)
+                    if img is None:
+                        prev = None
+                        continue
+                    cur = img.astype(np.int64)
+                    if prev is not None:
+                        total = int(np.abs(cur - prev).sum())
+                        out["doc_id"].append(int(doc_id))
+                        out["frame_idx"].append(i)
+                        out["total_abs_diff"].append(total)
+                        out["is_cut"].append(total >= min_diff * w * h)
+                    prev = cur
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
+                    "total_abs_diff": pd.Series(
+                        out["total_abs_diff"], dtype="int64"
+                    ),
+                    "is_cut": pd.Series(out["is_cut"], dtype="bool"),
+                }
+            )
+
+    return blobs.mapInPandas(gen, schema=SHOT_SCHEMA)

@@ -9282,6 +9282,102 @@ def q_llm_split_by_group(spark, sf_dir):
     )
 
 
+# --- shot-boundary detection + canary scan (X212-X213) ---------------------
+
+
+@query(
+    "multimodal_shot_boundaries",
+    f"""
+SELECT d.doc_id, CAST(i.f AS BIGINT) AS frame_idx,
+       CAST(((CASE WHEN i.f = 3 + d.doc_id % 2 OR i.f = 6
+                   THEN {multimodal.SHOT_JUMP} ELSE 0 END) + 3) * 256
+            AS BIGINT) AS total_abs_diff,
+       (CASE WHEN i.f = 3 + d.doc_id % 2 OR i.f = 6
+             THEN {multimodal.SHOT_JUMP} ELSE 0 END) + 3
+         >= {multimodal.SHOT_MIN_DIFF} AS is_cut
+FROM documents d
+JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS i(f)
+  ON i.f < {multimodal.SHOT_BASE_FRAMES} + d.doc_id % 3
+""",
+)
+def q_multimodal_shot_boundaries(spark, sf_dir):
+    """Video shot-boundary detection end to end (X212): a
+    deterministic multi-shot corpus of REAL RIFF/AVI containers
+    (three shots per doc — within a shot the R channel drifts
+    +1/frame, at each planted cut it jumps SHOT_JUMP) rides the
+    genuine container path — encode → chunk walk → consecutive DIB
+    decode → EXACT total absolute pixel difference — with the cut
+    verdict as an INTEGER comparison (total >= min_diff·w·h; no
+    float anywhere, the X88 discipline). The oracle states the
+    closed form every adjacent pair must reproduce: drift pairs read
+    (1+2)·256, cut pairs (SHOT_JUMP+3)·256 — both branches fire on
+    every document. Every adjacent pair is emitted with its flag
+    (X173). This is the scene-segmentation pass a video pretraining
+    pipeline runs before captioning/frame selection (PySceneDetect's
+    content detector shape). Scale: Arrow-batched mapInPandas, blobs
+    never leave the executors, zero shuffles
+    (operators/multimodal.avi_shot_boundaries)."""
+    blobs = multimodal.synth_shot_avi_blobs(_docs(spark, sf_dir))
+    return multimodal.avi_shot_boundaries(blobs)
+
+
+# Canary phrases: two that genuinely occur in the corpus (so hit
+# counting is exercised by data) and one that can never occur (the
+# actual canary use-case: a planted secret that MUST report zero —
+# emitted with its zero row, the X173 discipline).
+CANARY_PHRASES = ("data stream", "hash join", "zq9 canary zq9")
+
+
+def _canary_oracle() -> str:
+    vals = ", ".join(f"('{c}')" for c in CANARY_PHRASES)
+    return f"""
+WITH canaries(canary) AS (VALUES {vals}),
+hits AS (
+  SELECT c.canary, d.doc_id,
+         (length(d.text) - length(replace(d.text, c.canary, '')))
+           // length(c.canary) AS n
+  FROM canaries c CROSS JOIN documents d
+)
+SELECT canary,
+       CAST(count(*) FILTER (n > 0) AS BIGINT) AS docs_hit,
+       CAST(sum(n) AS BIGINT) AS total_hits
+FROM hits GROUP BY canary
+"""
+
+
+@query("llm_canary_scan", _canary_oracle())
+def q_llm_canary_scan(spark, sf_dir):
+    """Memorization-canary scan (X213; Carlini et al. 2019 'secret
+    sharer' shape): count exact occurrences of each watched phrase
+    across the corpus — the extraction-test bookkeeping a training
+    run does for planted canaries, and the cheap 'did the secret
+    leak into the corpus?' sweep before release. Occurrence counting
+    is pure integer string arithmetic (replace-diff over phrase
+    length — no regex, no explode); two watched phrases genuinely
+    occur in the corpus and the true canary reports its zero row
+    (X173: an empty alarm table would be vacuously green). Scale:
+    |canaries| × corpus per-row expressions, one grid-bounded
+    aggregate, zero extra shuffle."""
+    stack_args = ", ".join(
+        f"'{c}', (length(text) - length(replace(text, '{c}', '')))"
+        f" div length('{c}')"
+        for c in CANARY_PHRASES
+    )
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            f"stack({len(CANARY_PHRASES)}, {stack_args}) AS (canary, n)"
+        )
+        .groupBy("canary")
+        .agg(
+            F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_hit"),
+            F.sum("n").cast("bigint").alias("total_hits"),
+        )
+    )
+
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

@@ -545,3 +545,35 @@ def test_audio_near_dup_band_join_containment(spark):
     assert got[1] == (1, 2) and got[2] == (1, 2)   # near-dup grouped
     assert got[3] == (3, 1)                        # too-far edit alone
     assert got[4] == (4, 1)                        # unrelated alone
+
+
+def test_shot_boundaries_value_exact_and_corrupt_blob(spark):
+    """X212 detector at the codec grain: on a planted two-shot
+    container the adjacent-pair diffs are value-exact (drift pair
+    reads 3*w*h, the cut pair (SHOT_JUMP+3)*w*h) and only the cut is
+    flagged; a corrupted blob (truncated mid-header) contributes no
+    rows instead of failing the task."""
+    import pyspark.sql.functions as F
+
+    from gmall_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    blobs = M.synth_shot_avi_blobs(docs)
+    # corrupt doc 1's blob: truncate to 20 bytes (valid RIFF magic,
+    # unwalkable body)
+    corrupted = blobs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == 1, F.expr("substring(blob, 1, 20)")
+        ).otherwise(F.col("blob")).alias("blob"),
+    )
+    rows = M.avi_shot_boundaries(corrupted).collect()
+    assert {r.doc_id for r in rows} == {0}
+    by_idx = {r.frame_idx: r for r in rows}
+    n_frames = M.SHOT_BASE_FRAMES  # doc 0: 8 frames, cuts at 3 and 6
+    assert sorted(by_idx) == list(range(1, n_frames))
+    wh = 32 * 8
+    for i, r in sorted(by_idx.items()):
+        want = (M.SHOT_JUMP + 3 if i in (3, 6) else 3) * wh
+        assert r.total_abs_diff == want, (i, r.total_abs_diff, want)
+        assert r.is_cut == (i in (3, 6))

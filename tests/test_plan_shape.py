@@ -391,6 +391,12 @@ BUDGETS = [
     # (checkpoint-scan lineage) broadcast onto one corpus pass;
     # the split is per-row
     ("llm_split_by_group", 5, 1),
+    # r9: shot boundaries — mapInPandas fan-out over the blob
+    # stream, the one exchange is the scan fan-out
+    ("multimodal_shot_boundaries", 1, 0),
+    # r9: canary scan — ONE corpus pass (stack, not per-canary
+    # unions) + the grid-bounded aggregate
+    ("llm_canary_scan", 2, 0),
     # r8: curation v4 — the registered query RETURNS the shared
     # release-manifest checkpoint (build shape exercised while the
     # fixture materializes)
