@@ -175,6 +175,7 @@ HEADLINE = [
     "llm_split_by_group",
     "multimodal_shot_boundaries",
     "llm_canary_scan",
+    "multimodal_video_shots",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

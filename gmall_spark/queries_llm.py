@@ -9378,6 +9378,73 @@ def q_llm_canary_scan(spark, sf_dir):
     )
 
 
+# --- shot segments rollup (X214) -------------------------------------------
+
+
+@query(
+    "multimodal_video_shots",
+    f"""
+WITH p AS (
+  SELECT doc_id,
+         3 + doc_id % 2 AS c1,
+         {multimodal.SHOT_BASE_FRAMES} + doc_id % 3 AS n
+  FROM documents
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS shot_idx, CAST(0 AS BIGINT) AS start_frame,
+       CAST(c1 - 1 AS BIGINT) AS end_frame, CAST(c1 AS BIGINT) AS n_frames
+FROM p
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), CAST(c1 AS BIGINT),
+       CAST(5 AS BIGINT), CAST(6 - c1 AS BIGINT)
+FROM p
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT), CAST(6 AS BIGINT),
+       CAST(n - 1 AS BIGINT), CAST(n - 6 AS BIGINT)
+FROM p
+""",
+)
+def q_multimodal_video_shots(spark, sf_dir):
+    """Shot segments rollup (X214): the X212 boundary flags turned
+    into the (shot, span) table a video curation pipeline actually
+    consumes (one keyframe per shot, per-shot captioning). ONE pass
+    over the detector output: per doc, collect the sorted cut
+    positions, bracket them with [0, n], and unfold the spans with a
+    transform/inline HOF — the detector (and its real DIB decode of
+    every frame pair) runs exactly once; a two-consumer formulation
+    (frame grid + windowed cut count) would decode every video
+    TWICE, the orders_ingest_gaps multi-consumer trap. Composes the
+    REGISTERED detector, so a container or decode bug upstream
+    breaks this hash too; the oracle states the three planted shots'
+    spans in closed form per document. Docs with no cuts degrade to
+    one full-length shot (sequence(0, size(cuts)) handles any cut
+    count)."""
+    b = multimodal.avi_shot_boundaries(
+        multimodal.synth_shot_avi_blobs(_docs(spark, sf_dir))
+    )
+    return (
+        b.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_cut"), F.col("frame_idx")))
+            ).alias("cuts"),
+            (F.max("frame_idx") + 1).alias("n"),
+        )
+        .selectExpr(
+            "doc_id",
+            "concat(array(0L), cuts, array(n)) AS bounds",
+        )
+        .selectExpr(
+            "doc_id",
+            "inline(transform(sequence(0, size(bounds) - 2), i -> named_struct("
+            "'shot_idx', cast(i as bigint), "
+            "'start_frame', cast(element_at(bounds, i + 1) as bigint), "
+            "'end_frame', cast(element_at(bounds, i + 2) - 1 as bigint), "
+            "'n_frames', cast(element_at(bounds, i + 2)"
+            " - element_at(bounds, i + 1) as bigint))))",
+        )
+    )
+
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

@@ -397,6 +397,9 @@ BUDGETS = [
     # r9: canary scan — ONE corpus pass (stack, not per-canary
     # unions) + the grid-bounded aggregate
     ("llm_canary_scan", 2, 0),
+    # r9: shots rollup — ONE detector pass (the scan fan-out) + the
+    # per-doc cut-list aggregate; spans unfold per-row (HOF inline)
+    ("multimodal_video_shots", 2, 0),
     # r8: curation v4 — the registered query RETURNS the shared
     # release-manifest checkpoint (build shape exercised while the
     # fixture materializes)

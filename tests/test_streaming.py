@@ -2572,3 +2572,46 @@ def test_incremental_group_split_retroactive_move(spark, tmpdir):
     snap2 = {r.doc_id: r for r in igs.current_assignment(spark, store).collect()}
     assert {r.group_key for r in snap2.values()} == {b}
     assert {r.split for r in snap2.values()} == {"val"}
+
+
+def test_incremental_canary_equals_batch(spark, sf_dir, tmpdir):
+    """Streaming twin of the X213 canary scan (the X179 SUM-merge
+    equality class): per-canary counts merge by integer addition, so
+    the corpus-so-far view after a two-batch readStream ingest is
+    bit-equal to the batch query on the full corpus — and the
+    per-batch return is the alarm view (a canary that first appears
+    in a batch reports nonzero in THAT batch)."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.streaming import incremental_canary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = f"{tmpdir}/canary_store"
+    src = f"{tmpdir}/canary_src"
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, _eid: incremental_canary.process_batch(
+            spark, b, store
+        ),
+        checkpoint=f"{tmpdir}/ckpt_incr_canary",
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.canary: (r.docs_hit, r.total_hits)
+        for r in incremental_canary.current_counts(spark, store).collect()
+    }
+    want = {
+        r.canary: (r.docs_hit, r.total_hits)
+        for r in QUERIES["llm_canary_scan"](spark, sf_dir).collect()
+    }
+    assert got == want and any(h[1] > 0 for h in want.values())
