@@ -223,6 +223,38 @@ CORE34 = [
     "dedup_fuzzy_titles",
 ]
 
+# FIXED cross-round LLM-family subset (VERDICT r9 item 3): core34 is
+# relational-heavy, but the dedup/tokenizer/curation families are now
+# the majority of the runtime and had no frozen longitudinal scalar.
+# 20 stable representatives, all present since BENCH_r08 (so the
+# series is retroactively computable from the recorded per-query
+# maps). Composition: warm query mins ONLY — shared-fixture build
+# seconds are line-itemed separately and their membership shifts, so
+# they stay out of the frozen scalar. NEVER grows: new operators join
+# HEADLINE only.
+LLMCORE = [
+    "dedup_minhash_lsh",
+    "dedup_groups_transitive",
+    "llm_segment_dedup",
+    "dedup_semantic_clusters",
+    "dedup_boilerplate_clean",
+    "dedup_ngram_containment",
+    "dedup_image_phash_groups",
+    "llm_bpe_merge_step",
+    "llm_bpe_encode_frozen",
+    "llm_bpe_decode_frozen",
+    "text_tokenizer_fertility",
+    "text_perplexity_buckets",
+    "llm_dsir_weights",
+    "llm_dsir_resample",
+    "llm_corpus_curation_v4",
+    "llm_decontam_audit",
+    "llm_split_leakage_audit",
+    "llm_curation_funnel",
+    "llm_bitext_mining_ann",
+    "similarity_eval_jl_projection",
+]
+
 # Shared fixtures that several headline queries consume (the analog of
 # the reference's materialized DWD Kafka topics). Timed and reported
 # as separate `materialize` line items so per-query numbers measure
@@ -371,6 +403,11 @@ def main() -> None:
                 # rounds (VERDICT r8 item 1).
                 "warm_total": round(sum(timings.values()), 3),
                 "core34_total": core34_total,
+                # frozen LLM-family scalar (VERDICT r9 item 3):
+                # warm mins only, membership in LLMCORE above
+                "llmcore_total": round(
+                    sum(timings[n] for n in LLMCORE if n in timings), 3
+                ),
                 "n_queries": len(timings),
                 "materialize": materialize,
                 "fixtures": fixtures,

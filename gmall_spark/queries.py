@@ -115,6 +115,7 @@ def clear_cache() -> None:
     queries_llm._CURATION_V4.clear()
     queries_llm._DSIR_WEIGHTS.clear()
     queries_llm._PQ_RESIDUAL_BOOKS.clear()
+    queries_llm._SHOT_BOUNDS.clear()
     # scan-fanout decisions are keyed by file paths; the driver
     # regenerates testdata at the same paths between rounds (ADVICE r3)
     session._SCAN_DECISIONS.clear()

@@ -380,6 +380,26 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DSIR_WEIGHTS[key]
 
 
+# X212 shot-boundary detector output per (session, sf_dir): the
+# boundary table feeds TWO registered queries (the detector itself and
+# the X214 shots rollup) — without the materialization each consumer
+# re-runs the full AVI synth + chunk-walk + consecutive-DIB-decode of
+# every frame pair (VERDICT r9 item 2: the bench paid the decode
+# twice). A video pipeline materializes the detector output as a
+# table; this fixture is that table, same lifecycle as _CONTAIN_PAIRS.
+_SHOT_BOUNDS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (_session_token(spark), sf_dir)
+    if key not in _SHOT_BOUNDS:
+        with fixtures_audit.timed("shot_bounds"):
+            _SHOT_BOUNDS[key] = multimodal.avi_shot_boundaries(
+                multimodal.synth_shot_avi_blobs(_docs(spark, sf_dir))
+            ).localCheckpoint(eager=True)
+    return _SHOT_BOUNDS[key]
+
+
 def _oracle_dim_check(spark: SparkSession, sf_dir: str) -> int:
     """The generated ANN/SemDeDup oracles bake plane and k-means
     literals whose width is PROBED from the testdata at import
@@ -9316,9 +9336,11 @@ def q_multimodal_shot_boundaries(spark, sf_dir):
     pipeline runs before captioning/frame selection (PySceneDetect's
     content detector shape). Scale: Arrow-batched mapInPandas, blobs
     never leave the executors, zero shuffles
-    (operators/multimodal.avi_shot_boundaries)."""
-    blobs = multimodal.synth_shot_avi_blobs(_docs(spark, sf_dir))
-    return multimodal.avi_shot_boundaries(blobs)
+    (operators/multimodal.avi_shot_boundaries). The detector output is
+    a shared per-(session, sf_dir) fixture — the X214 rollup reads the
+    SAME table, so the frame decode runs once per corpus, not once per
+    consumer (VERDICT r9 item 2)."""
+    return _shot_boundaries(spark, sf_dir)
 
 
 # Canary phrases: two that genuinely occur in the corpus (so hit
@@ -9413,14 +9435,14 @@ def q_multimodal_video_shots(spark, sf_dir):
     every frame pair) runs exactly once; a two-consumer formulation
     (frame grid + windowed cut count) would decode every video
     TWICE, the orders_ingest_gaps multi-consumer trap. Composes the
-    REGISTERED detector, so a container or decode bug upstream
-    breaks this hash too; the oracle states the three planted shots'
-    spans in closed form per document. Docs with no cuts degrade to
-    one full-length shot (sequence(0, size(cuts)) handles any cut
+    REGISTERED detector's shared fixture table (_shot_boundaries), so
+    a container or decode bug upstream breaks this hash too AND the
+    frame decode runs once per corpus across both consumers (VERDICT
+    r9 item 2); the oracle states the three planted shots' spans in
+    closed form per document. Docs with no cuts degrade to one
+    full-length shot (sequence(0, size(cuts)) handles any cut
     count)."""
-    b = multimodal.avi_shot_boundaries(
-        multimodal.synth_shot_avi_blobs(_docs(spark, sf_dir))
-    )
+    b = _shot_boundaries(spark, sf_dir)
     return (
         b.groupBy("doc_id")
         .agg(

@@ -577,3 +577,27 @@ def test_shot_boundaries_value_exact_and_corrupt_blob(spark):
         want = (M.SHOT_JUMP + 3 if i in (3, 6) else 3) * wh
         assert r.total_abs_diff == want, (i, r.total_abs_diff, want)
         assert r.is_cut == (i in (3, 6))
+
+
+def test_shot_boundary_fixture_shared_across_consumers(spark):
+    """VERDICT r9 item 2: the X214 rollup must read the SAME
+    checkpointed detector output X212 returns — one frame-decode
+    pass per (session, sf_dir), not one per consumer. The rollup's
+    executed plan therefore contains no Arrow decode stage (it scans
+    the checkpoint) and the fixture map holds exactly one entry."""
+    from gmall_spark import queries as Q
+    from gmall_spark import queries_llm as QL
+
+    sf = "/root/testdata/sf0.001"
+    Q.clear_cache()
+    try:
+        bounds = Q.QUERIES["multimodal_shot_boundaries"](spark, sf)
+        bounds.count()
+        assert len(QL._SHOT_BOUNDS) == 1
+        shots = Q.QUERIES["multimodal_video_shots"](spark, sf)
+        plan = shots._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" not in plan and "MapInPandas" not in plan
+        assert len(QL._SHOT_BOUNDS) == 1  # rollup did NOT rebuild
+        assert shots.count() == bounds.select("doc_id").distinct().count() * 3
+    finally:
+        Q.clear_cache()

@@ -391,14 +391,16 @@ BUDGETS = [
     # (checkpoint-scan lineage) broadcast onto one corpus pass;
     # the split is per-row
     ("llm_split_by_group", 5, 1),
-    # r9: shot boundaries — mapInPandas fan-out over the blob
-    # stream, the one exchange is the scan fan-out
+    # r9: shot boundaries — r10: the detector output is a shared
+    # checkpointed fixture (one decode per corpus across both
+    # consumers); the returned plan is the checkpoint scan
     ("multimodal_shot_boundaries", 1, 0),
     # r9: canary scan — ONE corpus pass (stack, not per-canary
     # unions) + the grid-bounded aggregate
     ("llm_canary_scan", 2, 0),
-    # r9: shots rollup — ONE detector pass (the scan fan-out) + the
-    # per-doc cut-list aggregate; spans unfold per-row (HOF inline)
+    # r9: shots rollup — r10: reads the shared boundary fixture
+    # (checkpoint scan) + the per-doc cut-list aggregate; spans
+    # unfold per-row (HOF inline)
     ("multimodal_video_shots", 2, 0),
     # r8: curation v4 — the registered query RETURNS the shared
     # release-manifest checkpoint (build shape exercised while the
