@@ -176,6 +176,17 @@ HEADLINE = [
     "multimodal_shot_boundaries",
     "llm_canary_scan",
     "multimodal_video_shots",
+    # r10 additions
+    "text_html_extract",
+    "text_html_extract_rollup",
+    "text_html_quality_recheck",
+    "text_lm_score_kn_frozen",
+    "text_lm_tier_diff_kn",
+    "llm_semantic_decontam",
+    "llm_semantic_decontam_audit",
+    "llm_bytebpe_encode_frozen",
+    "llm_bytebpe_decode_frozen",
+    "llm_tokenizer_fertility_quad",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -346,3 +346,165 @@ SELECT doc_id,
        n_roundtrip = n_words AS roundtrip_exact
 FROM rt
 """
+
+
+# --- byte-fallback BPE (GPT-2 class, X222-X224) -----------------------------
+
+# The fourth deployment shape (GPT-2 / SentencePiece byte_fallback):
+# base units are UTF-8 BYTES, so the vocabulary covers EVERY string by
+# construction — zero OOV, the coverage contrast to WordPiece's
+# word-level UNK (X205/X206). An ASCII character IS its byte, so its
+# unit token is the character itself; a multi-byte character
+# decomposes into '<0xNN>' byte-marker tokens (uppercase hex — both
+# engines' hex() casing). The frozen merge list extends the ASCII
+# merges with one learned BYTE merge (the UTF-8 pair of 'é'), so the
+# fallback path has a merge that genuinely fires on planted non-ASCII
+# words while the ASCII corpus exercises the shared merges.
+BYTE_MERGES: tuple[tuple[str, str], ...] = FROZEN_MERGES + (
+    ("<0xC3>", "<0xA9>"),  # é = 0xC3 0xA9
+)
+
+_BYTE_TOKEN_RE = "^(<0x[0-9A-F]{2}>)+$"
+
+
+def byte_units_expr_spark(word: str) -> str:
+    """Spark SQL: ``word`` -> array of byte-unit tokens (ASCII char
+    or '<0xNN>' markers)."""
+    enc = "encode({c}, 'utf-8')"
+    one = enc.format(c="c")
+    return (
+        f"flatten(transform("
+        f"transform(sequence(1, length({word})), i -> substring({word}, i, 1)),"
+        f" c -> CASE WHEN length({one}) = 1 THEN array(c) "
+        f"ELSE transform(sequence(1, length({one})), "
+        f"j -> concat('<0x', substr(hex({one}), 2*j - 1, 2), '>')) END))"
+    )
+
+
+def byte_units_expr_duckdb(word: str) -> str:
+    """DuckDB twin of :func:`byte_units_expr_spark`."""
+    one = "encode(c)"
+    return (
+        f"flatten(list_transform("
+        f"list_transform(range(1, length({word}) + 1), i -> {word}[i:i]),"
+        f" c -> CASE WHEN octet_length({one}) = 1 THEN [c] "
+        f"ELSE list_transform(range(1, octet_length({one}) + 1), "
+        f"j -> '<0x' || substr(hex({one}), 2*j - 1, 2) || '>') END))"
+    )
+
+
+def byte_encode_expr_spark(word: str, merges=BYTE_MERGES) -> str:
+    """Byte-fallback encode: the frozen-merge greedy fold of
+    :func:`encode_expr_spark` over BYTE units instead of chars."""
+    e = byte_units_expr_spark(word)
+    for l, r in merges:
+        e = (
+            f"aggregate({e}, cast(array() as array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) = 0 THEN array(x) "
+            f"WHEN element_at(acc, -1) = '{l}' AND x = '{r}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}')) "
+            f"ELSE concat(acc, array(x)) END)"
+        )
+    return e
+
+
+def byte_encode_expr_duckdb(word: str, merges=BYTE_MERGES) -> str:
+    """DuckDB twin of :func:`byte_encode_expr_spark` (fold state as
+    singleton lists — the list_reduce idiom)."""
+    e = f"list_transform({byte_units_expr_duckdb(word)}, t -> [t])"
+    for l, r in merges:
+        e = (
+            f"list_transform(list_reduce({e}, (acc, x) -> "
+            f"CASE WHEN acc[-1] = '{l}' AND x[1] = '{r}' "
+            f"THEN acc[1:len(acc)-1] || ['{l}{r}'] ELSE acc || x END), "
+            f"t -> [t])"
+        )
+    return f"list_transform({e}, s -> s[1])"
+
+
+def byte_decode_expr_spark(tokens: str) -> str:
+    """Byte-level decode is TOTAL — no OOV marker exists in this
+    tier: every token is either a run of byte markers (its hex is
+    written in the token text) or literal text (its hex is its UTF-8
+    encoding), so the whole token list re-hexes, un-hexes, and
+    UTF-8-decodes back to the word. No reverse-merge replay needed:
+    hex('th') is the same bytes whether or not the merge fired."""
+    return (
+        f"decode(unhex(array_join(transform({tokens}, t -> "
+        f"CASE WHEN t rlike '{_BYTE_TOKEN_RE}' "
+        f"THEN replace(replace(t, '<0x', ''), '>', '') "
+        f"ELSE hex(encode(t, 'utf-8')) END), '')), 'utf-8')"
+    )
+
+
+def byte_decode_expr_duckdb(tokens: str) -> str:
+    """DuckDB twin of :func:`byte_decode_expr_spark`."""
+    return (
+        f"decode(from_hex(array_to_string(list_transform({tokens}, t -> "
+        f"CASE WHEN regexp_matches(t, '{_BYTE_TOKEN_RE}') "
+        f"THEN replace(replace(t, '<0x', ''), '>', '') "
+        f"ELSE hex(encode(t)) END), '')))"
+    )
+
+
+def byte_frozen_encode_oracle_sql() -> str:
+    """DuckDB twin of the registered byte-fallback encode query."""
+    enc = byte_encode_expr_duckdb("w")
+    units = byte_units_expr_duckdb("w")
+    return rf"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+), agg AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) = 0 THEN 0 ELSE
+           list_aggregate(list_transform(words, w -> octet_length(encode(w))), 'sum')
+         END AS n_units,
+         CASE WHEN len(words) = 0 THEN 0 ELSE
+           list_aggregate(list_transform(words,
+             w -> len(list_filter({units}, u -> u LIKE '<0x%'))), 'sum')
+         END AS n_fallback_units,
+         CASE WHEN len(words) = 0 THEN 0 ELSE
+           list_aggregate(list_transform(words, w -> len({enc})), 'sum')
+         END AS n_tokens
+  FROM ws
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(n_fallback_units AS BIGINT) AS n_fallback_units,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE round(n_units * 1.0 / n_tokens, 6) END AS compression
+FROM agg
+"""
+
+
+def byte_frozen_decode_oracle_sql() -> str:
+    """DuckDB twin of the registered byte-fallback round-trip query."""
+    enc = byte_encode_expr_duckdb("w")
+    dec = byte_decode_expr_duckdb(f"({enc})")
+    return rf"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+), rt AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) = 0 THEN 0 ELSE
+           list_aggregate(list_transform(words,
+             w -> CASE WHEN ({dec}) = w THEN 1 ELSE 0 END), 'sum')
+         END AS n_roundtrip
+  FROM ws
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_roundtrip AS BIGINT) AS n_roundtrip,
+       n_roundtrip = n_words AS roundtrip_exact
+FROM rt
+"""

@@ -260,3 +260,61 @@ SELECT t.lang,
 FROM ltok t JOIN segc s USING (w)
 GROUP BY t.lang
 """
+
+
+def fertility_quad_oracle_sql() -> str:
+    """DuckDB twin of the per-language FOUR-tokenizer fertility table
+    (X224): the X206 triple plus the byte-fallback BPE tier — the
+    column whose UNK count is zero BY CONSTRUCTION (byte fallback
+    covers every string), the coverage contrast the triple couldn't
+    show."""
+    from gmall_spark.operators.bpe import (
+        byte_encode_expr_duckdb,
+        encode_expr_duckdb,
+    )
+    from gmall_spark.operators.unigram import viterbi_key_expr_duckdb
+
+    uni = viterbi_key_expr_duckdb("w")
+    bpe = encode_expr_duckdb("w")
+    bbpe = byte_encode_expr_duckdb("w")
+    wp = wordpiece_key_expr_duckdb("w")
+    return rf"""
+WITH ltokx AS (
+  SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'),
+                                  x -> x <> '')) AS w
+  FROM documents
+), ltok AS (
+  SELECT lang, w, count(*) AS cnt FROM ltokx GROUP BY lang, w
+), wd AS (SELECT DISTINCT w FROM ltok),
+seg AS MATERIALIZED (
+  SELECT w, len({bpe}) AS n_bpe,
+         len({bbpe}) AS n_bbpe,
+         len(string_split(({uni})[14:], ' ')) AS n_uni,
+         ({wp})[8:] AS wp
+  FROM wd
+), segc AS (
+  SELECT w, n_bpe, n_bbpe, n_uni,
+         len(string_split(wp, ' ')) AS n_wp,
+         CASE WHEN wp = '{UNK}' THEN 1 ELSE 0 END AS unk
+  FROM seg
+)
+SELECT t.lang,
+       CAST(sum(t.cnt) AS BIGINT) AS n_words,
+       CAST(sum(t.cnt * s.n_bpe) AS BIGINT) AS n_subwords_bpe,
+       CAST(sum(t.cnt * s.n_bbpe) AS BIGINT) AS n_subwords_bytebpe,
+       CAST(sum(t.cnt * s.n_uni) AS BIGINT) AS n_subwords_unigram,
+       CAST(sum(t.cnt * s.n_wp) AS BIGINT) AS n_subwords_wordpiece,
+       CAST(sum(t.cnt * s.unk) AS BIGINT) AS n_unk_words,
+       CAST(0 AS BIGINT) AS n_unk_words_bytebpe,
+       round(CAST(sum(t.cnt * s.n_bpe) AS DOUBLE) / sum(t.cnt), 6)
+         AS fertility_bpe,
+       round(CAST(sum(t.cnt * s.n_bbpe) AS DOUBLE) / sum(t.cnt), 6)
+         AS fertility_bytebpe,
+       round(CAST(sum(t.cnt * s.n_uni) AS DOUBLE) / sum(t.cnt), 6)
+         AS fertility_unigram,
+       round(CAST(sum(t.cnt * s.n_wp) AS DOUBLE) / sum(t.cnt), 6)
+         AS fertility_wordpiece
+FROM ltok t JOIN segc s USING (w)
+GROUP BY t.lang
+"""

@@ -116,6 +116,8 @@ def clear_cache() -> None:
     queries_llm._DSIR_WEIGHTS.clear()
     queries_llm._PQ_RESIDUAL_BOOKS.clear()
     queries_llm._SHOT_BOUNDS.clear()
+    queries_llm._FROZEN_LM.clear()
+    queries_llm._FROZEN_KN.clear()
     # scan-fanout decisions are keyed by file paths; the driver
     # regenerates testdata at the same paths between rounds (ADVICE r3)
     session._SCAN_DECISIONS.clear()

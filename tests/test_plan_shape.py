@@ -325,14 +325,15 @@ BUDGETS = [
     # single-partition windows over ~20 bucket rows; the 4-row probe
     # side broadcasts
     ("events_value_quantile_sketch", 4, 1),
-    # r8: range-partition planner — sample TakeOrdered + rank window
-    # (constant-bounded) + per-key assignment agg + part rollup; the
-    # 7-row boundary table broadcasts
-    ("layout_range_partition_plan", 5, 1),
-    # r8: vocab growth — explode + first-occurrence agg + the three
-    # 4-row-grid cut joins (grid broadcasts); rn windows share the
-    # single-partition exchange
-    ("text_vocab_growth_curve", 9, 3),
+    # r8: range-partition planner — r10: the boundary set broadcasts
+    # as ONE collected array row and assignment is a per-row fold, so
+    # the only shuffles are the sample rank + the 8-row part rollup
+    # (no corpus-wide groupBy(k) anymore)
+    ("layout_range_partition_plan", 4, 1),
+    # r8: vocab growth — r10: aggregate-first form; one word-grain
+    # hash agg + two single-row aggs + the rn window's
+    # single-partition exchange; the 1-row token/type totals broadcast
+    ("text_vocab_growth_curve", 4, 1),
     # r8: drift chi-square — scan + span/totals single-row broadcasts
     # + the grid-bounded bucket agg
     ("events_value_drift_chisq", 9, 3),
@@ -402,6 +403,34 @@ BUDGETS = [
     # (checkpoint scan) + the per-doc cut-list aggregate; spans
     # unfold per-row (HOF inline)
     ("multimodal_video_shots", 2, 0),
+    # r10: HTML extraction — synth + rule chain are pure per-row
+    # regex/replace expressions; the one exchange is the scan fan-out
+    ("text_html_extract", 1, 0),
+    # r10: extraction rollup — per-row extraction + ONE single-row agg
+    ("text_html_extract_rollup", 2, 0),
+    # r10: quality recheck over extracted text — per-row end to end
+    ("text_html_quality_recheck", 1, 0),
+    # r10: KN frozen scoring — returns the shared checkpointed scored
+    # relation (build shape exercised while the fixture materializes)
+    ("text_lm_score_kn_frozen", 1, 0),
+    # r10: tier-diff — two checkpoint scans through the histogram
+    # bucket algebra (hist agg + cut window + assignment join each)
+    # plus the confusion-grid rollup; cut tables broadcast
+    ("text_lm_tier_diff_kn", 7, 2),
+    # r10: semantic decontam — IVF assignment (Arrow gemm, no
+    # shuffle) + the list_id-keyed ref join + verify join + per-doc
+    # rollup; ref side and embeddings broadcast
+    ("llm_semantic_decontam", 5, 3),
+    # r10: decontam Venn audit — composes the FULL LSH pipeline (X47)
+    # and the semantic pipeline, then one full-outer + 3-row grid
+    ("llm_semantic_decontam_audit", 15, 6),
+    # r10: byte-fallback BPE — greedy merge folds over byte units are
+    # pure per-row expressions; the one exchange is the scan fan-out
+    ("llm_bytebpe_encode_frozen", 1, 0),
+    ("llm_bytebpe_decode_frozen", 1, 0),
+    # r10: fertility quad — same scaffolding ceiling as the triple
+    # (persisted word counts, distinct-word folds, broadcast back)
+    ("llm_tokenizer_fertility_quad", 11, 1),
     # r8: curation v4 — the registered query RETURNS the shared
     # release-manifest checkpoint (build shape exercised while the
     # fixture materializes)

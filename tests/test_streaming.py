@@ -2615,3 +2615,129 @@ def test_incremental_canary_equals_batch(spark, sf_dir, tmpdir):
         for r in QUERIES["llm_canary_scan"](spark, sf_dir).collect()
     }
     assert got == want and any(h[1] > 0 for h in want.values())
+
+
+def test_incremental_html_rollup_equals_batch(spark, sf_dir, tmpdir):
+    """Streaming twin of the X216 extraction rollup (SUM-merge class
+    with a min/max envelope): after a two-batch readStream ingest the
+    merged view is column-identical to the batch rollup on the full
+    corpus."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.streaming import incremental_html_extract as ihe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = f"{tmpdir}/html_store"
+    src = f"{tmpdir}/html_src"
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, _eid: ihe.process_batch(spark, b, store),
+        checkpoint=f"{tmpdir}/ckpt_incr_html",
+    )
+    q.awaitTermination(180)
+    got = ihe.current_rollup(spark, store).collect()[0].asDict()
+    want = (
+        QUERIES["text_html_extract_rollup"](spark, sf_dir).collect()[0].asDict()
+    )
+    assert got == want and want["n_docs"] > 0
+
+
+def test_incremental_kn_rescore_equals_batch_and_is_retroactive(spark, tmpdir):
+    """Streaming twin of X218 in the RE-DERIVE class: the training
+    count table SUM-merges, but a training arrival retroactively
+    re-scores already-ingested eval docs (a new continuation char
+    shifts every bigram's smoothing scale). Planted: eval doc 1
+    scored in batch 0 changes score after batch 1's training doc
+    arrives; the final view equals the batch algebra on everything
+    ingested."""
+    import math
+
+    from gmall_spark.operators import lm
+    from gmall_spark.streaming import incremental_kn as ikn
+
+    store = f"{tmpdir}/kn_store"
+    b0 = spark.createDataFrame(
+        [(0, "en", "abab"), (1, "en", "ab")],
+        "doc_id long, lang string, text string",
+    )
+    first = {
+        r.doc_id: r.kn_logprob for r in ikn.process_batch(spark, b0, store).collect()
+    }
+    s0 = ikn.current_scores(spark, store).collect()
+    assert len(s0) == 1 and math.isclose(
+        s0[0].kn_logprob, first[1], abs_tol=1e-9
+    )
+    # batch 1: training doc with a NEW continuation char 'c' — nt/vc
+    # shift, so doc 1's already-published score must CHANGE
+    b1 = spark.createDataFrame(
+        [(2, "en", "ac")], "doc_id long, lang string, text string"
+    )
+    ikn.process_batch(spark, b1, store)
+    s1 = {r.doc_id: r.kn_logprob for r in ikn.current_scores(spark, store).collect()}
+    assert not math.isclose(s1[1], first[1], abs_tol=1e-9)  # retroactive
+    # equality with the batch algebra on (train ∪ eval) so far
+    all_train = spark.createDataFrame(
+        [(0, "en", "abab"), (2, "en", "ac")],
+        "doc_id long, lang string, text string",
+    )
+    evals = spark.createDataFrame(
+        [(1, "en", "ab")], "doc_id long, lang string, text string"
+    )
+    want = {
+        r.doc_id: r.kn_logprob
+        for r in lm.kn_score_with_model(evals, lm.kn_model(all_train)).collect()
+    }
+    assert math.isclose(s1[1], want[1], abs_tol=2e-6)
+
+
+def test_incremental_decontam_equals_batch(spark, tmpdir):
+    """Streaming twin of X220 (frozen-reference, embarrassingly
+    incremental): two direct batches over the corpus embeddings
+    produce exactly the batch query's flag rows, and each flagged doc
+    appears in the batch where it ARRIVED. Runs at sf0.01 — the
+    smallest SF whose flag set is non-empty (sf0.001's is honestly
+    empty, which would make the equality vacuous)."""
+    from gmall_spark import queries_llm as QL
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.streaming import incremental_decontam as idc
+
+    sf_dir = "/root/testdata/sf0.01"
+    store = f"{tmpdir}/decontam_store"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = QL._trained_centroids(spark, sf_dir)
+    ref = emb.filter(F.col("vec_id") % 20 == 0)
+    ridx = idc.reference_index(ref, cents)
+    corp = emb.filter(F.col("vec_id") % 20 != 0)
+    mid = corp.approxQuantile("vec_id", [0.5], 0.0)[0]
+    arrived = set()
+    for part in (
+        corp.filter(F.col("vec_id") <= mid),
+        corp.filter(F.col("vec_id") > mid),
+    ):
+        batch = idc.process_batch(
+            spark, part, ref, ridx, cents, QL.SEM_DECONTAM_THRESHOLD, store
+        ).collect()
+        ids = {r.doc_id for r in batch}
+        assert ids.isdisjoint(arrived)  # alarm fires on arrival, once
+        arrived |= ids
+    got = {
+        (r.doc_id, r.ref_id, r.cos_sim, r.n_ref_hits)
+        for r in idc.current_flags(spark, store).collect()
+    }
+    want = {
+        (r.doc_id, r.ref_id, r.cos_sim, r.n_ref_hits)
+        for r in QUERIES["llm_semantic_decontam"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
