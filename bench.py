@@ -187,6 +187,15 @@ HEADLINE = [
     "llm_bytebpe_encode_frozen",
     "llm_bytebpe_decode_frozen",
     "llm_tokenizer_fertility_quad",
+    "web_url_canonicalize",
+    "web_domain_rollup",
+    "web_url_dedup_venn",
+    "web_url_recrawl_drift",
+    "text_mojibake_repair",
+    "text_mojibake_rollup",
+    "sft_render_frozen_template",
+    "sft_turn_stats",
+    "sft_prompt_dedup",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

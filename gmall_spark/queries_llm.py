@@ -10124,6 +10124,502 @@ def q_llm_tokenizer_fertility_quad(spark, sf_dir):
     )
 
 
+# --- web-provenance URL tier (X225-X228) -------------------------------------
+
+from gmall_spark.operators import weburl  # noqa: E402
+
+
+def _web_oracle() -> str:
+    """Shared CTE: the synthesized messy URL plus the closed forms the
+    canonicalization chain must produce (operators/weburl.py — the
+    oracle states outcomes, it never parses a URL)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         {weburl.synth_url_oracle_expr()} AS url,
+         {weburl.canonical_oracle_expr()} AS url_canonical,
+         {weburl.canonical_host_oracle_expr()} AS host,
+         {weburl.registered_domain_oracle_expr()} AS registered_domain,
+         md5(text) AS text_md5,
+         n_chars, lang
+  FROM documents
+)
+"""
+
+
+@query(
+    "web_url_canonicalize",
+    _web_oracle()
+    + """
+SELECT doc_id,
+       CAST(length(url) AS BIGINT) AS n_raw_chars,
+       url_canonical, host, registered_domain,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 0 END
+            + CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_tracking_dropped,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS had_fragment,
+       CAST(CASE WHEN doc_id % 6 = 0 AND (doc_id % 40) % 13 <> 7
+            THEN 1 ELSE 0 END AS BIGINT) AS had_default_port,
+       md5(url_canonical) AS url_md5
+FROM w
+""",
+)
+def q_web_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (X225) — the provenance step every web
+    corpus runs before content processing (C4/RefinedWeb; reference
+    tie: the per-source topic routing at BaseLogApp.java:60-71
+    extracts the provenance key the same way). A deterministic messy
+    URL per document (uppercase scheme/host, www., default and real
+    ports, duplicate-'/' and '/./' segments, trailing slashes,
+    tracking params interleaved in scrambled order, fragments — page
+    identity from doc_id % 40, noise from doc_id, so distinct docs
+    GENUINELY collide only after every rule fires) rides the genuine
+    chain — parse_url built-ins + regexp/HOF steps
+    (operators/weburl.py, rule order documented there) — and the
+    oracle states the closed form canonicalization must recover.
+    Noise stats are MEASURED from the raw string. Registered domain
+    via a frozen public-suffix mini-list with a two-level suffix
+    ('co.uk'), longest-match-wins. Scale: per-row JVM expressions,
+    zero shuffle, zero UDF — the map-only stage in front of the
+    URL-level dedup/rollup chain."""
+    return weburl.canonicalize(weburl.synth_url(_docs(spark, sf_dir)))
+
+
+@query(
+    "web_domain_rollup",
+    _web_oracle()
+    + """
+SELECT registered_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_urls,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM w GROUP BY registered_domain
+""",
+)
+def q_web_domain_rollup(spark, sf_dir):
+    """Registered-domain rollup (X226): the grain crawl quality
+    priors, blocklists, and per-domain caps live at — docs, distinct
+    hosts and canonical pages, text volume, language spread per
+    registered domain. The two-level suffix rows ('site*.co.uk')
+    prove the rollup key is the PSL-derived domain, not a
+    last-two-labels shortcut. Scale: one hash aggregate keyed by
+    registered domain (count-distincts expand inside the same
+    exchange); the domain key is low-cardinality by construction at
+    any corpus size."""
+    can = weburl.canonicalize(
+        weburl.synth_url(_docs(spark, sf_dir)),
+        passthrough=("n_chars", "lang"),
+    )
+    return can.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        F.countDistinct("url_canonical").cast("bigint").alias("n_urls"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+@query(
+    "web_url_dedup_venn",
+    _web_oracle()
+    + """
+, f AS (
+  SELECT doc_id,
+         CASE WHEN count(*) OVER (PARTITION BY url_canonical) > 1
+              THEN 1 ELSE 0 END AS url_dup,
+         CASE WHEN count(*) OVER (PARTITION BY text_md5) > 1
+              THEN 1 ELSE 0 END AS text_dup
+  FROM w
+), cells AS (
+  SELECT url_dup, text_dup, count(*) AS n FROM f GROUP BY 1, 2
+)
+SELECT CAST(g.url_dup AS BIGINT) AS url_dup,
+       CAST(g.text_dup AS BIGINT) AS text_dup,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs
+FROM (VALUES (0,0),(0,1),(1,0),(1,1)) g(url_dup, text_dup)
+LEFT JOIN cells c
+  ON c.url_dup = g.url_dup AND c.text_dup = g.text_dup
+""",
+)
+def q_web_url_dedup_venn(spark, sf_dir):
+    """URL-identity vs content-identity Venn (X227, the X133/X221
+    detector-diversity principle applied to provenance): per document,
+    does it share a canonical URL with another doc, and does it share
+    exact text — url_dup-only docs are re-crawl drift (same page,
+    content changed), text_dup-only docs are mirrors (same content
+    under different pages), and neither detector subsumes the other.
+    All four cells emitted even at zero (X173). Scale: two window
+    counts (url and text-hash keyed exchanges) + a 4-row grid join —
+    doc-grain flags, never a pair enumeration, so group size can't go
+    quadratic."""
+    can = weburl.canonicalize(
+        weburl.synth_url(_docs(spark, sf_dir)).withColumn(
+            "text_md5", F.md5("text")
+        ),
+        passthrough=("text_md5",),
+    )
+    f = (
+        can
+        .select(
+            "doc_id",
+            F.when(
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("url_canonical")
+                )
+                > 1,
+                1,
+            )
+            .otherwise(0)
+            .alias("url_dup"),
+            F.when(
+                F.count(F.lit(1)).over(Window.partitionBy("text_md5")) > 1,
+                1,
+            )
+            .otherwise(0)
+            .alias("text_dup"),
+        )
+    )
+    cells = f.groupBy("url_dup", "text_dup").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = spark.createDataFrame(
+        [(a, b) for a in (0, 1) for b in (0, 1)], "url_dup INT, text_dup INT"
+    )
+    return (
+        grid.join(F.broadcast(cells), ["url_dup", "text_dup"], "left")
+        .select(
+            F.col("url_dup").cast("bigint").alias("url_dup"),
+            F.col("text_dup").cast("bigint").alias("text_dup"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "web_url_recrawl_drift",
+    _web_oracle()
+    + """
+SELECT url_canonical,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text_md5) AS BIGINT) AS n_texts,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(CASE WHEN count(DISTINCT text_md5) > 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_drift
+FROM w GROUP BY url_canonical HAVING count(*) >= 2
+""",
+)
+def q_web_url_recrawl_drift(spark, sf_dir):
+    """Re-crawl drift report (X228): for every canonical URL crawled
+    more than once, how many captures and how many DISTINCT contents
+    — n_texts > 1 means the page changed between crawls (keep-newest
+    policy territory); n_texts = 1 is a pure duplicate fetch the
+    URL-level dedup removes for free. Keeper = min doc_id (the X6
+    keeper discipline). Scale: one hash aggregate keyed by canonical
+    URL; the distinct-count expands inside the same exchange."""
+    can = weburl.canonicalize(
+        weburl.synth_url(_docs(spark, sf_dir)).withColumn(
+            "text_md5", F.md5("text")
+        ),
+        passthrough=("text_md5",),
+    )
+    return (
+        can
+        .groupBy("url_canonical")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("text_md5").cast("bigint").alias("n_texts"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.when(F.countDistinct("text_md5") > 1, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_drift"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+# --- mojibake repair tier (X229-X230) ----------------------------------------
+
+from gmall_spark.operators import mojibake  # noqa: E402
+
+
+@query(
+    "text_mojibake_repair",
+    f"""
+WITH c AS (
+  SELECT doc_id,
+         {mojibake.synth_oracle_expr()} AS corrupted,
+         {mojibake.repaired_oracle_expr()} AS repaired
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 0 END
+            + CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 0 END
+            + CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_mojibake,
+       CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 4 = 1 OR doc_id % 5 = 2
+                   OR doc_id % 2 = 0 OR doc_id % 7 = 3
+            THEN 1 ELSE 0 END AS BIGINT) AS is_mojibake,
+       CAST(length(corrupted) AS BIGINT) AS n_chars_before,
+       CAST(length(repaired) AS BIGINT) AS n_chars_after,
+       md5(repaired) AS repaired_md5
+FROM c
+""",
+)
+def q_text_mojibake_repair(spark, sf_dir):
+    """Mojibake detection + repair (X229) — the ftfy step a web
+    corpus runs before tokenization/lang-ID/dedup see a byte (UTF-8
+    decoded as Latin-1/CP-1252 leaves 'Ã©'-class artifacts that
+    poison every downstream hash; reference tie: the dirty-data side
+    output at BaseLogApp.java:35-41 routes malformed payloads the
+    same way). A frozen six-pattern repair table rides a
+    deterministic corruption: doc_id-mod segments append known
+    artifacts (some docs stay clean — the zero row is genuine, X173)
+    and the oracle states the repaired closed form; artifact counts
+    are MEASURED from the corrupted text (length-diff idiom, no
+    regex). The chain is order-free BY INVARIANT: no replacement char
+    occurs inside any pattern (operators/mojibake.py). Scale: per-row
+    JVM replaces, zero shuffle, zero UDF."""
+    return mojibake.scan_and_repair(
+        mojibake.synth_mojibake(_docs(spark, sf_dir))
+    )
+
+
+def _mojibake_rollup_oracle() -> str:
+    vals = ", ".join(f"('{bad}')" for bad, _ in mojibake.PATTERNS)
+    return f"""
+WITH pats(pattern) AS (VALUES {vals}),
+c AS (
+  SELECT doc_id, {mojibake.synth_oracle_expr()} AS t FROM documents
+), hits AS (
+  SELECT p.pattern, c.doc_id,
+         (length(c.t) - length(replace(c.t, p.pattern, '')))
+           // length(p.pattern) AS n
+  FROM pats p CROSS JOIN c
+)
+SELECT pattern,
+       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+       CAST(sum(n) AS BIGINT) AS total_hits
+FROM hits GROUP BY pattern
+"""
+
+
+@query("text_mojibake_rollup", _mojibake_rollup_oracle())
+def q_text_mojibake_rollup(spark, sf_dir):
+    """Per-artifact mojibake census (X230): which encoding damage the
+    corpus actually carries and how widely — the table that decides
+    whether a feed needs a transcoding fix upstream or a repair pass
+    downstream. ONE corpus pass via stack() (the X213 canary
+    discipline — never per-pattern unions), counts measured with the
+    length-diff idiom. Every pattern reports even at zero hits."""
+    t = "text"
+    stack_args = ", ".join(
+        f"'{bad}', (length({t}) - length(replace({t}, '{bad}', '')))"
+        f" div length('{bad}')"
+        for bad, _ in mojibake.PATTERNS
+    )
+    return (
+        mojibake.synth_mojibake(_docs(spark, sf_dir))
+        .selectExpr(
+            f"stack({len(mojibake.PATTERNS)}, {stack_args}) AS (pattern, n)"
+        )
+        .groupBy("pattern")
+        .agg(
+            F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_hit"),
+            F.sum("n").cast("bigint").alias("total_hits"),
+        )
+    )
+
+
+# --- SFT conversation tier (X231-X233) ----------------------------------------
+
+from gmall_spark.operators import sft  # noqa: E402
+
+# rendered string + span arithmetic over the ≤4-turn closed form
+_SFT_RENDER_SQL = f"""
+, r AS (
+  SELECT doc_id, lang, n_turns,
+         '{sft.SYSTEM_PREFIX}' || '<|user|>' || t0 || '<|end|>'
+           || '<|assistant|>' || t1 || '<|end|>'
+           || CASE WHEN n_turns = 4
+              THEN '<|user|>' || t2 || '<|end|>'
+                   || '<|assistant|>' || t3 || '<|end|>'
+              ELSE '' END AS rendered,
+         {sft.C0} + {sft.H_USER} + length(t0) + {sft.H_END}
+           + {sft.H_ASST} AS a1s,
+         length(t1) AS l1,
+         length(t0) AS l0,
+         CASE WHEN n_turns = 4 THEN length(t2) END AS l2,
+         CASE WHEN n_turns = 4 THEN length(t3) END AS l3
+  FROM tt
+), spans AS (
+  SELECT doc_id, lang, n_turns, rendered, l0, l1, l2, l3,
+         a1s, a1s + l1 AS a1e,
+         CASE WHEN n_turns = 4
+              THEN a1s + l1 + {sft.H_END} + {sft.H_USER} + l2
+                   + {sft.H_END} + {sft.H_ASST} END AS a3s
+  FROM r
+)
+"""
+
+
+@query(
+    "sft_render_frozen_template",
+    sft.turns_oracle_cte()
+    + _SFT_RENDER_SQL
+    + """
+SELECT doc_id, n_turns,
+       CAST(length(rendered) AS BIGINT) AS n_rendered_chars,
+       md5(rendered) AS rendered_md5,
+       CAST(a1s AS VARCHAR) || ':' || CAST(a1e AS VARCHAR)
+         || CASE WHEN n_turns = 4
+            THEN ';' || CAST(a3s AS VARCHAR) || ':'
+                 || CAST(a3s + l3 AS VARCHAR)
+            ELSE '' END AS loss_spans,
+       CAST(l1 + COALESCE(l3, 0) AS BIGINT) AS n_assistant_chars
+FROM spans
+""",
+)
+def q_sft_render_frozen_template(spark, sf_dir):
+    """Frozen chat-template rendering with loss-mask offsets (X231) —
+    the SFT data-prep step between curation and the trainer: each
+    conversation (deterministically derived from a document — 2-turn
+    even / 4-turn odd user/assistant alternation over equal word
+    slices) renders through the frozen template and emits the
+    assistant-span character ranges the loader masks the loss to.
+    Offsets come from ONE aggregate() fold maintaining (cursor,
+    spans) — by construction during rendering, the general-n
+    algorithm (operators/sft.py; searching the rendered string would
+    bind to the wrong occurrence when a turn repeats) — while the
+    oracle states the ≤4-turn arithmetic closed form. The span
+    theorem substring(rendered, start+1, end-start) == turn text is
+    pinned in-suite (X208 reassembly discipline). Scale: per-row JVM
+    HOF folds, zero shuffle, zero UDF."""
+    return sft.render_records(_docs(spark, sf_dir))
+
+
+@query(
+    "sft_turn_stats",
+    sft.turns_oracle_cte()
+    + """
+SELECT lang, n_turns,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(length(t0) + COALESCE(length(t2), 0)) AS BIGINT)
+         AS total_user_chars,
+       CAST(sum(length(t1) + COALESCE(length(t3), 0)) AS BIGINT)
+         AS total_assistant_chars,
+       round(CAST(sum(length(t1) + COALESCE(length(t3), 0)) AS DOUBLE)
+             / CAST(sum(length(t0) + length(t1) + COALESCE(length(t2), 0)
+                        + COALESCE(length(t3), 0)) AS DOUBLE), 6)
+         AS assistant_share
+FROM tt GROUP BY lang, n_turns
+""",
+)
+def q_sft_turn_stats(spark, sf_dir):
+    """Conversation-shape census (X232): per (lang, turn-count), how
+    many conversations and how the characters split between roles —
+    the balance table an SFT mix is tuned against (assistant share IS
+    the fraction of rendered bytes the loss sees). Integer sums
+    divide once at the end. One grid-bounded aggregate."""
+    t = sft.turns(_docs(spark, sf_dir))
+
+    def _role_sum(role):
+        return F.aggregate(
+            F.col("turns"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(x["role"] == role, F.length(x["txt"])).otherwise(
+                F.lit(0)
+            ),
+        )
+
+    m = t.select(
+        "lang",
+        "n_turns",
+        _role_sum("user").alias("uc"),
+        _role_sum("assistant").alias("ac"),
+    )
+    return m.groupBy("lang", "n_turns").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+        F.sum("uc").cast("bigint").alias("total_user_chars"),
+        F.sum("ac").cast("bigint").alias("total_assistant_chars"),
+        F.round(
+            F.sum("ac").cast("double")
+            / (F.sum("uc") + F.sum("ac")).cast("double"),
+            6,
+        ).alias("assistant_share"),
+    )
+
+
+@query(
+    "sft_prompt_dedup",
+    sft.turns_oracle_cte()
+    + """
+, conv2 AS (
+  SELECT doc_id, t0 AS prompt,
+         length(t1) + COALESCE(length(t3), 0) AS asst_len
+  FROM tt
+), g AS (
+  SELECT prompt, count(*) AS n FROM conv2 GROUP BY prompt
+), k AS (
+  SELECT prompt, doc_id, asst_len,
+         row_number() OVER (PARTITION BY prompt
+                            ORDER BY asst_len DESC, doc_id) AS rn
+  FROM conv2
+)
+SELECT md5(k.prompt) AS prompt_md5,
+       CAST(g.n AS BIGINT) AS n_convs,
+       CAST(k.doc_id AS BIGINT) AS keeper_doc_id,
+       CAST(k.asst_len AS BIGINT) AS keeper_assistant_chars
+FROM k JOIN g ON g.prompt = k.prompt
+WHERE k.rn = 1 AND g.n >= 2
+""",
+)
+def q_sft_prompt_dedup(spark, sf_dir):
+    """Prompt-level conversation dedup (X233): SFT sets dedup by the
+    PROMPT (first user turn), not the whole text — two answers to one
+    question bias the loss toward that question — keeping the richest
+    response (longest assistant text, tie → min doc_id: a
+    deterministic keep-best, the X6 keeper discipline upgraded from
+    keep-first). Scale: one prompt-keyed window (rank inside the
+    group agg's exchange) — group size bounds nothing quadratic."""
+    t = sft.turns(_docs(spark, sf_dir))
+    conv = t.select(
+        "doc_id",
+        F.col("turns").getItem(0)["txt"].alias("prompt"),
+        F.aggregate(
+            F.col("turns"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(
+                x["role"] == "assistant", F.length(x["txt"])
+            ).otherwise(F.lit(0)),
+        ).alias("asst_len"),
+    )
+    w = Window.partitionBy("prompt")
+    ranked = conv.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.row_number()
+        .over(w.orderBy(F.col("asst_len").desc(), F.col("doc_id")))
+        .alias("rn"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n") >= 2)).select(
+        F.md5("prompt").alias("prompt_md5"),
+        F.col("n").cast("bigint").alias("n_convs"),
+        F.col("doc_id").cast("bigint").alias("keeper_doc_id"),
+        F.col("asst_len").cast("bigint").alias("keeper_assistant_chars"),
+    )
+
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

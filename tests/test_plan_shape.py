@@ -501,6 +501,32 @@ BUDGETS = [
     # window-summed total: a scalar crossJoin re-evaluated the part
     # rollup (7 -> 5 exchanges)
     ("parts_single_source_risk", 5, 0),
+    # r10: URL canonicalization — synth + parse_url/HOF rule chain are
+    # pure per-row expressions; the one exchange is the scan fan-out
+    ("web_url_canonicalize", 1, 0),
+    # r10: domain rollup — ONE domain-keyed hash aggregate; the
+    # count-distinct expand runs two-phase inside it
+    ("web_domain_rollup", 3, 0),
+    # r10: provenance Venn — two window exchanges (url-keyed,
+    # text-hash-keyed) + the cell agg; the 4-row grid broadcasts
+    ("web_url_dedup_venn", 4, 1),
+    # r10: re-crawl drift — one canonical-URL-keyed aggregate with the
+    # distinct-text expand inside it
+    ("web_url_recrawl_drift", 3, 0),
+    # r10: mojibake repair — synth + replace chain + length-diff
+    # counts are pure per-row expressions; scan fan-out only
+    ("text_mojibake_repair", 1, 0),
+    # r10: mojibake census — ONE corpus pass (stack) + the
+    # pattern-grid aggregate
+    ("text_mojibake_rollup", 2, 0),
+    # r10: SFT render — turn derivation + template + span folds are
+    # pure per-row HOF expressions; scan fan-out only
+    ("sft_render_frozen_template", 1, 0),
+    # r10: SFT turn stats — per-row folds + ONE (lang, n_turns) agg
+    ("sft_turn_stats", 2, 0),
+    # r10: prompt dedup — ONE prompt-keyed exchange shared by the
+    # count and rank windows
+    ("sft_prompt_dedup", 2, 0),
 ]
 
 

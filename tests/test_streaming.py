@@ -2652,6 +2652,170 @@ def test_incremental_html_rollup_equals_batch(spark, sf_dir, tmpdir):
     assert got == want and want["n_docs"] > 0
 
 
+def test_incremental_domain_rollup_equals_batch(spark, sf_dir, tmpdir):
+    """Streaming twin of the X226 domain rollup (agg-table-as-state
+    class): distinct-counts are kept exact by maintaining state one
+    grain finer — (domain, host, url, lang) with additive counters —
+    so the re-grouped view after a two-batch readStream ingest is
+    row-identical to the batch query on the full corpus."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.streaming import incremental_domain_rollup as idr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = f"{tmpdir}/domain_store"
+    src = f"{tmpdir}/domain_src"
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, _eid: idr.process_batch(spark, b, store),
+        checkpoint=f"{tmpdir}/ckpt_incr_domain",
+    )
+    q.awaitTermination(180)
+    key = lambda r: r["registered_domain"]  # noqa: E731
+    got = sorted(
+        (r.asDict() for r in idr.current_rollup(spark, store).collect()),
+        key=key,
+    )
+    want = sorted(
+        (
+            r.asDict()
+            for r in QUERIES["web_domain_rollup"](spark, sf_dir).collect()
+        ),
+        key=key,
+    )
+    assert got == want and len(want) > 1
+
+
+def test_incremental_mojibake_equals_batch(spark, sf_dir, tmpdir):
+    """Streaming twin of the X230 mojibake census (SUM-merge class):
+    corrupted text arrives on the wire (the synth corruption is
+    applied before writing the source files), per-pattern counts
+    merge by addition, and the merged view after a two-batch
+    readStream ingest is bit-equal to the batch query on the full
+    corpus."""
+    from gmall_spark.operators import mojibake as M
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.streaming import incremental_mojibake as imj
+
+    docs = M.synth_mojibake(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = f"{tmpdir}/moji_store"
+    src = f"{tmpdir}/moji_src"
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, _eid: imj.process_batch(spark, b, store),
+        checkpoint=f"{tmpdir}/ckpt_incr_moji",
+    )
+    q.awaitTermination(180)
+    got = {
+        r.pattern: (r.docs_hit, r.total_hits)
+        for r in imj.current_counts(spark, store).collect()
+    }
+    want = {
+        r.pattern: (r.docs_hit, r.total_hits)
+        for r in QUERIES["text_mojibake_rollup"](spark, sf_dir).collect()
+    }
+    assert got == want and all(h[1] > 0 for h in want.values())
+
+
+def test_incremental_sft_keeper_equals_batch(spark, sf_dir, tmpdir):
+    """Streaming twin of the X233 prompt dedup (MAX-merge class):
+    the candidate state appends, the keeper re-derives as an argmax
+    — after a two-batch readStream ingest the keeper view (filtered
+    to collided prompts) is row-identical to the batch query on the
+    full corpus."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.streaming import incremental_sft_keeper as isk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = f"{tmpdir}/sft_store"
+    src = f"{tmpdir}/sft_src"
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, _eid: isk.process_batch(spark, b, store),
+        checkpoint=f"{tmpdir}/ckpt_incr_sft",
+    )
+    q.awaitTermination(180)
+    got = {
+        r.prompt: (r.doc_id, r.asst_len, r.n_convs)
+        for r in isk.current_keepers(spark, store)
+        .filter(F.col("n_convs") >= 2)
+        .collect()
+    }
+    want = {}
+    for r in QUERIES["sft_prompt_dedup"](spark, sf_dir).collect():
+        want[r.prompt_md5] = (
+            r.keeper_doc_id,
+            r.keeper_assistant_chars,
+            r.n_convs,
+        )
+    import hashlib
+
+    got_hashed = {
+        hashlib.md5(p.encode()).hexdigest(): v for p, v in got.items()
+    }
+    assert got_hashed == want and len(want) > 0
+
+
+def test_incremental_sft_keeper_displacement(spark, tmpdir):
+    """Planted retroactivity: batch 1 establishes a keeper; batch 2
+    ships a RICHER response to the same prompt — the displacement log
+    names the old and new keeper, and the view reflects the move."""
+    from gmall_spark.streaming import incremental_sft_keeper as isk
+
+    store = f"{tmpdir}/sft_disp"
+    b1 = spark.createDataFrame(
+        [(100, "ask me this and tersely done x y")],
+        "doc_id long, text string",
+    )
+    m1 = isk.process_batch(spark, b1, store).collect()
+    assert m1 == []  # first keeper is an arrival, not a displacement
+    b2 = spark.createDataFrame(
+        [(102, "ask me this and verbose answer here zz")],
+        "doc_id long, text string",
+    )
+    m2 = isk.process_batch(spark, b2, store).collect()
+    assert len(m2) == 1
+    assert m2[0].old_keeper == 100 and m2[0].new_keeper == 102
+    assert m2[0].new_asst_len > m2[0].old_asst_len
+    snap = {
+        r.prompt: r.doc_id
+        for r in isk.current_keepers(spark, store).collect()
+    }
+    assert snap == {"ask me this and": 102}
+
+
 def test_incremental_kn_rescore_equals_batch_and_is_retroactive(spark, tmpdir):
     """Streaming twin of X218 in the RE-DERIVE class: the training
     count table SUM-merges, but a training arrival retroactively

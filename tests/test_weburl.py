@@ -1,0 +1,114 @@
+"""X225-X228 web-provenance URL tier: planted rule-by-rule fixtures.
+
+The registered queries pin canonicalize(synth(doc_id)) against the
+closed-form oracle; these fixtures pin the canonicalizer's behavior
+on URLs the synth corpus does NOT produce (tracking-only queries,
+no query at all, root path, unknown TLDs, bare registered domains),
+one planted case per documented rule in operators/weburl.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_spark.operators import weburl as W
+
+CASES = [
+    # (raw url, expected canonical)
+    # rule 1+2: scheme/host lowercase, www. stripped
+    ("HTTP://WWW.Site1.COM/a?x=1", "http://site1.com/a?x=1"),
+    # rule 3: default port stripped per scheme; other ports kept
+    ("http://h.com:80/a?x=1", "http://h.com/a?x=1"),
+    ("https://h.com:443/a?x=1", "https://h.com/a?x=1"),
+    ("http://h.com:443/a?x=1", "http://h.com:443/a?x=1"),
+    ("https://h.com:8080/a?x=1", "https://h.com:8080/a?x=1"),
+    # rule 4: slash runs collapse, '/./' removed, trailing '/' stripped
+    ("http://h.com/a///b?x=1", "http://h.com/a/b?x=1"),
+    ("http://h.com/a/./b?x=1", "http://h.com/a/b?x=1"),
+    ("http://h.com/a/b/?x=1", "http://h.com/a/b?x=1"),
+    # root path survives as '/'
+    ("http://h.com/?x=1", "http://h.com/?x=1"),
+    # rule 5: tracking dropped, survivors sorted; tracking-only query
+    # leaves NO '?' at all
+    ("http://h.com/a?utm_source=s&b=2&a=1", "http://h.com/a?a=1&b=2"),
+    ("http://h.com/a?gclid=g&fbclid=f&utm_campaign=c", "http://h.com/a"),
+    # utm prefix matches the whole family, not a frozen name list
+    ("http://h.com/a?utm_anything=z&k=v", "http://h.com/a?k=v"),
+    # a non-tracking param NAMED LIKE a value keeps: 'gclidx' != 'gclid'
+    ("http://h.com/a?gclidx=1", "http://h.com/a?gclidx=1"),
+    # rule 6: fragment dropped
+    ("http://h.com/a?x=1#frag", "http://h.com/a?x=1"),
+    ("http://h.com/a#only-frag", "http://h.com/a"),
+]
+
+PSL_CASES = [
+    # (host, expected registered domain) — longest-suffix-wins over
+    # the frozen mini-PSL; None for a host with no known suffix
+    ("a.b.site1.co.uk", "site1.co.uk"),
+    ("site1.co.uk", "site1.co.uk"),
+    ("news.site2.com", "site2.com"),
+    ("site2.com", "site2.com"),
+    ("deep.sub.chain.site3.io", "site3.io"),
+    ("unknown.tld.xyz", None),
+]
+
+
+def test_canonicalize_rules_planted(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "doc_id long, url string"
+    )
+    got = {
+        r.doc_id: r.url_canonical
+        for r in W.canonicalize(df).collect()
+    }
+    for i, (url, want) in enumerate(CASES):
+        assert got[i] == want, (url, got[i], want)
+
+
+def test_registered_domain_planted(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(PSL_CASES)],
+        "i long, host string",
+    )
+    got = {
+        r.i: r.rd
+        for r in df.select(
+            "i", W.registered_domain(F.col("host")).alias("rd")
+        ).collect()
+    }
+    for i, (host, want) in enumerate(PSL_CASES):
+        assert got[i] == want, (host, got[i], want)
+
+
+def test_tracking_only_query_has_no_question_mark(spark):
+    """The '?'-suffix must vanish with the last param — 'http://h/a?'
+    and 'http://h/a' are different strings and would split a dedup
+    group."""
+    df = spark.createDataFrame(
+        [(0, "http://h.com/x?utm_source=a&utm_medium=b")],
+        "doc_id long, url string",
+    )
+    row = W.canonicalize(df).collect()[0]
+    assert row.url_canonical == "http://h.com/x"
+    assert row.n_tracking_dropped == 2
+
+
+def test_synth_identity_is_u_mod_40(spark):
+    """Two docs with doc_id ≡ (mod 40) canonicalize to the SAME url
+    even though their raw strings differ (the noise rules genuinely
+    had to fire); docs in different classes never collide."""
+    docs = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    out = W.canonicalize(W.synth_url(docs)).collect()
+    raw = {
+        r.doc_id: r
+        for r in W.synth_url(docs).collect()
+    }
+    by_id = {r.doc_id: r.url_canonical for r in out}
+    for d in range(80):
+        assert by_id[d] == by_id[d + 40], d
+        assert raw[d].url != raw[d + 40].url, d  # noise differs
+    classes = {}
+    for d, cu in by_id.items():
+        classes.setdefault(cu, set()).add(d % 40)
+    for cu, us in classes.items():
+        assert len(us) == 1, (cu, us)
