@@ -196,6 +196,10 @@ HEADLINE = [
     "sft_render_frozen_template",
     "sft_turn_stats",
     "sft_prompt_dedup",
+    "sft_preference_pairs",
+    "web_domain_capped_sample",
+    "web_domain_cap_report",
+    "web_host_pagerank",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -313,6 +313,42 @@ SELECT id_a, id_b, cos_sim FROM sx WHERE cos_sim >= {threshold}"""
     )
 
 
+def pagerank_from_edges_sql(
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """The generic DuckDB twin of ``operators.graph.pagerank``: the
+    fixed-point integer iterations unrolled as chained CTEs, to be
+    appended after any prefix that already defines ``edges(src,
+    dst)`` — BIGINT ``//`` division matches Spark's ``div`` exactly
+    on positive operands, so the result hash-matches bit-for-bit (no
+    float accumulation anywhere). Ends with the ``r{iterations}``
+    CTE; the caller writes the final SELECT (the standard form is
+    ``node_id, CAST(r AS BIGINT) AS rank_micro,
+    round(r / scale, 6) AS rank``)."""
+    parts = f""", nodes AS (
+  SELECT src AS node_id FROM edges UNION SELECT dst FROM edges
+), nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+r0 AS (SELECT node_id, {scale} // n AS r FROM nodes CROSS JOIN nn)"""
+    for i in range(iterations):
+        parts += f""",
+c{i + 1} AS (
+  SELECT e.dst AS node_id, SUM(r{i}.r // o.odeg) AS s
+  FROM edges e JOIN r{i} ON r{i}.node_id = e.src
+  JOIN outdeg o ON o.src = e.src GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT nodes.node_id,
+         ({100 - damping_pct} * {scale}) // (100 * nn.n)
+           + ({damping_pct} * COALESCE(c{i + 1}.s, 0)) // 100 AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN c{i + 1} ON c{i + 1}.node_id = nodes.node_id
+)"""
+    return parts
+
+
 def pagerank_oracle(
     k: int = 5,
     iterations: int = 5,
@@ -322,10 +358,8 @@ def pagerank_oracle(
     """DuckDB twin of ``operators.graph.pagerank`` over the exact
     kNN(k) cosine graph: the kNN edge CTE reuses the proven
     brute-force cosine shape (unnest-zip, round 6, neighbor-id
-    tiebreak), then the fixed-point integer iterations are unrolled
-    as chained CTEs — BIGINT ``//`` division matches Spark's ``div``
-    exactly on positive operands, so the result hash-matches
-    bit-for-bit (no float accumulation anywhere)."""
+    tiebreak), then the generic integer-iteration CTE chain
+    (pagerank_from_edges_sql) runs on it."""
     head = f"""
 WITH pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -340,31 +374,12 @@ WITH pairs AS (
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM scored)
   WHERE rnk <= {k}
-), nodes AS (
-  SELECT src AS node_id FROM edges UNION SELECT dst FROM edges
-), nn AS (SELECT count(*) AS n FROM nodes),
-outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
-r0 AS (SELECT node_id, {scale} // n AS r FROM nodes CROSS JOIN nn)"""
-    body = ""
-    for i in range(iterations):
-        body += f""",
-c{i + 1} AS (
-  SELECT e.dst AS node_id, SUM(r{i}.r // o.odeg) AS s
-  FROM edges e JOIN r{i} ON r{i}.node_id = e.src
-  JOIN outdeg o ON o.src = e.src GROUP BY e.dst
-),
-r{i + 1} AS (
-  SELECT nodes.node_id,
-         ({100 - damping_pct} * {scale}) // (100 * nn.n)
-           + ({damping_pct} * COALESCE(c{i + 1}.s, 0)) // 100 AS r
-  FROM nodes CROSS JOIN nn
-  LEFT JOIN c{i + 1} ON c{i + 1}.node_id = nodes.node_id
 )"""
     tail = f"""
 SELECT node_id, CAST(r AS BIGINT) AS rank_micro,
        round(r / {float(scale)}, 6) AS rank
 FROM r{iterations}"""
-    return head + body + tail
+    return head + pagerank_from_edges_sql(iterations, damping_pct, scale) + tail
 
 
 def _pq_subspace_parts(

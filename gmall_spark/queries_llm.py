@@ -10620,6 +10620,234 @@ def q_sft_prompt_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "sft_preference_pairs",
+    sft.turns_oracle_cte()
+    + """
+, conv2 AS (
+  SELECT doc_id, t0 AS prompt,
+         length(t1) + COALESCE(length(t3), 0) AS asst_len
+  FROM tt
+), rk AS (
+  SELECT doc_id, prompt, asst_len,
+         first_value(doc_id) OVER w AS chosen_doc_id,
+         first_value(asst_len) OVER w AS chosen_chars,
+         count(*) OVER (PARTITION BY prompt) AS n
+  FROM conv2
+  WINDOW w AS (PARTITION BY prompt ORDER BY asst_len DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT md5(prompt) AS prompt_md5,
+       CAST(chosen_doc_id AS BIGINT) AS chosen_doc_id,
+       CAST(doc_id AS BIGINT) AS rejected_doc_id,
+       CAST(chosen_chars AS BIGINT) AS chosen_chars,
+       CAST(asst_len AS BIGINT) AS rejected_chars,
+       CAST(chosen_chars - asst_len AS BIGINT) AS margin,
+       CAST(CASE WHEN chosen_chars = asst_len THEN 1 ELSE 0 END AS BIGINT)
+         AS is_tie
+FROM rk WHERE n >= 2 AND doc_id <> chosen_doc_id
+""",
+)
+def q_sft_preference_pairs(spark, sf_dir):
+    """Preference-pair construction (X234) — the DPO/RLHF data-prep
+    step downstream of the X233 dedup: within each prompt-collision
+    group, the keeper (richest response) becomes `chosen` and every
+    other member a `rejected` row, with the length margin riding
+    along (a zero margin is a TIE pair — emitted flagged, not
+    silently dropped, so the downstream filter decides; X173).
+    Production shape: top-1-vs-others, LINEAR in group size — never
+    the quadratic all-pairs. Scale: ONE prompt-keyed exchange shared
+    by the chosen-value and count windows; no self-join."""
+    t = sft.turns(_docs(spark, sf_dir))
+    conv = t.select(
+        "doc_id",
+        F.col("turns").getItem(0)["txt"].alias("prompt"),
+        F.aggregate(
+            F.col("turns"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(
+                x["role"] == "assistant", F.length(x["txt"])
+            ).otherwise(F.lit(0)),
+        ).alias("asst_len"),
+    )
+    w = (
+        Window.partitionBy("prompt")
+        .orderBy(F.col("asst_len").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rk = conv.select(
+        "*",
+        F.first("doc_id").over(w).alias("chosen_doc_id"),
+        F.first("asst_len").over(w).alias("chosen_chars"),
+        F.count(F.lit(1)).over(Window.partitionBy("prompt")).alias("n"),
+    )
+    return rk.filter(
+        (F.col("n") >= 2) & (F.col("doc_id") != F.col("chosen_doc_id"))
+    ).select(
+        F.md5("prompt").alias("prompt_md5"),
+        F.col("chosen_doc_id").cast("bigint").alias("chosen_doc_id"),
+        F.col("doc_id").cast("bigint").alias("rejected_doc_id"),
+        F.col("chosen_chars").cast("bigint").alias("chosen_chars"),
+        F.col("asst_len").cast("bigint").alias("rejected_chars"),
+        (F.col("chosen_chars") - F.col("asst_len"))
+        .cast("bigint")
+        .alias("margin"),
+        F.when(F.col("chosen_chars") == F.col("asst_len"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_tie"),
+    )
+
+
+DOMAIN_CAP = 8  # max docs kept per registered domain (X235/X236)
+
+
+@query(
+    "web_domain_capped_sample",
+    _web_oracle()
+    + f"""
+SELECT doc_id, registered_domain, CAST(rk AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, registered_domain,
+         row_number() OVER (PARTITION BY registered_domain
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM w
+) WHERE rk <= {DOMAIN_CAP}
+""",
+)
+def q_web_domain_capped_sample(spark, sf_dir):
+    """Domain-balanced sampling (X235) — the RefinedWeb/C4 cap that
+    keeps one domain from dominating the mix: at most DOMAIN_CAP docs
+    per registered domain, chosen by md5(doc_id) order (deterministic
+    'random' — the X199 displacement discipline at domain grain, so
+    the kept set is reproducible and insertion-order-free). Scale:
+    ONE domain-keyed window; the rank is computed inside the same
+    exchange the rollup would use."""
+    can = weburl.canonicalize(weburl.synth_url(_docs(spark, sf_dir)))
+    w = Window.partitionBy("registered_domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        can.select(
+            "doc_id", "registered_domain", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select(
+            "doc_id",
+            "registered_domain",
+            F.col("rk").cast("bigint").alias("sample_rank"),
+        )
+    )
+
+
+@query(
+    "web_domain_cap_report",
+    _web_oracle()
+    + f"""
+SELECT registered_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(least(count(*), {DOMAIN_CAP}) AS BIGINT) AS n_kept,
+       CAST(greatest(count(*) - {DOMAIN_CAP}, 0) AS BIGINT) AS n_dropped,
+       CAST(CASE WHEN count(*) > {DOMAIN_CAP} THEN 1 ELSE 0 END AS BIGINT)
+         AS cap_hit
+FROM w GROUP BY registered_domain
+""",
+)
+def q_web_domain_cap_report(spark, sf_dir):
+    """Domain-cap audit (X236): what the X235 cap costs each domain —
+    docs seen, kept, dropped, and whether the cap binds (the no-silent-
+    caps rule as a registered query: the sampler's coverage loss is a
+    first-class report, not a footnote). One domain-keyed aggregate;
+    the kept/dropped arithmetic needs no second pass over the sample."""
+    can = weburl.canonicalize(weburl.synth_url(_docs(spark, sf_dir)))
+    return can.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.least(F.count(F.lit(1)), F.lit(DOMAIN_CAP))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.greatest(F.count(F.lit(1)) - DOMAIN_CAP, F.lit(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.when(F.count(F.lit(1)) > DOMAIN_CAP, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("cap_hit"),
+    )
+
+
+def _host_graph_oracle() -> str:
+    from gmall_spark.ann_oracles import pagerank_from_edges_sql
+    from gmall_spark.operators.graph import PR_SCALE
+
+    return (
+        f"""
+WITH pages AS (
+  SELECT DISTINCT doc_id % 40 AS u FROM documents
+), edges AS (
+  SELECT u AS src, (u * 7 + 3) % 40 AS dst FROM pages
+  UNION ALL
+  SELECT u AS src, (u * 11 + 5) % 40 AS dst FROM pages
+)"""
+        + pagerank_from_edges_sql()
+        + f"""
+, dom AS (
+  SELECT DISTINCT doc_id % 40 AS u,
+         {weburl.registered_domain_oracle_expr()} AS registered_domain
+  FROM documents
+)
+SELECT r.node_id,
+       d.registered_domain,
+       CAST(r.r AS BIGINT) AS rank_micro,
+       round(r.r / {float(PR_SCALE)}, 6) AS rank
+FROM r5 r LEFT JOIN dom d ON d.u = r.node_id
+"""
+    )
+
+
+@query("web_host_pagerank", _host_graph_oracle())
+def q_web_host_pagerank(spark, sf_dir):
+    """Link-graph page centrality (X237) — the crawl-frontier quality
+    prior (CommonCrawl publishes exactly this: a host-level rank that
+    seeds crawl priority and domain quality weighting): PageRank over
+    the deterministic synthetic link graph 'page u links to pages
+    (7u+3) % 40 and (11u+5) % 40' (u is the SAME page identity the
+    X225 URL tier synthesizes — self-loop- and multi-edge-free by the
+    modular arithmetic, documented in the test), joined back to the
+    provenance relation's registered domain as the prior consumers
+    read. Reuses the X146 integer fixed-point pagerank
+    (operators/graph.py — BIGINT div, bit-identical across engines,
+    no float accumulation). Scale: iterations shuffle only (node,
+    rank) pairs; the page->domain attach is a broadcast join."""
+    from gmall_spark.operators import graph
+
+    pages = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 40).alias("u"))
+        .distinct()
+    )
+    edges = pages.select(
+        F.col("u").alias("src"), ((F.col("u") * 7 + 3) % 40).alias("dst")
+    ).unionAll(
+        pages.select(
+            F.col("u").alias("src"),
+            ((F.col("u") * 11 + 5) % 40).alias("dst"),
+        )
+    )
+    ranks = graph.pagerank(edges)
+    dom = (
+        weburl.canonicalize(weburl.synth_url(_docs(spark, sf_dir)))
+        .select(
+            (F.col("doc_id") % 40).alias("u"), "registered_domain"
+        )
+        .distinct()
+    )
+    return ranks.join(
+        F.broadcast(dom), ranks["node_id"] == dom["u"], "left"
+    ).select("node_id", "registered_domain", "rank_micro", "rank")
+
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

@@ -527,6 +527,17 @@ BUDGETS = [
     # r10: prompt dedup — ONE prompt-keyed exchange shared by the
     # count and rank windows
     ("sft_prompt_dedup", 2, 0),
+    # r10: preference pairs — the same single prompt-keyed exchange
+    # (chosen-value + count windows); no self-join
+    ("sft_preference_pairs", 2, 0),
+    # r10: domain-capped sample — ONE domain-keyed window
+    ("web_domain_capped_sample", 2, 0),
+    # r10: cap report — ONE domain-keyed aggregate
+    ("web_domain_cap_report", 2, 0),
+    # r10: host pagerank — iterations ride localCheckpoints (lineage
+    # truncated); the returned plan is the checkpoint scan + the
+    # broadcast domain attach
+    ("web_host_pagerank", 2, 1),
 ]
 
 

@@ -2788,6 +2788,74 @@ def test_incremental_sft_keeper_equals_batch(spark, sf_dir, tmpdir):
     assert got_hashed == want and len(want) > 0
 
 
+def test_incremental_pagerank_equals_batch(spark, sf_dir, tmpdir):
+    """Streaming twin of the X237 page centrality (RE-DERIVE class):
+    pages-seen state appends; ranks re-derive over the merged edge
+    set with the identical integer fixed-point operator — after a
+    two-batch readStream ingest the rank view is bit-equal to the
+    batch query's rank columns on the full corpus."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.streaming import incremental_pagerank as ipr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = f"{tmpdir}/pr_store"
+    src = f"{tmpdir}/pr_src"
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, _eid: ipr.process_batch(spark, b, store),
+        checkpoint=f"{tmpdir}/ckpt_incr_pr",
+    )
+    q.awaitTermination(180)
+    got = {
+        r.node_id: r.rank_micro
+        for r in ipr.current_ranks(spark, store).collect()
+    }
+    want = {
+        r.node_id: r.rank_micro
+        for r in QUERIES["web_host_pagerank"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_incremental_pagerank_rank_change_log(spark, tmpdir):
+    """Planted retroactivity: batch 1 ranks a 2-page subgraph; batch
+    2 adds a page linking INTO it — mass flows, previously-ranked
+    nodes move, and the change log names them with old and new
+    values."""
+    from gmall_spark.streaming import incremental_pagerank as ipr
+
+    store = f"{tmpdir}/pr_change"
+    b1 = spark.createDataFrame([(0, "x"), (3, "x")], "doc_id long, text string")
+    m1 = {r.node_id: r for r in ipr.process_batch(spark, b1, store).collect()}
+    assert m1 and all(r.old_rank_micro is None for r in m1.values())
+    before = {
+        r.node_id: r.rank_micro
+        for r in ipr.current_ranks(spark, store).collect()
+    }
+    # page 11 links to (7*11+3)%40 = 0 and (11*11+5)%40 = 6: an edge
+    # INTO the existing node 0
+    b2 = spark.createDataFrame([(11, "x")], "doc_id long, text string")
+    m2 = {r.node_id: r for r in ipr.process_batch(spark, b2, store).collect()}
+    assert 0 in m2 and m2[0].old_rank_micro == before[0]
+    assert m2[0].new_rank_micro != m2[0].old_rank_micro
+    after = {
+        r.node_id: r.rank_micro
+        for r in ipr.current_ranks(spark, store).collect()
+    }
+    assert after[0] == m2[0].new_rank_micro
+
+
 def test_incremental_sft_keeper_displacement(spark, tmpdir):
     """Planted retroactivity: batch 1 establishes a keeper; batch 2
     ships a RICHER response to the same prompt — the displacement log

@@ -93,6 +93,63 @@ def test_tracking_only_query_has_no_question_mark(spark):
     assert row.n_tracking_dropped == 2
 
 
+def test_canonicalize_idempotent(spark):
+    """canonicalize(canonical) == canonical over the whole synth
+    corpus — a true canonical form is a fixed point (a second pass
+    that changes anything means some rule left un-normalized residue
+    for another rule to find; the classic rule-ordering bug)."""
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    once = W.canonicalize(W.synth_url(docs)).select(
+        "doc_id", F.col("url_canonical").alias("url")
+    )
+    n = (
+        W.canonicalize(once)
+        .join(once, "doc_id")
+        .filter(F.col("url_canonical") != F.col("url"))
+        .count()
+    )
+    assert n == 0
+
+
+def test_host_graph_is_simple(spark):
+    """The X237 synthetic link graph has no self-loops and no
+    multi-edges, by the modular arithmetic: (7u+3) ≡ u and
+    (11u+5) ≡ u (mod 40) have no solutions (gcd obstructions), and
+    the two targets never coincide (4u ≡ 2 mod 40 is unsolvable).
+    Checked exhaustively — the claim the docstring makes."""
+    for u in range(40):
+        a, b = (7 * u + 3) % 40, (11 * u + 5) % 40
+        assert a != u and b != u and a != b, u
+
+
+def test_domain_cap_binds_and_is_deterministic(spark, sf_dir, monkeypatch):
+    """Planted over-dense domain: 20 docs in one doc_id%40 class all
+    land on one registered domain — the cap keeps exactly DOMAIN_CAP
+    of them, the report charges the rest as dropped, and the kept set
+    is deterministic (re-run identical)."""
+    import gmall_spark.queries_llm as qllm
+    from gmall_spark.queries import QUERIES
+
+    planted = spark.createDataFrame(
+        [(40 * i, f"doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(qllm, "_docs", lambda s, d: planted)
+    a = {
+        r.doc_id
+        for r in QUERIES["web_domain_capped_sample"](spark, sf_dir).collect()
+    }
+    b = {
+        r.doc_id
+        for r in QUERIES["web_domain_capped_sample"](spark, sf_dir).collect()
+    }
+    assert a == b and len(a) == qllm.DOMAIN_CAP
+    rep = QUERIES["web_domain_cap_report"](spark, sf_dir).collect()
+    assert len(rep) == 1
+    assert rep[0].n_docs == 20 and rep[0].n_dropped == 12
+    assert rep[0].cap_hit == 1 and rep[0].n_kept == len(a)
+
+
 def test_synth_identity_is_u_mod_40(spark):
     """Two docs with doc_id ≡ (mod 40) canonicalize to the SAME url
     even though their raw strings differ (the noise rules genuinely
