@@ -133,9 +133,11 @@ BUDGETS = [
     # composed stages' own shapes are pinned by
     # test_stage_fixture_build_plans (r7: 38 -> 6 exchanges)
     ("llm_corpus_curation_v3", 6, 2),
-    # frozen-model scoring (X112): train-half model aggs + totals +
-    # the LEFT scoring joins (model + totals broadcast) + per-doc agg
-    ("text_lm_score_frozen_model", 12, 2),
+    # frozen-model scoring (X112): r10 — the query RETURNS the shared
+    # frozen_lm checkpoint (same fixture lifecycle as the KN twin;
+    # the build's own shape — model aggs + broadcast scoring joins —
+    # is exercised while the fixture materializes)
+    ("text_lm_score_frozen_model", 1, 0),
     # DSIR (X114): the weights query reads the shared fixture
     # checkpoint (build pinned in test_stage_fixture_build_plans);
     # the resample adds the bounded histogram exchange + the

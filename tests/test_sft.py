@@ -10,10 +10,69 @@ keeper tie rule and MIN_WORDS filter on planted conversations.
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from gmall_spark.operators import sft
 from gmall_spark.queries import QUERIES
+
+_HYP = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# arbitrary unicode turn texts (no surrogates), INCLUDING strings that
+# look like template markers — offsets are by construction, so a turn
+# containing '<|assistant|>' or a copy of another turn must not
+# confuse them (the failure mode substring search would have)
+_turn_text = st.text(
+    alphabet=st.one_of(
+        st.characters(blacklist_categories=("Cs",)),
+        st.sampled_from(list("<|>iuser assistant end")),
+    ),
+    max_size=20,
+)
+_turns_strategy = st.lists(_turn_text, min_size=1, max_size=8)
+
+
+@given(texts=_turns_strategy)
+@settings(**_HYP)
+def test_fold_matches_python_reference_general_n(spark, texts):
+    """The general-n fold vs a plain Python renderer: rendered string
+    and every assistant [start, end) span agree for ANY turn count
+    (the oracle only exercises n <= 4), any unicode, and marker-like
+    turn contents."""
+    turns = [
+        ("user" if i % 2 == 0 else "assistant", t)
+        for i, t in enumerate(texts)
+    ]
+    # Python reference: render + offsets by construction
+    rendered = sft.SYSTEM_PREFIX
+    spans = []
+    for role, txt in turns:
+        hdr = sft.HDR_USER if role == "user" else sft.HDR_ASSISTANT
+        start = len(rendered) + len(hdr)
+        rendered += hdr + txt + sft.END
+        if role == "assistant":
+            spans.append(f"{start}:{start + len(txt)}")
+    want_spans = ";".join(spans)
+
+    df = spark.createDataFrame(
+        [(turns,)],
+        "turns array<struct<role:string,txt:string>>",
+    )
+    row = df.select(
+        sft.rendered(F.col("turns")).alias("r"),
+        sft.loss_spans(F.col("turns")).alias("s"),
+    ).collect()[0]
+    assert row.r == rendered
+    assert row.s == want_spans
+    asst_txts = [t for role, t in turns if role == "assistant"]
+    for sp, txt in zip(spans, asst_txts):
+        a, b = map(int, sp.split(":"))
+        assert rendered[a:b] == txt
 
 
 def test_span_theorem_on_corpus(spark, sf_dir):
