@@ -200,6 +200,7 @@ HEADLINE = [
     "web_domain_capped_sample",
     "web_domain_cap_report",
     "web_host_pagerank",
+    "llm_packed_boundaries",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

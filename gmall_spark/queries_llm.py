@@ -5792,11 +5792,12 @@ _PACK_LEN_SQL = (
 )
 
 
-def _ffd_pack_oracle(lens_cte: str) -> str:
-    """The X175 FFD assignment as chained CTEs over ``lens_cte``, a
-    CTE body producing (doc_id, n_tok) with n_tok in [1, cap] —
-    parameterized so compositions (X188 curation v4) replay the
-    identical packer on a FILTERED corpus."""
+def _ffd_pack_cte(lens_cte: str) -> str:
+    """The X175 FFD assignment CTE chain (ending at ``a``) over
+    ``lens_cte``, a CTE body producing (doc_id, n_tok) with n_tok in
+    [1, cap] — parameterized so compositions (X188 curation v4, X238
+    boundaries) replay the identical packer; callers write the final
+    SELECT."""
     cap = SEQ_PACK_CAP
     return f"""
 WITH lens AS ({lens_cte}), b AS (
@@ -5821,7 +5822,15 @@ WITH lens AS ({lens_cte}), b AS (
               THEN (rn - 1) // slots
               ELSE start_tok // cp END AS pack_no
   FROM m
-)
+)"""
+
+
+def _ffd_pack_oracle(lens_cte: str) -> str:
+    """The X175 packed table: the CTE chain plus its standard final
+    SELECT."""
+    return (
+        _ffd_pack_cte(lens_cte)
+        + """
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(bucket_len AS BIGINT) AS bucket_len,
        bucket_len::VARCHAR || '_' || pack_no::VARCHAR AS pack_id,
@@ -5829,6 +5838,7 @@ SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
          AS pack_fill
 FROM a
 """
+    )
 
 
 @query(
@@ -10846,6 +10856,65 @@ def q_web_host_pagerank(spark, sf_dir):
     return ranks.join(
         F.broadcast(dom), ranks["node_id"] == dom["u"], "left"
     ).select("node_id", "registered_domain", "rank_micro", "rank")
+
+
+# --- packed-sequence boundary offsets (X238) ----------------------------------
+
+
+@query(
+    "llm_packed_boundaries",
+    _ffd_pack_cte(f"SELECT doc_id, {_PACK_LEN_SQL} AS n_tok FROM documents")
+    + """
+, pk AS (
+  SELECT doc_id, n_tok, bucket_len, pack_no,
+         row_number() OVER win2 AS bi,
+         sum(n_tok) OVER win2 - n_tok AS seq_start
+  FROM a
+  WINDOW win2 AS (PARTITION BY bucket_len, pack_no
+                  ORDER BY n_tok DESC, doc_id ASC)
+)
+SELECT doc_id,
+       bucket_len::VARCHAR || '_' || pack_no::VARCHAR AS pack_id,
+       CAST(bi AS BIGINT) AS boundary_index,
+       CAST(seq_start AS BIGINT) AS seq_start,
+       CAST(seq_start + n_tok AS BIGINT) AS seq_end
+FROM pk
+""",
+)
+def q_llm_packed_boundaries(spark, sf_dir):
+    """Packed-row boundary offsets (X238) — the loader-facing half
+    the X175 packed table was missing: within each training row the
+    member documents' [seq_start, seq_end) token offsets, in the
+    deterministic FFD member order — exactly what the collator needs
+    to reset positions and block cross-document attention at pack
+    boundaries (the X231 loss-span discipline one level up: offsets
+    by construction from the same prefix sums that placed the docs,
+    never by searching the concatenated row). The cap is a theorem
+    at OFFSET grain too: max seq_end == pack_fill <= cap, boundaries
+    contiguous, first starts at 0 (pinned in-suite). Scale: the X175
+    bucket_len exchange plus ONE (bucket_len, pack_no)-keyed window —
+    integer-exact everywhere."""
+    cap = SEQ_PACK_CAP
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        rf"least(greatest(size(filter(split(text, '\\s+'), x -> x != '')), 1),"
+        rf" {cap}) AS n_tok",
+    )
+    packed = pack_rows(d, cap).withColumn(
+        "n_tok_l", F.col("n_tok").cast("long")
+    )
+    win2 = Window.partitionBy("pack_id").orderBy(
+        F.desc("n_tok"), F.asc("doc_id")
+    )
+    return packed.select(
+        "doc_id",
+        "pack_id",
+        F.row_number().over(win2).cast("bigint").alias("boundary_index"),
+        (F.sum("n_tok_l").over(win2) - F.col("n_tok_l"))
+        .cast("bigint")
+        .alias("seq_start"),
+        F.sum("n_tok_l").over(win2).cast("bigint").alias("seq_end"),
+    )
 
 
 _REGISTERED = True

@@ -1557,6 +1557,37 @@ def test_sequence_packing_beats_bucketed_padding(spark, sf_dir):
     assert packed_util >= pad.tok / pad.pad, (packed_util, pad)
 
 
+def test_packed_boundaries_theorems(spark, sf_dir):
+    """X238 offset theorems over the whole corpus: within every pack,
+    boundaries are contiguous (next seq_start == previous seq_end),
+    the first doc starts at 0, the last seq_end equals the X175
+    pack_fill, and NO offset exceeds the cap — the cap holds at
+    offset grain, not just at the fill sum."""
+    from collections import defaultdict
+
+    from gmall_spark import queries_llm
+
+    rows = queries_llm.q_llm_packed_boundaries(spark, sf_dir).collect()
+    fills = {
+        r.pack_id: r.pack_fill
+        for r in queries_llm.q_llm_sequence_packing_ffd(spark, sf_dir)
+        .select("pack_id", "pack_fill")
+        .distinct()
+        .collect()
+    }
+    packs = defaultdict(list)
+    for r in rows:
+        packs[r.pack_id].append(r)
+    assert packs and any(len(v) > 1 for v in packs.values())
+    for pid, members in packs.items():
+        members.sort(key=lambda r: r.boundary_index)
+        assert members[0].seq_start == 0, pid
+        for a, b in zip(members, members[1:]):
+            assert b.seq_start == a.seq_end, (pid, a, b)
+        assert members[-1].seq_end == fills[pid], pid
+        assert members[-1].seq_end <= queries_llm.SEQ_PACK_CAP, pid
+
+
 def test_hist_quantile_sketch_error_bound(spark, sf_dir):
     """X179 accuracy gate: every estimated upper edge is within one
     bucket width ABOVE the exact percentile (and not below it) —

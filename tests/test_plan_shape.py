@@ -540,6 +540,9 @@ BUDGETS = [
     # truncated); the returned plan is the checkpoint scan + the
     # broadcast domain attach
     ("web_host_pagerank", 2, 1),
+    # r10: packed boundaries — the X175 bucket_len exchange plus ONE
+    # (bucket_len, pack_no)-keyed offset window
+    ("llm_packed_boundaries", 3, 0),
 ]
 
 
