@@ -201,6 +201,8 @@ HEADLINE = [
     "web_domain_cap_report",
     "web_host_pagerank",
     "llm_packed_boundaries",
+    "text_hashed_ngram_classifier",
+    "text_hashed_classifier_confusion",
 ]
 
 REPEATS = 3  # timings report the min over this many runs per query

@@ -104,6 +104,7 @@ def clear_cache() -> None:
     queries_llm._EMB_DIM.clear()
     queries_llm._DOC_COUNTS.clear()
     queries_llm._BITEXT_COUNTS.clear()
+    queries_llm._HASHED_WTS.clear()
     queries_llm._DEDUP_GROUPS.clear()
     queries_llm._PQ_BOOKS.clear()
     queries_llm._SQ_STATS.clear()

@@ -10917,6 +10917,231 @@ def q_llm_packed_boundaries(spark, sf_dir):
     )
 
 
+# --- hashing-trick linear classifier (X239-X240) -------------------------------
+
+HASH_BUCKETS = 64  # fixed model width — the hashing trick's entire point
+
+# engine-portable bucket expression over a word column (the X4 md5
+# idiom: Spark spells hex→int as conv(), DuckDB as CAST('0x…'))
+_BUCKET_SPARK = (
+    f"cast(conv(substring(md5({{w}}), 1, 4), 16, 10) as bigint)"
+    f" % {HASH_BUCKETS}"
+)
+_BUCKET_SQL = (
+    f"CAST(('0x' || substr(md5({{w}}), 1, 4)) AS BIGINT) % {HASH_BUCKETS}"
+)
+
+_HASHED_NB_ORACLE = f"""
+WITH wd AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, lang, {_BUCKET_SQL.format(w='w')} AS b FROM wd
+), tr AS (
+  SELECT * FROM g WHERE doc_id % 2 = 0
+), cls AS (
+  SELECT b,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_rest
+  FROM tr GROUP BY b
+), tots AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_en,
+         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS t_rest
+  FROM tr
+), wts AS (
+  SELECT r.range AS b,
+         ln((COALESCE(c.c_en, 0) + 1.0) / (t.t_en + {HASH_BUCKETS}.0))
+           - ln((COALESCE(c.c_rest, 0) + 1.0) / (t.t_rest + {HASH_BUCKETS}.0))
+           AS w
+  FROM range(0, {HASH_BUCKETS}) r LEFT JOIN cls c ON c.b = r.range, tots t
+), scored AS (
+  SELECT e.doc_id, e.lang, count(*) AS n_words, sum(w.w) AS s
+  FROM g e JOIN wts w ON w.b = e.b
+  WHERE e.doc_id % 2 = 1
+  GROUP BY e.doc_id, e.lang
+)
+"""
+
+
+_HASHED_WTS: dict[tuple[str, str], list[float]] = {}
+
+
+def _hashed_nb_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Train the hashed-feature NB linear model on the even half:
+    per-bucket log-likelihood-ratio weights, Laplace-smoothed —
+    multinomial NB IS a linear model over the hashed counts, so
+    training is two integer aggregates and a log, closed-form in the
+    corpus (no iterations, no optimizer). Returns the
+    HASH_BUCKETS-float weight vector (the deployable artifact — its
+    size is FIXED at any corpus scale; collect is constant-bounded,
+    the quantizer-training precedent)."""
+    key = (_session_token(spark), sf_dir)
+    if key not in _HASHED_WTS:
+        tr = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 2 == 0)
+            .select(
+                "lang",
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda x: x != "",
+                    )
+                ).alias("w"),
+            )
+            .selectExpr("lang", _BUCKET_SPARK.format(w="w") + " AS b")
+        )
+        cls = (
+            tr.groupBy("b")
+            .agg(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                    "c_en"
+                ),
+                F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias(
+                    "c_rest"
+                ),
+            )
+            .collect()
+        )
+        c_en = {r.b: r.c_en for r in cls}
+        c_rest = {r.b: r.c_rest for r in cls}
+        t_en = sum(c_en.values())
+        t_rest = sum(c_rest.values())
+        import math
+
+        B = HASH_BUCKETS
+        _HASHED_WTS[key] = [
+            math.log((c_en.get(b, 0) + 1.0) / (t_en + float(B)))
+            - math.log((c_rest.get(b, 0) + 1.0) / (t_rest + float(B)))
+            for b in range(B)
+        ]
+    return _HASHED_WTS[key]
+
+
+@query(
+    "text_hashed_ngram_classifier",
+    _HASHED_NB_ORACLE
+    + """
+SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+       round(s / n_words, 6) AS score,
+       CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_en,
+       CAST(CASE WHEN (s > 0) = (lang = 'en') THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM scored
+""",
+)
+def q_text_hashed_ngram_classifier(spark, sf_dir):
+    """Hashing-trick linear classifier (X239; Weinberger 2009, the
+    fastText/Vowpal-Wabbit deployment shape — the model family the
+    CCNet/RefinedWeb quality and language filters actually ship):
+    word features hash into a FIXED HASH_BUCKETS-wide vector, so the
+    model size is bounded at ANY corpus scale (at 100 TB the
+    vocabulary is unbounded; the model is not — the trick's entire
+    point), and multinomial-NB training is closed-form: per-bucket
+    Laplace-smoothed log-likelihood-ratio weights from two integer
+    aggregates over the even half (the X112/X218 frozen-split
+    discipline), scoring the odd half. Scoring is the production
+    shape: the 64-float model rides the plan as a LITERAL array
+    (X190 sign-row precedent) and each doc scores in one per-row
+    fold — zero shuffle, zero join. On the driver corpus the held-out
+    accuracy sits at the ~53% coin-flip floor and THAT IS THE TRUE
+    VALUE — the synthetic lang label is independent of the text (the
+    X120 NB finding: langs share one word distribution), so the
+    mechanics are pinned by the planted disjoint-vocabulary fixture
+    (accuracy 1.0) in tests/test_hashed_classifier.py, and the
+    corpus grid (X240) honestly reports the floor."""
+    wts = _hashed_nb_weights(spark, sf_dir)
+    w_arr = F.array(*[F.lit(w) for w in wts])
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    # per-row fold: sum of the hashed buckets' weights over word
+    # instances (the element_at index is 1-based)
+    ev = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", words.alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    score_sum = F.expr(
+        f"aggregate(ws, cast(0.0 as double), (acc, x) -> acc + "
+        f"element_at(warr, cast({_BUCKET_SPARK.format(w='x')} as int) + 1))"
+    )
+    return (
+        ev.withColumn("warr", w_arr)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("ws").cast("bigint").alias("n_words"),
+            score_sum.alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.round(F.col("s") / F.col("n_words"), 6).alias("score"),
+            F.when(F.col("s") > 0, 1).otherwise(0).cast("bigint").alias(
+                "pred_en"
+            ),
+            F.when(
+                (F.col("s") > 0) == (F.col("lang") == "en"), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("correct"),
+        )
+    )
+
+
+@query(
+    "text_hashed_classifier_confusion",
+    _HASHED_NB_ORACLE
+    + """
+, f AS (
+  SELECT CASE WHEN s > 0 THEN 1 ELSE 0 END AS pred_en,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM scored
+), cells AS (
+  SELECT pred_en, is_en, count(*) AS n FROM f GROUP BY 1, 2
+)
+SELECT CAST(g.pred_en AS BIGINT) AS pred_en,
+       CAST(g.is_en AS BIGINT) AS is_en,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs
+FROM (VALUES (0,0),(0,1),(1,0),(1,1)) g(pred_en, is_en)
+LEFT JOIN cells c ON c.pred_en = g.pred_en AND c.is_en = g.is_en
+""",
+)
+def q_text_hashed_classifier_confusion(spark, sf_dir):
+    """X239's acceptance grid (X240): the held-out confusion matrix
+    every filter ships with — all four cells emitted even at zero
+    (X173), so precision/recall are one division away and a
+    degenerate always-one-class model is visible immediately. One
+    grid-bounded aggregate over the scored relation."""
+    scored = q_text_hashed_ngram_classifier(spark, sf_dir)
+    cells = (
+        scored.select(
+            "pred_en",
+            F.when(F.col("lang") == "en", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_en"),
+        )
+        .groupBy("pred_en", "is_en")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = spark.createDataFrame(
+        [(a, b) for a in (0, 1) for b in (0, 1)],
+        "pred_en BIGINT, is_en BIGINT",
+    )
+    return grid.join(F.broadcast(cells), ["pred_en", "is_en"], "left").select(
+        "pred_en",
+        "is_en",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+    )
+
+
 _REGISTERED = True
 
 from gmall_spark import queries as _queries_mod  # noqa: E402

@@ -543,6 +543,12 @@ BUDGETS = [
     # r10: packed boundaries — the X175 bucket_len exchange plus ONE
     # (bucket_len, pack_no)-keyed offset window
     ("llm_packed_boundaries", 3, 0),
+    # r10: hashed classifier — the 64-float model is a plan-time
+    # literal (training collect is constant-bounded, quantizer
+    # precedent); scoring is ONE per-row fold, scan fan-out only
+    ("text_hashed_ngram_classifier", 1, 0),
+    # r10: confusion — scored relation + 4-cell agg; grid broadcasts
+    ("text_hashed_classifier_confusion", 2, 1),
 ]
 
 
