@@ -25,12 +25,15 @@ every rule has to fire to merge them).
 Canonicalization rule chain (RFC 3986 normalization + the tracking
 strip every crawler runs; order documented because it is the
 semantics):
-  1. scheme and host lowercase
+  1. scheme and host lowercase; userinfo ('user:pw@') dropped from
+     the authority (credentials are never page identity)
   2. 'www.' host prefix stripped
   3. default port stripped (80 for http, 443 for https); any other
      port kept
-  4. path: runs of '/' collapse to one, '/./' dot-segments removed,
-     trailing '/' stripped (non-root)
+  4. path: runs of '/' collapse to one, '/./' dot-segments removed
+     (including consecutive runs '/././' and a trailing '/.', via a
+     single run-greedy pass — see canonicalize), trailing '/'
+     stripped (non-root)
   5. query: tracking params dropped (utm_*, gclid, fbclid),
      survivors sorted lexicographically
   6. fragment dropped
@@ -230,7 +233,12 @@ def canonicalize(
     join back)."""
     url = F.col(url_col)
     proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    auth = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    # userinfo stripped before host/port extraction: 'User:pw@Host'
+    # would otherwise leak credentials into host and registered_domain
+    # (rule 1; ADVICE r10)
+    auth = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("AUTHORITY"))), r"^[^@]*@", ""
+    )
     port_digits = F.regexp_extract(auth, r":(\d+)$", 1)
     host = F.regexp_replace(
         F.regexp_replace(auth, r":\d+$", ""), r"^www\.", ""
@@ -239,9 +247,17 @@ def canonicalize(
         (proto == F.lit("http")) & (port_digits == F.lit("80"))
     ) | ((proto == F.lit("https")) & (port_digits == F.lit("443")))
     keep_port = (port_digits != F.lit("")) & ~is_default_port
+    # dot segments: one pass of '(/\.)+(/|$)' → '/' removes whole
+    # RUNS ('/a/././b' → '/a/b') and a trailing '/a/.' ('→ /a/', then
+    # the trailing-slash rule finishes it) — the naive single
+    # non-overlapping '/\./' pass leaves residue on consecutive
+    # segments because the closing '/' of one match is the opener of
+    # the next (ADVICE r10). Greedy '+' consumes a run whole, so no
+    # two matches ever need to share a character and one pass IS the
+    # fixed point.
     path = F.regexp_replace(
         F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/{2,}", "/"),
-        r"/\./",
+        r"(/\.)+(/|$)",
         "/",
     )
     path = F.when(

@@ -10951,10 +10951,15 @@ WITH wd AS (
          sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS t_rest
   FROM tr
 ), wts AS (
+  -- frozen in FIXED POINT (1e-9 units, floor(x*1e9+0.5) so both
+  -- engines round identically): the scored sum is then an exact
+  -- integer, immune to summation order, and pred_en's sign is
+  -- bit-reproducible (ADVICE r10)
   SELECT r.range AS b,
-         ln((COALESCE(c.c_en, 0) + 1.0) / (t.t_en + {HASH_BUCKETS}.0))
+         CAST(floor((
+           ln((COALESCE(c.c_en, 0) + 1.0) / (t.t_en + {HASH_BUCKETS}.0))
            - ln((COALESCE(c.c_rest, 0) + 1.0) / (t.t_rest + {HASH_BUCKETS}.0))
-           AS w
+         ) * 1000000000.0 + 0.5) AS BIGINT) AS w
   FROM range(0, {HASH_BUCKETS}) r LEFT JOIN cls c ON c.b = r.range, tots t
 ), scored AS (
   SELECT e.doc_id, e.lang, count(*) AS n_words, sum(w.w) AS s
@@ -10965,18 +10970,26 @@ WITH wd AS (
 """
 
 
-_HASHED_WTS: dict[tuple[str, str], list[float]] = {}
+_HASHED_WTS: dict[tuple[str, str], list[int]] = {}
+
+# fixed-point weight scale: weights freeze as BIGINTs in 1e-9 units
+# via floor(x*SCALE+0.5) (identical rounding in Python and DuckDB —
+# Python round() is banker's, DuckDB round() is half-away, floor+0.5
+# is the one expression both compute bit-identically), so the scored
+# per-doc sum is an exact integer and pred_en's sign can never flip
+# between engines or across summation orders (ADVICE r10).
+WEIGHT_SCALE = 10**9
 
 
-def _hashed_nb_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+def _hashed_nb_weights(spark: SparkSession, sf_dir: str) -> list[int]:
     """Train the hashed-feature NB linear model on the even half:
     per-bucket log-likelihood-ratio weights, Laplace-smoothed —
     multinomial NB IS a linear model over the hashed counts, so
     training is two integer aggregates and a log, closed-form in the
     corpus (no iterations, no optimizer). Returns the
-    HASH_BUCKETS-float weight vector (the deployable artifact — its
-    size is FIXED at any corpus scale; collect is constant-bounded,
-    the quantizer-training precedent)."""
+    HASH_BUCKETS-long fixed-point weight vector (the deployable
+    artifact — its size is FIXED at any corpus scale; collect is
+    constant-bounded, the quantizer-training precedent)."""
     key = (_session_token(spark), sf_dir)
     if key not in _HASHED_WTS:
         tr = (
@@ -11013,8 +11026,14 @@ def _hashed_nb_weights(spark: SparkSession, sf_dir: str) -> list[float]:
 
         B = HASH_BUCKETS
         _HASHED_WTS[key] = [
-            math.log((c_en.get(b, 0) + 1.0) / (t_en + float(B)))
-            - math.log((c_rest.get(b, 0) + 1.0) / (t_rest + float(B)))
+            math.floor(
+                (
+                    math.log((c_en.get(b, 0) + 1.0) / (t_en + float(B)))
+                    - math.log((c_rest.get(b, 0) + 1.0) / (t_rest + float(B)))
+                )
+                * WEIGHT_SCALE
+                + 0.5
+            )
             for b in range(B)
         ]
     return _HASHED_WTS[key]
@@ -11025,7 +11044,7 @@ def _hashed_nb_weights(spark: SparkSession, sf_dir: str) -> list[float]:
     _HASHED_NB_ORACLE
     + """
 SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
-       round(s / n_words, 6) AS score,
+       round((s / 1000000000.0) / n_words, 6) AS score,
        CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_en,
        CAST(CASE WHEN (s > 0) = (lang = 'en') THEN 1 ELSE 0 END AS BIGINT)
          AS correct
@@ -11051,9 +11070,12 @@ def q_text_hashed_ngram_classifier(spark, sf_dir):
     X120 NB finding: langs share one word distribution), so the
     mechanics are pinned by the planted disjoint-vocabulary fixture
     (accuracy 1.0) in tests/test_hashed_classifier.py, and the
-    corpus grid (X240) honestly reports the floor."""
+    corpus grid (X240) honestly reports the floor. The model freezes
+    in FIXED POINT (WEIGHT_SCALE BIGINT units): the per-doc score sum
+    is then an exact integer in both engines, so pred_en/correct are
+    bit-reproducible regardless of summation order (ADVICE r10)."""
     wts = _hashed_nb_weights(spark, sf_dir)
-    w_arr = F.array(*[F.lit(w) for w in wts])
+    w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in wts])
     words = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
     )
@@ -11066,7 +11088,7 @@ def q_text_hashed_ngram_classifier(spark, sf_dir):
         .filter(F.size("ws") > 0)
     )
     score_sum = F.expr(
-        f"aggregate(ws, cast(0.0 as double), (acc, x) -> acc + "
+        f"aggregate(ws, cast(0 as bigint), (acc, x) -> acc + "
         f"element_at(warr, cast({_BUCKET_SPARK.format(w='x')} as int) + 1))"
     )
     return (
@@ -11081,7 +11103,9 @@ def q_text_hashed_ngram_classifier(spark, sf_dir):
             "doc_id",
             "lang",
             "n_words",
-            F.round(F.col("s") / F.col("n_words"), 6).alias("score"),
+            F.round(
+                F.col("s") / F.lit(float(WEIGHT_SCALE)) / F.col("n_words"), 6
+            ).alias("score"),
             F.when(F.col("s") > 0, 1).otherwise(0).cast("bigint").alias(
                 "pred_en"
             ),

@@ -22,10 +22,23 @@ CASES = [
     ("https://h.com:443/a?x=1", "https://h.com/a?x=1"),
     ("http://h.com:443/a?x=1", "http://h.com:443/a?x=1"),
     ("https://h.com:8080/a?x=1", "https://h.com:8080/a?x=1"),
+    # rule 1: userinfo dropped before host extraction (ADVICE r10)
+    ("http://User:pw@Host.com/a?x=1", "http://host.com/a?x=1"),
+    ("https://alice@www.h.com:443/a?x=1", "https://h.com/a?x=1"),
     # rule 4: slash runs collapse, '/./' removed, trailing '/' stripped
     ("http://h.com/a///b?x=1", "http://h.com/a/b?x=1"),
     ("http://h.com/a/./b?x=1", "http://h.com/a/b?x=1"),
     ("http://h.com/a/b/?x=1", "http://h.com/a/b?x=1"),
+    # rule 4 runs: consecutive '/./' segments collapse in ONE pass
+    # ('/a/././b' must not leave '/a/./b' residue — ADVICE r10), and a
+    # trailing '/a/.' is removed like a trailing slash
+    ("http://h.com/a/././b?x=1", "http://h.com/a/b?x=1", ),
+    ("http://h.com/a/./././b?x=1", "http://h.com/a/b?x=1"),
+    ("http://h.com/a/.?x=1", "http://h.com/a?x=1"),
+    ("http://h.com/a/./?x=1", "http://h.com/a?x=1"),
+    ("http://h.com/./a/.?x=1", "http://h.com/a?x=1"),
+    # dotFILE segments are path identity, not dot-segments
+    ("http://h.com/a/.b/c?x=1", "http://h.com/a/.b/c?x=1"),
     # root path survives as '/'
     ("http://h.com/?x=1", "http://h.com/?x=1"),
     # rule 5: tracking dropped, survivors sorted; tracking-only query
