@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 from gmall_spark import queries_llm as qllm
+from gmall_spark.queries_llm import sft_classifier as qmod
 from gmall_spark.queries import QUERIES
 
 
@@ -29,7 +30,7 @@ def _planted(spark):
 
 def test_separable_vocab_scores_perfectly(spark, sf_dir, monkeypatch):
     planted = _planted(spark)
-    monkeypatch.setattr(qllm, "_docs", lambda s, d: planted)
+    monkeypatch.setattr(qmod, "_docs", lambda s, d: planted)
     qllm._HASHED_WTS.clear()
     try:
         rows = QUERIES["text_hashed_ngram_classifier"](spark, sf_dir).collect()
@@ -52,7 +53,7 @@ def test_model_is_fixed_width_and_train_only(spark, sf_dir, monkeypatch):
     derives from the TRAIN half alone: perturbing an odd (eval) doc's
     text must not move a single weight."""
     planted = _planted(spark)
-    monkeypatch.setattr(qllm, "_docs", lambda s, d: planted)
+    monkeypatch.setattr(qmod, "_docs", lambda s, d: planted)
     qllm._HASHED_WTS.clear()
     try:
         w1 = list(qllm._hashed_nb_weights(spark, sf_dir))
@@ -65,7 +66,7 @@ def test_model_is_fixed_width_and_train_only(spark, sf_dir, monkeypatch):
                 F.col("doc_id") % 2 == 1, F.concat(F.col("text"), F.lit(" xyzzy"))
             ).otherwise(F.col("text")),
         )
-        monkeypatch.setattr(qllm, "_docs", lambda s, d: perturbed)
+        monkeypatch.setattr(qmod, "_docs", lambda s, d: perturbed)
         qllm._HASHED_WTS.clear()
         w2 = list(qllm._hashed_nb_weights(spark, sf_dir))
         assert w1 == w2

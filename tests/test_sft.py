@@ -143,7 +143,7 @@ def test_keeper_prefers_longest_then_min_doc_id(spark, monkeypatch, sf_dir):
     """Planted prompt collision: three conversations share a prompt;
     the keeper is the longest assistant reply, and on an exact length
     tie the smaller doc_id."""
-    import gmall_spark.queries_llm as qllm
+    from gmall_spark.queries_llm import sft_classifier as qllm
 
     planted = spark.createDataFrame(
         [

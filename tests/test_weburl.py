@@ -141,13 +141,14 @@ def test_domain_cap_binds_and_is_deterministic(spark, sf_dir, monkeypatch):
     of them, the report charges the rest as dropped, and the kept set
     is deterministic (re-run identical)."""
     import gmall_spark.queries_llm as qllm
+    from gmall_spark.queries_llm import web_tier as qmod
     from gmall_spark.queries import QUERIES
 
     planted = spark.createDataFrame(
         [(40 * i, f"doc {i}") for i in range(20)],
         "doc_id long, text string",
     )
-    monkeypatch.setattr(qllm, "_docs", lambda s, d: planted)
+    monkeypatch.setattr(qmod, "_docs", lambda s, d: planted)
     a = {
         r.doc_id
         for r in QUERIES["web_domain_capped_sample"](spark, sf_dir).collect()
