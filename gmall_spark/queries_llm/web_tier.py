@@ -473,3 +473,163 @@ def q_web_host_pagerank(spark, sf_dir):
     return ranks.join(
         F.broadcast(dom), ranks["node_id"] == dom["u"], "left"
     ).select("node_id", "registered_domain", "rank_micro", "rank")
+
+
+# --- per-domain licensing/opt-out governance gate (X241-X242) -----------------
+
+# Frozen governance lists at the X226 registered-domain grain — the
+# C4-blocklist discipline (Raffel et al. 2020 strip a frozen badlist
+# of domains before any content processing) plus the licensing/robots
+# OPT-OUT register every production crawl honors (the governance
+# sibling of the X89 GDPR takedown pass, which operates at user
+# grain). Frozen literals so the oracle states the same gate; one
+# entry per list never matches ('absent.example') so the no-hit path
+# is exercised on the real corpus, and the others carry real mass
+# under the synth wheel (u%7 names the site, u%5 the TLD).
+DOMAIN_BLOCKLIST = ("site0.com", "site3.io", "absent.example")
+DOMAIN_OPTOUT = ("site2.net", "site4.co.uk")
+
+
+def _gate_sql() -> str:
+    bl = ", ".join(f"'{d}'" for d in DOMAIN_BLOCKLIST)
+    oo = ", ".join(f"'{d}'" for d in DOMAIN_OPTOUT)
+    return (
+        _web_oracle()
+        + f"""
+, gated AS (
+  SELECT doc_id, registered_domain, n_chars,
+         CASE WHEN registered_domain IN ({bl}) THEN 1 ELSE 0 END AS on_blocklist,
+         CASE WHEN registered_domain IN ({oo}) THEN 1 ELSE 0 END AS opted_out
+  FROM w
+)
+"""
+    )
+
+
+@query(
+    "web_domain_optout_gate",
+    _gate_sql()
+    + """
+SELECT doc_id, registered_domain,
+       CAST(on_blocklist AS BIGINT) AS on_blocklist,
+       CAST(opted_out AS BIGINT) AS opted_out,
+       CAST(CASE WHEN on_blocklist = 0 AND opted_out = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS kept
+FROM gated
+""",
+)
+def q_web_domain_optout_gate(spark, sf_dir):
+    """Per-domain licensing/opt-out governance gate (X241; VERDICT
+    r10 item 3) — the release decision C4 runs as a frozen-badlist
+    strip and a modern crawl additionally runs against the opt-out
+    register, BOTH at the registered-domain grain the X226 rollup
+    established: every document carries its gate verdict (blocklist
+    hit, opt-out hit, kept), so the release is the kept=1 slice and
+    the audit is one aggregate away. Scale: the lists ride the plan
+    as literals (IN-list → per-row predicate, zero join, zero
+    shuffle); a production-size PSL blocklist becomes a broadcast
+    anti-join on the same key with the identical semantics."""
+    can = weburl.canonicalize(weburl.synth_url(_docs(spark, sf_dir)))
+    on_bl = F.col("registered_domain").isin(*DOMAIN_BLOCKLIST)
+    on_oo = F.col("registered_domain").isin(*DOMAIN_OPTOUT)
+    return can.select(
+        "doc_id",
+        "registered_domain",
+        F.when(on_bl, 1).otherwise(0).cast("bigint").alias("on_blocklist"),
+        F.when(on_oo, 1).otherwise(0).cast("bigint").alias("opted_out"),
+        F.when(~on_bl & ~on_oo, 1).otherwise(0).cast("bigint").alias("kept"),
+    )
+
+
+@query(
+    "web_domain_optout_audit",
+    _gate_sql()
+    + """
+SELECT registered_domain,
+       CASE WHEN max(on_blocklist) = 1 THEN 'blocklist'
+            WHEN max(opted_out) = 1 THEN 'optout'
+            ELSE 'kept' END AS gate,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN on_blocklist = 0 AND opted_out = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN on_blocklist = 1 OR opted_out = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM gated GROUP BY registered_domain
+""",
+)
+def q_web_domain_optout_audit(spark, sf_dir):
+    """Domain-gate audit (X242a): what the X241 gate costs each
+    domain — the no-silent-caps rule applied to governance (every
+    dropped doc is charged to a named domain and a named list). The
+    gate is domain-constant, so max() per domain IS the domain's
+    verdict; kept/dropped split inside one domain-keyed aggregate."""
+    gate = q_web_domain_optout_gate(spark, sf_dir)
+    chars = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return (
+        gate.join(chars, "doc_id")
+        .groupBy("registered_domain")
+        .agg(
+            F.when(F.max("on_blocklist") == 1, F.lit("blocklist"))
+            .when(F.max("opted_out") == 1, F.lit("optout"))
+            .otherwise(F.lit("kept"))
+            .alias("gate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("kept"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "web_optout_release_delta",
+    _gate_sql()
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_docs_before,
+       CAST(sum(CASE WHEN on_blocklist = 0 AND opted_out = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_after,
+       CAST(sum(on_blocklist) AS BIGINT) AS n_dropped_blocklist,
+       CAST(sum(CASE WHEN on_blocklist = 0 AND opted_out = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped_optout,
+       CAST(count(DISTINCT CASE WHEN on_blocklist = 1 OR opted_out = 1
+                                THEN registered_domain END) AS BIGINT)
+         AS n_domains_gated,
+       round(sum(CASE WHEN on_blocklist = 1 OR opted_out = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS drop_frac
+FROM gated
+""",
+)
+def q_web_optout_release_delta(spark, sf_dir):
+    """Release-delta stamp (X242b, the X120/X191 release-report
+    shape): one row stating what the governance gate changed between
+    the raw crawl and the releasable corpus — docs before/after, the
+    split of drops by list, gated-domain count, drop fraction.
+    Blocklist WINS when a domain is on both lists (the CASE order in
+    both engines), so the two drop counts partition the drops.
+    Scale: one global aggregate over the per-row gate."""
+    gate = q_web_domain_optout_gate(spark, sf_dir)
+    dropped = (F.col("on_blocklist") == 1) | (F.col("opted_out") == 1)
+    return gate.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_before"),
+        F.sum("kept").cast("bigint").alias("n_docs_after"),
+        F.sum("on_blocklist").cast("bigint").alias("n_dropped_blocklist"),
+        F.sum(
+            F.when((F.col("on_blocklist") == 0) & (F.col("opted_out") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dropped_optout"),
+        F.countDistinct(
+            F.when(dropped, F.col("registered_domain"))
+        )
+        .cast("bigint")
+        .alias("n_domains_gated"),
+        F.round(
+            F.sum(F.when(dropped, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("drop_frac"),
+    )

@@ -183,3 +183,42 @@ def test_synth_identity_is_u_mod_40(spark):
         classes.setdefault(cu, set()).add(d % 40)
     for cu, us in classes.items():
         assert len(us) == 1, (cu, us)
+
+
+def test_optout_gate_drops_planted_domain(spark, sf_dir, monkeypatch):
+    """X241/X242 planted fixture: docs landing on a blocklisted
+    domain (u=0 -> site0.com) and an opted-out domain (u=2 ->
+    site2.net) must vanish from the kept release, the audit must
+    charge them to the right list, and the delta row must balance
+    exactly (before = after + blocklist + optout)."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.queries_llm import web_tier as qmod
+
+    # u = doc_id % 40: 0 -> site0.com (blocklist), 2 -> site2.net
+    # (optout), 1 -> site1.org (kept)
+    planted = spark.createDataFrame(
+        [(40 * i + u, f"doc {i}", 10) for i in range(5) for u in (0, 1, 2)],
+        "doc_id long, text string, n_chars long",
+    )
+    monkeypatch.setattr(qmod, "_docs", lambda s, d: planted)
+    gate = {r.doc_id: r for r in
+            QUERIES["web_domain_optout_gate"](spark, sf_dir).collect()}
+    for d, r in gate.items():
+        u = d % 40
+        assert r.on_blocklist == (1 if u == 0 else 0), r
+        assert r.opted_out == (1 if u == 2 else 0), r
+        assert r.kept == (1 if u == 1 else 0), r
+    audit = {r.registered_domain: r for r in
+             QUERIES["web_domain_optout_audit"](spark, sf_dir).collect()}
+    assert audit["site0.com"].gate == "blocklist"
+    assert audit["site0.com"].n_dropped == 5 and audit["site0.com"].n_kept == 0
+    assert audit["site2.net"].gate == "optout"
+    assert audit["site2.net"].n_dropped == 5
+    assert audit["site1.org"].gate == "kept" and audit["site1.org"].n_kept == 5
+    d = QUERIES["web_optout_release_delta"](spark, sf_dir).collect()[0]
+    assert d.n_docs_before == 15 and d.n_docs_after == 5
+    assert d.n_dropped_blocklist == 5 and d.n_dropped_optout == 5
+    assert d.n_docs_before == (
+        d.n_docs_after + d.n_dropped_blocklist + d.n_dropped_optout
+    )
+    assert d.n_domains_gated == 2
