@@ -324,6 +324,46 @@ from gmall_spark.queries import ORACLES as _ORACLES_KN  # noqa: E402
 _ORACLES_KN["text_lm_tier_diff_kn"] = _kn_tier_diff_oracle()
 
 
+def _kn_buckets_oracle() -> str:
+    return f"""
+WITH a2 AS MATERIALIZED ({_KN_FROZEN_ORACLE}),
+b2 AS ({_bucket_cut_sql("a2", "kn_logprob")})
+SELECT a.doc_id, a.lang, a.kn_logprob, b.bucket_id,
+       CASE WHEN b.bucket_id = 1 THEN 'head'
+            WHEN b.bucket_id = 3 THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM a2 a JOIN b2 b ON b.doc_id = a.doc_id
+"""
+
+
+@query("text_perplexity_buckets_kn", None)  # oracle attached below
+def q_text_perplexity_buckets_kn(spark, sf_dir):
+    """CCNet head/middle/tail cut under the Kneser-Ney smoother
+    (X243; VERDICT r10 item 6): X219's migration matrix proved the
+    KN arithmetic moves 126/250 driver docs across the add-one cut,
+    so the bucketing the curation gates should consume is THIS one —
+    the registered X108/X113 histogram-cut algebra re-based on the
+    frozen KN scored fixture (X218), end-to-end better arithmetic
+    with zero new moving parts. Population is the odd (eval) half
+    under the even-half frozen model, per the X112/X218 split; the
+    cut replays lm.perplexity_buckets on the (lang, rounded-score)
+    grid — no corpus sort, value-space-bounded at any scale. The
+    incremental twin composes the same cut over the X218 streaming
+    re-derive store (streaming/incremental_kn.bucketed_docs, equality
+    pinned in tests/test_streaming.py)."""
+    from gmall_spark.operators import lm
+
+    a2 = _frozen_kn_scores(spark, sf_dir).withColumnRenamed(
+        "kn_logprob", "bigram_logprob"
+    )
+    return lm.perplexity_buckets(a2, scored=a2).withColumnRenamed(
+        "bigram_logprob", "kn_logprob"
+    )
+
+
+_ORACLES_KN["text_perplexity_buckets_kn"] = _kn_buckets_oracle()
+
+
 # --- embedding-based semantic decontamination (X220-X221) --------------------
 
 # Same near-dup bar as the SemDeDup tier: a corpus vector this close

@@ -64,3 +64,24 @@ def current_scores(spark: SparkSession, store_dir: str) -> DataFrame:
     ingested (same model algebra over the same counts)."""
     evals = spark.read.parquet(f"{store_dir}/kn_eval")
     return lm.kn_score_with_model(evals, _current_model(spark, store_dir))
+
+
+def bucketed_docs(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The X243 CCNet cut over the re-derived scores: every ingested
+    eval doc's head/middle/tail assignment under the KN model as of
+    the merged count store — row-identical to the batch
+    text_perplexity_buckets_kn on the ingested union (same scores by
+    current_scores' equality, same histogram-cut algebra by
+    construction), so the bucket a document lands in is exactly what
+    the batch pipeline would assign, just continuously maintained.
+    Re-bucketing is retroactive on BOTH axes of this twin: new
+    training text re-scores ingested docs (the re-derive class), and
+    new eval docs move the equal-population cut points (the X108
+    incremental_ppl shape) — either arrival can flip an old doc's
+    tier, never retract it."""
+    scored = current_scores(spark, store_dir).withColumnRenamed(
+        "kn_logprob", "bigram_logprob"
+    )
+    return lm.perplexity_buckets(scored, scored=scored).withColumnRenamed(
+        "bigram_logprob", "kn_logprob"
+    )

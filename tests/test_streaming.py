@@ -2973,3 +2973,55 @@ def test_incremental_decontam_equals_batch(spark, tmpdir):
         for r in QUERIES["llm_semantic_decontam"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_kn_buckets_equal_batch(spark, tmpdir):
+    """X243 twin equality: after two micro-batches the incremental
+    bucket view (incremental_kn.bucketed_docs — re-derived KN scores
+    + the histogram cut) is row-identical to the batch
+    text_perplexity_buckets_kn algebra on the ingested union, and the
+    cut is retroactive: a batch-2 eval arrival moves the
+    equal-population cut and flips a batch-1 doc's tier."""
+    from gmall_spark.operators import lm
+    from gmall_spark.streaming import incremental_kn as ikn
+
+    store = f"{tmpdir}/knb_store"
+    # one lang; training mass in batch 0, eval docs split across both
+    b0 = spark.createDataFrame(
+        [(0, "en", "abababab"), (2, "en", "abcabc"),
+         (1, "en", "abab"), (3, "en", "zzzz")],
+        "doc_id long, lang string, text string",
+    )
+    ikn.process_batch(spark, b0, store)
+    first = {r.doc_id: r.bucket_id
+             for r in ikn.bucketed_docs(spark, store).collect()}
+    assert set(first) == {1, 3}
+    # batch 1: four more eval docs, all scoring better than doc 3's
+    # all-unseen 'zzzz' — the equal-population cut moves and doc 3
+    # (middle with 2 docs) retroactively lands in the tail third
+    b1 = spark.createDataFrame(
+        [(5, "en", "abab"), (7, "en", "abba"), (9, "en", "baba"),
+         (11, "en", "aabb")],
+        "doc_id long, lang string, text string",
+    )
+    ikn.process_batch(spark, b1, store)
+    cur = {r.doc_id: r.bucket_id
+           for r in ikn.bucketed_docs(spark, store).collect()}
+    assert set(cur) == {1, 3, 5, 7, 9, 11}
+    assert first[3] == 2 and cur[3] == 3  # retroactive tier flip
+    # batch equality: identical scores + identical cut on the union
+    evals = spark.createDataFrame(
+        [(1, "en", "abab"), (3, "en", "zzzz"), (5, "en", "abab"),
+         (7, "en", "abba"), (9, "en", "baba"), (11, "en", "aabb")],
+        "doc_id long, lang string, text string",
+    )
+    train = spark.createDataFrame(
+        [(0, "en", "abababab"), (2, "en", "abcabc")],
+        "doc_id long, lang string, text string",
+    )
+    scored = lm.kn_score_with_model(evals, lm.kn_model(train)).withColumnRenamed(
+        "kn_logprob", "bigram_logprob"
+    )
+    want = {r.doc_id: r.bucket_id
+            for r in lm.perplexity_buckets(scored, scored=scored).collect()}
+    assert cur == want
