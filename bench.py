@@ -203,7 +203,24 @@ HEADLINE = [
     "llm_packed_boundaries",
     "text_hashed_ngram_classifier",
     "text_hashed_classifier_confusion",
+    # r11 additions
+    "web_domain_optout_gate",
+    "web_domain_optout_audit",
+    "web_optout_release_delta",
+    "text_perplexity_buckets_kn",
+    "llm_semantic_packing",
+    "llm_semantic_packing_affinity",
+    "llm_multimodal_interleave",
 ]
+
+# Box-calibration probe (VERDICT r10 item 4): ONE frozen, plan-stable,
+# fixture-free headline query whose min-of-3 rides the final line as
+# `calib`. A round's scalars are comparable across rounds only after
+# normalizing by calib (BASELINE.md states the convention) — this
+# turns the recurring "driver box was noisy" adjudication prose
+# (r5/r9/r10) into arithmetic. dedup_minhash_lsh: headline since r1,
+# plan pinned in test_plan_shape, no shared fixture, compute-bound.
+CALIB_PROBE = "dedup_minhash_lsh"
 
 REPEATS = 3  # timings report the min over this many runs per query
 
@@ -435,6 +452,10 @@ def main() -> None:
                 "llmcore_total": round(
                     sum(timings[n] for n in LLMCORE if n in timings), 3
                 ),
+                # box-calibration probe (CALIB_PROBE comment above):
+                # divide any cross-round scalar ratio by the calib
+                # ratio before reading it as a regression
+                "calib": timings.get(CALIB_PROBE),
                 "n_queries": len(timings),
                 "materialize": materialize,
                 "fixtures": fixtures,

@@ -119,6 +119,7 @@ def clear_cache() -> None:
     queries_llm._SHOT_BOUNDS.clear()
     queries_llm._FROZEN_LM.clear()
     queries_llm._FROZEN_KN.clear()
+    queries_llm.incontext._SEM_CHAIN.clear()
     # scan-fanout decisions are keyed by file paths; the driver
     # regenerates testdata at the same paths between rounds (ADVICE r3)
     session._SCAN_DECISIONS.clear()

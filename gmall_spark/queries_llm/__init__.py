@@ -36,6 +36,7 @@ from gmall_spark.queries_llm import (  # noqa: F401  (import order = registratio
     extraction_tiers,
     web_tier,
     sft_classifier,
+    incontext,
 )
 
 # Re-export every family's top-level names (public AND private: the
@@ -62,6 +63,7 @@ for _m in (
     extraction_tiers,
     web_tier,
     sft_classifier,
+    incontext,
 ):
     for _k in vars(_m):
         if not _k.startswith("__"):
@@ -86,6 +88,7 @@ _FAMILY_MODULES = (
     extraction_tiers,
     web_tier,
     sft_classifier,
+    incontext,
 )
 
 

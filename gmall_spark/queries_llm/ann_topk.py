@@ -77,7 +77,7 @@ def q_embedding_pagerank_centrality(spark, sf_dir):
     DuckDB CTE twin hash-matches bit-for-bit."""
     from gmall_spark.operators.graph import pagerank
 
-    return pagerank(_knn_edges(spark, sf_dir, PR_KNN_K))
+    return pagerank(_knn_edges(spark, sf_dir, PR_KNN_K).select("src", "dst"))
 
 
 from gmall_spark.ann_oracles import ivf_topk_oracle, lsh_topk_oracle  # noqa: E402

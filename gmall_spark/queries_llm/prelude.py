@@ -291,8 +291,13 @@ def _knn_edges(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         # entire first-run cost)
         with fixtures_audit.timed("knn_edges"):
             knn = similarity.gemm_allpairs_topk(emb, k=k)
+            # cos_sim rides the checkpoint (same build cost): the
+            # graph consumers select (src, dst); the X244 semantic
+            # chain reads the weights
             _KNN_EDGES[key] = knn.select(
-                F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+                F.col("query_id").alias("src"),
+                F.col("neighbor_id").alias("dst"),
+                "cos_sim",
             ).localCheckpoint(eager=True)
     return _KNN_EDGES[key]
 

@@ -393,7 +393,9 @@ def q_embedding_lpa_communities(spark, sf_dir):
     .label_propagation)."""
     from gmall_spark.operators.graph import label_propagation
 
-    return label_propagation(_knn_edges(spark, sf_dir, PR_KNN_K), rounds=3)
+    return label_propagation(
+        _knn_edges(spark, sf_dir, PR_KNN_K).select("src", "dst"), rounds=3
+    )
 
 
 @query("embedding_knn_triangles", triangles_oracle(k=5))
@@ -410,7 +412,7 @@ def q_embedding_knn_triangles(spark, sf_dir):
     skew upgrade for general graphs (operators/graph.triangle_stats)."""
     from gmall_spark.operators.graph import triangle_stats
 
-    return triangle_stats(_knn_edges(spark, sf_dir, PR_KNN_K))
+    return triangle_stats(_knn_edges(spark, sf_dir, PR_KNN_K).select("src", "dst"))
 
 
 # --- margin-based bitext mining (X148) ----------------------------------------

@@ -1,0 +1,124 @@
+"""X244-X245 semantic in-context packing: walk mechanics on a planted
+cluster, pack/offset theorems per cluster-row, and the affinity gap
+the ordering exists to produce.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from gmall_spark.queries import QUERIES
+from gmall_spark.queries_llm import incontext as IC
+
+
+def _planted_pdf():
+    # one cluster, 5 docs; edges: 1->(3:.9, 5:.8), 3->(9:.95), 9->()
+    # chain must run 1 -> 3 (best nbr) -> 9 (best nbr) -> 5? no: 5 is
+    # not 9's neighbor, so fallback = min unvisited = 5 -> 7
+    def e(*pairs):
+        return [{"dst": d, "cos_sim": s} for d, s in pairs]
+
+    return pd.DataFrame(
+        {
+            "list_id": [0] * 5,
+            "vec_id": [1, 3, 5, 7, 9],
+            "n_tok": [100, 200, 150, 50, 120],
+            "nbrs": [
+                e((3, 0.9), (5, 0.8)),
+                e((9, 0.95)),
+                None,
+                e((1, 0.99)),  # back-edge to visited: must be ignored
+                e((7, 0.3), (5, 0.3)),  # tie: min dst (5) wins
+            ],
+        }
+    )
+
+
+def test_walk_follows_similarity_with_exact_ties():
+    out = IC._walk_cluster(_planted_pdf())
+    sem = out[out.ordering == "semantic"].sort_values("chain_pos")
+    # 1 ->(.9) 3 ->(.95) 9 ->(tie .3/.3, min dst) 5 -> fallback 7
+    assert list(sem.doc_id) == [1, 3, 9, 5, 7]
+    rnd = out[out.ordering == "random"].sort_values("chain_pos")
+    assert sorted(rnd.doc_id) == [1, 3, 5, 7, 9]
+    assert list(rnd.doc_id) != list(sem.doc_id)
+
+
+def test_walk_next_fit_pack_and_offsets():
+    pdf = _planted_pdf()
+    pdf["n_tok"] = [1000, 900, 800, 700, 600]  # cap 2048 forces breaks
+    out = IC._walk_cluster(pdf)
+    sem = out[out.ordering == "semantic"].sort_values("chain_pos")
+    # chain 1,3,9,5,7 with lens 1000,900,600,800,700:
+    # row0: 1000+900=1900; 600 would hit 2500>2048 -> row1: 600+800=1400;
+    # 700 -> 2100>2048 -> row2: 700
+    assert list(sem.pack_row) == [0, 0, 1, 1, 2]
+    for (_, row), grp in sem.groupby(["list_id", "pack_row"]):
+        g = grp.sort_values("chain_pos")
+        assert g.iloc[0].tok_start == 0  # rows start at offset 0
+        ends = list(g.tok_end)
+        starts = list(g.tok_start)
+        assert starts[1:] == ends[:-1]  # contiguous
+        assert max(ends) <= IC.SEQ_PACK_CAP  # cap is a theorem
+
+
+def test_chain_is_cluster_permutation(spark, sf_dir):
+    rows = QUERIES["llm_semantic_packing"](spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.list_id, []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == 500
+    for lid, members in by_cluster.items():
+        pos = sorted(m.chain_pos for m in members)
+        assert pos == list(range(1, len(members) + 1)), lid
+        assert len({m.doc_id for m in members}) == len(members)
+
+
+def test_affinity_gap_semantic_over_random(spark, sf_dir):
+    """The measured value of the ordering: adjacent same-row pairs
+    under the semantic chain are kNN neighbors far more often than
+    under the md5 epoch order (~8x on the driver corpus); equal
+    population/rows because only the ORDER differs."""
+    rep = {
+        r.ordering: r
+        for r in QUERIES["llm_semantic_packing_affinity"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rep) == {"semantic", "random"}
+    assert rep["semantic"].n_docs == rep["random"].n_docs
+    assert rep["semantic"].n_adjacent == rep["random"].n_adjacent
+    assert rep["semantic"].affinity > 2 * rep["random"].affinity
+    assert rep["semantic"].n_knn_adjacent > rep["random"].n_knn_adjacent
+
+
+def test_interleave_entry_theorems(spark, sf_dir):
+    """X246 offset theorems: per packed row the entry list is
+    contiguous from 0, non-overlapping, cap-bounded; every image
+    placeholder is exactly IMG_TOK wide and sits IMMEDIATELY before
+    its own document's text span; exactly the doc_id%3==0 docs carry
+    an image."""
+    rows = QUERIES["llm_multimodal_interleave"](spark, sf_dir).collect()
+    by_pack: dict[str, list] = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    n_img = n_txt = 0
+    for pid, es in by_pack.items():
+        es.sort(key=lambda r: r.entry_idx)
+        assert es[0].tok_start == 0, pid
+        for a, b in zip(es, es[1:]):
+            assert b.tok_start == a.tok_end, (pid, a, b)  # contiguous
+        assert es[-1].tok_end <= IC.SEQ_PACK_CAP
+        for i, e in enumerate(es):
+            if e.kind == "image":
+                n_img += 1
+                assert e.tok_end - e.tok_start == IC.IMG_TOK
+                assert e.image_id == e.doc_id and e.doc_id % 3 == 0
+                nxt = es[i + 1]  # text of the SAME doc follows
+                assert nxt.kind == "text" and nxt.doc_id == e.doc_id
+            else:
+                n_txt += 1
+                assert e.image_id is None
+    assert n_txt == 500
+    assert n_img == sum(1 for r in rows if r.kind == "text" and r.doc_id % 3 == 0)
+    assert n_img > 0

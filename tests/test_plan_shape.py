@@ -549,6 +549,27 @@ BUDGETS = [
     ("text_hashed_ngram_classifier", 1, 0),
     # r10: confusion — scored relation + 4-cell agg; grid broadcasts
     ("text_hashed_classifier_confusion", 2, 1),
+    # r11: opt-out gate — IN-list literals over the per-row
+    # canonicalize chain; scan fan-out only
+    ("web_domain_optout_gate", 1, 0),
+    # r11: gate audit — gate + n_chars attach + ONE domain-keyed agg
+    ("web_domain_optout_audit", 3, 1),
+    # r11: release delta — one global two-phase aggregate over the
+    # per-row gate
+    ("web_optout_release_delta", 3, 0),
+    # r11: KN buckets — frozen-kn checkpoint scan + the grid-bounded
+    # histogram-cut joins (cut table broadcasts)
+    ("text_perplexity_buckets_kn", 2, 1),
+    # r11: semantic packing — the chain fixture checkpoint scan, zero
+    # exchanges (walk cost is line-itemed in the fixture build)
+    ("llm_semantic_packing", 0, 0),
+    # r11: packing affinity — (ordering, list_id) lag window + the
+    # broadcast kNN-edge probe + ordering-keyed report aggregates
+    ("llm_semantic_packing_affinity", 5, 1),
+    # r11: multimodal interleave — the X175 bucket exchange + two
+    # pack_id-keyed windows; entries explode from an array in the
+    # same pass (has_img re-derives per row, no join-back)
+    ("llm_multimodal_interleave", 3, 0),
 ]
 
 
