@@ -211,6 +211,7 @@ HEADLINE = [
     "llm_semantic_packing",
     "llm_semantic_packing_affinity",
     "llm_multimodal_interleave",
+    "llm_semantic_packing_utilization",
 ]
 
 # Box-calibration probe (VERDICT r10 item 4): ONE frozen, plan-stable,

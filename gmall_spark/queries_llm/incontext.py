@@ -551,3 +551,85 @@ def q_llm_multimodal_interleave(spark, sf_dir):
         F.col("e.tok_start").alias("tok_start"),
         F.col("e.tok_end").alias("tok_end"),
     )
+
+
+# --- packing utilization trade-off report (X247) ------------------------------
+
+
+def _utilization_oracle() -> str:
+    from gmall_spark.queries_llm.packing_release import _ffd_pack_cte
+
+    cap = SEQ_PACK_CAP
+    ffd_lens = (
+        f"SELECT d.doc_id, {_PACK_LEN_SQL} AS n_tok"
+        " FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id"
+    )
+    return (
+        _members_prefix()
+        + ", "
+        + _walk_cte("walk", "mem_s", _SEM_PICK)
+        + f"""
+, sem AS (
+  SELECT 'semantic_nextfit' AS packer,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT (list_id, pack_row)) AS BIGINT) AS n_rows,
+         CAST(sum(n_tok) AS BIGINT) AS total_tok
+  FROM walk
+), ffd AS (
+  SELECT 'ffd' AS packer,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT (bucket_len, pack_no)) AS BIGINT) AS n_rows,
+         CAST(sum(n_tok) AS BIGINT) AS total_tok
+  FROM (
+    {_ffd_pack_cte(ffd_lens)}
+    SELECT * FROM a
+  )
+)
+SELECT packer, n_docs, n_rows, total_tok,
+       round(total_tok / (n_rows * {cap}.0), 6) AS utilization
+FROM (SELECT * FROM sem UNION ALL SELECT * FROM ffd)
+"""
+    )
+
+
+@query("llm_semantic_packing_utilization", _utilization_oracle())
+def q_llm_semantic_packing_utilization(spark, sf_dir):
+    """Packing utilization trade-off report (X247): what preserving
+    semantic adjacency COSTS in row efficiency — the X244 next-fit
+    rows (cluster-local, chain-order-preserving) versus the X175 FFD
+    packer over the IDENTICAL (doc, n_tok) multiset (the embedded
+    corpus), each as (docs, rows, useful tokens, utilization =
+    tokens / (rows x cap)). FFD reorders freely so it packs denser;
+    the semantic packer pays rows for adjacency — the no-silent-caps
+    discipline applied to the ordering itself: the X245 affinity gain
+    and this utilization cost are BOTH first-class reports, so the
+    in-context decision is made on stated numbers. One aggregate per
+    packer; the FFD side replays the registered X175 closed form on
+    the chain table's own lengths."""
+    cap = SEQ_PACK_CAP
+    from gmall_spark.queries_llm.packing_release import pack_rows
+
+    sem_rows = _sem_chain(spark, sf_dir).filter(
+        F.col("ordering") == "semantic"
+    )
+    sem = sem_rows.agg(
+        F.lit("semantic_nextfit").alias("packer"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("list_id", "pack_row").cast("bigint").alias("n_rows"),
+        F.sum("n_tok").cast("bigint").alias("total_tok"),
+    )
+    ffd = pack_rows(sem_rows.select("doc_id", "n_tok"), cap).agg(
+        F.lit("ffd").alias("packer"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("pack_id").cast("bigint").alias("n_rows"),
+        F.sum("n_tok").cast("bigint").alias("total_tok"),
+    )
+    return sem.unionByName(ffd).select(
+        "packer",
+        "n_docs",
+        "n_rows",
+        "total_tok",
+        F.round(
+            F.col("total_tok") / (F.col("n_rows") * F.lit(float(cap))), 6
+        ).alias("utilization"),
+    )

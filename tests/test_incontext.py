@@ -122,3 +122,22 @@ def test_interleave_entry_theorems(spark, sf_dir):
     assert n_txt == 500
     assert n_img == sum(1 for r in rows if r.kind == "text" and r.doc_id % 3 == 0)
     assert n_img > 0
+
+
+def test_utilization_tradeoff_is_honest(spark, sf_dir):
+    """X247: both packers consume the identical length multiset
+    (equal n_docs/total_tok); FFD — free to reorder — never needs
+    more rows than the adjacency-preserving next-fit, and both
+    utilizations are sane fractions."""
+    rep = {
+        r.packer: r
+        for r in QUERIES["llm_semantic_packing_utilization"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rep) == {"semantic_nextfit", "ffd"}
+    assert rep["ffd"].n_docs == rep["semantic_nextfit"].n_docs
+    assert rep["ffd"].total_tok == rep["semantic_nextfit"].total_tok
+    assert rep["ffd"].n_rows <= rep["semantic_nextfit"].n_rows
+    for r in rep.values():
+        assert 0 < r.utilization <= 1

@@ -570,6 +570,9 @@ BUDGETS = [
     # pack_id-keyed windows; entries explode from an array in the
     # same pass (has_img re-derives per row, no join-back)
     ("llm_multimodal_interleave", 3, 0),
+    # r11: utilization report — chain checkpoint agg + the X175
+    # re-pack of the same lengths + 2-row union
+    ("llm_semantic_packing_utilization", 5, 0),
 ]
 
 

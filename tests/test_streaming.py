@@ -3025,3 +3025,42 @@ def test_incremental_kn_buckets_equal_batch(spark, tmpdir):
     want = {r.doc_id: r.bucket_id
             for r in lm.perplexity_buckets(scored, scored=scored).collect()}
     assert cur == want
+
+
+def test_incremental_optout_equals_batch_and_is_final(spark, sf_dir, tmpdir):
+    """X241/X242 twin (embarrassingly incremental, frozen lists):
+    after two micro-batches the merged audit and release delta equal
+    the batch queries on the ingested union, and a doc's verdict is
+    FINAL at arrival — batch 2 changes no batch-1 verdict (the X220
+    frozen-reference property, opposite of the KN re-derive class)."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.queries_llm import web_tier as qmod
+    from gmall_spark.streaming import incremental_optout as ioo
+
+    store = f"{tmpdir}/optout_store"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    v0 = {r.doc_id: (r.on_blocklist, r.opted_out, r.kept)
+          for r in ioo.process_batch(spark, b0, store).collect()}
+    ioo.process_batch(spark, b1, store)
+    # verdict finality: the batch query on the union agrees with every
+    # batch-0 arrival verdict
+    want_gate = {r.doc_id: (r.on_blocklist, r.opted_out, r.kept)
+                 for r in QUERIES["web_domain_optout_gate"](
+                     spark, sf_dir).collect()}
+    for d, v in v0.items():
+        assert want_gate[d] == v, d
+    # audit equality on the union
+    got = {r.registered_domain: (r.gate, r.n_docs, r.n_kept, r.n_dropped,
+                                 r.total_chars)
+           for r in ioo.current_audit(spark, store).collect()}
+    want = {r.registered_domain: (r.gate, r.n_docs, r.n_kept, r.n_dropped,
+                                  r.total_chars)
+            for r in QUERIES["web_domain_optout_audit"](
+                spark, sf_dir).collect()}
+    assert got == want
+    # delta equality
+    gd = ioo.current_delta(spark, store).collect()[0].asDict()
+    wd = QUERIES["web_optout_release_delta"](spark, sf_dir).collect()[0].asDict()
+    assert gd == wd
