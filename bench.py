@@ -212,6 +212,7 @@ HEADLINE = [
     "llm_semantic_packing_affinity",
     "llm_multimodal_interleave",
     "llm_semantic_packing_utilization",
+    "llm_needle_eval_rows",
 ]
 
 # Box-calibration probe (VERDICT r10 item 4): ONE frozen, plan-stable,

@@ -633,3 +633,75 @@ def q_llm_semantic_packing_utilization(spark, sf_dir):
             F.col("total_tok") / (F.col("n_rows") * F.lit(float(cap))), 6
         ).alias("utilization"),
     )
+
+
+# --- long-context needle placement map (X248) ---------------------------------
+
+
+@query(
+    "llm_needle_eval_rows",
+    _members_prefix()
+    + ", "
+    + _walk_cte("walk", "mem_s", _SEM_PICK)
+    + """
+, rows_g AS (
+  SELECT list_id, pack_row,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(max(fill) AS BIGINT) AS row_tok,
+         arg_min(last_v, md5(CAST(last_v AS VARCHAR))) AS needle_doc_id,
+         CAST(arg_min(fill - n_tok, md5(CAST(last_v AS VARCHAR))) AS BIGINT)
+           AS needle_tok_start,
+         CAST(arg_min(fill, md5(CAST(last_v AS VARCHAR))) AS BIGINT)
+           AS needle_tok_end
+  FROM walk GROUP BY list_id, pack_row
+)
+SELECT CAST(g.list_id AS BIGINT) AS list_id,
+       CAST(g.pack_row AS BIGINT) AS pack_row,
+       g.n_members, g.row_tok,
+       CAST(g.needle_doc_id AS BIGINT) AS needle_doc_id,
+       g.needle_tok_start, g.needle_tok_end,
+       round(g.needle_tok_start / CAST(g.row_tok AS DOUBLE), 6)
+         AS needle_depth,
+       md5(d.text) AS needle_text_md5
+FROM rows_g g JOIN documents d ON d.doc_id = g.needle_doc_id
+""",
+)
+def q_llm_needle_eval_rows(spark, sf_dir):
+    """Long-context needle placement map (X248) — the data-prep half
+    of a needle-in-a-haystack evaluation (Kamradt 2023; RULER, Hsieh
+    et al. 2024 arXiv:2404.06654): for every packed training row, ONE
+    member document is deterministically designated the needle
+    (min-md5(doc_id), the repo's deterministic-'random' idiom) and
+    emitted with its exact [tok_start, tok_end) placement, the row's
+    total tokens, and the DEPTH FRACTION the NIAH grid sweeps —
+    plus md5(needle text) so the harness can verify retrieval without
+    re-reading the corpus. Composed entirely from the X244 chain
+    table (offsets by construction, never by searching the packed
+    row — the X238 discipline). Scale: one (cluster, row)-keyed
+    aggregate over the chain checkpoint + a doc_id join for the
+    answer key; rows are corpus/cap-bounded."""
+    ch = _sem_chain(spark, sf_dir).filter(F.col("ordering") == "semantic")
+    h = F.md5(F.col("doc_id").cast("string"))
+    g = ch.groupBy("list_id", "pack_row").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max("tok_end").cast("bigint").alias("row_tok"),
+        F.min_by("doc_id", h).cast("bigint").alias("needle_doc_id"),
+        F.min_by("tok_start", h).cast("bigint").alias("needle_tok_start"),
+        F.min_by("tok_end", h).cast("bigint").alias("needle_tok_end"),
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("needle_doc_id"), F.md5("text").alias("needle_text_md5")
+    )
+    return g.join(docs, "needle_doc_id").select(
+        "list_id",
+        "pack_row",
+        "n_members",
+        "row_tok",
+        "needle_doc_id",
+        "needle_tok_start",
+        "needle_tok_end",
+        F.round(
+            F.col("needle_tok_start") / F.col("row_tok").cast("double"), 6
+        ).alias("needle_depth"),
+        "needle_text_md5",
+    )

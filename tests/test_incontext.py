@@ -141,3 +141,23 @@ def test_utilization_tradeoff_is_honest(spark, sf_dir):
     assert rep["ffd"].n_rows <= rep["semantic_nextfit"].n_rows
     for r in rep.values():
         assert 0 < r.utilization <= 1
+
+
+def test_needle_rows_theorems(spark, sf_dir):
+    """X248: one needle per packed row; the needle's span sits inside
+    [0, row_tok], depth in [0, 1), and the needle is a genuine member
+    of its row (its span equals that member's chain span)."""
+    from pyspark.sql import functions as F
+
+    ch = {
+        (r.list_id, r.pack_row, r.doc_id): (r.tok_start, r.tok_end)
+        for r in QUERIES["llm_semantic_packing"](spark, sf_dir).collect()
+    }
+    rows = QUERIES["llm_needle_eval_rows"](spark, sf_dir).collect()
+    n_rows = len({(k[0], k[1]) for k in ch})
+    assert len(rows) == n_rows  # exactly one needle per row
+    for r in rows:
+        span = ch[(r.list_id, r.pack_row, r.needle_doc_id)]  # member
+        assert span == (r.needle_tok_start, r.needle_tok_end)
+        assert 0 <= r.needle_tok_start < r.needle_tok_end <= r.row_tok
+        assert 0 <= r.needle_depth < 1

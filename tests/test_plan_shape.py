@@ -573,6 +573,9 @@ BUDGETS = [
     # r11: utilization report — chain checkpoint agg + the X175
     # re-pack of the same lengths + 2-row union
     ("llm_semantic_packing_utilization", 5, 0),
+    # r11: needle map — one (cluster, row)-keyed agg over the chain
+    # checkpoint; the answer-key doc join broadcasts
+    ("llm_needle_eval_rows", 2, 1),
 ]
 
 
