@@ -139,6 +139,38 @@ def _walk_cluster(pdf):
     )
 
 
+def chain_pack(
+    docs: DataFrame,
+    emb: DataFrame,
+    centroids: list[list[float]],
+    knn: DataFrame,
+) -> DataFrame:
+    """The X244 assembly as a PURE function of its four inputs
+    (documents, embeddings, trained centroids, kNN edge table with
+    cos_sim) — the registered query binds the shared fixtures; the
+    streaming twin binds its merged stores. The chain table is a pure
+    function of (cluster membership, member lengths, member
+    out-edges), which is the invariant the twin's churn test pins."""
+    idx = ivf.build_index(emb, centroids).select("vec_id", "list_id")
+    lens = docs.selectExpr(
+        "doc_id AS len_doc_id",
+        rf"least(greatest(size(filter(split(text, '\\s+'),"
+        rf" x -> x != '')), 1), {SEQ_PACK_CAP}) AS n_tok",
+    )
+    nbrs = knn.groupBy("src").agg(
+        F.collect_list(F.struct("dst", "cos_sim")).alias("nbrs")
+    )
+    base = (
+        idx.join(lens, idx["vec_id"] == lens["len_doc_id"])
+        .drop("len_doc_id")
+        .join(nbrs, idx["vec_id"] == nbrs["src"], "left")
+        .drop("src")
+    )
+    return base.groupBy("list_id").applyInPandas(
+        _walk_cluster, schema=_CHAIN_SCHEMA
+    )
+
+
 def _sem_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (session, sf_dir): the chained+packed table under both
     orderings — feeds the X244 packing query and the X245 affinity
@@ -149,29 +181,12 @@ def _sem_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         with fixtures_audit.timed("sem_chain"):
             emb = _emb(spark, sf_dir)
             _oracle_dim_check(spark, sf_dir)
-            idx = ivf.build_index(
-                emb, _trained_centroids(spark, sf_dir)
-            ).select("vec_id", "list_id")
-            lens = _docs(spark, sf_dir).selectExpr(
-                "doc_id AS len_doc_id",
-                rf"least(greatest(size(filter(split(text, '\\s+'),"
-                rf" x -> x != '')), 1), {SEQ_PACK_CAP}) AS n_tok",
-            )
-            knn = _knn_edges(spark, sf_dir, PR_KNN_K)
-            nbrs = knn.groupBy("src").agg(
-                F.collect_list(F.struct("dst", "cos_sim")).alias("nbrs")
-            )
-            base = (
-                idx.join(lens, idx["vec_id"] == lens["len_doc_id"])
-                .drop("len_doc_id")
-                .join(nbrs, idx["vec_id"] == nbrs["src"], "left")
-                .drop("src")
-            )
-            _SEM_CHAIN[key] = (
-                base.groupBy("list_id")
-                .applyInPandas(_walk_cluster, schema=_CHAIN_SCHEMA)
-                .localCheckpoint(eager=True)
-            )
+            _SEM_CHAIN[key] = chain_pack(
+                _docs(spark, sf_dir),
+                emb,
+                _trained_centroids(spark, sf_dir),
+                _knn_edges(spark, sf_dir, PR_KNN_K),
+            ).localCheckpoint(eager=True)
     return _SEM_CHAIN[key]
 
 

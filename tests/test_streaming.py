@@ -3064,3 +3064,84 @@ def test_incremental_optout_equals_batch_and_is_final(spark, sf_dir, tmpdir):
     gd = ioo.current_delta(spark, store).collect()[0].asDict()
     wd = QUERIES["web_optout_release_delta"](spark, sf_dir).collect()[0].asDict()
     assert gd == wd
+
+
+def test_incremental_sem_pack_equality_and_locality(spark, sf_dir, tmpdir):
+    """X244 twin (re-derive class, cluster-scoped churn): after two
+    micro-batches the re-derived chain table equals the batch query
+    on the union; the churn report between consecutive views is
+    well-formed and non-vacuous; and the locality theorem holds — a
+    cluster whose membership AND member out-edge sets are identical
+    across views is row-identical (chain_pack is pure in those
+    inputs), which is what lets a scheduler re-pack only dirty
+    clusters at scale."""
+    from gmall_spark.operators import similarity
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.queries_llm.ann_topk import PR_KNN_K
+    from gmall_spark.streaming import incremental_sem_pack as isp
+
+    store = f"{tmpdir}/sp_store"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b0d, b1d = docs.filter(F.col("doc_id") % 2 == 0), docs.filter(
+        F.col("doc_id") % 2 == 1
+    )
+    b0e, b1e = emb.filter(F.col("vec_id") % 2 == 0), emb.filter(
+        F.col("vec_id") % 2 == 1
+    )
+    isp.process_batch(spark, b0d, b0e, store)
+    v1 = isp.current_packing(spark, store).localCheckpoint(eager=True)
+    isp.process_batch(spark, b1d, b1e, store)
+    v2 = isp.current_packing(spark, store).localCheckpoint(eager=True)
+    # equality with the batch query on the union
+    got = {
+        (r.list_id, r.chain_pos, r.doc_id, r.n_tok, r.pack_row,
+         r.tok_start, r.tok_end)
+        for r in v2.filter(F.col("ordering") == "semantic").collect()
+    }
+    want = {
+        (r.list_id, r.chain_pos, r.doc_id, r.n_tok, r.pack_row,
+         r.tok_start, r.tok_end)
+        for r in QUERIES["llm_semantic_packing"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # churn report: well-formed and non-vacuous
+    churn = {r.list_id: r.status
+             for r in isp.chain_churn(v1, v2).collect()}
+    assert set(churn.values()) <= {"new", "changed", "stable", "dropped"}
+    assert any(s in ("new", "changed") for s in churn.values())
+    # locality theorem: identical (membership, member out-edges) =>
+    # identical chain rows
+    def members(v):
+        out = {}
+        for r in v.filter(F.col("ordering") == "semantic").collect():
+            out.setdefault(r.list_id, set()).add(r.doc_id)
+        return out
+
+    def edges(e):
+        knn = similarity.gemm_allpairs_topk(e, k=PR_KNN_K).collect()
+        out = {}
+        for r in knn:
+            out.setdefault(r.query_id, set()).add(
+                (r.neighbor_id, r.cos_sim)
+            )
+        return out
+
+    m1, m2 = members(v1), members(v2)
+    e1, e2 = edges(b0e), edges(emb)
+    rows1 = {}
+    for r in v1.filter(F.col("ordering") == "semantic").collect():
+        rows1.setdefault(r.list_id, set()).add(
+            (r.chain_pos, r.doc_id, r.pack_row, r.tok_start, r.tok_end)
+        )
+    rows2 = {}
+    for r in v2.filter(F.col("ordering") == "semantic").collect():
+        rows2.setdefault(r.list_id, set()).add(
+            (r.chain_pos, r.doc_id, r.pack_row, r.tok_start, r.tok_end)
+        )
+    for lid in set(m1) & set(m2):
+        if m1[lid] == m2[lid] and all(
+            e1.get(d, set()) == e2.get(d, set()) for d in m1[lid]
+        ):
+            assert rows1[lid] == rows2[lid], lid
+            assert churn[lid] == "stable", lid
