@@ -161,3 +161,32 @@ def test_needle_rows_theorems(spark, sf_dir):
         assert span == (r.needle_tok_start, r.needle_tok_end)
         assert 0 <= r.needle_tok_start < r.needle_tok_end <= r.row_tok
         assert 0 <= r.needle_depth < 1
+
+
+def test_walk_oracle_is_deterministic_across_evaluations(sf_dir):
+    """The X244 walk oracle must be STRUCTURALLY deterministic: the
+    first formulation (correlated scalar subquery inside a lateral's
+    ORDER BY) was observed to flip results intermittently under
+    DuckDB's multi-threaded scheduler — a nondeterministic oracle
+    makes the correctness gate flaky. Pin three fresh-connection
+    evaluations bit-identical (the list-state walk has no table
+    re-scan inside the recursion, so this holds by construction)."""
+    import duckdb
+
+    from gmall_spark.queries import ORACLES
+
+    base = None
+    for _ in range(3):
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        got = sorted(
+            map(tuple, con.execute(ORACLES["llm_semantic_packing"]).fetchall())
+        )
+        con.close()
+        if base is None:
+            base = got
+        else:
+            assert got == base
