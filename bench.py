@@ -213,6 +213,7 @@ HEADLINE = [
     "llm_multimodal_interleave",
     "llm_semantic_packing_utilization",
     "llm_needle_eval_rows",
+    "llm_curriculum_order",
 ]
 
 # Box-calibration probe (VERDICT r10 item 4): ONE frozen, plan-stable,

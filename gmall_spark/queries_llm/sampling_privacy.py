@@ -1285,3 +1285,90 @@ def q_llm_domain_mix_weights(spark, sf_dir):
     )
 
 
+
+
+# --- curriculum data ordering (X249, r11) -------------------------------------
+
+
+@query(
+    "llm_curriculum_order",
+    f"""
+WITH sh AS (
+  SELECT d.doc_id, ep.epoch,
+         CAST(('0x' || substr(md5(ep.epoch || ':' || d.doc_id), 1, 8)) AS BIGINT)
+           AS h
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(1, {SHARD_EPOCHS + 1})) AS epoch) ep
+), bk AS (
+  SELECT doc_id, bucket_id FROM ({{BUCKETS}})
+), j AS (
+  SELECT sh.doc_id, sh.epoch, sh.h, COALESCE(bk.bucket_id, 2) AS bucket_id
+  FROM sh LEFT JOIN bk ON bk.doc_id = sh.doc_id
+)
+SELECT doc_id,
+       CAST(epoch AS BIGINT) AS epoch,
+       CAST(h % {SHARD_N} AS BIGINT) AS shard,
+       CAST(bucket_id AS BIGINT) AS bucket_id,
+       CAST(row_number() OVER (
+         PARTITION BY epoch, h % {SHARD_N}
+         ORDER BY CASE WHEN epoch = 1 THEN bucket_id ELSE 0 END, h, doc_id
+       ) AS BIGINT) AS pos
+FROM j
+""",
+)
+def q_llm_curriculum_order(spark, sf_dir):
+    """Curriculum data ordering (X249; Bengio et al. 2009 curriculum
+    learning, the warmup-then-anneal recipe production runs use): the
+    X128 deterministic epoch/shard deal with a DIFFICULTY-AWARE first
+    epoch — within each (epoch 1, shard), documents sort easy-first
+    by their CCNet tier (head=1 before middle before tail; the X108
+    registered bucketing is the difficulty score), then the hash
+    order breaks ties; later epochs fall back to the pure X128 hash
+    order (the anneal — curriculum only warms up, it never biases the
+    steady state). Unscored docs (no bigram) take the middle tier by
+    the stated rule, so no document vanishes from an epoch. Scale:
+    the corpus-wide sort still decomposes into SHARD_N independent
+    partition sorts per epoch (one window, conditional sort key);
+    the tier attach is a doc_id join against the shared scored
+    fixture."""
+    from gmall_spark.queries_llm.corpus_lm import q_text_perplexity_buckets
+
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id").crossJoin(
+        spark.range(1, SHARD_EPOCHS + 1).select(F.col("id").alias("epoch"))
+    ).select(
+        "doc_id",
+        "epoch",
+        F.expr(
+            "cast(conv(substring(md5(concat(epoch, ':', doc_id)), 1, 8), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    )
+    bk = q_text_perplexity_buckets(spark, sf_dir).select(
+        F.col("doc_id").alias("b_doc_id"), "bucket_id"
+    )
+    j = sh.join(bk, sh["doc_id"] == bk["b_doc_id"], "left").select(
+        "doc_id",
+        "epoch",
+        "h",
+        F.coalesce("bucket_id", F.lit(2)).alias("bucket_id"),
+    )
+    w = Window.partitionBy("epoch", F.col("h") % SHARD_N).orderBy(
+        F.when(F.col("epoch") == 1, F.col("bucket_id")).otherwise(F.lit(0)),
+        "h",
+        "doc_id",
+    )
+    return j.select(
+        "doc_id",
+        F.col("epoch").cast("bigint").alias("epoch"),
+        (F.col("h") % SHARD_N).cast("bigint").alias("shard"),
+        F.col("bucket_id").cast("bigint").alias("bucket_id"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+from gmall_spark.queries import ORACLES as _OR_CURR  # noqa: E402
+
+_OR_CURR["llm_curriculum_order"] = _OR_CURR["llm_curriculum_order"].replace(
+    "{BUCKETS}", _OR_CURR["text_perplexity_buckets"]
+)

@@ -2110,3 +2110,35 @@ def test_split_by_group_zero_leaks_and_fixes_doc_split(spark):
     assert moved.count() > 0
     assert moved.filter(~F.col("is_grouped")).count() == 0
     df.unpersist()
+
+
+def test_curriculum_order_warmup_and_anneal(spark, sf_dir):
+    """X249: epoch 1 is easy-first (bucket_id non-decreasing along
+    each shard's position order) and later epochs are EXACTLY the
+    X128 hash order (the anneal); every doc appears once per epoch."""
+    from gmall_spark.queries import QUERIES
+
+    rows = QUERIES["llm_curriculum_order"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per_epoch = defaultdict(list)
+    for r in rows:
+        per_epoch[r.epoch].append(r)
+    n_docs = len({r.doc_id for r in rows})
+    for ep, rs in per_epoch.items():
+        assert len(rs) == n_docs  # every doc dealt once per epoch
+    shards = defaultdict(list)
+    for r in per_epoch[1]:
+        shards[r.shard].append(r)
+    assert len(shards) > 1
+    for s, rs in shards.items():
+        rs.sort(key=lambda r: r.pos)
+        tiers = [r.bucket_id for r in rs]
+        assert tiers == sorted(tiers), s  # easy-first warmup
+        assert len({r.bucket_id for r in rs}) > 1  # non-vacuous
+    # anneal: epoch 2 equals the registered X128 order exactly
+    want = {(r.doc_id): (r.shard, r.pos)
+            for r in QUERIES["llm_epoch_shards"](spark, sf_dir).collect()
+            if r.epoch == 2}
+    got = {r.doc_id: (r.shard, r.pos) for r in per_epoch[2]}
+    assert got == want

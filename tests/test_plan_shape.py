@@ -576,6 +576,10 @@ BUDGETS = [
     # r11: needle map — one (cluster, row)-keyed agg over the chain
     # checkpoint; the answer-key doc join broadcasts
     ("llm_needle_eval_rows", 2, 1),
+    # r11: curriculum order — epoch cross-deal + the doc-grain tier
+    # attach join (doc-keyed shuffle: tier table is corpus-sized, the
+    # honest non-broadcast shape) + ONE (epoch, shard) window
+    ("llm_curriculum_order", 6, 1),
 ]
 
 
