@@ -214,6 +214,7 @@ HEADLINE = [
     "llm_semantic_packing_utilization",
     "llm_needle_eval_rows",
     "llm_curriculum_order",
+    "llm_mix_schedule",
 ]
 
 # Box-calibration probe (VERDICT r10 item 4): ONE frozen, plan-stable,

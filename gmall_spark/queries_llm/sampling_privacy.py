@@ -1372,3 +1372,78 @@ from gmall_spark.queries import ORACLES as _OR_CURR  # noqa: E402
 _OR_CURR["llm_curriculum_order"] = _OR_CURR["llm_curriculum_order"].replace(
     "{BUCKETS}", _OR_CURR["text_perplexity_buckets"]
 )
+
+
+# --- staged domain-mixture schedule (X250, r11) -------------------------------
+
+MIX_SCHEDULE_EPOCHS = 4
+
+
+@query(
+    "llm_mix_schedule",
+    rf"""
+WITH d AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS domain_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, domain_tokens,
+         SUM(domain_tokens) OVER () AS total_tokens,
+         COUNT(*) OVER () AS n_domains
+  FROM d
+), ep AS (
+  SELECT unnest(range(1, {MIX_SCHEDULE_EPOCHS + 1})) AS epoch
+)
+SELECT t.source, CAST(ep.epoch AS BIGINT) AS epoch, t.domain_tokens,
+       round(CAST(t.domain_tokens AS DOUBLE) / t.total_tokens, 6)
+         AS natural_share,
+       round(1.0 / t.n_domains, 6) AS target_share,
+       round(
+         (({MIX_SCHEDULE_EPOCHS} - ep.epoch)
+            * (CAST(t.domain_tokens AS DOUBLE) / t.total_tokens)
+          + (ep.epoch - 1) * (1.0 / t.n_domains))
+         / {MIX_SCHEDULE_EPOCHS - 1}.0, 6) AS mix_weight
+FROM t CROSS JOIN ep
+""",
+)
+def q_llm_mix_schedule(spark, sf_dir):
+    """Staged domain-mixture schedule (X250): the per-epoch sampling
+    weights a curriculum-mixed run interpolates from the NATURAL
+    corpus composition (epoch 1) to the BALANCED target (final
+    epoch) — the two-phase/midtraining mixing knob, stated as one
+    table so the loader and the audit read the same numbers (the X117
+    temperature mix is the stationary special case; this is its
+    schedule). Linear interpolation in the shares, computed from the
+    same integers in both engines (token counts / totals), rounded at
+    emission. Scale: one source-keyed token aggregate (corpus touched
+    once, map-side combine) crossed with the constant epoch grid —
+    the schedule is domains x epochs rows at any corpus size."""
+    E = MIX_SCHEDULE_EPOCHS
+    d = _docs(spark, sf_dir)
+    agg = (
+        d.select("source", TX.bpe_token_count(F.col("text")).alias("__tok"))
+        .groupBy("source")
+        .agg(F.sum("__tok").cast("bigint").alias("domain_tokens"))
+    )
+    w = Window.partitionBy()
+    t = agg.select(
+        "source",
+        "domain_tokens",
+        F.sum("domain_tokens").over(w).alias("__total"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    ep = spark.range(1, E + 1).select(F.col("id").alias("epoch"))
+    nat = F.col("domain_tokens").cast("double") / F.col("__total")
+    uni = F.lit(1.0) / F.col("__n")
+    return t.crossJoin(ep).select(
+        "source",
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "domain_tokens",
+        F.round(nat, 6).alias("natural_share"),
+        F.round(uni, 6).alias("target_share"),
+        F.round(
+            ((F.lit(E) - F.col("epoch")) * nat + (F.col("epoch") - 1) * uni)
+            / F.lit(float(E - 1)),
+            6,
+        ).alias("mix_weight"),
+    )

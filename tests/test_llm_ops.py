@@ -2142,3 +2142,33 @@ def test_curriculum_order_warmup_and_anneal(spark, sf_dir):
             if r.epoch == 2}
     got = {r.doc_id: (r.shard, r.pos) for r in per_epoch[2]}
     assert got == want
+
+
+def test_mix_schedule_endpoints_and_interpolation(spark, sf_dir):
+    """X250: epoch 1 weights == natural shares, final epoch ==
+    uniform target, middles strictly between (per domain, monotone
+    toward the target); every epoch's weights sum to ~1."""
+    from collections import defaultdict
+
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.queries_llm.sampling_privacy import MIX_SCHEDULE_EPOCHS
+
+    rows = QUERIES["llm_mix_schedule"](spark, sf_dir).collect()
+    per_ep = defaultdict(dict)
+    for r in rows:
+        per_ep[r.epoch][r.source] = r
+    assert set(per_ep) == set(range(1, MIX_SCHEDULE_EPOCHS + 1))
+    for src, r in per_ep[1].items():
+        assert abs(r.mix_weight - r.natural_share) <= 1e-6
+    for src, r in per_ep[MIX_SCHEDULE_EPOCHS].items():
+        assert abs(r.mix_weight - r.target_share) <= 1e-6
+    for ep, m in per_ep.items():
+        assert abs(sum(r.mix_weight for r in m.values()) - 1.0) < 1e-3
+    for src in per_ep[1]:
+        seq = [per_ep[e][src].mix_weight
+               for e in range(1, MIX_SCHEDULE_EPOCHS + 1)]
+        nat, tgt = per_ep[1][src].natural_share, per_ep[1][src].target_share
+        if nat < tgt:
+            assert seq == sorted(seq)
+        elif nat > tgt:
+            assert seq == sorted(seq, reverse=True)

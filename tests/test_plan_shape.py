@@ -580,6 +580,9 @@ BUDGETS = [
     # attach join (doc-keyed shuffle: tier table is corpus-sized, the
     # honest non-broadcast shape) + ONE (epoch, shard) window
     ("llm_curriculum_order", 6, 1),
+    # r11: mix schedule — one source-keyed token agg + the constant
+    # epoch-grid cross (grid broadcasts); domains x epochs rows
+    ("llm_mix_schedule", 3, 1),
 ]
 
 
