@@ -190,3 +190,79 @@ def test_walk_oracle_is_deterministic_across_evaluations(sf_dir):
             base = got
         else:
             assert got == base
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2048),  # n_tok
+            st.lists(  # out-edges: (dst index offset, sim)
+                st.tuples(
+                    st.integers(min_value=0, max_value=19),
+                    st.floats(
+                        min_value=-1, max_value=1, allow_nan=False
+                    ).map(lambda x: round(x, 6)),
+                ),
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_walk_invariants_hypothesis(spec):
+    """X244 walk under adversarial lengths/edges: for BOTH orderings
+    the chain is a permutation, the cap is a theorem (every doc fits
+    its row — lengths are pre-clamped), rows fill contiguously from
+    0, and next-fit is exact (a row break happens iff the previous
+    fill would have overflowed)."""
+    import pandas as pd
+
+    from gmall_spark.queries_llm import incontext as IC
+
+    ids = [10 * (i + 1) for i in range(len(spec))]
+    rows = []
+    for i, (n_tok, edges) in enumerate(spec):
+        nbrs = {}
+        for off, sim in edges:
+            dst = ids[off % len(ids)]
+            if dst != ids[i]:
+                nbrs[dst] = sim  # dict: last write wins, like real kNN
+        rows.append(
+            {
+                "list_id": 7,
+                "vec_id": ids[i],
+                "n_tok": n_tok,
+                "nbrs": [
+                    {"dst": d, "cos_sim": s} for d, s in nbrs.items()
+                ]
+                or None,
+            }
+        )
+    out = IC._walk_cluster(pd.DataFrame(rows))
+    for ordering in ("semantic", "random"):
+        o = out[out.ordering == ordering].sort_values("chain_pos")
+        assert sorted(o.doc_id) == sorted(ids)
+        assert list(o.chain_pos) == list(range(1, len(ids) + 1))
+        fill = {}
+        prev_row = 0
+        prev_fill = 0
+        for r in o.itertuples():
+            assert r.tok_end - r.tok_start == r.n_tok
+            assert r.tok_end <= IC.SEQ_PACK_CAP
+            if r.pack_row == prev_row:
+                assert r.tok_start == prev_fill
+            else:
+                assert r.pack_row == prev_row + 1 and r.tok_start == 0
+                # next-fit exactness: the break was forced
+                assert prev_fill + r.n_tok > IC.SEQ_PACK_CAP
+            prev_row, prev_fill = r.pack_row, r.tok_end
