@@ -215,6 +215,8 @@ HEADLINE = [
     "llm_needle_eval_rows",
     "llm_curriculum_order",
     "llm_mix_schedule",
+    "llm_repeat_plan",
+    "llm_shard_manifest",
 ]
 
 # Box-calibration probe (VERDICT r10 item 4): ONE frozen, plan-stable,

@@ -1447,3 +1447,144 @@ def q_llm_mix_schedule(spark, sf_dir):
             6,
         ).alias("mix_weight"),
     )
+
+
+# --- quality-tier repeat plan (X251, r11) -------------------------------------
+
+# Frozen repeat policy (Muennighoff et al. 2023, arXiv:2305.16264:
+# repetition value decays fast past ~4 epochs): head tier repeats 4x,
+# middle 2x, tail 1x — the data-constrained budget knob stated as
+# integers so both engines compute identical effective tokens.
+REPEAT_EPOCHS = {1: 4, 2: 2, 3: 1}
+
+
+@query(
+    "llm_repeat_plan",
+    f"""
+WITH bk AS (
+  SELECT doc_id, lang, bucket_id, bucket FROM ({{BUCKETS}})
+), tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT bk.lang, CAST(bk.bucket_id AS BIGINT) AS bucket_id, bk.bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok.n_tok) AS BIGINT) AS n_tokens,
+       CAST(CASE bk.bucket_id WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END AS BIGINT)
+         AS repeat_epochs,
+       CAST(sum(tok.n_tok) * CASE bk.bucket_id WHEN 1 THEN 4 WHEN 2 THEN 2
+                                               ELSE 1 END AS BIGINT)
+         AS effective_tokens
+FROM bk JOIN tok ON tok.doc_id = bk.doc_id
+GROUP BY bk.lang, bk.bucket_id, bk.bucket
+""",
+)
+def q_llm_repeat_plan(spark, sf_dir):
+    """Quality-tier repeat plan (X251; Muennighoff 2023
+    data-constrained scaling): how many epochs each CCNet tier
+    repeats under the frozen policy (head 4x / middle 2x / tail 1x —
+    repetition value decays past ~4 epochs, and the best data earns
+    the repeats), with per-(lang, tier) token mass and the resulting
+    EFFECTIVE token budget — the one-table answer to 'how much
+    training data do we actually have?' under quality-weighted
+    repetition. Tiers are the registered X108 bucketing (the
+    full-corpus assignment; the X243 KN cut covers the frozen-split
+    eval population and migrates here when the corpus-wide model is
+    KN — same cut algebra either way). Scale: the tier table joins
+    token counts at doc grain, then one (lang, tier)-keyed aggregate;
+    the policy is a plan literal."""
+    from gmall_spark.queries_llm.corpus_lm import q_text_perplexity_buckets
+
+    bk = q_text_perplexity_buckets(spark, sf_dir).select(
+        F.col("doc_id").alias("b_doc_id"), "lang", "bucket_id", "bucket"
+    )
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", TX.bpe_token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    rep = (
+        F.when(F.col("bucket_id") == 1, 4)
+        .when(F.col("bucket_id") == 2, 2)
+        .otherwise(1)
+    )
+    return (
+        bk.join(tok, bk["b_doc_id"] == tok["doc_id"])
+        .groupBy("lang", "bucket_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.max(rep).cast("bigint").alias("repeat_epochs"),
+            (F.sum("n_tok") * F.max(rep)).cast("bigint").alias(
+                "effective_tokens"
+            ),
+        )
+    )
+
+
+from gmall_spark.queries import ORACLES as _OR_REP  # noqa: E402
+
+_OR_REP["llm_repeat_plan"] = _OR_REP["llm_repeat_plan"].replace(
+    "{BUCKETS}", _OR_REP["text_perplexity_buckets"]
+)
+
+
+# --- epoch-shard loader manifest (X252, r11) ----------------------------------
+
+
+@query(
+    "llm_shard_manifest",
+    f"""
+WITH e AS (
+  SELECT d.doc_id, ep.epoch,
+         CAST(('0x' || substr(md5(ep.epoch || ':' || d.doc_id), 1, 8)) AS BIGINT)
+           AS h,
+         CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.text), 1, 15)) AS BIGINT) AS ch
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(1, {SHARD_EPOCHS + 1})) AS epoch) ep
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(h % {SHARD_N} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(ch) AS DECIMAL(38, 0)) AS content_sum
+FROM e GROUP BY 1, 2
+""",
+)
+def q_llm_shard_manifest(spark, sf_dir):
+    """Epoch-shard loader manifest (X252): the per-(epoch, shard)
+    stamp a distributed loader verifies before training — doc count,
+    token mass (balance check: the md5 deal should spread tokens
+    evenly), and the X191 order-independent content checksum (plain
+    SUM of per-row 60-bit md5 ints in DECIMAL(38,0) — integer
+    addition commutes, shuffle order can't flip a digit), so a wrong
+    or stale shard is caught by one row compare instead of a
+    re-read. One (epoch, shard)-keyed aggregate over the X128 deal;
+    everything per-row before it."""
+    d = _docs(spark, sf_dir)
+    e = d.crossJoin(
+        spark.range(1, SHARD_EPOCHS + 1).select(F.col("id").alias("epoch"))
+    ).selectExpr(
+        "epoch",
+        "cast(conv(substring(md5(concat(epoch, ':', doc_id)), 1, 8), 16, 10)"
+        " as bigint) AS h",
+        "doc_id",
+        "text",
+    )
+    return (
+        e.select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            (F.col("h") % SHARD_N).cast("bigint").alias("shard"),
+            TX.bpe_token_count(F.col("text")).cast("bigint").alias("n_tok"),
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(doc_id as string), ':',"
+                " text)), 1, 15), 16, 10) as decimal(38,0))"
+            ).alias("ch"),
+        )
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("ch").cast("decimal(38,0)").alias("content_sum"),
+        )
+    )

@@ -2172,3 +2172,60 @@ def test_mix_schedule_endpoints_and_interpolation(spark, sf_dir):
             assert seq == sorted(seq)
         elif nat > tgt:
             assert seq == sorted(seq, reverse=True)
+
+
+def test_repeat_plan_policy_and_conservation(spark, sf_dir):
+    """X251: policy literal per tier (4/2/1), effective =
+    tokens x epochs exactly, and the plan conserves the corpus (sum
+    of n_docs over tiers == scored docs; head earns more effective
+    tokens per raw token than tail)."""
+    from gmall_spark.queries import QUERIES
+
+    rows = QUERIES["llm_repeat_plan"](spark, sf_dir).collect()
+    want_rep = {1: 4, 2: 2, 3: 1}
+    for r in rows:
+        assert r.repeat_epochs == want_rep[r.bucket_id], r
+        assert r.effective_tokens == r.n_tokens * r.repeat_epochs
+    scored = QUERIES["text_perplexity_buckets"](spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows) == scored
+
+
+def test_shard_manifest_conserves_and_detects_change(spark, sf_dir):
+    """X252: shard manifests partition each epoch exactly (docs and
+    tokens sum to the corpus), every (epoch, shard) cell is present,
+    and the checksum is sensitive — one mutated doc flips exactly the
+    cells that hold it."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.queries_llm.sampling_privacy import (
+        SHARD_EPOCHS,
+        SHARD_N,
+    )
+
+    rows = QUERIES["llm_shard_manifest"](spark, sf_dir).collect()
+    assert len(rows) == SHARD_EPOCHS * SHARD_N
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    for ep in range(1, SHARD_EPOCHS + 1):
+        cells = [r for r in rows if r.epoch == ep]
+        assert sum(r.n_docs for r in cells) == n
+    base = {(r.epoch, r.shard): str(r.content_sum) for r in rows}
+    import gmall_spark.queries_llm as QL
+
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    orig = QL._docs
+    try:
+        QL._docs = lambda s, sd: mutated
+        rows2 = QUERIES["llm_shard_manifest"](spark, sf_dir).collect()
+    finally:
+        QL._docs = orig
+    changed = {(r.epoch, r.shard)
+               for r in rows2
+               if base[(r.epoch, r.shard)] != str(r.content_sum)}
+    assert len(changed) == SHARD_EPOCHS  # doc 0 sits in one shard/epoch
+    for r, r2 in zip(sorted(rows, key=lambda r: (r.epoch, r.shard)),
+                     sorted(rows2, key=lambda r: (r.epoch, r.shard))):
+        assert r.n_docs == r2.n_docs  # counts unmoved by a text edit

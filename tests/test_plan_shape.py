@@ -583,6 +583,12 @@ BUDGETS = [
     # r11: mix schedule — one source-keyed token agg + the constant
     # epoch-grid cross (grid broadcasts); domains x epochs rows
     ("llm_mix_schedule", 3, 1),
+    # r11: repeat plan — tier fixture cut + doc-grain token join +
+    # ONE (lang, tier) agg
+    ("llm_repeat_plan", 4, 2),
+    # r11: shard manifest — per-row hash/token exprs + ONE
+    # (epoch, shard) agg (the epoch grid broadcasts)
+    ("llm_shard_manifest", 2, 1),
 ]
 
 
