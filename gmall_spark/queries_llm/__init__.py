@@ -101,7 +101,17 @@ class _SourceForwardingModule(_types.ModuleType):
     module globals. After the split each family module holds its own
     early binding, so a plain package-level set would be invisible —
     this class keeps the monolith's patch point working by
-    propagating the set (and its restore) to all families."""
+    propagating the set (and its restore) to all families.
+
+    ONLY the three names in ``_FORWARDED`` remain package-level patch
+    points (ADVICE r11): assigning any other re-exported private
+    helper on the package (e.g. ``queries_llm._knn_edges``, a
+    monolith-era patch point) does NOT reach the family modules'
+    early bindings — patch the owning family module directly instead
+    (``queries_llm.prelude._knn_edges`` etc.), which is what the
+    suite does. The source hooks are forwarded because they are the
+    planted-corpus injection point shared by dozens of tests; other
+    helpers each have exactly one owner module."""
 
     _FORWARDED = frozenset({"_docs", "_emb", "_t"})
 

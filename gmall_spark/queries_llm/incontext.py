@@ -94,6 +94,12 @@ def _walk_cluster(pdf):
     list_id = int(pdf["list_id"].iloc[0])
 
     def chain_semantic():
+        # O(c^2) in cluster size c: every hop scans all unvisited
+        # members for the argmin (most hops resolve through the
+        # bounded kNN neighbor map, but the fallback/tie scan is
+        # linear). Fine under the IVF discipline — K grows with the
+        # corpus so clusters stay bounded — but if cluster caps ever
+        # loosen, switch to a heap keyed on (-sim, id) per frontier.
         unvisited = set(ids)
         cur = ids[0]
         out = [cur]

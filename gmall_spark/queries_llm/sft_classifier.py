@@ -400,6 +400,18 @@ _HASHED_WTS: dict[tuple[str, str], list[int]] = {}
 # is the one expression both compute bit-identically), so the scored
 # per-doc sum is an exact integer and pred_en's sign can never flip
 # between engines or across summation orders (ADVICE r10).
+#
+# Residual assumption (ADVICE r11): the Spark side freezes weights
+# from Python math.log while the oracle freezes from DuckDB ln() —
+# the two must agree to the last double ulp for the fixed-point
+# floor to land on the same integer. Both call the platform libm's
+# correctly-rounded-ish log on IEEE-754 doubles, and a divergence
+# would need a 1-ulp libm disagreement EXACTLY where x*1e9+0.5 sits
+# on an integer boundary (probability ~2^-30 per weight, none
+# observed across r10-r12 sweeps). Baking Python-computed weights
+# into the oracle text instead is not possible here: oracle strings
+# are corpus-independent (the driver replays the SAME string at
+# several sf_dirs), while the weights are trained per corpus.
 WEIGHT_SCALE = 10**9
 
 

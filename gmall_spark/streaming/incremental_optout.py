@@ -46,7 +46,10 @@ def batch_state(batch_docs: DataFrame) -> DataFrame:
     """The per-batch additive increment at domain grain — the
     IDENTICAL synth + canonicalize + frozen-list chain the batch
     query runs."""
-    g = _gated(batch_docs)
+    return _state_from_gated(_gated(batch_docs))
+
+
+def _state_from_gated(g: DataFrame) -> DataFrame:
     kept = (F.col("on_blocklist") == 0) & (F.col("opted_out") == 0)
     return g.groupBy("registered_domain").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -69,10 +72,14 @@ def process_batch(
     """Ingest one micro-batch: append its domain counters; returns the
     batch's per-doc verdicts (final at arrival — what a crawl gate
     acts on immediately)."""
-    batch_state(batch_docs).write.mode("append").parquet(
+    # run the synth_url + canonicalize chain ONCE per batch and derive
+    # both the appended counters and the returned verdicts from the
+    # materialized result (ADVICE r11: batch_state(batch_docs) used to
+    # re-run the whole gate chain a second time for the state write)
+    g = _gated(batch_docs).localCheckpoint(eager=True)
+    _state_from_gated(g).write.mode("append").parquet(
         f"{store_dir}/optout_state"
     )
-    g = _gated(batch_docs)
     return g.select(
         "doc_id",
         "registered_domain",
