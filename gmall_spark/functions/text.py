@@ -458,3 +458,41 @@ def simhash_fingerprints(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
         .select("doc_id", "canonical_md5", total.cast("bigint").alias("simhash"))
     )
+
+
+def lcs_length(ta: Column, tb: Column) -> Column:
+    """Longest-common-subsequence LENGTH of two token arrays — the
+    ROUGE-L core (Lin 2004), as one pure JVM higher-order-function
+    fold: the classic integer DP row by row (dp[i][j] = max of skip-a,
+    skip-b, diagonal+match), the outer aggregate() folding rows of
+    ``ta``, the inner one building each row left-to-right over
+    ``tb``'s positions (the within-row dependency rides the growing
+    accumulator array). O(|ta|*|tb|) integer ops per pair, zero Python
+    in the hot path; intended for BLOCKED candidate pairs (prompts,
+    titles) — never all-pairs, and never megabyte documents."""
+
+    def _row(prev: Column, ai: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(tb)),
+            F.array(F.lit(0)),
+            lambda acc, j: F.concat(
+                acc,
+                F.array(
+                    F.greatest(
+                        F.element_at(prev, j + F.lit(1)),
+                        F.element_at(acc, F.size(acc)),
+                        F.element_at(prev, j)
+                        + F.when(ai == F.element_at(tb, j), F.lit(1)).otherwise(
+                            F.lit(0)
+                        ),
+                    )
+                ),
+            ),
+        )
+
+    final = F.aggregate(
+        ta,
+        F.transform(F.sequence(F.lit(0), F.size(tb)), lambda j: F.lit(0)),
+        _row,
+    )
+    return F.element_at(final, -1).cast("bigint")

@@ -24,6 +24,7 @@ from gmall_spark.queries_llm import (  # noqa: F401  (import order = registratio
     ann_topk,
     corpus_lm,
     sampling_privacy,
+    loader_schedule,
     curation,
     mm_codecs,
     ann_eval,
@@ -37,6 +38,7 @@ from gmall_spark.queries_llm import (  # noqa: F401  (import order = registratio
     web_tier,
     sft_classifier,
     incontext,
+    governance,
 )
 
 # Re-export every family's top-level names (public AND private: the
@@ -51,6 +53,7 @@ for _m in (
     ann_topk,
     corpus_lm,
     sampling_privacy,
+    loader_schedule,
     curation,
     mm_codecs,
     ann_eval,
@@ -64,6 +67,7 @@ for _m in (
     web_tier,
     sft_classifier,
     incontext,
+    governance,
 ):
     for _k in vars(_m):
         if not _k.startswith("__"):
@@ -76,6 +80,7 @@ _FAMILY_MODULES = (
     ann_topk,
     corpus_lm,
     sampling_privacy,
+    loader_schedule,
     curation,
     mm_codecs,
     ann_eval,
@@ -89,6 +94,7 @@ _FAMILY_MODULES = (
     web_tier,
     sft_classifier,
     incontext,
+    governance,
 )
 
 

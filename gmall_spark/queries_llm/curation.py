@@ -26,6 +26,7 @@ from gmall_spark.queries_llm.prelude import (
     _lm_scores,
     _session_token,
     _transitive_groups,
+    _xmatch,
 )
 from gmall_spark.queries_llm.corpus_lm import DECONTAM_THRESHOLD
 
@@ -199,13 +200,8 @@ def q_llm_corpus_curation_v2(spark, sf_dir):
     key = (_session_token(spark), sf_dir)
     if key not in _CURATION_V2:
         with fixtures_audit.timed("curation_v2"):
-            d = _docs(spark, sf_dir)
             v1 = q_llm_corpus_curation(spark, sf_dir)
-            xmatch = llm_dedup.cross_corpus_near_dups(
-                d.filter(F.col("doc_id") % 20 != 0),
-                d.filter(F.col("doc_id") % 20 == 0),
-                DECONTAM_THRESHOLD,
-            ).select("doc_id").distinct()
+            xmatch = _xmatch(spark, sf_dir)
             scores = _lm_scores(spark, sf_dir).select("doc_id", "bigram_logprob")
             _CURATION_V2[key] = (
                 v1.filter(F.col("doc_id") % 20 != 0)

@@ -1,0 +1,611 @@
+"""Governance-aware curation (r12): dedup-keeper re-election under the
+X241 licensing/opt-out gate, the v5 release composition, and the
+release-to-release dataset diff (X253-X255).
+
+The gap this closes (VERDICT r11 item "Governance x dedup
+composition"): the X241 gate and the X89 takedown drop documents, but
+the curation chain's dedup keeper policy never re-elected — if a
+duplicate group's representative was governance-dropped, its
+(previously pruned) surviving duplicates stayed pruned and the content
+vanished from the release entirely. At production scale that is
+exactly how a domain blocklist silently deletes content that has a
+perfectly releasable mirror. Here the keeper election runs OVER THE
+GOVERNANCE-SURVIVING members (X29's quality rule — most words, ties to
+the lower id — restricted to the non-dropped set), so a blocked
+keeper's surviving duplicate becomes the representative instead.
+
+Blocklist discipline cite: C4 (Raffel et al. 2020) strips a frozen
+badlist of domains before any content processing; the keeper policies
+composed here are the repo's own X6 (exact canonical-hash groups),
+X29 (quality keeper), and X241 (frozen domain gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_spark import fixtures_audit
+from gmall_spark.functions import text as TX
+from gmall_spark.operators import lm, weburl
+from gmall_spark.queries import ORACLES as _OR
+from gmall_spark.queries import query
+from gmall_spark.queries_llm.curation import (
+    _SQL_CURATION_V2,
+    _replace_must_hit,
+)
+from gmall_spark.queries_llm.packing_release import (
+    SEQ_PACK_CAP,
+    _PACK_LEN_SQL,
+    _curation_funnel_oracle,
+    _ffd_pack_oracle,
+    pack_rows,
+    q_llm_corpus_curation_v4,
+    q_text_char_chisq_gibberish,
+)
+from gmall_spark.queries_llm.prelude import (
+    SQL_MINHASH,
+    _CURATION_V5,
+    _SQL_GROUP_CTES,
+    _boiler_clean,
+    _contain_pairs,
+    _docs,
+    _lm_scores,
+    _session_token,
+    _transitive_groups,
+    _xmatch,
+)
+from gmall_spark.queries_llm.sampling_privacy import SHARD_N
+from gmall_spark.queries_llm.web_tier import (
+    DOMAIN_BLOCKLIST,
+    DOMAIN_OPTOUT,
+    q_web_domain_optout_gate,
+)
+
+# --- the frozen gate as a pure doc_id predicate (oracle side) -----------------
+# The X241 gate verdict is a pure function of the registered domain,
+# which the synthetic provenance wheel derives from doc_id — so the
+# oracle can state the gate as one closed-form CASE without replaying
+# the URL chain (the Spark side runs the GENUINE synth -> canonicalize
+# -> frozen-list chain via the registered X241 query).
+
+
+def _gate_kept_sql(id_col: str = "doc_id") -> str:
+    gated = ", ".join(
+        f"'{d}'" for d in DOMAIN_BLOCKLIST + DOMAIN_OPTOUT
+    )
+    rd = weburl.registered_domain_oracle_expr(id_col)
+    return f"CASE WHEN {rd} IN ({gated}) THEN 0 ELSE 1 END"
+
+
+# --- X253: governance-gated dedup keeper re-election --------------------------
+
+
+@query(
+    "dedup_groups_keeper_gated",
+    SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
+    + _SQL_GROUP_CTES
+    + rf"""
+, wc AS (
+  SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words
+  FROM documents
+), gv AS (
+  SELECT doc_id, {_gate_kept_sql()} AS kept FROM documents
+), rk AS (
+  SELECT g.group_id, g.doc_id, v.kept,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY v.kept DESC, w.n_words DESC, g.doc_id ASC)
+           AS rn_g,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY w.n_words DESC, g.doc_id ASC) AS rn_u
+  FROM grp g JOIN wc w ON w.doc_id = g.doc_id JOIN gv v ON v.doc_id = g.doc_id
+), sz AS (
+  SELECT group_id, CAST(count(*) AS BIGINT) AS group_size,
+         CAST(sum(kept) AS BIGINT) AS n_surviving
+  FROM rk GROUP BY group_id
+)
+SELECT s.group_id, s.group_size, s.n_surviving,
+       CAST(u.doc_id AS BIGINT) AS keeper_ungated,
+       CAST(CASE WHEN s.n_surviving > 0 THEN k.doc_id END AS BIGINT)
+         AS keeper_id,
+       (s.n_surviving > 0 AND k.doc_id <> u.doc_id) AS reelected
+FROM sz s
+JOIN (SELECT group_id, doc_id FROM rk WHERE rn_g = 1) k
+  ON k.group_id = s.group_id
+JOIN (SELECT group_id, doc_id FROM rk WHERE rn_u = 1) u
+  ON u.group_id = s.group_id
+""",
+)
+def q_dedup_groups_keeper_gated(spark, sf_dir):
+    """Governance-gated dedup keeper re-election (X253): per
+    transitive duplicate group, the keeper elected by the X29 quality
+    rule (most words, ties to the lower id) OVER THE GOVERNANCE-
+    SURVIVING members of the X241 gate — alongside the ungated keeper
+    and a re-election flag, so the audit reads exactly which groups a
+    governance drop would have silently deleted (keeper gated but a
+    releasable mirror survives). Groups with NO surviving member emit
+    keeper_id NULL — those genuinely leave the release. One max_by
+    hash aggregate per keeper over groups ⋈ word counts ⋈ gate (the
+    kept flag leads the struct order, so survivors dominate without a
+    second pass); doc-keyed joins shuffle honestly (dup membership is
+    corpus-sized), the group agg is the only other exchange."""
+    d = _docs(spark, sf_dir)
+    groups = _transitive_groups(spark, sf_dir)
+    gate = q_web_domain_optout_gate(spark, sf_dir).select("doc_id", "kept")
+    scores = d.select("doc_id", TX.word_count(F.col("text")).alias("n_words"))
+    j = groups.join(scores, "doc_id").join(gate, "doc_id")
+    agg = j.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.sum("kept").cast("bigint").alias("n_surviving"),
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.col("n_words").alias("__w"),
+                (-F.col("doc_id")).alias("__nid"),
+            ),
+        )
+        .cast("bigint")
+        .alias("keeper_ungated"),
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.col("kept").alias("__k"),
+                F.col("n_words").alias("__w"),
+                (-F.col("doc_id")).alias("__nid"),
+            ),
+        )
+        .cast("bigint")
+        .alias("__keeper_any"),
+    )
+    return agg.select(
+        "group_id",
+        "group_size",
+        "n_surviving",
+        "keeper_ungated",
+        F.when(F.col("n_surviving") > 0, F.col("__keeper_any"))
+        .cast("bigint")
+        .alias("keeper_id"),
+        (
+            (F.col("n_surviving") > 0)
+            & (F.col("__keeper_any") != F.col("keeper_ungated"))
+        ).alias("reelected"),
+    )
+
+
+# --- X254: corpus curation v5 (governance-aware release) ----------------------
+# The v5 base re-states the v1/v2 chain with BOTH dedup stages
+# governance-aware, assembled by splicing the registered v2 oracle
+# text (the _replace_must_hit discipline: a v1/v2 edit that breaks a
+# splice point fails loudly at import):
+#   - exact keepers: min doc_id per canonical hash AMONG SURVIVORS
+#     (the blocked mirror's surviving copy keeps the hash group alive)
+#   - near-dup drops: every group member except the gated-elected X253
+#     keeper (kept DESC, n_words DESC, doc_id ASC)
+#   - the gate itself: only surviving docs reach the release
+
+_SQL_V5_BASE = _replace_must_hit(
+    _SQL_CURATION_V2,
+    """, drops AS (
+  SELECT doc_id FROM grp WHERE doc_id <> group_id
+), canon AS (""",
+    rf""", gv5 AS (
+  SELECT doc_id, {_gate_kept_sql()} AS kept FROM documents
+), wc5 AS (
+  SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words
+  FROM documents
+), rk5 AS (
+  SELECT g.group_id, g.doc_id,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY v.kept DESC, w.n_words DESC, g.doc_id ASC)
+           AS rn
+  FROM grp g JOIN wc5 w ON w.doc_id = g.doc_id JOIN gv5 v ON v.doc_id = g.doc_id
+), drops AS (
+  SELECT g.doc_id
+  FROM grp g LEFT JOIN (SELECT group_id, doc_id FROM rk5 WHERE rn = 1) k5
+    ON k5.group_id = g.group_id AND k5.doc_id = g.doc_id
+  WHERE k5.doc_id IS NULL
+), canon AS (""",
+)
+_SQL_V5_BASE = _replace_must_hit(
+    _SQL_V5_BASE,
+    "  SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY h",
+    """  SELECT MIN(c.doc_id) AS doc_id
+  FROM canon c JOIN gv5 v ON v.doc_id = c.doc_id AND v.kept = 1
+  GROUP BY c.h""",
+)
+_SQL_V5_BASE = _replace_must_hit(
+    _SQL_V5_BASE,
+    "JOIN lmscore lm ON lm.doc_id = f.doc_id",
+    """JOIN lmscore lm ON lm.doc_id = f.doc_id
+JOIN gv5 gk5 ON gk5.doc_id = f.doc_id""",
+)
+_SQL_V5_BASE = _replace_must_hit(
+    _SQL_V5_BASE,
+    "WHERE dr.doc_id IS NULL AND xm.doc_id IS NULL AND f.doc_id % 20 <> 0",
+    "WHERE dr.doc_id IS NULL AND xm.doc_id IS NULL AND f.doc_id % 20 <> 0"
+    " AND gk5.kept = 1",
+)
+
+
+def _v5_kept_oracle() -> str:
+    """The v5 release set BEFORE packing: the governance-aware base
+    with the v3 policy stages (containment losers out, CCNet tail cut,
+    boilerplate rollup present) and the v4 gibberish gate — composed
+    from the registered oracle texts so the stages stay in lockstep by
+    construction."""
+    return f"""
+SELECT v.doc_id, v.lang_pred, b.bucket
+FROM ({_SQL_V5_BASE}) v
+JOIN ({_OR["text_perplexity_buckets"]}) b
+  ON b.doc_id = v.doc_id AND b.bucket <> 'tail'
+JOIN ({_OR["dedup_boilerplate_clean"]}) s ON s.doc_id = v.doc_id
+WHERE v.doc_id NOT IN (
+  SELECT DISTINCT CASE WHEN c.sz_a < c.sz_b THEN c.doc_a
+                       WHEN c.sz_b < c.sz_a THEN c.doc_b
+                       ELSE greatest(c.doc_a, c.doc_b) END
+  FROM ({_OR["dedup_ngram_containment"]}) c
+)
+  AND v.doc_id NOT IN (
+  SELECT doc_id FROM ({_OR["text_char_chisq_gibberish"]}) WHERE is_gibberish)
+"""
+
+
+def _curation_v5_oracle() -> str:
+    lens = f"""
+  SELECT d.doc_id, {_PACK_LEN_SQL} AS n_tok
+  FROM documents d
+  JOIN (SELECT doc_id FROM v5k) kk ON kk.doc_id = d.doc_id
+"""
+    return f"""
+WITH v5k AS MATERIALIZED ({_v5_kept_oracle()}),
+packed AS MATERIALIZED ({_ffd_pack_oracle(lens)})
+SELECT p.doc_id, v.lang_pred, v.bucket, p.n_tok, p.pack_id, p.pack_fill
+FROM packed p JOIN v5k v ON v.doc_id = p.doc_id
+"""
+
+
+@query("llm_corpus_curation_v5", None)  # oracle attached below
+def q_llm_corpus_curation_v5(spark, sf_dir):
+    """Corpus curation v5 (X254): the v4 release composition with the
+    governance gate composed IN and both dedup keeper stages
+    re-electing over the gate's survivors — a blocked keeper's
+    releasable mirror becomes the representative instead of the whole
+    group vanishing (the VERDICT-r11 composition gap). Stages, in
+    chain order: X241 gate -> v1 quality filters -> gated exact-hash
+    keeper -> gated near-dup keeper election (X253's rule) -> v2
+    decontam + holdout -> v3 containment/tail cut -> v4 gibberish gate
+    + X175 packing. Every stage is the registered operator's own
+    arithmetic; the oracle splices the registered v2 text (gated
+    keepers/drops swapped in) and wraps the registered v3/v4 stage
+    oracles. The OUTPUT is a per-(session, sf_dir) stage fixture like
+    v2/v3/v4's: the funnel and the release diff compose it, and a
+    release manifest is materialized once in any real pipeline."""
+    key = (_session_token(spark), sf_dir)
+    if key not in _CURATION_V5:
+        with fixtures_audit.timed("curation_v5"):
+            d = _docs(spark, sf_dir)
+            t = F.col("text")
+            gate = q_web_domain_optout_gate(spark, sf_dir).select(
+                "doc_id", "kept"
+            )
+            gate_kept = gate.filter(F.col("kept") == 1).select("doc_id")
+            feat = d.select(
+                "doc_id",
+                TX.lang_id(t).alias("lang_pred"),
+                TX.word_count(t).alias("n_words"),
+                F.length(t).cast("bigint").alias("n_chars"),
+            )
+            qual = feat.filter(
+                (F.col("n_words") >= 5)
+                & (F.col("n_chars") >= 20)
+                & (F.col("lang_pred") != "unknown")
+            )
+            # gated exact-hash keepers: min surviving id per canonical
+            # hash — hash groups whose every member is gated vanish
+            canon = d.select("doc_id", TX.canonical_hash(t).alias("h"))
+            ex_keep = (
+                canon.join(gate_kept, "doc_id", "semi")
+                .groupBy("h")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            # gated near-dup keeper election (the X253 rule) + drops
+            groups = _transitive_groups(spark, sf_dir)
+            scores = d.select("doc_id", TX.word_count(t).alias("__w"))
+            gk = (
+                groups.join(scores, "doc_id")
+                .join(gate, "doc_id")
+                .groupBy("group_id")
+                .agg(
+                    F.max_by(
+                        "doc_id",
+                        F.struct(
+                            F.col("kept").alias("__k"),
+                            F.col("__w"),
+                            (-F.col("doc_id")).alias("__nid"),
+                        ),
+                    ).alias("keeper_id")
+                )
+            )
+            drops = (
+                groups.join(gk, "group_id")
+                .filter(F.col("doc_id") != F.col("keeper_id"))
+                .select("doc_id")
+            )
+            base = (
+                qual.join(gate_kept, "doc_id", "semi")
+                .join(ex_keep, "doc_id", "semi")
+                .join(drops, "doc_id", "anti")
+            )
+            # v2 stage: holdout split + decontamination (the shared
+            # _xmatch fixture — v2's build computes the same set)
+            xmatch = _xmatch(spark, sf_dir)
+            v2s = (
+                base.filter(F.col("doc_id") % 20 != 0)
+                .join(xmatch, "doc_id", "anti")
+                .join(
+                    _lm_scores(spark, sf_dir).select(
+                        "doc_id", "bigram_logprob"
+                    ),
+                    "doc_id",
+                )
+            )
+            # v3 stage: containment losers out, tail cut, boiler present
+            pairs = _contain_pairs(spark, sf_dir)
+            cdrops = pairs.select(
+                F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_a"))
+                .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
+                .otherwise(F.greatest("doc_a", "doc_b"))
+                .alias("doc_id")
+            ).distinct()
+            b = (
+                lm.perplexity_buckets(d, scored=_lm_scores(spark, sf_dir))
+                .filter(F.col("bucket") != "tail")
+                .select("doc_id", "bucket")
+            )
+            v3s = (
+                v2s.join(cdrops, "doc_id", "anti")
+                .join(b, "doc_id")
+                .join(
+                    _boiler_clean(spark, sf_dir).select("doc_id"),
+                    "doc_id",
+                    "semi",
+                )
+                .select("doc_id", "lang_pred", "bucket")
+            )
+            # v4 stage: gibberish gate + X175 packing
+            gib = (
+                q_text_char_chisq_gibberish(spark, sf_dir)
+                .filter("is_gibberish")
+                .select("doc_id")
+            )
+            cap = SEQ_PACK_CAP
+            lens = (
+                d.selectExpr(
+                    "doc_id",
+                    rf"least(greatest(size(filter(split(text, '\\s+'),"
+                    rf" x -> x != '')), 1), {cap}) AS n_tok",
+                )
+                .join(v3s.select("doc_id"), "doc_id")
+                .join(gib, "doc_id", "anti")
+            )
+            _CURATION_V5[key] = (
+                pack_rows(lens, cap)
+                .join(v3s, "doc_id")
+                .select(
+                    "doc_id", "lang_pred", "bucket", "n_tok", "pack_id",
+                    "pack_fill",
+                )
+                .localCheckpoint(eager=True)
+            )
+    return _CURATION_V5[key]
+
+
+_OR["llm_corpus_curation_v5"] = _curation_v5_oracle()
+# the funnel gains the governance stage (X193 + v5): re-attach the
+# composed oracle now that the v5 text exists (packing_release attached
+# the 5-stage version at its import, before this module existed)
+_OR["llm_curation_funnel"] = _curation_funnel_oracle(
+    _OR["llm_corpus_curation_v5"]
+)
+
+
+# --- X255: release-to-release dataset diff ------------------------------------
+
+# the loader reads PACKS, so a release's shard is dealt from pack_id
+# (the X128 md5 discipline at pack grain): a repacked doc can land in
+# a different shard, and the diff charges it to both
+_SHARD_OF_PACK_DUCK = (
+    f"CAST(('0x' || substr(md5(pack_id), 1, 8)) AS BIGINT) % {SHARD_N}"
+)
+_SHARD_OF_PACK_SPARK = (
+    "cast(conv(substring(md5(pack_id), 1, 8), 16, 10) as bigint)"
+    f" % {SHARD_N}"
+)
+
+_CH_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))"
+    " AS BIGINT)"
+)
+_CH_SPARK = (
+    "cast(conv(substring(md5(concat(cast(doc_id as string), ':', text)),"
+    " 1, 15), 16, 10) as decimal(38,0))"
+)
+
+
+def _release_diff_oracle() -> str:
+    return f"""
+WITH ra AS MATERIALIZED (
+  SELECT a.doc_id, a.pack_id, {_SHARD_OF_PACK_DUCK} AS shard,
+         {_CH_DUCK} AS ch
+  FROM ({_OR["llm_corpus_curation_v4"]}) a JOIN documents d USING (doc_id)
+), rb AS MATERIALIZED (
+  SELECT b.doc_id, b.pack_id, {_SHARD_OF_PACK_DUCK} AS shard,
+         {_CH_DUCK} AS ch
+  FROM ({_OR["llm_corpus_curation_v5"]}) b JOIN documents d USING (doc_id)
+), st AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         ra.shard AS shard_a, rb.shard AS shard_b,
+         CASE WHEN ra.doc_id IS NULL THEN 'added'
+              WHEN rb.doc_id IS NULL THEN 'removed'
+              WHEN ra.shard <> rb.shard THEN 'moved'
+              WHEN ra.pack_id <> rb.pack_id THEN 'repacked'
+              ELSE 'stable' END AS status
+  FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id
+), aa AS (
+  SELECT ra.shard,
+         CAST(count(*) AS BIGINT) AS n_docs_a,
+         CAST(sum(CASE WHEN st.status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+         CAST(sum(CASE WHEN st.status = 'moved' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved_out,
+         CAST(sum(ra.ch) AS DECIMAL(38, 0)) AS content_sum_a
+  FROM ra JOIN st ON st.doc_id = ra.doc_id GROUP BY ra.shard
+), bb AS (
+  SELECT rb.shard,
+         CAST(count(*) AS BIGINT) AS n_docs_b,
+         CAST(sum(CASE WHEN st.status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_added,
+         CAST(sum(CASE WHEN st.status = 'moved' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved_in,
+         CAST(sum(CASE WHEN st.status = 'repacked' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_repacked,
+         CAST(sum(rb.ch) AS DECIMAL(38, 0)) AS content_sum_b
+  FROM rb JOIN st ON st.doc_id = rb.doc_id GROUP BY rb.shard
+)
+SELECT coalesce(aa.shard, bb.shard) AS shard,
+       coalesce(aa.n_docs_a, 0) AS n_docs_a,
+       coalesce(bb.n_docs_b, 0) AS n_docs_b,
+       coalesce(bb.n_added, 0) AS n_added,
+       coalesce(aa.n_removed, 0) AS n_removed,
+       coalesce(bb.n_moved_in, 0) AS n_moved_in,
+       coalesce(aa.n_moved_out, 0) AS n_moved_out,
+       coalesce(bb.n_repacked, 0) AS n_repacked,
+       CAST(coalesce(bb.content_sum_b, 0) - coalesce(aa.content_sum_a, 0)
+            AS DECIMAL(38, 0)) AS checksum_delta
+FROM aa FULL OUTER JOIN bb ON bb.shard = aa.shard
+"""
+
+
+@query("llm_release_diff", None)  # oracle attached below
+def q_llm_release_diff(spark, sf_dir):
+    """Release-to-release dataset diff (X255): the "what changed in
+    this data release" table a training team reads before a run —
+    curation v4 vs the governance-aware v5, at the loader's shard
+    grain (shards dealt from pack_id by the X128 md5 discipline,
+    because the loader reads packs): per shard, doc counts on both
+    sides, added / removed / moved (shard changed) / repacked (same
+    shard, different pack) counts, and the X191 order-independent
+    checksum delta — a wrong or stale shard shows as one row. Both
+    releases are checkpointed stage fixtures, so the diff is two
+    checkpoint scans, one doc-keyed full outer join, and two
+    shard-keyed aggregates joined on the SHARD_N-row grid."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ra = (
+        q_llm_corpus_curation_v4(spark, sf_dir)
+        .select("doc_id", "pack_id")
+        .join(d, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "pack_id",
+            f"{_SHARD_OF_PACK_SPARK} AS shard",
+            f"{_CH_SPARK} AS ch",
+        )
+    )
+    rb = (
+        q_llm_corpus_curation_v5(spark, sf_dir)
+        .select("doc_id", "pack_id")
+        .join(d, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "pack_id",
+            f"{_SHARD_OF_PACK_SPARK} AS shard",
+            f"{_CH_SPARK} AS ch",
+        )
+    )
+    return release_diff_frames(ra, rb)
+
+
+def release_diff_frames(ra, rb):
+    """The diff core over two release frames of (doc_id, pack_id,
+    shard, ch) — factored out so the sensitivity theorem (one doc
+    repacked => exactly the two affected shard rows change) can feed
+    planted frames directly."""
+    a = ra.select(
+        F.col("doc_id").alias("a_doc_id"),
+        F.col("pack_id").alias("a_pack_id"),
+        F.col("shard").alias("shard_a"),
+        F.col("ch").alias("ch_a"),
+    )
+    bdf = rb.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("pack_id").alias("b_pack_id"),
+        F.col("shard").alias("shard_b"),
+        F.col("ch").alias("ch_b"),
+    )
+    st = a.join(bdf, a["a_doc_id"] == bdf["b_doc_id"], "full_outer").select(
+        "a_doc_id",
+        "b_doc_id",
+        "shard_a",
+        "shard_b",
+        "ch_a",
+        "ch_b",
+        F.when(F.col("a_doc_id").isNull(), "added")
+        .when(F.col("b_doc_id").isNull(), "removed")
+        .when(F.col("shard_a") != F.col("shard_b"), "moved")
+        .when(F.col("a_pack_id") != F.col("b_pack_id"), "repacked")
+        .otherwise("stable")
+        .alias("status"),
+    )
+    aa = (
+        st.filter(F.col("a_doc_id").isNotNull())
+        .groupBy(F.col("shard_a").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_a"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("status") == "moved", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved_out"),
+            F.sum("ch_a").cast("decimal(38,0)").alias("content_sum_a"),
+        )
+    )
+    bb = (
+        st.filter(F.col("b_doc_id").isNotNull())
+        .groupBy(F.col("shard_b").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_b"),
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_added"),
+            F.sum(F.when(F.col("status") == "moved", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved_in"),
+            F.sum(F.when(F.col("status") == "repacked", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repacked"),
+            F.sum("ch_b").cast("decimal(38,0)").alias("content_sum_b"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    return aa.join(bb, "shard", "full_outer").select(
+        "shard",
+        F.coalesce("n_docs_a", z).alias("n_docs_a"),
+        F.coalesce("n_docs_b", z).alias("n_docs_b"),
+        F.coalesce("n_added", z).alias("n_added"),
+        F.coalesce("n_removed", z).alias("n_removed"),
+        F.coalesce("n_moved_in", z).alias("n_moved_in"),
+        F.coalesce("n_moved_out", z).alias("n_moved_out"),
+        F.coalesce("n_repacked", z).alias("n_repacked"),
+        (
+            F.coalesce(F.col("content_sum_b"), F.lit(0).cast("decimal(38,0)"))
+            - F.coalesce(
+                F.col("content_sum_a"), F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("checksum_delta"),
+    )
+
+
+_OR["llm_release_diff"] = _release_diff_oracle()

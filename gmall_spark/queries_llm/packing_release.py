@@ -604,21 +604,37 @@ def q_text_char_chisq_gibberish(spark, sf_dir):
 # --- curation funnel (X193) ----------------------------------------------------------
 
 
-def _curation_funnel_oracle() -> str:
+def _curation_funnel_oracle(v5_sql: str | None = None) -> str:
+    """The funnel oracle over the registered stage oracles. The v5
+    governance stage is spliced in by governance.py AFTER the v5
+    oracle exists (this module imports before it); the v5-less text
+    attached here at import is overwritten before the registry
+    finalizes."""
     from gmall_spark.queries import ORACLES as _OR
 
+    s5_cte = (
+        f",\ns5 AS MATERIALIZED (SELECT doc_id FROM ({v5_sql}))"
+        if v5_sql
+        else ""
+    )
+    s5_row = (
+        " UNION ALL\n  SELECT 5, 'v5_governance_keeper',"
+        " (SELECT count(*) FROM s5)"
+        if v5_sql
+        else ""
+    )
     return f"""
 WITH s0 AS (SELECT doc_id FROM documents),
 s1 AS MATERIALIZED (SELECT doc_id FROM ({_OR["llm_corpus_curation"]})),
 s2 AS MATERIALIZED (SELECT doc_id FROM ({_OR["llm_corpus_curation_v2"]})),
 s3 AS MATERIALIZED (SELECT doc_id FROM ({_OR["llm_corpus_curation_v3"]})),
-s4 AS MATERIALIZED (SELECT doc_id FROM ({_OR["llm_corpus_curation_v4"]})),
+s4 AS MATERIALIZED (SELECT doc_id FROM ({_OR["llm_corpus_curation_v4"]})){s5_cte},
 counts(stage_no, stage, n_kept) AS (
   SELECT 0, 'raw', (SELECT count(*) FROM s0) UNION ALL
   SELECT 1, 'v1_quality', (SELECT count(*) FROM s1) UNION ALL
   SELECT 2, 'v2_decontam_holdout', (SELECT count(*) FROM s2) UNION ALL
   SELECT 3, 'v3_containment_ppl', (SELECT count(*) FROM s3) UNION ALL
-  SELECT 4, 'v4_gibberish_packed', (SELECT count(*) FROM s4)
+  SELECT 4, 'v4_gibberish_packed', (SELECT count(*) FROM s4){s5_row}
 )
 SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
        CAST(n_kept AS BIGINT) AS n_kept,
@@ -641,7 +657,13 @@ def q_llm_curation_funnel(spark, sf_dir):
     Every stage is the REGISTERED operator's own output (v1-v3 read
     their shared stage fixtures), so the funnel can't drift from the
     pipeline it describes; the oracle composes the registered oracle
-    texts the same way."""
+    texts the same way. Stage 5 (r12) is the governance-aware v5 —
+    NOT a subset of v4 (a re-elected mirror can RE-ENTER), so its
+    n_dropped can legitimately go negative: a restore reads as a
+    negative drop, which is exactly the story the keeper re-election
+    tells."""
+    from gmall_spark.queries_llm.governance import q_llm_corpus_curation_v5
+
     d = _docs(spark, sf_dir).select("doc_id")
     stages = [
         ("raw", d),
@@ -649,6 +671,7 @@ def q_llm_curation_funnel(spark, sf_dir):
         ("v2_decontam_holdout", q_llm_corpus_curation_v2(spark, sf_dir).select("doc_id")),
         ("v3_containment_ppl", q_llm_corpus_curation_v3(spark, sf_dir).select("doc_id")),
         ("v4_gibberish_packed", q_llm_corpus_curation_v4(spark, sf_dir).select("doc_id")),
+        ("v5_governance_keeper", q_llm_corpus_curation_v5(spark, sf_dir).select("doc_id")),
     ]
     rows = None
     for i, (name, df) in enumerate(stages):

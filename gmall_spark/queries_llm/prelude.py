@@ -337,8 +337,34 @@ def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and cache lifecycle as _LM_SCORES/_KNN_EDGES/_partsupp.
 _CONTAIN_PAIRS: dict[tuple[str, str], DataFrame] = {}
 _BOILER_CLEAN: dict[tuple[str, str], DataFrame] = {}
+_XMATCH: dict[tuple[str, str], DataFrame] = {}
+
+
+def _xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X47 decontamination drop set (corpus docs near-duplicating
+    the frozen doc_id%20==0 holdout) — shared by curation v2 AND the
+    governance-aware v5 (r12), which would otherwise each re-run the
+    cross-corpus LSH."""
+    key = (_session_token(spark), sf_dir)
+    if key not in _XMATCH:
+        from gmall_spark.queries_llm.corpus_lm import DECONTAM_THRESHOLD
+
+        with fixtures_audit.timed("xmatch"):
+            d = _docs(spark, sf_dir)
+            _XMATCH[key] = (
+                llm_dedup.cross_corpus_near_dups(
+                    d.filter(F.col("doc_id") % 20 != 0),
+                    d.filter(F.col("doc_id") % 20 == 0),
+                    DECONTAM_THRESHOLD,
+                )
+                .select("doc_id")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+    return _XMATCH[key]
 _CURATION_V2: dict[tuple[str, str], DataFrame] = {}
 _CURATION_V4: dict[tuple[str, str], DataFrame] = {}
+_CURATION_V5: dict[tuple[str, str], DataFrame] = {}
 
 
 def _contain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

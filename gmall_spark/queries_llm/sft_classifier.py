@@ -598,3 +598,253 @@ def q_text_hashed_classifier_confusion(spark, sf_dir):
         "is_en",
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_docs"),
     )
+
+
+# --- self-instruct ROUGE-L novelty gate (X257, r12) ---------------------------
+# Wang et al. 2022 (Self-Instruct) §3.2: a generated instruction joins
+# the pool only if its ROUGE-L similarity with EVERY seed instruction
+# stays below 0.7. ROUGE-L F1 reduces to 2*LCS/(na+nb) (P = L/na,
+# R = L/nb, harmonic mean), so the 0.7 gate is the INTEGER test
+# 2*10*L < 7*(na+nb) — no float in the verdict. Seeds are the frozen
+# doc_id % 10 == 0 slice of the conversation corpus (a tenth of the
+# pool, disjoint naming from the %20 decontam holdout); candidates are
+# blocked against seeds by the 2-token prompt PREFIX (never
+# all-pairs — at production scale hot prefixes take a per-block cap,
+# the X4 capped-bucket discipline). This is the one exact-similarity
+# family the verify tiers lacked: LCS order-sensitivity catches the
+# insertion paraphrase whose broken shingles sail past Jaccard
+# (planted in tests/test_sft.py).
+
+ROUGEL_NUM, ROUGEL_DEN = 7, 10  # reject iff 2*DEN*L >= NUM*(na+nb)
+
+
+def _novelty_relations_sql() -> str:
+    """The shared CTE chain: prompts -> blocked candidate x seed pairs
+    -> recursive integer LCS DP (state rides a LIST row, the X244
+    fold-state discipline) -> per-candidate aggregate + nearest seed."""
+    return (
+        sft.turns_oracle_cte().replace("WITH w AS (", "WITH RECURSIVE w AS (", 1)
+        + rf"""
+, pb AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(t0), '\s+'), x -> x <> '') AS toks
+  FROM tt
+), pb2 AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+         array_to_string(toks[1:2], ' ') AS blk
+  FROM pb WHERE len(toks) > 0
+), cd AS (
+  SELECT * FROM pb2 WHERE doc_id % 10 <> 0
+), sd AS (
+  SELECT * FROM pb2 WHERE doc_id % 10 = 0
+), pr AS (
+  SELECT c.doc_id AS cand_id, s.doc_id AS seed_id, c.toks AS ta, s.toks AS tb
+  FROM cd c JOIN sd s ON s.blk = c.blk
+), lcs AS (
+  SELECT cand_id, seed_id, ta, tb, 0 AS i,
+         list_transform(range(0, len(tb) + 1), x -> 0) AS r
+  FROM pr
+  UNION ALL
+  SELECT cand_id, seed_id, ta, tb, i + 1,
+         list_prepend(0,
+           list_transform(range(1, len(tb) + 1), j ->
+             list_max(list_transform(range(1, j + 1), k ->
+               greatest(r[k + 1],
+                        r[k] + CASE WHEN ta[i + 1] = tb[k]
+                                    THEN 1 ELSE 0 END)))))
+  FROM lcs WHERE i < len(ta)
+), sc AS (
+  SELECT cand_id, seed_id,
+         CAST(r[len(tb) + 1] AS BIGINT) AS l,
+         CAST(len(ta) AS BIGINT) AS na, CAST(len(tb) AS BIGINT) AS nb
+  FROM lcs WHERE i = len(ta)
+), rk AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY cand_id
+           ORDER BY 2.0 * l / (na + nb) DESC, seed_id ASC) AS rn
+  FROM sc
+), ag AS (
+  SELECT cand_id,
+         CAST(count(*) AS BIGINT) AS n_blocked_seeds,
+         CAST(min(CASE WHEN 2 * {ROUGEL_DEN} * l < {ROUGEL_NUM} * (na + nb)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS all_below
+  FROM sc GROUP BY cand_id
+), best AS (
+  SELECT cand_id, seed_id, l, na, nb FROM rk WHERE rn = 1
+)
+"""
+    )
+
+
+@query(
+    "sft_novelty_rougel",
+    _novelty_relations_sql()
+    + """
+SELECT c.doc_id, c.n_tok AS n_prompt_tokens,
+       coalesce(a.n_blocked_seeds, 0) AS n_blocked_seeds,
+       CAST(b.seed_id AS BIGINT) AS nearest_seed_id,
+       round(2.0 * b.l / (b.na + b.nb), 6) AS rougel_max,
+       CASE WHEN a.cand_id IS NULL THEN TRUE ELSE a.all_below = 1 END AS novel
+FROM cd c
+LEFT JOIN ag a ON a.cand_id = c.doc_id
+LEFT JOIN best b ON b.cand_id = c.doc_id
+""",
+)
+def q_sft_novelty_rougel(spark, sf_dir):
+    """Self-instruct ROUGE-L novelty gate (X257; VERDICT r11 item 2):
+    every CANDIDATE prompt with its blocked-seed count, nearest seed
+    (ratio DESC, seed_id ASC — small-integer fractions, so the double
+    ordering is exact), max ROUGE-L F1, and the novelty verdict —
+    candidates with no blocked seed are novel by construction and
+    still emitted (X173: the gate is never vacuously green). The LCS
+    is a pure JVM HOF fold (functions/text.lcs_length — integer DP,
+    zero Python); the oracle runs the identical DP as a recursive CTE
+    whose row state rides a LIST. Scale: one prefix-keyed equi-join
+    builds the pairs (bounded per block; production adds the X4-style
+    block cap), the DP is per-pair row work, and the verdict is one
+    candidate-keyed aggregate + window."""
+    from gmall_spark.functions import text as TX
+
+    t = sft.turns(_docs(spark, sf_dir))
+    pb = t.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("turns").getItem(0)["txt"]), r"\s+"),
+            lambda x: x != "",
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    pb2 = pb.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.array_join(F.slice("toks", 1, 2), " ").alias("blk"),
+    )
+    cd = pb2.filter(F.col("doc_id") % 10 != 0)
+    sd = pb2.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("seed_id"),
+        F.col("toks").alias("tb"),
+        F.col("n_tok").alias("nb"),
+        F.col("blk").alias("sblk"),
+    )
+    pr = cd.join(sd, cd["blk"] == sd["sblk"]).select(
+        F.col("doc_id").alias("cand_id"),
+        "seed_id",
+        F.col("toks").alias("ta"),
+        F.col("n_tok").alias("na"),
+        "tb",
+        "nb",
+    )
+    sc = pr.select(
+        "cand_id",
+        "seed_id",
+        TX.lcs_length(F.col("ta"), F.col("tb")).alias("l"),
+        "na",
+        "nb",
+    )
+    w = Window.partitionBy("cand_id").orderBy(
+        (F.lit(2.0) * F.col("l") / (F.col("na") + F.col("nb"))).desc(),
+        F.col("seed_id"),
+    )
+    rk = sc.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cand_id")).alias("n_blocked"),
+        F.min(
+            F.when(
+                2 * ROUGEL_DEN * F.col("l")
+                < ROUGEL_NUM * (F.col("na") + F.col("nb")),
+                1,
+            ).otherwise(0)
+        )
+        .over(Window.partitionBy("cand_id"))
+        .alias("all_below"),
+    ).filter(F.col("rn") == 1)
+    return cd.join(
+        rk, cd["doc_id"] == rk["cand_id"], "left"
+    ).select(
+        "doc_id",
+        F.col("n_tok").alias("n_prompt_tokens"),
+        F.coalesce("n_blocked", F.lit(0)).cast("bigint").alias(
+            "n_blocked_seeds"
+        ),
+        F.col("seed_id").cast("bigint").alias("nearest_seed_id"),
+        F.round(
+            F.lit(2.0) * F.col("l") / (F.col("na") + F.col("nb")), 6
+        ).alias("rougel_max"),
+        F.when(F.col("cand_id").isNull(), F.lit(True))
+        .otherwise(F.col("all_below") == 1)
+        .alias("novel"),
+    )
+
+
+@query(
+    "sft_novelty_audit",
+    _novelty_relations_sql()
+    + f"""
+, verdicts AS (
+  SELECT c.doc_id,
+         coalesce(a.n_blocked_seeds, 0) AS nb,
+         CASE WHEN a.cand_id IS NULL THEN TRUE ELSE a.all_below = 1 END AS novel
+  FROM cd c LEFT JOIN ag a ON a.cand_id = c.doc_id
+)
+SELECT CAST((SELECT count(*) FROM cd) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM sd) AS BIGINT) AS n_seeds,
+       CAST(sum(nb) AS BIGINT) AS n_blocked_pairs,
+       CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN novel THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+       round(sum(CASE WHEN novel THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
+         AS reject_rate
+FROM verdicts
+""",
+)
+def q_sft_novelty_audit(spark, sf_dir):
+    """Novelty-gate audit (X257b): the one-row release stamp of the
+    gate — candidate and seed pool sizes, blocked-pair volume, and
+    the novel/rejected split (the no-silent-caps rule applied to the
+    novelty filter: every rejected instruction is counted where the
+    release notes read it). One aggregate over the gate's verdicts +
+    two tiny pool counts crossed in."""
+    g = q_sft_novelty_rougel(spark, sf_dir)
+    t = sft.turns(_docs(spark, sf_dir))
+    seeds = (
+        t.filter(
+            (F.col("doc_id") % 10 == 0)
+            & (
+                F.size(
+                    F.filter(
+                        F.split(
+                            F.lower(F.col("turns").getItem(0)["txt"]), r"\s+"
+                        ),
+                        lambda x: x != "",
+                    )
+                )
+                > 0
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_seeds"))
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("n_blocked_seeds").cast("bigint").alias("n_blocked_pairs"),
+        F.sum(F.when(F.col("novel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.sum(F.when(F.col("novel"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_rejected"),
+        F.round(
+            F.sum(F.when(F.col("novel"), 0).otherwise(1))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("reject_rate"),
+    )
+    return agg.crossJoin(F.broadcast(seeds)).select(
+        "n_candidates",
+        "n_seeds",
+        "n_blocked_pairs",
+        "n_novel",
+        "n_rejected",
+        "reject_rate",
+    )

@@ -1,0 +1,236 @@
+"""X253-X255 governance-aware curation: planted fixtures.
+
+The headline scenario (VERDICT r11 item 1): a duplicate group whose
+quality keeper sits on a blocklisted domain must RE-ELECT a surviving
+mirror as representative — in the keeper table (X253), and end to end
+through curation v5 (X254), where the previously pruned mirror
+re-enters the release the ungated v4 chain dropped it from. The
+release diff (X255) sensitivity theorem pins "one doc repacked =>
+exactly the affected shard rows change".
+
+Domain wheel refresher (operators/weburl.py): u = doc_id % 40 names
+the page; u=3 -> site3.io (BLOCKLIST), u=2 -> site2.net (OPT-OUT),
+u=1 -> site1.org and u=5/u=6 -> kept domains.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_spark.queries import QUERIES
+
+
+@contextlib.contextmanager
+def _fresh_fixtures():
+    """Planted corpora hijack _docs under the SAME sf_dir key, so the
+    shared stage fixtures must be cleared going in (stale real-corpus
+    entries) and going out (stale planted entries)."""
+    from gmall_spark import queries_llm as QL
+
+    dicts = (
+        QL._DEDUP_GROUPS,
+        QL._LM_SCORES,
+        QL._CONTAIN_PAIRS,
+        QL._BOILER_CLEAN,
+        QL._CURATION_V2,
+        QL._CURATION_V4,
+        QL._CURATION_V5,
+        QL._XMATCH,
+    )
+    for d in dicts:
+        d.clear()
+    try:
+        yield
+    finally:
+        for d in dicts:
+            d.clear()
+
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu amber birch cedar dune "
+    "ember"
+).split()  # 31 distinct words
+
+
+def test_keeper_gated_reelects_surviving_mirror(spark, sf_dir, monkeypatch):
+    """X253 planted groups:
+    - group 41: blocked doc 83 has the MOST words (ungated keeper),
+      survivors 45 (30w) and 41 (29w) -> re-elected keeper is 45 (the
+      quality rule over survivors, NOT min-id: 41 < 45 but has fewer
+      words).
+    - group 42: every member gated (optout + blocklist) -> keeper NULL.
+    - group 46: no member gated -> keeper == ungated keeper, no
+      re-election."""
+    import gmall_spark.queries_llm as QL
+
+    a83 = " ".join(WORDS)  # 31 words, u=3 -> site3.io (blocklist)
+    b45 = " ".join(WORDS[:30])  # u=5 -> site5.com (kept)
+    c41 = " ".join(WORDS[:29])  # u=1 -> site1.org (kept)
+    g2 = "paris lyon nice rouen brest tours dijon arles metz caen " * 3
+    g3 = "rome milan turin naples genoa parma padua siena pisa bari " * 3
+    rows = [
+        (83, a83),
+        (45, b45),
+        (41, c41),
+        (42, g2.strip()),  # u=2 -> site2.net (optout)
+        (122, g2.strip()),  # u=2 -> site2.net (optout)
+        (46, g3.strip()),  # u=6 kept
+        (86, g3.strip()),  # u=6 kept
+    ]
+    planted = spark.createDataFrame(rows, "doc_id long, text string")
+    with _fresh_fixtures():
+        monkeypatch.setattr(QL, "_docs", lambda s, d: planted)
+        out = {
+            r.group_id: r
+            for r in QUERIES["dedup_groups_keeper_gated"](
+                spark, sf_dir
+            ).collect()
+        }
+    assert set(out) == {41, 42, 46}
+    g = out[41]
+    assert g.group_size == 3 and g.n_surviving == 2
+    assert g.keeper_ungated == 83  # most words, but blocklisted
+    assert g.keeper_id == 45  # quality rule over SURVIVORS (not min-id 41)
+    assert g.reelected is True
+    g = out[42]
+    assert g.group_size == 2 and g.n_surviving == 0
+    assert g.keeper_id is None and g.reelected is False
+    g = out[46]
+    assert g.group_size == 2 and g.n_surviving == 2
+    assert g.keeper_id == g.keeper_ungated == 46 and g.reelected is False
+
+
+def _mirror_corpus(spark):
+    """Six identical mirrors of one English doc — ids 43 (site3.io,
+    BLOCKLISTED) and 81/121/161/201/241 (site1.org, kept) — plus 12
+    distinct gibberish fillers that pad the per-lang perplexity
+    ranking so its tail tier is all filler. Six mirrors means every
+    shared shingle has df=6 > CONTAIN_MAX_DF=5: the containment
+    blocker structurally skips the group (the governance-blind
+    containment stage would otherwise re-drop the restored mirror),
+    while MinHash-LSH still groups identical texts."""
+    t = (
+        "the quick brown fox jumps over the lazy dog and then the "
+        "small red hen reads the long table of daily market prices"
+    )
+    rows = [(i, t, "en", "srcT", len(t)) for i in (43, 81, 121, 161, 201, 241)]
+    # fillers: SHORT, pairwise-distinct, rare-bigram strings — low
+    # corpus mass, so the mirrors dominate the char-bigram model (the
+    # fillers take the per-lang tail tier) and the corpus char
+    # distribution (so the mirrors are NOT chi-square gibberish)
+    pool = "qv zj xk wq jz kx vq qz zx jq kq xj".split()
+    garbage = [
+        " ".join(pool[i % 12], ) + f" g{i}x " + " ".join(
+            pool[(i + j) % 12] for j in range(1, 5)
+        )
+        for i in range(12)
+    ]
+    rows += [
+        (300 + i, garbage[i], "en", "srcG", len(garbage[i]))
+        for i in range(12)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.mark.sf001
+def test_curation_v5_restores_blocked_keepers_mirror(
+    spark, sf_dir, monkeypatch
+):
+    """The end-to-end restore: v4 (governance-blind) keeps mirror 43
+    and prunes the rest; v5 gates 43 (site3.io is blocklisted),
+    re-elects 81 and carries it through decontam/containment/tail/
+    gibberish/packing into the release — the content no longer
+    vanishes with its blocked representative. The funnel's stage-5 row
+    shows the same count (one per stage here), and the release diff
+    charges 43 as removed and 81 as added."""
+    import gmall_spark.queries_llm as QL
+
+    planted = _mirror_corpus(spark)
+    with _fresh_fixtures():
+        monkeypatch.setattr(QL, "_docs", lambda s, d: planted)
+        v4 = {
+            r.doc_id
+            for r in QUERIES["llm_corpus_curation_v4"](spark, sf_dir).collect()
+        }
+        v5 = {
+            r.doc_id
+            for r in QUERIES["llm_corpus_curation_v5"](spark, sf_dir).collect()
+        }
+        diff = QUERIES["llm_release_diff"](spark, sf_dir).collect()
+    assert 43 in v4 and 81 not in v4  # ungated chain: min-id mirror only
+    assert 43 not in v5  # blocklisted representative is out
+    assert 81 in v5  # ...and its releasable mirror is RESTORED
+    assert not (v5 & {121, 161, 201, 241})  # still deduped: one keeper
+    assert sum(r.n_removed for r in diff) == len(v4 - v5)
+    assert sum(r.n_added for r in diff) == len(v5 - v4)
+    assert sum(r.n_moved_in for r in diff) == sum(
+        r.n_moved_out for r in diff
+    )
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, pack_id string, shard long, ch decimal(38,0)"
+    )
+
+
+def test_release_diff_sensitivity_one_doc(spark):
+    """Diff-core theorems over planted frames: identical releases diff
+    to all-zero deltas; repacking ONE doc across shards changes
+    exactly the two affected shard rows (moved_out / moved_in, ±ch);
+    repacking within a shard changes exactly one row (repacked, zero
+    checksum delta)."""
+    from decimal import Decimal
+
+    from gmall_spark.queries_llm.governance import release_diff_frames
+
+    a_rows = [(i, f"p{i // 3}", i % 4, Decimal(10 ** 6 + i)) for i in range(12)]
+    a = _frame(spark, a_rows)
+    base = {
+        r.shard: r for r in release_diff_frames(a, _frame(spark, a_rows)).collect()
+    }
+    assert set(base) == {0, 1, 2, 3}
+    for r in base.values():
+        assert (
+            r.n_added == r.n_removed == r.n_moved_in == r.n_moved_out
+            == r.n_repacked == 0
+        )
+        assert r.checksum_delta == 0 and r.n_docs_a == r.n_docs_b == 3
+
+    # doc 5 (shard 1) moves to pack q9 / shard 3
+    b_rows = [
+        (i, "q9", 3, Decimal(10 ** 6 + i)) if i == 5 else row
+        for i, row in enumerate(a_rows)
+    ]
+    moved = {
+        r.shard: r for r in release_diff_frames(a, _frame(spark, b_rows)).collect()
+    }
+    changed = {
+        s for s in moved if moved[s].asDict() != base[s].asDict()
+    }
+    assert changed == {1, 3}
+    assert moved[1].n_moved_out == 1 and moved[1].n_moved_in == 0
+    assert moved[3].n_moved_in == 1 and moved[3].n_moved_out == 0
+    assert moved[1].checksum_delta == -(10 ** 6 + 5)
+    assert moved[3].checksum_delta == 10 ** 6 + 5
+
+    # doc 6 (shard 2) changes pack but stays in shard 2
+    c_rows = [
+        (i, "q7", 2, Decimal(10 ** 6 + i)) if i == 6 else row
+        for i, row in enumerate(a_rows)
+    ]
+    repacked = {
+        r.shard: r for r in release_diff_frames(a, _frame(spark, c_rows)).collect()
+    }
+    changed = {
+        s for s in repacked if repacked[s].asDict() != base[s].asDict()
+    }
+    assert changed == {2}
+    assert repacked[2].n_repacked == 1 and repacked[2].checksum_delta == 0

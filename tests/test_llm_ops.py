@@ -2229,3 +2229,39 @@ def test_shard_manifest_conserves_and_detects_change(spark, sf_dir):
     for r, r2 in zip(sorted(rows, key=lambda r: (r.epoch, r.shard)),
                      sorted(rows2, key=lambda r: (r.epoch, r.shard))):
         assert r.n_docs == r2.n_docs  # counts unmoved by a text edit
+
+
+def test_repeat_expanded_shards_conserves_budget(spark, sf_dir):
+    """X256 theorems: (1) CONSERVATION — the expanded stream's token
+    mass per (lang, tier) equals X251's effective budget exactly;
+    (2) multiplicity — every doc appears exactly repeat_epochs times,
+    tagged 1..k; (3) composition — copy r of doc d lands in the SAME
+    shard the X128 deal gives (doc d, epoch r), because the shard
+    hash is the identical md5 recipe with repeat_idx in the epoch
+    slot."""
+    from collections import defaultdict
+
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.queries_llm.loader_schedule import SHARD_EPOCHS
+
+    rows = QUERIES["llm_repeat_expanded_shards"](spark, sf_dir).collect()
+    plan = QUERIES["llm_repeat_plan"](spark, sf_dir).collect()
+    got = defaultdict(int)
+    for r in rows:
+        got[(r.lang, r.bucket_id)] += r.n_tok
+    want = {(r.lang, r.bucket_id): r.effective_tokens for r in plan}
+    assert dict(got) == want
+    per_doc = defaultdict(list)
+    rep_of_tier = {1: 4, 2: 2, 3: 1}
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    for d, copies in per_doc.items():
+        k = rep_of_tier[copies[0].bucket_id]
+        assert sorted(c.repeat_idx for c in copies) == list(range(1, k + 1)), d
+    deal = {
+        (r.doc_id, r.epoch): r.shard
+        for r in QUERIES["llm_epoch_shards"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        if r.repeat_idx <= SHARD_EPOCHS:
+            assert r.shard == deal[(r.doc_id, r.repeat_idx)], r

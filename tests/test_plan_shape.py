@@ -452,10 +452,10 @@ BUDGETS = [
     # r8: source attribution — groups-fixture reads x2 + source joins
     # + the within-group pairing and pair agg
     ("dedup_source_attribution", 11, 2),
-    # r8: curation funnel — five stage counts (v1-v4 all read their
-    # stage fixtures now) + the 5-row window; counts include
-    # cached-lineage re-prints
-    ("llm_curation_funnel", 18, 3),
+    # r8 (widened r12): curation funnel — six stage counts (v1-v5 all
+    # read their stage fixtures now) + the 6-row window; counts
+    # include cached-lineage re-prints
+    ("llm_curation_funnel", 20, 3),
     # 4 brute-force cosine arms (1 ground truth + 3 truncations), each
     # scan + window + agg; arms must broadcast the 5-query side
     ("similarity_eval_dim_truncation", 28, 4),
@@ -589,6 +589,27 @@ BUDGETS = [
     # r11: shard manifest — per-row hash/token exprs + ONE
     # (epoch, shard) agg (the epoch grid broadcasts)
     ("llm_shard_manifest", 2, 1),
+    # r12: gated keeper re-election — groups checkpoint ⋈ word counts
+    # ⋈ per-row gate (doc-keyed, honestly corpus-sized) + ONE group
+    # agg holding both max_by keepers
+    ("dedup_groups_keeper_gated", 5, 0),
+    # r12: curation v5 — reads its stage fixture checkpoint, zero
+    # exchanges (the chain cost is line-itemed in the fixtures map)
+    ("llm_corpus_curation_v5", 0, 0),
+    # r12: release diff — two checkpoint scans ⋈ docs for checksums,
+    # the doc-keyed full outer, two shard aggs + the SHARD_N-row grid
+    # join
+    ("llm_release_diff", 11, 2),
+    # r12: repeat-expanded stream — tier fixture cut + doc-grain token
+    # join + bounded per-row explode + ONE (repeat_idx, shard) window
+    ("llm_repeat_expanded_shards", 4, 2),
+    # r12: ROUGE-L novelty gate — ONE prefix-keyed candidate x seed
+    # join (the LCS DP is per-pair row work) + the candidate-keyed
+    # window/agg + the verdict join-back
+    ("sft_novelty_rougel", 5, 1),
+    # r12: novelty audit — the gate's one-row aggregate + the
+    # broadcast seed-pool count
+    ("sft_novelty_audit", 8, 2),
 ]
 
 

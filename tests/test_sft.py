@@ -160,3 +160,131 @@ def test_keeper_prefers_longest_then_min_doc_id(spark, monkeypatch, sf_dir):
     assert len(rows) == 1
     r = rows[0]
     assert r.n_convs == 3 and r.keeper_doc_id == 102
+
+
+def _lcs_ref(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = max(
+                dp[i - 1][j],
+                dp[i][j - 1],
+                dp[i - 1][j - 1] + (a[i - 1] == b[j - 1]),
+            )
+    return dp[-1][-1]
+
+
+def test_lcs_length_both_engines_match_reference(spark):
+    """X257 DP verification: 60 seeded-random token-array pairs (small
+    alphabet so matches are dense) — the Spark HOF fold and the DuckDB
+    recursive-CTE DP must both equal the classic Python DP on every
+    pair."""
+    import random
+
+    import duckdb
+
+    from gmall_spark.functions import text as TX
+
+    rng = random.Random(257)
+    alphabet = ["a", "b", "c", "d"]
+    pairs = [
+        (
+            i,
+            [rng.choice(alphabet) for _ in range(rng.randint(1, 8))],
+            [rng.choice(alphabet) for _ in range(rng.randint(1, 8))],
+        )
+        for i in range(60)
+    ]
+    want = {pid: _lcs_ref(ta, tb) for pid, ta, tb in pairs}
+    df = spark.createDataFrame(
+        pairs, "pid int, ta array<string>, tb array<string>"
+    )
+    got_spark = {
+        r.pid: r.l
+        for r in df.select(
+            "pid", TX.lcs_length(F.col("ta"), F.col("tb")).alias("l")
+        ).collect()
+    }
+    assert got_spark == want
+    values = ", ".join(
+        "({}, {}, {})".format(
+            pid,
+            "[" + ", ".join(f"'{x}'" for x in ta) + "]",
+            "[" + ", ".join(f"'{x}'" for x in tb) + "]",
+        )
+        for pid, ta, tb in pairs
+    )
+    got_duck = dict(
+        duckdb.sql(
+            f"""
+WITH RECURSIVE pr AS (
+  SELECT * FROM (VALUES {values}) AS t(pid, ta, tb)
+), lcs AS (
+  SELECT pid, ta, tb, 0 AS i,
+         list_transform(range(0, len(tb) + 1), x -> 0) AS r
+  FROM pr
+  UNION ALL
+  SELECT pid, ta, tb, i + 1,
+         list_prepend(0,
+           list_transform(range(1, len(tb) + 1), j ->
+             list_max(list_transform(range(1, j + 1), k ->
+               greatest(r[k + 1],
+                        r[k] + CASE WHEN ta[i + 1] = tb[k]
+                                    THEN 1 ELSE 0 END)))))
+  FROM lcs WHERE i < len(ta)
+)
+SELECT pid, r[len(tb) + 1] FROM lcs WHERE i = len(ta)
+"""
+        ).fetchall()
+    )
+    assert got_duck == want
+
+
+def test_novelty_gate_catches_insertion_paraphrase(spark, sf_dir, monkeypatch):
+    """X257 planted fixture: the insertion paraphrase — seed prompt
+    w1..w10, candidate prompt = the same sequence with a spacer every
+    two words (14 tokens, LCS 10, ROUGE-L F1 = 20/24 ≈ 0.833 >= 0.7).
+    Every candidate 3-gram shingle spans a spacer, so shingle Jaccard
+    is 0 and the MinHash near-dup gate KEEPS the pair — the novelty
+    gate must reject it (the order-sensitive family Jaccard lacks)."""
+    import gmall_spark.queries_llm as QL
+    from gmall_spark.operators import llm_dedup
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.queries_llm.prelude import NEAR_DUP_THRESHOLD
+
+    S = "win two able cork dusk echo fern gale hush iris".split()
+    P = []
+    spacers = iter("sp1 sp2 sp3 sp4".split())
+    for i, wd in enumerate(S):
+        P.append(wd)
+        if i % 2 == 1 and i < len(S) - 1:
+            P.append(next(spacers))
+    assert len(S) == 10 and len(P) == 14
+    filler_s = "oak elm fir ash yew oaks elms firs ashes yews".split()
+    filler_c = (
+        "red blue gray pink teal reds blues grays pinks teals "
+        "mauve ochre umber sepia"
+    ).split()
+    assert len(filler_s) == 10 and len(filler_c) == 14
+    docs = spark.createDataFrame(
+        [
+            (50, " ".join(S + filler_s)),
+            (52, " ".join(P + filler_c)),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(QL, "_docs", lambda s, d: docs)
+    out = {
+        r.doc_id: r
+        for r in QUERIES["sft_novelty_rougel"](spark, sf_dir).collect()
+    }
+    assert set(out) == {52}  # the seed is not a candidate
+    r = out[52]
+    assert r.n_blocked_seeds == 1 and r.nearest_seed_id == 50
+    assert abs(r.rougel_max - round(20 / 24, 6)) < 1e-9
+    assert r.novel is False  # ROUGE-L catches the paraphrase...
+    pairs = llm_dedup.minhash_lsh_dedup(docs, NEAR_DUP_THRESHOLD)
+    assert pairs.count() == 0  # ...that Jaccard sails past
+    audit = QUERIES["sft_novelty_audit"](spark, sf_dir).collect()[0]
+    assert audit.n_candidates == 1 and audit.n_seeds == 1
+    assert audit.n_rejected == 1 and audit.n_novel == 0

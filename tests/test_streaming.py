@@ -3145,3 +3145,76 @@ def test_incremental_sem_pack_equality_and_locality(spark, sf_dir, tmpdir):
         ):
             assert rows1[lid] == rows2[lid], lid
             assert churn[lid] == "stable", lid
+
+
+def test_incremental_gov_keeper_retroactive_restore(spark, sf_dir, tmpdir):
+    """X253/X254 twin: (1) batch-equals-streaming — after two
+    micro-batches the keeper view equals one batch election over the
+    union (the X253 total order is associative over ingest splits);
+    (2) the retroactivity axis — a LATE-ARRIVING opt-out register
+    entry flips a domain's kept bits retroactively and the move log
+    shows the gated keeper's previously pruned mirror becoming the
+    representative (the restore), while a group with no surviving
+    mirror goes keeper NULL (logged, not silent)."""
+    from gmall_spark.streaming import incremental_gov_keeper as igk
+
+    store = f"{tmpdir}/gov_store"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    first = igk.process_batch(spark, b0, store)
+    # every group new in batch 0 enters with old_keeper NULL
+    assert first.filter(F.col("old_keeper").isNotNull()).count() == 0
+    igk.process_batch(spark, b1, store)
+    got = {
+        r.text_hash: (r.n_members, r.n_surviving, r.keeper_id)
+        for r in igk.current_keepers(spark, store).collect()
+    }
+    empty_reg = spark.createDataFrame([], igk._REG_SCHEMA)
+    want = {
+        r.text_hash: (r.n_members, r.n_surviving, r.keeper_id)
+        for r in igk._keepers(
+            igk.batch_candidates(docs), empty_reg
+        ).collect()
+    }
+    assert got == want
+
+    # retroactive restore on a planted store: mirrors 45 (site5.com)
+    # and 81 (site1.org) — keeper 45 at arrival; a singleton 85
+    # (site5.com) with no mirror
+    store2 = f"{tmpdir}/gov_store2"
+    t = "the mirror corpus row for the retroactive governance test"
+    planted = spark.createDataFrame(
+        [(45, t), (81, t), (85, "a unique single page about the sea")],
+        "doc_id long, text string",
+    )
+    igk.process_batch(spark, planted, store2)
+    before = {
+        r.text_hash: r for r in igk.current_keepers(spark, store2).collect()
+    }
+    assert {r.keeper_id for r in before.values()} == {45, 85}
+    moves = {
+        r.old_keeper: r
+        for r in igk.process_optout(spark, ["site5.com"], store2).collect()
+    }
+    assert set(moves) == {45, 85}
+    m = moves[45]
+    assert m.new_keeper == 81  # the pruned mirror is RESTORED
+    assert m.old_surviving == 2 and m.new_surviving == 1
+    m = moves[85]
+    assert m.new_keeper is None  # no mirror: the content honestly leaves
+    assert m.new_surviving == 0
+    # retroactivity: the view now equals a batch election under the
+    # full register
+    reg = spark.createDataFrame([("site5.com",)], igk._REG_SCHEMA)
+    want2 = {
+        r.text_hash: (r.n_members, r.n_surviving, r.keeper_id)
+        for r in igk._keepers(igk.batch_candidates(planted), reg).collect()
+    }
+    got2 = {
+        r.text_hash: (r.n_members, r.n_surviving, r.keeper_id)
+        for r in igk.current_keepers(spark, store2).collect()
+    }
+    assert got2 == want2
