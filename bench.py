@@ -217,6 +217,18 @@ HEADLINE = [
     "llm_mix_schedule",
     "llm_repeat_plan",
     "llm_shard_manifest",
+    # r12 additions
+    "dedup_groups_keeper_gated",
+    "llm_corpus_curation_v5",
+    "llm_release_diff",
+    "llm_repeat_expanded_shards",
+    "sft_novelty_rougel",
+    "sft_novelty_audit",
+    "text_unicode_normalize",
+    "text_unicode_rollup",
+    "text_unicode_fertility_delta",
+    "dedup_containment_keeper_gated",
+    "llm_pack_license_audit",
 ]
 
 # Box-calibration probe (VERDICT r10 item 4): ONE frozen, plan-stable,

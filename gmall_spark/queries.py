@@ -116,6 +116,7 @@ def clear_cache() -> None:
     queries_llm._CURATION_V4.clear()
     queries_llm._CURATION_V5.clear()
     queries_llm._XMATCH.clear()
+    queries_llm.governance._GOV_GATE.clear()
     queries_llm._DSIR_WEIGHTS.clear()
     queries_llm._PQ_RESIDUAL_BOOKS.clear()
     queries_llm._SHOT_BOUNDS.clear()

@@ -406,3 +406,160 @@ def q_dedup_simhash64_hamming(spark, sf_dir):
     )
 
 
+
+
+# --- unicode NFKC-lite normalization tier (X258, r12) -------------------------
+
+from gmall_spark.operators import unicode_norm as UN  # noqa: E402
+
+
+def _un_nchars_sql(which: int) -> str:
+    """length(text) + the per-doc planted-segment char constant
+    (0 = corrupted, 1 = normalized)."""
+    consts = [
+        len(seg[2 + which]) for seg in UN.SEGMENTS
+    ]
+    return f"length(text) + {UN._const_case_sum(consts)}"
+
+
+@query(
+    "text_unicode_normalize",
+    f"""
+SELECT doc_id,
+       CAST({UN.nonascii_const_sql()} AS BIGINT) AS n_nonascii,
+       CAST({_un_nchars_sql(0)} AS BIGINT) AS n_chars_before,
+       CAST({_un_nchars_sql(1)} AS BIGINT) AS n_chars_after,
+       ({UN.nonascii_const_sql()}) > 0 AS changed,
+       md5({UN.normalized_oracle_expr()}) AS normalized_md5
+FROM documents
+""",
+)
+def q_text_unicode_normalize(spark, sf_dir):
+    """Unicode NFKC-lite normalization (X258; VERDICT r11 item 5) —
+    the SentencePiece-default normalizer ahead of tokenization
+    (Kudo & Richardson 2018): compatibility forms (ligatures,
+    fullwidth letters/digits, width spaces, curly quotes, dashes,
+    ellipsis) fold to ASCII through the FROZEN rule table in
+    operators/unicode_norm.py (one translate + six replaces, order-
+    free by the all-ASCII-outputs invariant). The deterministic synth
+    plants every rule class by doc_id mods over the honestly-ASCII
+    corpus, so the oracle states the normalized text CLOSED-FORM and
+    the md5 catches any table/ordering/width bug. The non-ASCII count
+    is MEASURED from the corrupted text (one regex scan); per-row
+    expressions end to end, scan fan-out only."""
+    synth = UN.synth_unicode(_docs(spark, sf_dir))
+    t = F.col("text")
+    fixed = UN.normalize(t)
+    n_bad = F.regexp_count(t, F.lit(r"[^\x00-\x7F]")).cast("bigint")
+    return synth.select(
+        "doc_id",
+        n_bad.alias("n_nonascii"),
+        F.length(t).cast("bigint").alias("n_chars_before"),
+        F.length(fixed).cast("bigint").alias("n_chars_after"),
+        (n_bad > 0).alias("changed"),
+        F.md5(fixed).alias("normalized_md5"),
+    )
+
+
+def _un_rollup_oracle() -> str:
+    rows = []
+    for name, pat in UN.CLASSES:
+        hits = UN.class_hits_const(pat)
+        occ = UN._const_case_sum(hits)
+        doc_pred = " OR ".join(
+            f"(doc_id % {m} = {r})"
+            for (m, r, _b, _g), c in zip(UN.SEGMENTS, hits)
+            if c
+        )
+        rows.append(
+            f"""
+SELECT '{name}' AS rule_class,
+       CAST({f"sum(CASE WHEN {doc_pred} THEN 1 ELSE 0 END)" if doc_pred else "0"} AS BIGINT) AS n_docs,
+       CAST(sum({occ}) AS BIGINT) AS n_hits
+FROM documents"""
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query("text_unicode_rollup", _un_rollup_oracle())
+def q_text_unicode_rollup(spark, sf_dir):
+    """Normalization census (X258b, the X230 mojibake-rollup shape):
+    per rule CLASS, how many documents carry at least one artifact and
+    the total artifact-char count — measured from the corrupted corpus
+    with one stacked pass (regexp_count per class, 8-row grid), while
+    the oracle states the closed form from the planted constants. The
+    'separator' class is never planted, so its zero row is genuine
+    (X173: the census is never blind to a silent class)."""
+    synth = UN.synth_unicode(_docs(spark, sf_dir))
+    t = F.col("text")
+    stacked = synth.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule_class"),
+                        F.regexp_count(t, F.lit(pat))
+                        .cast("bigint")
+                        .alias("hits"),
+                    )
+                    for name, pat in UN.CLASSES
+                ]
+            )
+        ).alias("s")
+    ).select("s.rule_class", "s.hits")
+    return stacked.groupBy("rule_class").agg(
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs"),
+        F.sum("hits").cast("bigint").alias("n_hits"),
+    )
+
+
+@query(
+    "text_unicode_fertility_delta",
+    f"""
+WITH raw AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok_text,
+         CAST({UN._const_case_sum(UN.SEG_TOK_BAD)} AS BIGINT) AS tok_bad,
+         CAST({UN._const_case_sum(UN.SEG_TOK_GOOD)} AS BIGINT) AS tok_good
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(tok_text + tok_bad) AS BIGINT) AS tokens_corrupted,
+       CAST(sum(tok_text + tok_good) AS BIGINT) AS tokens_normalized,
+       CAST(sum(tok_bad - tok_good) AS BIGINT) AS tokens_saved,
+       round(sum(tok_text + tok_bad) * 1.0 / sum(tok_text + tok_good), 6)
+         AS fertility_ratio
+FROM raw GROUP BY lang
+""",
+)
+def q_text_unicode_fertility_delta(spark, sf_dir):
+    """Fertility impact of normalization (X258c): per language, the
+    BPE pre-token count over the corrupted corpus vs the normalized
+    one — every unfolded compatibility char is its own pre-token, so
+    skipping the normalizer inflates the X115/X196/X206 fertility
+    tables exactly by this delta. Spark MEASURES both counts on the
+    actual strings (two regexp_counts per row); the oracle states them
+    as text-tokens plus per-segment constants, valid because every
+    planted segment starts space-class (no pre-token spans the append
+    junction — asserted in the operator module). One lang-keyed
+    aggregate."""
+    synth = UN.synth_unicode(_docs(spark, sf_dir))
+    t = F.col("text")
+    return (
+        synth.select(
+            "lang",
+            TX.bpe_token_count(t).alias("tc"),
+            TX.bpe_token_count(UN.normalize(t)).alias("tn"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("tc").cast("bigint").alias("tokens_corrupted"),
+            F.sum("tn").cast("bigint").alias("tokens_normalized"),
+            (F.sum("tc") - F.sum("tn")).cast("bigint").alias("tokens_saved"),
+            F.round(
+                F.sum("tc") * F.lit(1.0) / F.sum("tn"), 6
+            ).alias("fertility_ratio"),
+        )
+    )

@@ -18,7 +18,6 @@ from __future__ import annotations
 import contextlib
 
 import pytest
-from pyspark.sql import functions as F
 
 from gmall_spark.queries import QUERIES
 
@@ -39,6 +38,7 @@ def _fresh_fixtures():
         QL._CURATION_V4,
         QL._CURATION_V5,
         QL._XMATCH,
+        QL.governance._GOV_GATE,
     )
     for d in dicts:
         d.clear()
@@ -234,3 +234,163 @@ def test_release_diff_sensitivity_one_doc(spark):
     }
     assert changed == {2}
     assert repacked[2].n_repacked == 1 and repacked[2].checksum_delta == 0
+
+
+def _containment_corpus(spark):
+    """A contained copy and its container on different domains: doc 41
+    (site1.org, kept) is a 10-word block; doc 83 (site3.io,
+    BLOCKLISTED) is a 40-word container holding that exact block —
+    containment 1.0 on 5-word shingles, Jaccard ~0.17 (far below the
+    near-dup gate, so the dedup stages never pair them). Gibberish
+    fillers pad the per-lang perplexity ranking as in the mirror
+    corpus."""
+    block = "the quick brown fox jumps over the lazy dog again"
+    extra = (
+        "meanwhile the busy market opens early and the old clock tower rings "
+        "twice while the river boats carry fresh goods to the village square "
+        "as traders count the morning coins"
+    )
+    container = extra + " " + block
+    assert len(block.split()) == 10 and len(container.split()) == 40
+    rows = [
+        (41, block, "en", "srcB", len(block)),
+        (83, container, "en", "srcA", len(container)),
+    ]
+    # helper English prose (no 5-gram shared with the principals, no
+    # mutual near-dups) lifts the corpus bigram mass so BOTH
+    # principals rank above every filler; the fillers get
+    # SINGLE-OCCURRENCE rare-letter bigrams so the add-1-smoothed
+    # model puts all of them in the tail tier
+    helpers = [
+        "a calm wind moves across the wide bay and the ships rest at anchor",
+        "the baker sells warm bread before the town wakes and the bells ring",
+        "heavy rain fell on the green hills and the path turned soft and dark",
+        "a young scholar reads old maps and notes the roads between the towns",
+        "the miller grinds the grain while the stream turns the great wheel",
+        "cold stars shine above the quiet farm and the dogs sleep by the door",
+        "the fisher mends the nets at dawn and counts the catch by the pier",
+        "bright leaves drift down the lane as the children walk home from class",
+    ]
+    rows += [
+        (420 + i, h, "en", "srcH", len(h)) for i, h in enumerate(helpers)
+    ]
+    letters = "qxzjkvwfgpy"
+    pairs = [a + b for a in letters for b in letters if a != b]
+    garbage = [" ".join(pairs[6 * i : 6 * i + 6]) for i in range(12)]
+    rows += [
+        (300 + i, garbage[i], "en", "srcG", len(garbage[i]))
+        for i in range(12)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.mark.sf001
+def test_curation_v5_restores_contained_copy_of_blocked_container(
+    spark, sf_dir, monkeypatch
+):
+    """The containment-grain restore (r12, the X253 logic at X106
+    grain): v4 drops the contained copy 41 (containment loser) and
+    releases the container 83; v5 gates 83 (site3.io) and — because
+    the containment winner no longer survives — KEEPS 41, so the
+    content's last releasable representative ships instead of
+    vanishing. The X259 audit flags exactly this pair as restored."""
+    import gmall_spark.queries_llm as QL
+
+    planted = _containment_corpus(spark)
+    with _fresh_fixtures():
+        monkeypatch.setattr(QL, "_docs", lambda s, d: planted)
+        aud = {
+            (r.doc_a, r.doc_b): r
+            for r in QUERIES["dedup_containment_keeper_gated"](
+                spark, sf_dir
+            ).collect()
+        }
+        v4 = {
+            r.doc_id
+            for r in QUERIES["llm_corpus_curation_v4"](spark, sf_dir).collect()
+        }
+        v5 = {
+            r.doc_id
+            for r in QUERIES["llm_corpus_curation_v5"](spark, sf_dir).collect()
+        }
+    assert (41, 83) in aud
+    r = aud[(41, 83)]
+    assert r.winner_id == 83 and r.loser_id == 41
+    assert r.winner_kept == 0 and r.loser_dropped is False
+    assert r.restored is True
+    assert 83 in v4 and 41 not in v4  # ungated: container wins, copy drops
+    assert 83 not in v5  # blocklisted container is out
+    assert 41 in v5  # ...and the contained copy is RESTORED
+
+
+@pytest.mark.sf001
+def test_pack_license_taint_flips_exactly_its_pack(spark, sf_dir, monkeypatch):
+    """X260 planted fixture: ten cc-by helper docs (site1.org) pack
+    into fully trainable cc-by packs; adding ONE proprietary doc
+    (site3.com — proprietary tier, NOT blocklisted) relicenses exactly
+    the packs that contain it and no others."""
+    import gmall_spark.queries_llm as QL
+
+    helpers = [
+        "a calm wind moves across the wide bay and the ships rest at anchor",
+        "the baker sells warm bread before the town wakes and the bells ring",
+        "heavy rain fell on the green hills and the path turned soft and dark",
+        "a young scholar reads old maps and notes the roads between the towns",
+        "the miller grinds the grain while the stream turns the great wheel",
+        "cold stars shine above the quiet farm and the dogs sleep by the door",
+        "the fisher mends the nets at dawn and counts the catch by the pier",
+        "bright leaves drift down the lane as the children walk home from class",
+        "the harbor master logs the tide and signs the ledger for the night",
+        "warm light spills from the inn where the travellers trade long tales",
+    ]
+    ids = [41 + 40 * i for i in range(10)]  # all u=1 -> site1.org (cc-by)
+    letters = "qxzjkvwfgpy"
+    pairs = [a + b for a in letters for b in letters if a != b]
+    garbage = [" ".join(pairs[6 * i : 6 * i + 6]) for i in range(12)]
+
+    def corpus(with_taint):
+        rows = [
+            (i, h, "en", "srcH", len(h)) for i, h in zip(ids, helpers)
+        ]
+        if with_taint:
+            # u = 90 % 40 = 10 -> site3.com: proprietary tier, not on
+            # the blocklist (only site3.io is), so it reaches the packs
+            t = "the old press prints the morning paper for the whole town"
+            rows.append((90, t, "en", "srcP", len(t)))
+        rows += [
+            (300 + i, garbage[i], "en", "srcG", len(garbage[i]))
+            for i in range(12)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    clean = corpus(False)
+    with _fresh_fixtures():
+        monkeypatch.setattr(QL, "_docs", lambda s, d: clean)
+        audit_a = QUERIES["llm_pack_license_audit"](spark, sf_dir).collect()
+    assert audit_a and all(r.trainable for r in audit_a)
+    assert {r.pack_license for r in audit_a} == {"cc-by"}
+
+    tainted = corpus(True)
+    with _fresh_fixtures():
+        monkeypatch.setattr(QL, "_docs", lambda s, d: tainted)
+        v5 = {
+            r.doc_id: r.pack_id
+            for r in QUERIES["llm_corpus_curation_v5"](spark, sf_dir).collect()
+        }
+        audit_b = {
+            r.pack_id: r
+            for r in QUERIES["llm_pack_license_audit"](spark, sf_dir).collect()
+        }
+    assert 90 in v5  # the proprietary doc survives the content stages
+    taint_pack = v5[90]
+    for pid, r in audit_b.items():
+        if pid == taint_pack:
+            assert not r.trainable and r.pack_license == "proprietary"
+            assert r.n_proprietary == 1
+        else:
+            assert r.trainable and r.pack_license == "cc-by"

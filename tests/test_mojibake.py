@@ -96,3 +96,77 @@ def test_pattern_count_measures(spark):
         M.pattern_count(F.col("t"), "Ã±").alias("z"),
     ).collect()[0]
     assert (row.e, row.q, row.z) == (3, 1, 0)
+
+
+# --- X258 unicode NFKC-lite tier (the mojibake sibling) -----------------------
+
+
+def test_unicode_normalize_planted(spark):
+    """The genuine chain on crafted inputs: every rule class folds to
+    its documented ASCII form, idempotently (normalizing normalized
+    text is the identity — the order-free invariant's corollary)."""
+    from gmall_spark.operators import unicode_norm as UN
+
+    cases = [
+        ("ﬁn ﬂat oﬀ", "fin flat off"),
+        ("ＮＡＳＡ ｘ３２", "nasa x32"),
+        ("don’t ‘a’ “b” c…", "don't 'a' \"b\" c..."),
+        ("a–b—c", "a-b-c"),
+        ("x　y z", "x y z"),
+        ("already ascii 123", "already ascii 123"),
+    ]
+    df = spark.createDataFrame(cases, "raw string, want string")
+    out = df.select(
+        "raw",
+        "want",
+        UN.normalize(F.col("raw")).alias("got"),
+        UN.normalize(UN.normalize(F.col("raw"))).alias("got2"),
+    ).collect()
+    for r in out:
+        assert r.got == r.want, (r.raw, r.got)
+        assert r.got2 == r.want, ("idempotence", r.raw)
+
+
+def test_unicode_order_free_invariant():
+    """No replacement output contains any pattern char (all outputs
+    ASCII, all patterns non-ASCII) — the chain-commutes invariant."""
+    from gmall_spark.operators import unicode_norm as UN
+
+    for bad, good in UN.REPLACES:
+        assert not bad.isascii() and good.isascii(), (bad, good)
+    for src, dst in zip(UN.TRANSLATE_SRC, UN.TRANSLATE_DST):
+        assert not src.isascii() and dst.isascii(), (src, dst)
+    # census classes cover every rule char; 'separator' matches none
+    import re
+
+    classes = [(n, re.compile(p)) for n, p in UN.CLASSES]
+    for src in UN.TRANSLATE_SRC + "".join(b for b, _ in UN.REPLACES):
+        hits = [n for n, p in classes if p.search(src)]
+        assert hits and "separator" not in hits, (src, hits)
+
+
+def test_unicode_rollup_zero_class_is_genuine(spark, sf_dir):
+    """The 'separator' census row must be present with ZERO hits (the
+    planted never-fires entry — X173), and every other class must fire
+    somewhere on the synth corpus."""
+    from gmall_spark.queries import QUERIES
+
+    rows = {r.rule_class: r for r in
+            QUERIES["text_unicode_rollup"](spark, sf_dir).collect()}
+    assert rows["separator"].n_hits == 0 and rows["separator"].n_docs == 0
+    for name in ("ligature", "fullwidth_alpha", "fullwidth_digit",
+                 "wide_space", "quote", "dash", "ellipsis"):
+        assert rows[name].n_hits > 0, name
+
+
+def test_unicode_fertility_delta_direction(spark, sf_dir):
+    """Normalization can only SHRINK the pre-token stream on this
+    corpus (every fold merges fragments); the ratio is >= 1 for every
+    lang and > 1 overall."""
+    from gmall_spark.queries import QUERIES
+
+    rows = QUERIES["text_unicode_fertility_delta"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.tokens_saved >= 0 and r.fertility_ratio >= 1.0, r
+    assert sum(r.tokens_saved for r in rows) > 0

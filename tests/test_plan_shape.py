@@ -592,7 +592,7 @@ BUDGETS = [
     # r12: gated keeper re-election — groups checkpoint ⋈ word counts
     # ⋈ per-row gate (doc-keyed, honestly corpus-sized) + ONE group
     # agg holding both max_by keepers
-    ("dedup_groups_keeper_gated", 5, 0),
+    ("dedup_groups_keeper_gated", 4, 0),
     # r12: curation v5 — reads its stage fixture checkpoint, zero
     # exchanges (the chain cost is line-itemed in the fixtures map)
     ("llm_corpus_curation_v5", 0, 0),
@@ -610,6 +610,21 @@ BUDGETS = [
     # r12: novelty audit — the gate's one-row aggregate + the
     # broadcast seed-pool count
     ("sft_novelty_audit", 8, 2),
+    # r12: unicode normalize — synth + translate/replace chain +
+    # measured non-ASCII count are pure per-row exprs; scan fan-out
+    ("text_unicode_normalize", 1, 0),
+    # r12: unicode census — ONE corpus pass (explode over the 8-class
+    # grid) + the class aggregate
+    ("text_unicode_rollup", 2, 0),
+    # r12: fertility delta — two per-row token counts + ONE lang agg
+    ("text_unicode_fertility_delta", 2, 0),
+    # r12: gated containment audit — containment-pair checkpoint with
+    # the gate VERDICT fixture attached on winner and loser (both
+    # broadcast at pair grain); zero real shuffles
+    ("dedup_containment_keeper_gated", 0, 2),
+    # r12: pack license audit — v5 checkpoint ⋈ the gate-verdict
+    # fixture's domain column + ONE pack-keyed aggregate
+    ("llm_pack_license_audit", 1, 1),
 ]
 
 

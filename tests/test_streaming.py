@@ -3218,3 +3218,110 @@ def test_incremental_gov_keeper_retroactive_restore(spark, sf_dir, tmpdir):
         for r in igk.current_keepers(spark, store2).collect()
     }
     assert got2 == want2
+
+
+def test_incremental_novelty_retroactive_revocation(spark, sf_dir, tmpdir):
+    """X257 twin: (1) batch-equals-streaming — candidates ingested in
+    two batches against a seeded pool give the same verdict view as
+    one batch election; (2) the retroactivity axis — a LATE-ARRIVING
+    seed colliding with an already-accepted candidate REVOKES its
+    novelty, and the revocation log ships exactly that move (the
+    inverse of the gov-keeper restore)."""
+    from gmall_spark.streaming import incremental_novelty as inv
+
+    store = f"{tmpdir}/nov_store"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seeds0 = docs.filter(F.col("doc_id") % 10 == 0)
+    cands = docs.filter(F.col("doc_id") % 10 != 0)
+    inv.process_seeds(spark, seeds0, store)
+    inv.process_candidates(
+        spark, cands.filter(F.col("doc_id") % 2 == 0), store
+    )
+    inv.process_candidates(
+        spark, cands.filter(F.col("doc_id") % 2 == 1), store
+    )
+    got = {
+        r.doc_id: (r.n_blocked_seeds, r.rougel_max, r.novel)
+        for r in inv.current_verdicts(spark, store).collect()
+    }
+    from gmall_spark.queries import QUERIES
+
+    want = {
+        r.doc_id: (r.n_blocked_seeds, r.rougel_max, r.novel)
+        for r in QUERIES["sft_novelty_rougel"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # retroactive revocation on a planted store: candidate 52's prompt
+    # is the insertion paraphrase of a seed that arrives LATE
+    store2 = f"{tmpdir}/nov_store2"
+    S = "win two able cork dusk echo fern gale hush iris".split()
+    P, spacers = [], iter("sp1 sp2 sp3 sp4".split())
+    for i, wd in enumerate(S):
+        P.append(wd)
+        if i % 2 == 1 and i < len(S) - 1:
+            P.append(next(spacers))
+    filler_c = (
+        "red blue gray pink teal reds blues grays pinks teals "
+        "mauve ochre umber sepia"
+    ).split()
+    filler_s = "oak elm fir ash yew oaks elms firs ashes yews".split()
+    cand_doc = spark.createDataFrame(
+        [(52, " ".join(P + filler_c))], "doc_id long, text string"
+    )
+    late_seed = spark.createDataFrame(
+        [(50, " ".join(S + filler_s))], "doc_id long, text string"
+    )
+    first = inv.process_candidates(spark, cand_doc, store2).collect()
+    assert len(first) == 1 and first[0].novel is True  # empty pool: novel
+    moves = inv.process_seeds(spark, late_seed, store2).collect()
+    assert len(moves) == 1
+    m = moves[0]
+    assert m.doc_id == 52 and m.old_novel is True and m.new_novel is False
+    assert m.nearest_seed_id == 50
+    assert abs(m.new_rougel_max - round(20 / 24, 6)) < 1e-9
+
+
+def test_incremental_unicode_census_equals_batch(spark, sf_dir, tmpdir):
+    """Streaming twin of the X258b unicode census (SUM-merge class,
+    the mojibake twin's sibling): compatibility-form text arrives on
+    the wire, per-class counts merge by addition, and the merged view
+    after a two-batch readStream ingest is bit-equal to the batch
+    query on the full corpus (including the genuine 'separator' zero
+    row)."""
+    from gmall_spark.operators import unicode_norm as UN
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.streaming import incremental_unicode as iun
+
+    docs = UN.synth_unicode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store = f"{tmpdir}/uni_store"
+    src = f"{tmpdir}/uni_src"
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runner.run_foreach_batch(
+        stream,
+        batch_fn=lambda b: b,
+        write_fn=lambda b, _eid: iun.process_batch(spark, b, store),
+        checkpoint=f"{tmpdir}/ckpt_incr_uni",
+    )
+    q.awaitTermination(180)
+    got = {
+        r.rule_class: (r.n_docs, r.n_hits)
+        for r in iun.current_counts(spark, store).collect()
+    }
+    want = {
+        r.rule_class: (r.n_docs, r.n_hits)
+        for r in QUERIES["text_unicode_rollup"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want["separator"] == (0, 0) and want["ligature"][1] > 0
