@@ -584,7 +584,11 @@ def release_diff_frames(ra, rb):
     """The diff core over two release frames of (doc_id, pack_id,
     shard, ch) — factored out so the sensitivity theorem (one doc
     repacked => exactly the two affected shard rows change) can feed
-    planted frames directly."""
+    planted frames directly. ONE pass: the doc-keyed full outer join
+    explodes into per-side charge rows (a doc charges its A-shard and
+    its B-shard), then a single shard-keyed aggregate splits every
+    counter by side — the join is never re-derived for a second
+    aggregate branch."""
     a = ra.select(
         F.col("doc_id").alias("a_doc_id"),
         F.col("pack_id").alias("a_pack_id"),
@@ -598,8 +602,6 @@ def release_diff_frames(ra, rb):
         F.col("ch").alias("ch_b"),
     )
     st = a.join(bdf, a["a_doc_id"] == bdf["b_doc_id"], "full_outer").select(
-        "a_doc_id",
-        "b_doc_id",
         "shard_a",
         "shard_b",
         "ch_a",
@@ -611,52 +613,44 @@ def release_diff_frames(ra, rb):
         .otherwise("stable")
         .alias("status"),
     )
-    aa = (
-        st.filter(F.col("a_doc_id").isNotNull())
-        .groupBy(F.col("shard_a").alias("shard"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs_a"),
-            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_removed"),
-            F.sum(F.when(F.col("status") == "moved", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_moved_out"),
-            F.sum("ch_a").cast("decimal(38,0)").alias("content_sum_a"),
-        )
-    )
-    bb = (
-        st.filter(F.col("b_doc_id").isNotNull())
-        .groupBy(F.col("shard_b").alias("shard"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs_b"),
-            F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_added"),
-            F.sum(F.when(F.col("status") == "moved", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_moved_in"),
-            F.sum(F.when(F.col("status") == "repacked", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_repacked"),
-            F.sum("ch_b").cast("decimal(38,0)").alias("content_sum_b"),
-        )
-    )
-    z = F.lit(0).cast("bigint")
-    return aa.join(bb, "shard", "full_outer").select(
-        "shard",
-        F.coalesce("n_docs_a", z).alias("n_docs_a"),
-        F.coalesce("n_docs_b", z).alias("n_docs_b"),
-        F.coalesce("n_added", z).alias("n_added"),
-        F.coalesce("n_removed", z).alias("n_removed"),
-        F.coalesce("n_moved_in", z).alias("n_moved_in"),
-        F.coalesce("n_moved_out", z).alias("n_moved_out"),
-        F.coalesce("n_repacked", z).alias("n_repacked"),
-        (
-            F.coalesce(F.col("content_sum_b"), F.lit(0).cast("decimal(38,0)"))
-            - F.coalesce(
-                F.col("content_sum_a"), F.lit(0).cast("decimal(38,0)")
+    zch = F.lit(0).cast("decimal(38,0)")
+    charge = st.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("a").alias("side"),
+                    F.col("shard_a").alias("shard"),
+                    F.col("status"),
+                    F.coalesce("ch_a", zch).alias("ch"),
+                ),
+                F.struct(
+                    F.lit("b").alias("side"),
+                    F.col("shard_b").alias("shard"),
+                    F.col("status"),
+                    F.coalesce("ch_b", zch).alias("ch"),
+                ),
             )
+        ).alias("c")
+    ).select("c.side", "c.shard", "c.status", "c.ch").filter(
+        F.col("shard").isNotNull()
+    )
+
+    def n(side, *statuses):
+        cond = F.col("side") == side
+        if statuses:
+            cond = cond & F.col("status").isin(*statuses)
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return charge.groupBy("shard").agg(
+        n("a").alias("n_docs_a"),
+        n("b").alias("n_docs_b"),
+        n("b", "added").alias("n_added"),
+        n("a", "removed").alias("n_removed"),
+        n("b", "moved").alias("n_moved_in"),
+        n("a", "moved").alias("n_moved_out"),
+        n("b", "repacked").alias("n_repacked"),
+        F.sum(
+            F.when(F.col("side") == "b", F.col("ch")).otherwise(-F.col("ch"))
         )
         .cast("decimal(38,0)")
         .alias("checksum_delta"),

@@ -597,9 +597,9 @@ BUDGETS = [
     # exchanges (the chain cost is line-itemed in the fixtures map)
     ("llm_corpus_curation_v5", 0, 0),
     # r12: release diff — two checkpoint scans ⋈ docs for checksums,
-    # the doc-keyed full outer, two shard aggs + the SHARD_N-row grid
-    # join
-    ("llm_release_diff", 11, 2),
+    # ONE doc-keyed full outer exploded into side-charge rows + ONE
+    # shard-keyed aggregate (the join is never re-derived)
+    ("llm_release_diff", 5, 2),
     # r12: repeat-expanded stream — tier fixture cut + doc-grain token
     # join + bounded per-row explode + ONE (repeat_idx, shard) window
     ("llm_repeat_expanded_shards", 4, 2),
