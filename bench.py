@@ -229,6 +229,7 @@ HEADLINE = [
     "text_unicode_fertility_delta",
     "dedup_containment_keeper_gated",
     "llm_pack_license_audit",
+    "llm_drop_ledger",
 ]
 
 # Box-calibration probe (VERDICT r10 item 4): ONE frozen, plan-stable,

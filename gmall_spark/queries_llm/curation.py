@@ -140,10 +140,10 @@ _SQL_CURATION_V2 = _replace_must_hit(
         "WHERE dr.doc_id IS NULL",
         "WHERE dr.doc_id IS NULL AND xm.doc_id IS NULL AND f.doc_id % 20 <> 0",
     )
-_SQL_CURATION_V2 = _replace_must_hit(
-    _SQL_CURATION_V2,
-        ", drops AS (",
-        f"""
+# The X47 decontamination CTE chain (corpus docs near-duplicating the
+# frozen %20 holdout) as a shared constant: spliced into the v2 oracle
+# below AND composed by the r12 drop ledger — one source, no drift.
+_SQL_XMATCH_CTES = f"""
 , xcand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
@@ -162,7 +162,14 @@ _SQL_CURATION_V2 = _replace_must_hit(
   JOIN szs sb ON sb.doc_id = i.doc_b
   WHERE round(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6)
         >= {DECONTAM_THRESHOLD}
-), lmd AS (
+)"""
+
+_SQL_CURATION_V2 = _replace_must_hit(
+    _SQL_CURATION_V2,
+        ", drops AS (",
+        _SQL_XMATCH_CTES
+        + """
+, lmd AS (
   SELECT doc_id, lang, lower(text) AS t FROM documents
 ), lmpos AS (
   SELECT doc_id, lang, t, unnest(range(1, length(t))) AS i

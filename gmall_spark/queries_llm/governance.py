@@ -197,6 +197,75 @@ def q_dedup_groups_keeper_gated(spark, sf_dir):
     )
 
 
+def _gated_exact_keepers(spark, sf_dir, gate_kept):
+    """Min surviving doc_id per canonical text hash (the gated X6
+    stage shared by v5 and the drop ledger)."""
+    d = _docs(spark, sf_dir)
+    canon = d.select(
+        "doc_id", TX.canonical_hash(F.col("text")).alias("h")
+    )
+    return (
+        canon.join(gate_kept, "doc_id", "semi")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def _gated_neardup_drops(spark, sf_dir, gate):
+    """Every transitive-group member except the gated-elected X253
+    keeper (shared by v5 and the drop ledger)."""
+    d = _docs(spark, sf_dir)
+    groups = _transitive_groups(spark, sf_dir)
+    scores = d.select("doc_id", TX.word_count(F.col("text")).alias("__w"))
+    gk = (
+        groups.join(scores, "doc_id")
+        .join(gate.select("doc_id", "kept"), "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(
+                    F.col("kept").alias("__k"),
+                    F.col("__w"),
+                    (-F.col("doc_id")).alias("__nid"),
+                ),
+            ).alias("keeper_id")
+        )
+    )
+    return (
+        groups.join(gk, "group_id")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+
+
+def _gated_containment_drops(spark, sf_dir, gate):
+    """Containment losers whose winning container survives the gate
+    (shared by v5 and the drop ledger)."""
+    pairs = _contain_pairs(spark, sf_dir)
+    wl = pairs.select(
+        F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_a"))
+        .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
+        .otherwise(F.greatest("doc_a", "doc_b"))
+        .alias("doc_id"),
+        F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_b"))
+        .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_a"))
+        .otherwise(F.least("doc_a", "doc_b"))
+        .alias("winner_id"),
+    )
+    wgate = gate.select(
+        F.col("doc_id").alias("winner_id"),
+        F.col("kept").alias("winner_kept"),
+    )
+    return (
+        wl.join(wgate, "winner_id")
+        .filter(F.col("winner_kept") == 1)
+        .select("doc_id")
+        .distinct()
+    )
+
+
 # --- X254: corpus curation v5 (governance-aware release) ----------------------
 # The v5 base re-states the v1/v2 chain with BOTH dedup stages
 # governance-aware, assembled by splicing the registered v2 oracle
@@ -325,6 +394,8 @@ def q_llm_corpus_curation_v5(spark, sf_dir):
             t = F.col("text")
             gate = _gate_verdicts(spark, sf_dir)
             gate_kept = gate.filter(F.col("kept") == 1).select("doc_id")
+            ex_keep = _gated_exact_keepers(spark, sf_dir, gate_kept)
+            drops = _gated_neardup_drops(spark, sf_dir, gate)
             feat = d.select(
                 "doc_id",
                 TX.lang_id(t).alias("lang_pred"),
@@ -335,38 +406,6 @@ def q_llm_corpus_curation_v5(spark, sf_dir):
                 (F.col("n_words") >= 5)
                 & (F.col("n_chars") >= 20)
                 & (F.col("lang_pred") != "unknown")
-            )
-            # gated exact-hash keepers: min surviving id per canonical
-            # hash — hash groups whose every member is gated vanish
-            canon = d.select("doc_id", TX.canonical_hash(t).alias("h"))
-            ex_keep = (
-                canon.join(gate_kept, "doc_id", "semi")
-                .groupBy("h")
-                .agg(F.min("doc_id").alias("doc_id"))
-                .select("doc_id")
-            )
-            # gated near-dup keeper election (the X253 rule) + drops
-            groups = _transitive_groups(spark, sf_dir)
-            scores = d.select("doc_id", TX.word_count(t).alias("__w"))
-            gk = (
-                groups.join(scores, "doc_id")
-                .join(gate, "doc_id")
-                .groupBy("group_id")
-                .agg(
-                    F.max_by(
-                        "doc_id",
-                        F.struct(
-                            F.col("kept").alias("__k"),
-                            F.col("__w"),
-                            (-F.col("doc_id")).alias("__nid"),
-                        ),
-                    ).alias("keeper_id")
-                )
-            )
-            drops = (
-                groups.join(gk, "group_id")
-                .filter(F.col("doc_id") != F.col("keeper_id"))
-                .select("doc_id")
             )
             base = (
                 qual.join(gate_kept, "doc_id", "semi")
@@ -391,27 +430,7 @@ def q_llm_corpus_curation_v5(spark, sf_dir):
             # winner's contained copy is the content's last releasable
             # representative, the keeper re-election logic at
             # containment grain); tail cut, boiler present
-            pairs = _contain_pairs(spark, sf_dir)
-            wl = pairs.select(
-                F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_a"))
-                .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
-                .otherwise(F.greatest("doc_a", "doc_b"))
-                .alias("doc_id"),
-                F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_b"))
-                .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_a"))
-                .otherwise(F.least("doc_a", "doc_b"))
-                .alias("winner_id"),
-            )
-            wgate = gate.select(
-                F.col("doc_id").alias("winner_id"),
-                F.col("kept").alias("winner_kept"),
-            )
-            cdrops = (
-                wl.join(wgate, "winner_id")
-                .filter(F.col("winner_kept") == 1)
-                .select("doc_id")
-                .distinct()
-            )
+            cdrops = _gated_containment_drops(spark, sf_dir, gate)
             b = (
                 lm.perplexity_buckets(d, scored=_lm_scores(spark, sf_dir))
                 .filter(F.col("bucket") != "tail")
@@ -866,4 +885,213 @@ from gmall_spark.queries import ORACLES as _OR_LIC  # noqa: E402
 
 _OR_LIC["llm_pack_license_audit"] = _OR_LIC["llm_pack_license_audit"].replace(
     "{V5}", _OR_LIC["llm_corpus_curation_v5"]
+)
+
+
+# --- X261: the drop ledger ------------------------------------------------------
+# "Why did my document disappear?" at DOC grain — the debugging table
+# every data team builds next to the funnel (the funnel counts stages;
+# the ledger names, for every raw document, the FIRST chain stage that
+# dropped it, in the chain's own precedence: governance verdicts trump
+# everything (a blocked doc's other failures are moot for the release
+# report), then quality, the two gated dedup stages, the v2 holdout +
+# decontamination, the gated containment cut, the CCNet tail cut, and
+# the gibberish gate; survivors are labeled released. The lockstep
+# guard is a THEOREM, not trust: the released slice must equal the
+# registered v5 manifest's doc set exactly (pinned in-suite), so any
+# drift between these stage predicates and the composed chain fails a
+# test instead of shipping a wrong story.
+
+_LEDGER_STAGES = (
+    "governance",
+    "quality",
+    "exact_dup",
+    "near_dup",
+    "holdout",
+    "decontam",
+    "containment",
+    "ppl_tail",
+    "gibberish",
+    "released",
+)
+
+
+def _drop_ledger_oracle() -> str:
+    from gmall_spark.queries_llm.curation import _SQL_XMATCH_CTES
+
+    loser = (
+        "CASE WHEN c.sz_a < c.sz_b THEN c.doc_a"
+        " WHEN c.sz_b < c.sz_a THEN c.doc_b"
+        " ELSE greatest(c.doc_a, c.doc_b) END"
+    )
+    stage_case = f"""
+  CASE WHEN g.kept = 0 THEN 'governance'
+       WHEN NOT (f.n_words >= 5 AND f.n_chars >= 20
+                 AND f.lang_pred <> 'unknown') THEN 'quality'
+       WHEN ek.doc_id IS NULL THEN 'exact_dup'
+       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       WHEN d.doc_id % 20 = 0 THEN 'holdout'
+       WHEN xm.doc_id IS NOT NULL THEN 'decontam'
+       WHEN cd.doc_id IS NOT NULL THEN 'containment'
+       WHEN bk.doc_id IS NULL THEN 'ppl_tail'
+       WHEN gb.doc_id IS NOT NULL THEN 'gibberish'
+       ELSE 'released' END"""
+    stage_no = " ".join(
+        f"WHEN '{name}' THEN {i + 1}"
+        for i, name in enumerate(_LEDGER_STAGES)
+    )
+    return (
+        SQL_MINHASH.replace("WITH ws", "WITH RECURSIVE ws", 1)
+        + _SQL_GROUP_CTES
+        + _SQL_XMATCH_CTES
+        + rf"""
+, gv5 AS (
+  SELECT doc_id, {_gate_kept_sql()} AS kept FROM documents
+), wc5 AS (
+  SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words
+  FROM documents
+), rk5 AS (
+  SELECT g.group_id, g.doc_id,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY v.kept DESC, w.n_words DESC, g.doc_id ASC)
+           AS rn
+  FROM grp g JOIN wc5 w ON w.doc_id = g.doc_id JOIN gv5 v ON v.doc_id = g.doc_id
+), nd AS (
+  SELECT g.doc_id
+  FROM grp g LEFT JOIN (SELECT group_id, doc_id FROM rk5 WHERE rn = 1) k5
+    ON k5.group_id = g.group_id AND k5.doc_id = g.doc_id
+  WHERE k5.doc_id IS NULL
+), canon AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+), ek AS (
+  SELECT MIN(c.doc_id) AS doc_id
+  FROM canon c JOIN gv5 v ON v.doc_id = c.doc_id AND v.kept = 1
+  GROUP BY c.h
+), feat AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(lower(text), '{TX.CJK_RANGE}') THEN 'zh'
+              WHEN regexp_matches(lower(text), '{TX.EN_MARKERS}') THEN 'en'
+              WHEN regexp_matches(lower(text), '{TX.ES_MARKERS}') THEN 'es'
+              WHEN regexp_matches(lower(text), '{TX.FR_MARKERS}') THEN 'fr'
+              WHEN regexp_matches(lower(text), '{TX.DE_MARKERS}') THEN 'de'
+              ELSE 'unknown' END AS lang_pred,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+), cdl AS (
+  SELECT DISTINCT {loser} AS doc_id
+  FROM ({{CONTAIN}}) c
+  WHERE {_gate_kept_sql(_CONTAIN_WINNER)} = 1
+), bkk AS (
+  SELECT doc_id FROM ({{BUCKETS}}) WHERE bucket <> 'tail'
+), gbb AS (
+  SELECT doc_id FROM ({{GIB}}) WHERE is_gibberish
+), lab AS (
+  SELECT d.doc_id, {stage_case} AS drop_stage
+  FROM documents d
+  JOIN gv5 g ON g.doc_id = d.doc_id
+  JOIN feat f ON f.doc_id = d.doc_id
+  LEFT JOIN ek ON ek.doc_id = d.doc_id
+  LEFT JOIN nd ON nd.doc_id = d.doc_id
+  LEFT JOIN xmatch xm ON xm.doc_id = d.doc_id
+  LEFT JOIN cdl cd ON cd.doc_id = d.doc_id
+  LEFT JOIN bkk bk ON bk.doc_id = d.doc_id
+  LEFT JOIN gbb gb ON gb.doc_id = d.doc_id
+)
+SELECT doc_id, drop_stage,
+       CAST(CASE drop_stage {stage_no} END AS BIGINT) AS stage_no
+FROM lab
+"""
+    )
+
+
+@query("llm_drop_ledger", None)  # oracle attached below
+def q_llm_drop_ledger(spark, sf_dir):
+    """The drop ledger (X261): one row per RAW document naming the
+    FIRST v5-chain stage that dropped it — governance, quality,
+    exact_dup, near_dup, holdout, decontam, containment, ppl_tail,
+    gibberish — or released. The per-doc answer to the funnel's
+    per-stage counts, and the audit trail a takedown/appeal process
+    reads. Stage predicates are the chain's own building blocks (the
+    shared gate/keeper/containment helpers and fixtures), and the
+    lockstep guard is a theorem: released == the v5 manifest's doc
+    set, pinned in-suite. Scale: one pass over the corpus with six
+    doc-keyed attach joins (every right side is a fixture checkpoint
+    or a bounded stage set) + per-row exprs."""
+    from gmall_spark.operators import lm as _lm
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    gate = _gate_verdicts(spark, sf_dir)
+    gate_kept = gate.filter(F.col("kept") == 1).select("doc_id")
+    ek = _gated_exact_keepers(spark, sf_dir, gate_kept).withColumn(
+        "__ek", F.lit(1)
+    )
+    nd = (
+        _gated_neardup_drops(spark, sf_dir, gate)
+        .distinct()
+        .withColumn("__nd", F.lit(1))
+    )
+    xm = _xmatch(spark, sf_dir).withColumn("__xm", F.lit(1))
+    cd = _gated_containment_drops(spark, sf_dir, gate).withColumn(
+        "__cd", F.lit(1)
+    )
+    bk = (
+        _lm.perplexity_buckets(d, scored=_lm_scores(spark, sf_dir))
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id")
+        .withColumn("__bk", F.lit(1))
+    )
+    gb = (
+        q_text_char_chisq_gibberish(spark, sf_dir)
+        .filter("is_gibberish")
+        .select("doc_id")
+        .withColumn("__gb", F.lit(1))
+    )
+    feat = d.select(
+        "doc_id",
+        TX.lang_id(t).alias("__lang"),
+        TX.word_count(t).alias("__nw"),
+        F.length(t).cast("bigint").alias("__nc"),
+    )
+    j = (
+        feat.join(gate.select("doc_id", "kept"), "doc_id")
+        .join(ek, "doc_id", "left")
+        .join(nd, "doc_id", "left")
+        .join(xm, "doc_id", "left")
+        .join(cd, "doc_id", "left")
+        .join(bk, "doc_id", "left")
+        .join(gb, "doc_id", "left")
+    )
+    qual_ok = (
+        (F.col("__nw") >= 5)
+        & (F.col("__nc") >= 20)
+        & (F.col("__lang") != "unknown")
+    )
+    stage = (
+        F.when(F.col("kept") == 0, "governance")
+        .when(~qual_ok, "quality")
+        .when(F.col("__ek").isNull(), "exact_dup")
+        .when(F.col("__nd").isNotNull(), "near_dup")
+        .when(F.col("doc_id") % 20 == 0, "holdout")
+        .when(F.col("__xm").isNotNull(), "decontam")
+        .when(F.col("__cd").isNotNull(), "containment")
+        .when(F.col("__bk").isNull(), "ppl_tail")
+        .when(F.col("__gb").isNotNull(), "gibberish")
+        .otherwise("released")
+    )
+    no = F.lit(None).cast("bigint")
+    for i, name in enumerate(_LEDGER_STAGES):
+        no = F.when(F.col("drop_stage") == name, i + 1).otherwise(no)
+    return j.select("doc_id", stage.alias("drop_stage")).select(
+        "doc_id", "drop_stage", no.cast("bigint").alias("stage_no")
+    )
+
+
+_OR["llm_drop_ledger"] = (
+    _drop_ledger_oracle()
+    .replace("{CONTAIN}", _OR["dedup_ngram_containment"])
+    .replace("{BUCKETS}", _OR["text_perplexity_buckets"])
+    .replace("{GIB}", _OR["text_char_chisq_gibberish"])
 )

@@ -394,3 +394,46 @@ def test_pack_license_taint_flips_exactly_its_pack(spark, sf_dir, monkeypatch):
             assert r.n_proprietary == 1
         else:
             assert r.trainable and r.pack_license == "cc-by"
+
+
+@pytest.mark.sf001
+def test_drop_ledger_partitions_and_matches_v5(spark, sf_dir):
+    """X261 lockstep theorems on the real corpus: every raw doc gets
+    exactly one label, and the released slice equals the v5 manifest's
+    doc set EXACTLY (the guard that keeps the ledger's stage
+    predicates from drifting off the composed chain)."""
+    led = {
+        r.doc_id: r.drop_stage
+        for r in QUERIES["llm_drop_ledger"](spark, sf_dir).collect()
+    }
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(led) == n_docs
+    released = {d for d, s in led.items() if s == "released"}
+    v5 = {
+        r.doc_id
+        for r in QUERIES["llm_corpus_curation_v5"](spark, sf_dir).collect()
+    }
+    assert released == v5
+
+
+def test_drop_ledger_labels_planted_mirrors(spark, sf_dir, monkeypatch):
+    """X261 on the mirror corpus: the blocked representative reads
+    'governance', the restored mirror reads 'released', the remaining
+    identical mirrors read 'exact_dup' (they lose the gated exact-hash
+    election before the near-dup stage is even consulted), and the
+    rare-letter fillers read 'quality'."""
+    import gmall_spark.queries_llm as QL
+
+    planted = _mirror_corpus(spark)
+    with _fresh_fixtures():
+        monkeypatch.setattr(QL, "_docs", lambda s, d: planted)
+        led = {
+            r.doc_id: r.drop_stage
+            for r in QUERIES["llm_drop_ledger"](spark, sf_dir).collect()
+        }
+    assert led[43] == "governance"
+    assert led[81] == "released"
+    for d in (121, 161, 201, 241):
+        assert led[d] == "exact_dup", (d, led[d])
+    for d in range(300, 312):
+        assert led[d] == "quality", (d, led[d])

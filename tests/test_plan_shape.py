@@ -625,6 +625,11 @@ BUDGETS = [
     # r12: pack license audit — v5 checkpoint ⋈ the gate-verdict
     # fixture's domain column + ONE pack-keyed aggregate
     ("llm_pack_license_audit", 1, 1),
+    # r12: drop ledger — the nine stage sets attached to the corpus
+    # in one pass (six doc-keyed left joins; every right side is a
+    # fixture checkpoint or a bounded stage set whose own lineage the
+    # count re-prints); a once-per-release audit, not a hot path
+    ("llm_drop_ledger", 25, 8),
 ]
 
 
