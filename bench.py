@@ -230,6 +230,8 @@ HEADLINE = [
     "dedup_containment_keeper_gated",
     "llm_pack_license_audit",
     "llm_drop_ledger",
+    "sft_control_token_scan",
+    "sft_control_token_rollup",
 ]
 
 # Box-calibration probe (VERDICT r10 item 4): ONE frozen, plan-stable,

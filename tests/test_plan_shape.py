@@ -630,6 +630,12 @@ BUDGETS = [
     # fixture checkpoint or a bounded stage set whose own lineage the
     # count re-prints); a once-per-release audit, not a hot path
     ("llm_drop_ledger", 25, 8),
+    # r12: control-token scan — synth + length-diff counts are pure
+    # per-row exprs; scan fan-out only
+    ("sft_control_token_scan", 1, 0),
+    # r12: control-token census — ONE corpus pass (explode over the
+    # 6-token grid) + the token aggregate
+    ("sft_control_token_rollup", 2, 0),
 ]
 
 

@@ -288,3 +288,35 @@ def test_novelty_gate_catches_insertion_paraphrase(spark, sf_dir, monkeypatch):
     audit = QUERIES["sft_novelty_audit"](spark, sf_dir).collect()[0]
     assert audit.n_candidates == 1 and audit.n_seeds == 1
     assert audit.n_rejected == 1 and audit.n_novel == 0
+
+
+def test_control_token_scan_planted_and_zero_row(spark, sf_dir):
+    """X262: the planted markers are counted exactly (doc 2 mod 9
+    carries one <|user|>; doc 3 mod 11 carries two <|endoftext|>),
+    clean docs are not poisoned, and the never-planted '<|pad|>'
+    census row is genuinely zero. The oracle parity itself doubles as
+    the corpus-clean guard: a pre-existing marker in the corpus would
+    break the closed-form hash."""
+    from gmall_spark.queries import QUERIES
+    from gmall_spark.queries_llm.sft_classifier import CONTROL_TOKENS
+
+    scan = {r.doc_id: r for r in
+            QUERIES["sft_control_token_scan"](spark, sf_dir).collect()}
+    iu = CONTROL_TOKENS.index("<|user|>")
+    ie = CONTROL_TOKENS.index("<|endoftext|>")
+    for d, r in scan.items():
+        hits = [r[f"hits_{i}"] for i in range(len(CONTROL_TOKENS))]
+        assert (r.n_control > 0) == r.render_poisoned
+        assert r.n_control == sum(hits)
+        if d % 9 == 2:
+            assert hits[iu] >= 1
+        if d % 11 == 3:
+            assert hits[ie] == 2
+        if all(d % m != rr for m, rr, _ in (
+            (9, 2, 0), (11, 3, 0), (13, 5, 0), (17, 7, 0)
+        )):
+            assert r.render_poisoned is False, d
+    roll = {r.token: (r.n_docs, r.n_hits) for r in
+            QUERIES["sft_control_token_rollup"](spark, sf_dir).collect()}
+    assert roll["<|pad|>"] == (0, 0)
+    assert roll["<|endoftext|>"][1] > 0 and roll["<|user|>"][1] > 0
