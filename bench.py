@@ -232,6 +232,7 @@ HEADLINE = [
     "llm_drop_ledger",
     "sft_control_token_scan",
     "sft_control_token_rollup",
+    "llm_final_sample_weights",
 ]
 
 # Box-calibration probe (VERDICT r10 item 4): ONE frozen, plan-stable,

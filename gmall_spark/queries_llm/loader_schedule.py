@@ -474,3 +474,81 @@ from gmall_spark.queries import ORACLES as _OR_EXP  # noqa: E402
 _OR_EXP["llm_repeat_expanded_shards"] = _OR_EXP[
     "llm_repeat_expanded_shards"
 ].replace("{BUCKETS}", _OR_EXP["text_perplexity_buckets"])
+
+
+# --- final per-doc sampling weight (X263, r12) --------------------------------
+
+
+def _final_weights_oracle() -> str:
+    from gmall_spark.queries import ORACLES as _O
+
+    return f"""
+SELECT d.doc_id, d.source,
+       s.weight AS dedup_weight,
+       m.keep_rate,
+       CAST(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS dsir_kept,
+       round(s.weight * m.keep_rate
+             * CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END, 6)
+         AS sample_weight
+FROM documents d
+JOIN ({_O["dedup_soft_weights"]}) s ON s.doc_id = d.doc_id
+JOIN ({_O["llm_domain_mix_weights"]}) m ON m.source = d.source
+LEFT JOIN ({_O["llm_dsir_resample"]}) r ON r.doc_id = d.doc_id
+WHERE d.doc_id % 20 <> 0
+"""
+
+
+@query("llm_final_sample_weights", None)  # oracle attached below
+def q_llm_final_sample_weights(spark, sf_dir):
+    """Final per-doc sampling weight (X263): the ONE number per
+    trainable document a loader's sampler consumes, composed from the
+    registered selection/weighting stages exactly the way a DSIR-era
+    pipeline multiplies its heuristics — soft-dedup down-weighting
+    (X124: 1/|duplicate group|) x the domain-mix keep rate (the
+    per-source rebalancing cap) x the DSIR resample verdict (the
+    kept-quarter gate; a dropped doc carries weight 0 but is EMITTED,
+    X173 — the zero is the honest record, not a missing row). The
+    holdout twentieth is excluded by definition (it is never trainable
+    data). Every factor is the registered relation's own rounded
+    output, so the oracle composes the registered texts and the two
+    engines multiply identical doubles. Scale: doc-keyed joins of
+    corpus-sized relations (honest shuffles) + the tiny per-source
+    table broadcast."""
+    from gmall_spark.queries import QUERIES as _Q
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", "source"
+    )
+    soft = _Q["dedup_soft_weights"](spark, sf_dir).select(
+        "doc_id", F.col("weight").alias("dedup_weight")
+    )
+    mix = _Q["llm_domain_mix_weights"](spark, sf_dir).select(
+        "source", "keep_rate"
+    )
+    kept = _Q["llm_dsir_resample"](spark, sf_dir).select("doc_id").withColumn(
+        "__r", F.lit(1)
+    )
+    return (
+        d.join(soft, "doc_id")
+        .join(F.broadcast(mix), "source")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "dedup_weight",
+            "keep_rate",
+            F.coalesce("__r", F.lit(0)).cast("bigint").alias("dsir_kept"),
+            F.round(
+                F.col("dedup_weight")
+                * F.col("keep_rate")
+                * F.coalesce("__r", F.lit(0)),
+                6,
+            ).alias("sample_weight"),
+        )
+    )
+
+
+from gmall_spark.queries import ORACLES as _OR_FW  # noqa: E402
+
+_OR_FW["llm_final_sample_weights"] = _final_weights_oracle()

@@ -2265,3 +2265,26 @@ def test_repeat_expanded_shards_conserves_budget(spark, sf_dir):
     for r in rows:
         if r.repeat_idx <= SHARD_EPOCHS:
             assert r.shard == deal[(r.doc_id, r.repeat_idx)], r
+
+
+def test_final_sample_weights_compose_registered_stages(spark, sf_dir):
+    """X263 composition theorems: weight is zero IFF the DSIR
+    resample dropped the doc; members of one near-dup group share the
+    dedup factor; and for kept docs the weight is exactly the rounded
+    product of its two registered factors."""
+    from gmall_spark.queries import QUERIES
+
+    rows = QUERIES["llm_final_sample_weights"](spark, sf_dir).collect()
+    assert rows
+    kept = {r.doc_id for r in
+            QUERIES["llm_dsir_resample"](spark, sf_dir).collect()}
+    for r in rows:
+        assert (r.sample_weight == 0) == (r.doc_id not in kept), r
+        if r.dsir_kept:
+            assert abs(
+                r.sample_weight - round(r.dedup_weight * r.keep_rate, 6)
+            ) < 1e-12, r
+    soft = {r.doc_id: r.weight for r in
+            QUERIES["dedup_soft_weights"](spark, sf_dir).collect()}
+    for r in rows:
+        assert r.dedup_weight == soft[r.doc_id], r

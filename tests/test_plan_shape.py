@@ -636,6 +636,11 @@ BUDGETS = [
     # r12: control-token census — ONE corpus pass (explode over the
     # 6-token grid) + the token aggregate
     ("sft_control_token_rollup", 2, 0),
+    # r12: final sample weights — three registered stage relations
+    # attached at doc grain (soft-dedup weights re-derive the group
+    # sizes; DSIR reads its fixture; counts include cached-lineage
+    # re-prints) + the broadcast per-source mix table
+    ("llm_final_sample_weights", 16, 3),
 ]
 
 
