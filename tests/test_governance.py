@@ -437,3 +437,46 @@ def test_drop_ledger_labels_planted_mirrors(spark, sf_dir, monkeypatch):
         assert led[d] == "exact_dup", (d, led[d])
     for d in range(300, 312):
         assert led[d] == "quality", (d, led[d])
+
+
+def test_release_diff_global_invariants_random_frames(spark):
+    """X255 conservation theorems over seeded-random release pairs:
+    for ANY two frames, the per-shard rows must globally conserve —
+    doc-count delta equals |B|-|A|, added/removed equal the set
+    differences, moves balance, and the checksum deltas sum to the
+    exact global checksum difference (the property that makes the
+    per-shard table trustworthy as a release gate)."""
+    import random
+    from decimal import Decimal
+
+    from gmall_spark.queries_llm.governance import release_diff_frames
+
+    rng = random.Random(255)
+    for trial in range(4):
+        def frame_rows(ids):
+            return [
+                (
+                    i,
+                    f"p{rng.randint(0, 5)}",
+                    rng.randint(0, 7),
+                    Decimal(rng.randint(1, 10 ** 12)),
+                )
+                for i in ids
+            ]
+
+        ids_a = {i for i in range(40) if rng.random() < 0.7}
+        ids_b = {i for i in range(40) if rng.random() < 0.7}
+        ra, rb = frame_rows(sorted(ids_a)), frame_rows(sorted(ids_b))
+        out = release_diff_frames(
+            _frame(spark, ra), _frame(spark, rb)
+        ).collect()
+        assert sum(r.n_docs_b - r.n_docs_a for r in out) == len(ids_b) - len(
+            ids_a
+        )
+        assert sum(r.n_added for r in out) == len(ids_b - ids_a)
+        assert sum(r.n_removed for r in out) == len(ids_a - ids_b)
+        assert sum(r.n_moved_in for r in out) == sum(
+            r.n_moved_out for r in out
+        )
+        want_delta = sum(r[3] for r in rb) - sum(r[3] for r in ra)
+        assert sum(r.checksum_delta for r in out) == want_delta, trial
