@@ -495,4 +495,11 @@ def lcs_length(ta: Column, tb: Column) -> Column:
         F.transform(F.sequence(F.lit(0), F.size(tb)), lambda j: F.lit(0)),
         _row,
     )
-    return F.element_at(final, -1).cast("bigint")
+    # empty-side guard: sequence(1, 0) is the DESCENDING [1, 0], so an
+    # empty tb would drive the inner fold through element_at(tb, 0) —
+    # short-circuit both empty sides to the mathematical answer 0
+    return (
+        F.when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0))
+        .otherwise(F.element_at(final, -1))
+        .cast("bigint")
+    )

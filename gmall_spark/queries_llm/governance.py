@@ -103,6 +103,65 @@ def _gate_verdicts(spark, sf_dir):
     return _GOV_GATE[key]
 
 
+# --- shared election / containment-pair expressions (ADVICE r12) --------------
+# ONE Spark builder + ONE SQL-text builder per duplicated expression,
+# consumed by every call site, so the X253 election order and the
+# containment winner/loser arithmetic cannot drift between copies
+# (previously restated in the keeper audit, the v5 near-dup stage,
+# the X259 audit, and the ledger — drift was caught only by the
+# lockstep tests).
+
+
+def _keeper_elect(gated: bool):
+    """max_by election for the keeper total order — kept DESC (when
+    gated), n_words DESC, doc_id ASC (negated id in the struct).
+    Expects columns ``doc_id``, ``n_words`` and (gated) ``kept``."""
+    fields = []
+    if gated:
+        fields.append(F.col("kept").alias("__k"))
+    fields += [
+        F.col("n_words").alias("__w"),
+        (-F.col("doc_id")).alias("__nid"),
+    ]
+    return F.max_by("doc_id", F.struct(*fields))
+
+
+def _contain_winner_col():
+    """Containment pair's WINNER (more shingles; ties to lower id)."""
+    return (
+        F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_b"))
+        .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_a"))
+        .otherwise(F.least("doc_a", "doc_b"))
+    )
+
+
+def _contain_loser_col():
+    """Containment pair's LOSER (fewer shingles; ties to higher id)."""
+    return (
+        F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_a"))
+        .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
+        .otherwise(F.greatest("doc_a", "doc_b"))
+    )
+
+
+def _contain_winner_sql(alias: str = "c") -> str:
+    a = alias
+    return (
+        f"(CASE WHEN {a}.sz_a < {a}.sz_b THEN {a}.doc_b"
+        f" WHEN {a}.sz_b < {a}.sz_a THEN {a}.doc_a"
+        f" ELSE least({a}.doc_a, {a}.doc_b) END)"
+    )
+
+
+def _contain_loser_sql(alias: str = "c") -> str:
+    a = alias
+    return (
+        f"CASE WHEN {a}.sz_a < {a}.sz_b THEN {a}.doc_a"
+        f" WHEN {a}.sz_b < {a}.sz_a THEN {a}.doc_b"
+        f" ELSE greatest({a}.doc_a, {a}.doc_b) END"
+    )
+
+
 # --- X253: governance-gated dedup keeper re-election --------------------------
 
 
@@ -162,25 +221,8 @@ def q_dedup_groups_keeper_gated(spark, sf_dir):
     agg = j.groupBy("group_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("group_size"),
         F.sum("kept").cast("bigint").alias("n_surviving"),
-        F.max_by(
-            "doc_id",
-            F.struct(
-                F.col("n_words").alias("__w"),
-                (-F.col("doc_id")).alias("__nid"),
-            ),
-        )
-        .cast("bigint")
-        .alias("keeper_ungated"),
-        F.max_by(
-            "doc_id",
-            F.struct(
-                F.col("kept").alias("__k"),
-                F.col("n_words").alias("__w"),
-                (-F.col("doc_id")).alias("__nid"),
-            ),
-        )
-        .cast("bigint")
-        .alias("__keeper_any"),
+        _keeper_elect(gated=False).cast("bigint").alias("keeper_ungated"),
+        _keeper_elect(gated=True).cast("bigint").alias("__keeper_any"),
     )
     return agg.select(
         "group_id",
@@ -217,21 +259,12 @@ def _gated_neardup_drops(spark, sf_dir, gate):
     keeper (shared by v5 and the drop ledger)."""
     d = _docs(spark, sf_dir)
     groups = _transitive_groups(spark, sf_dir)
-    scores = d.select("doc_id", TX.word_count(F.col("text")).alias("__w"))
+    scores = d.select("doc_id", TX.word_count(F.col("text")).alias("n_words"))
     gk = (
         groups.join(scores, "doc_id")
         .join(gate.select("doc_id", "kept"), "doc_id")
         .groupBy("group_id")
-        .agg(
-            F.max_by(
-                "doc_id",
-                F.struct(
-                    F.col("kept").alias("__k"),
-                    F.col("__w"),
-                    (-F.col("doc_id")).alias("__nid"),
-                ),
-            ).alias("keeper_id")
-        )
+        .agg(_keeper_elect(gated=True).alias("keeper_id"))
     )
     return (
         groups.join(gk, "group_id")
@@ -245,14 +278,8 @@ def _gated_containment_drops(spark, sf_dir, gate):
     (shared by v5 and the drop ledger)."""
     pairs = _contain_pairs(spark, sf_dir)
     wl = pairs.select(
-        F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_a"))
-        .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
-        .otherwise(F.greatest("doc_a", "doc_b"))
-        .alias("doc_id"),
-        F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_b"))
-        .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_a"))
-        .otherwise(F.least("doc_a", "doc_b"))
-        .alias("winner_id"),
+        _contain_loser_col().alias("doc_id"),
+        _contain_winner_col().alias("winner_id"),
     )
     wgate = gate.select(
         F.col("doc_id").alias("winner_id"),
@@ -325,11 +352,7 @@ _SQL_V5_BASE = _replace_must_hit(
 # passed into the gate expression so the v5 containment drop only
 # fires when the winner actually survives governance (r12: the same
 # vanishing-content bug shape as the keeper, at containment grain)
-_CONTAIN_WINNER = (
-    "(CASE WHEN c.sz_a < c.sz_b THEN c.doc_b"
-    " WHEN c.sz_b < c.sz_a THEN c.doc_a"
-    " ELSE least(c.doc_a, c.doc_b) END)"
-)
+_CONTAIN_WINNER = _contain_winner_sql()
 
 
 def _v5_kept_oracle() -> str:
@@ -683,11 +706,7 @@ _OR["llm_release_diff"] = _release_diff_oracle()
 
 
 def _containment_gated_oracle() -> str:
-    loser = (
-        "CASE WHEN c.sz_a < c.sz_b THEN c.doc_a"
-        " WHEN c.sz_b < c.sz_a THEN c.doc_b"
-        " ELSE greatest(c.doc_a, c.doc_b) END"
-    )
+    loser = _contain_loser_sql()
     return f"""
 SELECT c.doc_a, c.doc_b,
        CAST({_CONTAIN_WINNER} AS BIGINT) AS winner_id,
@@ -716,16 +735,8 @@ def q_dedup_containment_keeper_gated(spark, sf_dir):
     wl = pairs.select(
         "doc_a",
         "doc_b",
-        F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_b"))
-        .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_a"))
-        .otherwise(F.least("doc_a", "doc_b"))
-        .cast("bigint")
-        .alias("winner_id"),
-        F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_a"))
-        .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
-        .otherwise(F.greatest("doc_a", "doc_b"))
-        .cast("bigint")
-        .alias("loser_id"),
+        _contain_winner_col().cast("bigint").alias("winner_id"),
+        _contain_loser_col().cast("bigint").alias("loser_id"),
     )
     wg = gate.select(
         F.col("doc_id").alias("winner_id"),
@@ -915,15 +926,21 @@ _LEDGER_STAGES = (
     "released",
 )
 
+# LOAD-BEARING totality assumption (ADVICE r12): the ledger has NO
+# stage for the boilerplate_span_clean semi-join inside the v5 chain.
+# released == v5 holds only because that rollup is TOTAL over the
+# corpus — every document emits >= 1 cleaned span (the span cleaner
+# drops SPANS, never whole docs) — so the semi-join is a no-op
+# filter. Same for _lm_scores (every doc gets a bigram score; the
+# ppl_tail stage covers the tier cut itself). If either relation ever
+# goes partial, add the matching ledger stage; until then the
+# in-suite released==v5 equality theorem is the tripwire.
+
 
 def _drop_ledger_oracle() -> str:
     from gmall_spark.queries_llm.curation import _SQL_XMATCH_CTES
 
-    loser = (
-        "CASE WHEN c.sz_a < c.sz_b THEN c.doc_a"
-        " WHEN c.sz_b < c.sz_a THEN c.doc_b"
-        " ELSE greatest(c.doc_a, c.doc_b) END"
-    )
+    loser = _contain_loser_sql()
     stage_case = f"""
   CASE WHEN g.kept = 0 THEN 'governance'
        WHEN NOT (f.n_words >= 5 AND f.n_chars >= 20

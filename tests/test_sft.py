@@ -240,6 +240,30 @@ SELECT pid, r[len(tb) + 1] FROM lcs WHERE i = len(ta)
     assert got_duck == want
 
 
+def test_lcs_length_empty_side_is_zero(spark):
+    """ADVICE r12: an empty array on either side must yield 0 (the
+    mathematical LCS) instead of driving the inner fold through the
+    descending sequence(1, 0) and element_at(tb, 0)."""
+    from gmall_spark.functions import text as TX
+
+    rows = [
+        (1, [], ["a", "b"]),
+        (2, ["a", "b"], []),
+        (3, [], []),
+        (4, ["a", "b"], ["b", "a"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid int, ta array<string>, tb array<string>"
+    )
+    got = {
+        r.pid: r.l
+        for r in df.select(
+            "pid", TX.lcs_length(F.col("ta"), F.col("tb")).alias("l")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
 def test_novelty_gate_catches_insertion_paraphrase(spark, sf_dir, monkeypatch):
     """X257 planted fixture: the insertion paraphrase — seed prompt
     w1..w10, candidate prompt = the same sequence with a spacer every
