@@ -244,6 +244,23 @@ HEADLINE = [
 # plan pinned in test_plan_shape, no shared fixture, compute-bound.
 CALIB_PROBE = "dedup_minhash_lsh"
 
+# r13 (VERDICT r12 "What's wrong" 1): one probe's own min-of-3 spread
+# (±15% across the four same-day r12 driver runs) is as large as the
+# signal it normalizes. Widen the instrument: `calib_probes` reports
+# the min-of-3 of THREE distinct plan-stable fixture-free headline
+# queries (different plan families — LSH dedup, TPC-H join/agg,
+# per-row text folds; none touched by the r13 optimizations, so all
+# three move with the BOX) and `calib_med` their median, so one
+# stalled probe can't skew a round-over-round read. Zero extra
+# compute: the probes are existing headline timings. `calib` keeps
+# its r10 single-probe definition so the longitudinal series stays
+# comparable; BASELINE.md states the widened convention.
+CALIB_PROBES = (
+    "dedup_minhash_lsh",
+    "orders_shipping_priority",
+    "text_gopher_repetition",
+)
+
 REPEATS = 3  # timings report the min over this many runs per query
 
 # FIXED cross-round comparison subset (VERDICT r6 item 3): the r4
@@ -478,6 +495,17 @@ def main() -> None:
                 # divide any cross-round scalar ratio by the calib
                 # ratio before reading it as a regression
                 "calib": timings.get(CALIB_PROBE),
+                # widened instrument (r13): per-probe mins + median
+                "calib_probes": {
+                    n: timings[n] for n in CALIB_PROBES if n in timings
+                },
+                "calib_med": (
+                    sorted(timings[n] for n in CALIB_PROBES if n in timings)[
+                        len([n for n in CALIB_PROBES if n in timings]) // 2
+                    ]
+                    if any(n in timings for n in CALIB_PROBES)
+                    else None
+                ),
                 "n_queries": len(timings),
                 "materialize": materialize,
                 "fixtures": fixtures,

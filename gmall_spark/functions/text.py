@@ -12,6 +12,8 @@ can replay them:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -462,44 +464,40 @@ def simhash_fingerprints(docs, id_col: str = "doc_id", text_col: str = "text"):
 
 def lcs_length(ta: Column, tb: Column) -> Column:
     """Longest-common-subsequence LENGTH of two token arrays — the
-    ROUGE-L core (Lin 2004), as one pure JVM higher-order-function
-    fold: the classic integer DP row by row (dp[i][j] = max of skip-a,
-    skip-b, diagonal+match), the outer aggregate() folding rows of
-    ``ta``, the inner one building each row left-to-right over
-    ``tb``'s positions (the within-row dependency rides the growing
-    accumulator array). O(|ta|*|tb|) integer ops per pair, zero Python
-    in the hot path; intended for BLOCKED candidate pairs (prompts,
-    titles) — never all-pairs, and never megabyte documents."""
+    ROUGE-L core (Lin 2004): the classic integer DP
+    (dp[i][j] = max of skip-a, skip-b, diagonal+match), row-vectorized
+    over ``tb`` inside ONE Arrow-batched pandas UDF. The within-row
+    dependency dp[i][j-1] folds via a running max
+    (np.maximum.accumulate over t[j] = max(prev[j], prev[j-1]+match)
+    — dp[j] = max over t[1..j], the standard vectorization of this
+    recurrence). Pure integer arithmetic, so the answer is exactly
+    the textbook DP's (pinned in tests/test_sft.py against a Python
+    reference AND the DuckDB recursive-CTE twin).
 
-    def _row(prev: Column, ai: Column) -> Column:
-        return F.aggregate(
-            F.sequence(F.lit(1), F.size(tb)),
-            F.array(F.lit(0)),
-            lambda acc, j: F.concat(
-                acc,
-                F.array(
-                    F.greatest(
-                        F.element_at(prev, j + F.lit(1)),
-                        F.element_at(acc, F.size(acc)),
-                        F.element_at(prev, j)
-                        + F.when(ai == F.element_at(tb, j), F.lit(1)).otherwise(
-                            F.lit(0)
-                        ),
-                    )
-                ),
-            ),
-        )
+    r13: this replaced a nested aggregate() higher-order-function
+    fold — HigherOrderFunctions are CodegenFallback (interpreted),
+    and the inner fold's concat(acc, array(...)) allocated a fresh
+    O(|tb|) array per DP cell: O(|ta|·|tb|²) interpreted work per
+    pair. The Arrow batch form is O(|ta|·|tb|) numpy ops (guide §4.2:
+    hand whole batches to vectorized native code when the per-row
+    expression path is the bottleneck). Intended for BLOCKED
+    candidate pairs (prompts, titles) — never all-pairs, and never
+    megabyte documents. Empty sides score the mathematical 0."""
 
-    final = F.aggregate(
-        ta,
-        F.transform(F.sequence(F.lit(0), F.size(tb)), lambda j: F.lit(0)),
-        _row,
-    )
-    # empty-side guard: sequence(1, 0) is the DESCENDING [1, 0], so an
-    # empty tb would drive the inner fold through element_at(tb, 0) —
-    # short-circuit both empty sides to the mathematical answer 0
-    return (
-        F.when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0))
-        .otherwise(F.element_at(final, -1))
-        .cast("bigint")
-    )
+    @F.pandas_udf("bigint")
+    def _lcs_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.zeros(len(a), dtype=np.int64)
+        for idx in range(len(a)):
+            xa, xb = a.iloc[idx], b.iloc[idx]
+            if xa is None or xb is None or len(xa) == 0 or len(xb) == 0:
+                continue
+            B = np.asarray(xb, dtype=object)
+            prev = np.zeros(len(xb) + 1, dtype=np.int64)
+            for tok in xa:
+                t = np.maximum(prev[1:], prev[:-1] + (B == tok))
+                np.maximum.accumulate(t, out=t)
+                prev[1:] = t
+            out[idx] = prev[-1]
+        return pd.Series(out)
+
+    return _lcs_batch(ta, tb)

@@ -31,3 +31,14 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# r13 note: an unrolled fixed-width variant (element_at multiply-add
+# chains instead of the HOF fold) was measured and REJECTED — executor
+# time was identical at these pair volumes (the fold is interpreted
+# but the per-element work is trivial), while the ~200-node expression
+# trees, duplicated through window/join/union subtrees, multiplied
+# Catalyst analysis/optimization time (similarity_topk_cosine ~1.0 →
+# 1.6 s, similarity_eval_jl_projection ~4 → 18 s driver-bound). The
+# HOF fold keeps plans small; at real scale the per-pair arithmetic
+# rides the GEMM paths (operators/similarity.gemm_allpairs_topk).

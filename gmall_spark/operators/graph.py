@@ -59,15 +59,24 @@ def pagerank(
     try:
         n1 = nodes.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast below
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
-        # out-going rate per edge endpoint: join rank ⋈ outdeg once per
-        # iteration, both keyed by the node id
+        # r13: attach the loop-invariant out-degree to the edge list
+        # ONCE (it used to be a second src-keyed join inside every
+        # iteration — iterations × (agg + join) exchanges of the same
+        # relation; guide §2.4 "two operations keyed the same way can
+        # share one exchange"). The loop now joins only (src, dst,
+        # odeg) ⋈ (node_id, r). Integer arithmetic — results are
+        # unchanged by the restructure.
+        # hash-partition by the join key before persisting: every
+        # iteration's join then reads the cached layout instead of
+        # re-exchanging the (corpus-sized) edge list — iterations
+        # shuffle only the small (node, rank) side (guide §2.4)
+        e_od = e.join(outdeg, "src").repartition("src").persist()
         ranks = nodes.crossJoin(F.broadcast(n1)).select(
             "node_id", F.expr(f"{PR_SCALE} div n").alias("r")
         )
         for _ in range(int(iterations)):
             contrib = (
-                e.join(ranks.withColumnRenamed("node_id", "src"), "src")
-                .join(outdeg, "src")
+                e_od.join(ranks.withColumnRenamed("node_id", "src"), "src")
                 .select("dst", F.expr("r div odeg").alias("c"))
             )
             s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
@@ -89,6 +98,10 @@ def pagerank(
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+        try:
+            e_od.unpersist()
+        except NameError:  # pragma: no cover - e_od assignment failed
+            pass
         nodes.unpersist()
     return ranks.select(
         "node_id",

@@ -48,12 +48,24 @@ def bigram_model(
     docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
 ) -> DataFrame:
     """(lang, bigram, c, total, v): corpus bigram counts plus the
-    per-language total and vocabulary size the smoothing needs."""
+    per-language total and vocabulary size the smoothing needs.
+
+    The |charset|²-per-language counts relation is eagerly
+    checkpointed (r13): it feeds BOTH the counts side and the totals
+    aggregate of the join below, and Spark evaluates each consumer
+    subtree independently — without the checkpoint every model build
+    ran the corpus-sized explode+count twice (and a consumer
+    aggregating over the model a third time). The checkpoint is
+    vocab-bounded — broadcast-scale at any corpus size."""
     bg = docs.select(
         F.col(lang_col).alias("lang"),
         F.explode(_bigram_col(text_col)).alias("b"),
     )
-    counts = bg.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    counts = (
+        bg.groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     totals = counts.groupBy("lang").agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
     )
@@ -247,6 +259,11 @@ def greedy_decode(
     language and broadcasts into each unrolled step.
 
     Returns (lang, seed, generated)."""
+    # ONE corpus pass (r13): `best` and `seed` below are separate
+    # eager checkpoints that each evaluate the model — bigram_model's
+    # internal counts checkpoint (see its docstring) makes both reads
+    # vocab-bounded, so this call went from 4 corpus-sized bigram
+    # counts (2 per checkpoint: counts + totals-over-counts) to 1.
     m = bigram_model(docs, text_col=text_col, lang_col=lang_col)
     trans = m.select(
         "lang",
@@ -326,8 +343,13 @@ def kn_model(
     map, continuation→ncv map, plus the nt/vc scalars. Every map is
     |charset|- or |charset|²-bounded — broadcast-sized at any corpus
     size; the only corpus-sized work is the one bigram count with
-    map-side combine."""
-    return kn_model_from_counts(kn_bigram_counts(docs, text_col, lang_col))
+    map-side combine. The counts are eagerly checkpointed here (r13):
+    kn_model_from_counts aggregates over them through THREE separate
+    branches (per_lang, ctx, cont), and without the checkpoint each
+    branch re-ran the corpus-sized explode+count."""
+    return kn_model_from_counts(
+        kn_bigram_counts(docs, text_col, lang_col).localCheckpoint(eager=True)
+    )
 
 
 def kn_bigram_counts(

@@ -1637,11 +1637,30 @@ def audio_near_dup_groups(
     re-encodes collapse in the exact tier and never reach the join.
 
     Returns (doc_id, fp_hex, rep_id, group_size); undecodable rows
-    are dropped (they carry no fingerprint)."""
-    ok = fps.filter(F.col("decode_ok") & (F.size("pair_hashes") > 0))
-    d = ok.groupBy("fp_hex").agg(
-        F.min("doc_id").alias("fp_min"),
-        F.first("pair_hashes").alias("ph"),  # identical within a digest
+    are dropped (they carry no fingerprint).
+
+    The filtered fingerprint relation and the distinct-digest table
+    are persisted (r13 — the discipline image_near_dup_groups already
+    had): ``fps`` sits on top of the WAV decode + rfft Arrow pass and
+    this plan consumes it from four subtrees (both self-join band
+    sides, the rep derivation, the final assignment) — without the
+    persist the codec re-ran once per subtree."""
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+
+    ok = _persist.register(
+        fps.filter(F.col("decode_ok") & (F.size("pair_hashes") > 0))
+        .select("doc_id", "fp_hex", "pair_hashes")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    d = _persist.register(
+        ok.groupBy("fp_hex")
+        .agg(
+            F.min("doc_id").alias("fp_min"),
+            F.first("pair_hashes").alias("ph"),  # identical within a digest
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     buckets = d.select(
         "fp_hex", "fp_min", "ph", F.explode("ph").alias("h")

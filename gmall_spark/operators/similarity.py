@@ -706,12 +706,23 @@ def bitext_margin_top1(
                 "instead, or pass an explicit higher bound / None to "
                 "force it."
             )
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+
     s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv"))
     t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tv"))
-    pairs = s.crossJoin(F.broadcast(t)).select(
-        "src_id",
-        "tgt_id",
-        F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos6"),
+    # persisted (r13): the scored pair relation feeds THREE subtrees
+    # (both topk_sum neighborhoods and the final margin join) — each
+    # re-ran the cross join + cosine without it
+    pairs = _persist.register(
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos6"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def topk_sum(df, key, other):
@@ -858,8 +869,13 @@ def bitext_margin_top1_ann(
         )
 
     # x -> tgt top-k: these pairs ARE the candidate set, and x's
-    # neighborhood; y -> src top-k supplies y's neighborhood.
-    cand = _topk(_index(rt), _probes(rs))
+    # neighborhood; y -> src top-k supplies y's neighborhood. cand is
+    # persisted (r13): it feeds BOTH the sx neighborhood fold and the
+    # final margin join — each re-ran the probe-join + scoring +
+    # window without it (back has a single consumer).
+    cand = _persist.register(
+        _topk(_index(rt), _probes(rs)).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     back = _topk(_index(rs), _probes(rt))
 
     def _nn_sum(topk: DataFrame, out_id: str, out_sum: str, out_k: str) -> DataFrame:

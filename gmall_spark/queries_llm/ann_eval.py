@@ -159,10 +159,19 @@ def q_similarity_eval_dim_truncation(spark, sf_dir):
     and the table says what recall that buys). Same harness shape as
     the ANN recall eval; every arm reuses the registered brute-force
     operator on sliced vectors."""
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+
     emb = _emb(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") < 5)
-    bf = similarity.brute_force_topk(emb, qs, k=10).select(
-        "query_id", "neighbor_id"
+    # bf (the full-width ground truth, ≤ 5·k rows) feeds every arm's
+    # left join — persist it so the cross-join+window subtree runs
+    # once, not once per arm (r13; guide §2.4 "share one computation")
+    bf = _persist.register(
+        similarity.brute_force_topk(emb, qs, k=10)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     arms = []
     for d in TRUNC_DIMS:
@@ -171,7 +180,9 @@ def q_similarity_eval_dim_truncation(spark, sf_dir):
         arm = similarity.brute_force_topk(te, tq, k=10).select(
             "query_id", "neighbor_id", F.lit(1).alias("hit")
         )
-        j = bf.join(arm, ["query_id", "neighbor_id"], "left")
+        # both sides are ≤ 5·k rows; broadcast the arm so the join
+        # never sort-merge-shuffles two 50-row relations (r13)
+        j = bf.join(F.broadcast(arm), ["query_id", "neighbor_id"], "left")
         arms.append(
             j.agg(
                 F.lit(d).cast("bigint").alias("dims"),
@@ -198,7 +209,10 @@ def _jl_project_exprs(d: int, dim: int) -> list:
     md5-derived +/-1 sign rows (similarity._plane_coefs, salt 'jl:').
     Sequential fold order == DuckDB's list_dot_product order, so the
     projected doubles are BIT-IDENTICAL cross-engine — no pairwise-
-    vs-sequential ulp drift reaches the rounded cosine ranking."""
+    vs-sequential ulp drift reaches the rounded cosine ranking.
+    (r13: an unrolled multiply-add-chain variant was measured and
+    rejected — identical executor time, but the d·dim-node expression
+    trees blew up Catalyst analysis; see functions/vectors.py note.)"""
     out = []
     for j, row in enumerate(similarity._plane_coefs(d, dim, salt="jl:")):
         plane = F.array(*[F.lit(c) for c in row])
@@ -292,9 +306,13 @@ def q_similarity_eval_jl_projection(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     dim = _oracle_dim_check(spark, sf_dir)
-    bf = similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10
-    ).select("query_id", "neighbor_id")
+    # bf (≤ 5·k rows) feeds both arms' left joins — persist it so the
+    # full-width cross-join+window subtree runs once, not per arm (r13)
+    bf = _persist.register(
+        similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # plane row j is md5(f"jl:{j}:{d}") regardless of the projection
     # width, so the 16-dim projection IS the 32-dim one's prefix: one
     # persisted widest-projection pass serves every arm via slice
@@ -320,7 +338,7 @@ def q_similarity_eval_jl_projection(spark, sf_dir):
         arm = similarity.brute_force_topk(
             proj, proj.filter(F.col("vec_id") < 5), k=10
         ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-        j = bf.join(arm, ["query_id", "neighbor_id"], "left")
+        j = bf.join(F.broadcast(arm), ["query_id", "neighbor_id"], "left")
         arms.append(
             j.agg(
                 F.lit(d).cast("bigint").alias("dims"),
@@ -412,9 +430,13 @@ def q_similarity_eval_jl_rerank(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     dim = _oracle_dim_check(spark, sf_dir)
-    bf = similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10
-    ).select("query_id", "neighbor_id")
+    # bf (≤ 5·k rows) feeds both depth arms' left joins — persist it
+    # so the full-width cross-join+window subtree runs once (r13)
+    bf = _persist.register(
+        similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     proj = _persist.register(
         emb.select("vec_id", *_jl_project_exprs(JL_RERANK_DIM, dim))
         .select(

@@ -729,10 +729,20 @@ def q_similarity_eval_ivf_nprobe_sweep(spark, sf_dir):
     — the curve, not the constant, is what transfers."""
     from pyspark.sql import functions as _F
 
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+
     emb = _emb(spark, sf_dir)
     qs = emb.filter(_F.col("vec_id") < 5)
     cents = _trained_centroids(spark, sf_dir)
-    bf = similarity.brute_force_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    # bf (≤ 5·k rows) feeds all four nprobe arms' left joins — persist
+    # it so the cross-join+window subtree runs once, not 4x (r13)
+    bf = _persist.register(
+        similarity.brute_force_topk(emb, qs, k=10)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     arms = []
     for n in IVF_SWEEP_NPROBES:
         iv = ivf.ivf_topk(emb, qs, k=10, nprobe=n, centroids=cents).select(
@@ -740,7 +750,7 @@ def q_similarity_eval_ivf_nprobe_sweep(spark, sf_dir):
         )
         hits = _F.sum(_F.coalesce(_F.col("in_ivf"), _F.lit(0)))
         arms.append(
-            bf.join(iv, ["query_id", "neighbor_id"], "left")
+            bf.join(_F.broadcast(iv), ["query_id", "neighbor_id"], "left")
             .agg(
                 _F.count(_F.lit(1)).cast("bigint").alias("bf_pairs"),
                 hits.cast("bigint").alias("ivf_hits"),

@@ -698,12 +698,15 @@ def q_sft_novelty_rougel(spark, sf_dir):
     ordering is exact), max ROUGE-L F1, and the novelty verdict —
     candidates with no blocked seed are novel by construction and
     still emitted (X173: the gate is never vacuously green). The LCS
-    is a pure JVM HOF fold (functions/text.lcs_length — integer DP,
-    zero Python); the oracle runs the identical DP as a recursive CTE
-    whose row state rides a LIST. Scale: one prefix-keyed equi-join
+    is an Arrow-batched integer DP (functions/text.lcs_length —
+    row-vectorized numpy, exact integers, r13); the oracle runs the
+    identical DP as a recursive CTE whose row state rides a LIST. Scale: one prefix-keyed equi-join
     builds the pairs (bounded per block; production adds the X4-style
     block cap), the DP is per-pair row work, and the verdict is one
     candidate-keyed aggregate + window."""
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
     from gmall_spark.functions import text as TX
 
     t = sft.turns(_docs(spark, sf_dir))
@@ -714,11 +717,16 @@ def q_sft_novelty_rougel(spark, sf_dir):
             lambda x: x != "",
         ).alias("toks"),
     ).filter(F.size("toks") > 0)
-    pb2 = pb.select(
-        "doc_id",
-        "toks",
-        F.size("toks").cast("bigint").alias("n_tok"),
-        F.array_join(F.slice("toks", 1, 2), " ").alias("blk"),
+    # persisted (r13): pb2 feeds THREE subtrees (the candidate side,
+    # the seed side, and the final candidate re-join), and each one
+    # re-ran the conversation parse + tokenization without it
+    pb2 = _persist.register(
+        pb.select(
+            "doc_id",
+            "toks",
+            F.size("toks").cast("bigint").alias("n_tok"),
+            F.array_join(F.slice("toks", 1, 2), " ").alias("blk"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     cd = pb2.filter(F.col("doc_id") % 10 != 0)
     sd = pb2.filter(F.col("doc_id") % 10 == 0).select(

@@ -22,8 +22,8 @@ the MERGED seed pool — batch-equals-streaming: the view after any
 ingest split is row-identical to the batch gate over everything
 ingested, because max-over-seeds is associative and the blocking key
 is a pure function of the prompt. The LCS is the registered
-functions/text.lcs_length fold; every expression matches the batch
-query's.
+functions/text.lcs_length (Arrow-batched integer DP since r13);
+every expression matches the batch query's.
 
 Scale shape: candidate and seed stores append at prompt grain; the
 verdict re-derive is one prefix-keyed join (candidates x merged

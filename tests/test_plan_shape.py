@@ -292,8 +292,12 @@ BUDGETS = [
     # r8: IVF-backed bitext mining — two probe directions, each an
     # index join on list_id + per-query rank window, neighborhood
     # folds, margin joins; the docs x emb lang split is re-derived
-    # per direction (scan-side cheap)
-    ("llm_bitext_mining_ann", 23, 1),
+    # per direction (scan-side cheap). r13: `cand` (probe join +
+    # scoring + window) is persisted — it feeds the sx fold AND the
+    # margin join, each of which re-ran it; the budget rises 23→25
+    # from the cached-lineage re-prints inside InMemoryTableScan
+    # while the EXECUTED work drops by a whole scoring pass
+    ("llm_bitext_mining_ann", 25, 1),
     # r8: FFD sequence packing — scan fan-out + ONE bucket_len exchange
     # serving all three windows (rank/prefix-sum, bucket totals,
     # per-pack fill share the partitioning)
@@ -360,8 +364,12 @@ BUDGETS = [
     ("layout_range_plan_from_sketch", 18, 3),
     # r9: audio landmark near-dup grouping — the X136 tier shape over
     # pair hashes: digest exact-tier agg, bucket self-join between
-    # distinct digests, partner-min agg, rep join back + group window
-    ("dedup_audio_fingerprint_groups", 10, 2),
+    # distinct digests, partner-min agg, rep join back + group window.
+    # r13: the decode+rfft fingerprint relation and the distinct-digest
+    # table are persisted (the image_near_dup_groups discipline — the
+    # codec ran once per consumer subtree, 4×, without it); budget
+    # 10→11 from cached-lineage re-prints, executed decodes 4→1
+    ("dedup_audio_fingerprint_groups", 11, 2),
     # r9: frozen unigram tier — Viterbi runs on the persisted
     # distinct-word table (explode/count + distinct + rollup agg;
     # counts include the persisted word-count lineage re-prints);

@@ -240,6 +240,38 @@ SELECT pid, r[len(tb) + 1] FROM lcs WHERE i = len(ta)
     assert got_duck == want
 
 
+def test_lcs_length_vectorized_dp_long_arrays(spark):
+    """r13: lcs_length became an Arrow-batched numpy DP (running-max
+    vectorization of the within-row dependency). The 60-pair pin above
+    stops at length 8; this exercises prompt-scale lengths (up to 120
+    tokens, dense-match alphabet) against the classic Python DP."""
+    import random
+
+    from gmall_spark.functions import text as TX
+
+    rng = random.Random(1313)
+    alphabet = ["a", "b", "c"]
+    pairs = [
+        (
+            i,
+            [rng.choice(alphabet) for _ in range(rng.randint(20, 120))],
+            [rng.choice(alphabet) for _ in range(rng.randint(20, 120))],
+        )
+        for i in range(20)
+    ]
+    want = {pid: _lcs_ref(ta, tb) for pid, ta, tb in pairs}
+    df = spark.createDataFrame(
+        pairs, "pid int, ta array<string>, tb array<string>"
+    )
+    got = {
+        r.pid: r.l
+        for r in df.select(
+            "pid", TX.lcs_length(F.col("ta"), F.col("tb")).alias("l")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_lcs_length_empty_side_is_zero(spark):
     """ADVICE r12: an empty array on either side must yield 0 (the
     mathematical LCS) instead of driving the inner fold through the
