@@ -200,9 +200,15 @@ def label_propagation(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # hash-partition by the join key before persisting (r13, the
+    # pagerank discipline): every round's join then reads the cached
+    # layout instead of re-exchanging the edge list — rounds shuffle
+    # only the small (node, label) side
     dir_e = und.select(
         F.col("a").alias("u"), F.col("b").alias("v")
-    ).union(und.select(F.col("b").alias("u"), F.col("a").alias("v"))).persist()
+    ).union(und.select(F.col("b").alias("u"), F.col("a").alias("v"))).repartition(
+        "u"
+    ).persist()
     nodes = dir_e.select(F.col("u").alias("node_id")).distinct().persist()
     try:
         labels = nodes.select("node_id", F.col("node_id").alias("lab"))

@@ -49,11 +49,20 @@ def semantic_dedup_pairs(
     clusters are tight enough (k grows with n) that boundary pairs
     are rare, and the cost drops from n² to k·(n/k)².
     """
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+
     centroids = centroids or ivf.train_centroids(
         embeddings, n_lists, iters, id_col=id_col, vec_col=vec_col
     )
-    index = ivf.build_index(embeddings, centroids, id_col, vec_col).select(
-        "vec_id", "list_id"
+    # persisted (r13): the (vec_id, list_id) assignment feeds BOTH
+    # sides of the within-cluster self-join — without the persist the
+    # centroid-assignment Arrow pass ran once per side
+    index = _persist.register(
+        ivf.build_index(embeddings, centroids, id_col, vec_col)
+        .select("vec_id", "list_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     other = index.select(
         F.col("vec_id").alias("vid2"), F.col("list_id")

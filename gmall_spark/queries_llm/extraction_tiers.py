@@ -376,10 +376,19 @@ def _semantic_decontam_flags(spark, sf_dir) -> DataFrame:
     """(doc_id) flagged by the semantic detector: IVF-blocked
     candidates against the reference twentieth, exact-cosine
     verified."""
+    from pyspark import StorageLevel
+
+    from gmall_spark import persist as _persist
+
     emb = _emb(spark, sf_dir)
-    index = ivf.build_index(
-        emb, _trained_centroids(spark, sf_dir)
-    ).select("vec_id", "list_id")
+    # persisted (r13): the (vec_id, list_id) assignment feeds BOTH the
+    # reference and the corpus side of the blocking join — without the
+    # persist the centroid-assignment Arrow pass ran once per side
+    index = _persist.register(
+        ivf.build_index(emb, _trained_centroids(spark, sf_dir))
+        .select("vec_id", "list_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ref = index.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("id_b"), "list_id"
     )
