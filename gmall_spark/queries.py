@@ -39,13 +39,34 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Base-table PLAN memo (r13): each `spark.read.parquet` call re-reads
+# the parquet footer for schema inference and parallel_scan's probe
+# re-lists the input files — measured ~93 ms of pure driver/py4j time
+# PER _t CALL at sf0.1, and a query builds 2–6 base scans per
+# invocation (the bench pays that once per repeat). DataFrames are
+# immutable, so reusing the object is free and changes nothing
+# downstream — the exact argument _TOPIC_DB_PLANS already records.
+# NO DATA is cached: this memoizes the analyzed plan only; every
+# action still computes from the parquet inputs. Keyed by
+# applicationId (not id(spark) — ADVICE r3) + sf_dir + table;
+# cleared by clear_cache like the other per-session state.
+_T_PLANS: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Heavy tables get their scan parallelism normalized (the driver's
     # single-row-group files would otherwise pin all per-row derivation
     # to ONE task until the first shuffle); see session.parallel_scan.
-    return parallel_scan(
-        spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"), name in HEAVY_TABLES
-    )
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _T_PLANS.get(key)
+    if df is None:
+        df = parallel_scan(
+            spark,
+            spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+            name in HEAVY_TABLES,
+        )
+        _T_PLANS[key] = df
+    return df
 
 
 # DWD materialization cache: the reference computes each DWD fact once
@@ -127,6 +148,8 @@ def clear_cache() -> None:
     # regenerates testdata at the same paths between rounds (ADVICE r3)
     session._SCAN_DECISIONS.clear()
     _TOPIC_DB_PLANS.clear()
+    _T_PLANS.clear()
+    _EVENTS_PLANS.clear()
     _SUPPLIER_COUNTS.clear()
     while _MATERIALIZED:
         _, df = _MATERIALIZED.popitem()
@@ -173,6 +196,11 @@ def _dwd_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# events PLAN memo (r13): same argument and lifecycle as _T_PLANS —
+# the dtype probe (`raw.dtypes`) additionally crossed py4j per call.
+_EVENTS_PLANS: dict[tuple[str, str], DataFrame] = {}
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with a normalized microsecond TimestampType ``ts``.
 
@@ -184,11 +212,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond TimestampType; the session timezone is UTC, so the
     NTZ cast keeps the same wall-clock values DuckDB reads.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = parallel_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
-    if dict(raw.dtypes)["ts"] == "bigint":  # nanos behind the legacy flag
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EVENTS_PLANS.get(key)
+    if df is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = parallel_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+        if dict(raw.dtypes)["ts"] == "bigint":  # nanos behind the legacy flag
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        _EVENTS_PLANS[key] = df
+    return df
 
 
 def _page_log(spark: SparkSession, sf_dir: str) -> DataFrame:
