@@ -7,11 +7,17 @@ ONE COMPACT JSON line: {"metric": ..., "value": total_sec, "unit":
 "sec", "core34_total": ..., "n_queries": ..., "materialize": {...},
 "fixtures": {...}, "sf": ...}.
 
-The per-query map is NOT on the final line: at 100+ headline queries
-it pushed the line past the driver's tail capture and round 7's
-number of record was lost (BENCH_r07 "parsed": null — the r4 lesson
-regressing in a new form, VERDICT r7 item 1). Per-query mins and
-per-run audit times go to stderr and bench_runs.json.
+r14 (VERDICT r13 "Next round" item 1): the final line carries the
+per-query min map again — ``"queries": {name: min_sec}`` — because
+the driver's PERF comparison reads per-query timings from the parsed
+final line and has been dark for two rounds (PERF_r13 ``per_query:
+{}``, ``now_bench_ok: false``). History: r4/r7 lost their number of
+record when per-RUN arrays pushed the line past the then-2000-char
+tail capture; the r13 judge states the ~190-key min map is tail-safe
+for the current driver, and the driver contract for this round spells
+the ``queries`` field out explicitly. The per-run arrays stay OFF the
+line (stderr + bench_runs.json only); every pre-existing field is
+unchanged (additions-only, cross-round comparison stays valid).
 """
 
 from __future__ import annotations
@@ -249,12 +255,20 @@ CALIB_PROBE = "dedup_minhash_lsh"
 # signal it normalizes. Widen the instrument: `calib_probes` reports
 # the min-of-3 of THREE distinct plan-stable fixture-free headline
 # queries (different plan families — LSH dedup, TPC-H join/agg,
-# per-row text folds; none touched by the r13 optimizations, so all
-# three move with the BOX) and `calib_med` their median, so one
-# stalled probe can't skew a round-over-round read. Zero extra
-# compute: the probes are existing headline timings. `calib` keeps
-# its r10 single-probe definition so the longitudinal series stays
+# per-row text folds) and `calib_med` their median, so one stalled
+# probe can't skew a round-over-round read. Zero extra compute: the
+# probes are existing headline timings. `calib` keeps its r10
+# single-probe definition so the longitudinal series stays
 # comparable; BASELINE.md states the widened convention.
+#
+# Probe caveat (ADVICE r13, medium): the probes' own operator code is
+# untouched by r13/r14, but the r13 base-scan PLAN memo (queries._t)
+# removed ~93 ms of driver time per scan from EVERY query, probes
+# included — so the r12→r13 calib ratio absorbs a slice of that
+# driver-side win and calib-normalized r12→r13 reads UNDERSTATE the
+# r13 gain. From r13 onward the probes and the measured queries share
+# the same driver path again, so r13→r14 (and later) normalized reads
+# are unbiased. BASELINE.md records the same caveat.
 CALIB_PROBES = (
     "dedup_minhash_lsh",
     "orders_shipping_priority",
@@ -345,6 +359,18 @@ LLMCORE = [
 # bench charged the ~9 s page-log derivation to the first traffic
 # query, which made a 1-2 s window aggregate read as 12 s).
 MATERIALIZE = ["dwd_order_detail", "page_log"]
+
+
+def _median(vals: list[float]) -> float | None:
+    """True median (averages the two middle values for even counts);
+    None when no probe survived."""
+    if not vals:
+        return None
+    s = sorted(vals)
+    n = len(s)
+    if n % 2:
+        return s[n // 2]
+    return round((s[n // 2 - 1] + s[n // 2]) / 2, 4)
 
 
 def main() -> None:
@@ -450,12 +476,10 @@ def main() -> None:
         + sum(materialize.values()),
         3,
     )
-    # Per-query mins and per-run audit times go to stderr + a side
-    # file, NOT the stdout JSON: the r4 record was unparseable because
-    # the "runs" field pushed the line past the driver's tail capture,
-    # and r7's was lost the same way when the per-query MIN map grew
-    # to 102 entries. The final stdout line must stay compact —
-    # scalars plus the two small (O(10) entries) build maps only.
+    # Per-RUN audit arrays go to stderr + a side file, NOT the stdout
+    # JSON (the r4 lesson: 190 × 3-float arrays blow the line up 4×).
+    # The per-query MIN map rides the final line itself as of r14 —
+    # see the module docstring.
     print(f"# queries: {json.dumps(timings)}", file=sys.stderr)
     print(f"# runs: {json.dumps(all_runs)}", file=sys.stderr)
     try:
@@ -495,18 +519,21 @@ def main() -> None:
                 # divide any cross-round scalar ratio by the calib
                 # ratio before reading it as a regression
                 "calib": timings.get(CALIB_PROBE),
-                # widened instrument (r13): per-probe mins + median
+                # widened instrument (r13): per-probe mins + median.
+                # r14 (ADVICE r13): true median — for an even probe
+                # count (one probe missing) average the two middle
+                # values instead of taking the upper one.
                 "calib_probes": {
                     n: timings[n] for n in CALIB_PROBES if n in timings
                 },
-                "calib_med": (
-                    sorted(timings[n] for n in CALIB_PROBES if n in timings)[
-                        len([n for n in CALIB_PROBES if n in timings]) // 2
-                    ]
-                    if any(n in timings for n in CALIB_PROBES)
-                    else None
+                "calib_med": _median(
+                    [timings[n] for n in CALIB_PROBES if n in timings]
                 ),
                 "n_queries": len(timings),
+                # r14 (VERDICT r13 item 1): per-query mins ON the
+                # final line so the driver's PERF per-query and
+                # scaling comparisons can parse them from the tail.
+                "queries": timings,
                 "materialize": materialize,
                 "fixtures": fixtures,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
