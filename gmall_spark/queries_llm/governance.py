@@ -293,6 +293,66 @@ def _gated_containment_drops(spark, sf_dir, gate):
     )
 
 
+# --- shared v5-chain stage fixtures (r14, VERDICT r13 item 4) -----------------
+# The six stage relations the drop ledger attaches (quality features,
+# gated exact keepers, gated near-dup drops, gated containment drops,
+# non-tail perplexity buckets, gibberish verdicts) were re-derived
+# from scratch on EVERY ledger invocation (the bench pays 3x), and
+# the v5 release build derived the same six relations again inside
+# its own fixture. One per-(session, sf_dir) checkpoint per relation
+# — the gov_gate/curation_v5 pattern, build cost line-itemed under
+# `fixtures` as "ledger_stages" — and BOTH consumers read the same
+# checkpoints, so the lockstep theorem (released == v5 manifest)
+# holds structurally: the ledger's stage predicates and v5's stage
+# filters are now the same materialized rows, not two evaluations of
+# the same expressions. Every relation is narrow (doc_id + at most
+# three small columns); xmatch/gate stay on their existing fixtures.
+# Cleared by queries.clear_cache.
+_LEDGER_FIX: dict[tuple[str, str], dict[str, "object"]] = {}
+
+
+def _ledger_stage_fixtures(spark, sf_dir):
+    key = (_session_token(spark), sf_dir)
+    if key not in _LEDGER_FIX:
+        with fixtures_audit.timed("ledger_stages"):
+            d = _docs(spark, sf_dir)
+            t = F.col("text")
+            gate = _gate_verdicts(spark, sf_dir)
+            gate_kept = gate.filter(F.col("kept") == 1).select("doc_id")
+
+            def ck(df):
+                return df.localCheckpoint(eager=True)
+
+            _LEDGER_FIX[key] = {
+                "feat": ck(
+                    d.select(
+                        "doc_id",
+                        TX.lang_id(t).alias("lang_pred"),
+                        TX.word_count(t).alias("n_words"),
+                        F.length(t).cast("bigint").alias("n_chars"),
+                    )
+                ),
+                "ek": ck(_gated_exact_keepers(spark, sf_dir, gate_kept)),
+                "nd": ck(
+                    _gated_neardup_drops(spark, sf_dir, gate).distinct()
+                ),
+                "cd": ck(_gated_containment_drops(spark, sf_dir, gate)),
+                "bk": ck(
+                    lm.perplexity_buckets(
+                        d, scored=_lm_scores(spark, sf_dir)
+                    )
+                    .filter(F.col("bucket") != "tail")
+                    .select("doc_id", "bucket")
+                ),
+                "gb": ck(
+                    q_text_char_chisq_gibberish(spark, sf_dir)
+                    .filter("is_gibberish")
+                    .select("doc_id")
+                ),
+            }
+    return _LEDGER_FIX[key]
+
+
 # --- X254: corpus curation v5 (governance-aware release) ----------------------
 # The v5 base re-states the v1/v2 chain with BOTH dedup stages
 # governance-aware, assembled by splicing the registered v2 oracle
@@ -414,17 +474,17 @@ def q_llm_corpus_curation_v5(spark, sf_dir):
     if key not in _CURATION_V5:
         with fixtures_audit.timed("curation_v5"):
             d = _docs(spark, sf_dir)
-            t = F.col("text")
             gate = _gate_verdicts(spark, sf_dir)
             gate_kept = gate.filter(F.col("kept") == 1).select("doc_id")
-            ex_keep = _gated_exact_keepers(spark, sf_dir, gate_kept)
-            drops = _gated_neardup_drops(spark, sf_dir, gate)
-            feat = d.select(
-                "doc_id",
-                TX.lang_id(t).alias("lang_pred"),
-                TX.word_count(t).alias("n_words"),
-                F.length(t).cast("bigint").alias("n_chars"),
-            )
+            # r14: the six stage relations come from the shared
+            # ledger_stages checkpoints (VERDICT r13 item 4) — the
+            # drop ledger attaches the SAME materialized rows, so the
+            # lockstep theorem holds structurally instead of by two
+            # evaluations of the same expressions agreeing.
+            stages = _ledger_stage_fixtures(spark, sf_dir)
+            ex_keep = stages["ek"]
+            drops = stages["nd"]
+            feat = stages["feat"]
             qual = feat.filter(
                 (F.col("n_words") >= 5)
                 & (F.col("n_chars") >= 20)
@@ -453,12 +513,8 @@ def q_llm_corpus_curation_v5(spark, sf_dir):
             # winner's contained copy is the content's last releasable
             # representative, the keeper re-election logic at
             # containment grain); tail cut, boiler present
-            cdrops = _gated_containment_drops(spark, sf_dir, gate)
-            b = (
-                lm.perplexity_buckets(d, scored=_lm_scores(spark, sf_dir))
-                .filter(F.col("bucket") != "tail")
-                .select("doc_id", "bucket")
-            )
+            cdrops = stages["cd"]
+            b = stages["bk"]
             v3s = (
                 v2s.join(cdrops, "doc_id", "anti")
                 .join(b, "doc_id")
@@ -470,11 +526,7 @@ def q_llm_corpus_curation_v5(spark, sf_dir):
                 .select("doc_id", "lang_pred", "bucket")
             )
             # v4 stage: gibberish gate + X175 packing
-            gib = (
-                q_text_char_chisq_gibberish(spark, sf_dir)
-                .filter("is_gibberish")
-                .select("doc_id")
-            )
+            gib = stages["gb"]
             cap = SEQ_PACK_CAP
             lens = (
                 d.selectExpr(
@@ -1035,42 +1087,29 @@ def q_llm_drop_ledger(spark, sf_dir):
     lockstep guard is a theorem: released == the v5 manifest's doc
     set, pinned in-suite. Scale: one pass over the corpus with six
     doc-keyed attach joins (every right side is a fixture checkpoint
-    or a bounded stage set) + per-row exprs."""
-    from gmall_spark.operators import lm as _lm
+    or a bounded stage set) + per-row exprs.
 
-    d = _docs(spark, sf_dir)
-    t = F.col("text")
+    r14 (VERDICT r13 item 4): the six stage relations read the shared
+    per-(session, sf) ledger_stages checkpoints — previously each
+    invocation re-derived all six from scratch (the full
+    groups/keeper/containment/LM chains, ~70 exchanges per call); now
+    an invocation is the six doc-keyed attach joins over materialized
+    narrow relations. v5 reads the SAME checkpoints, so the lockstep
+    theorem holds structurally. Build cost stays visible as the
+    `ledger_stages` fixtures line item."""
     gate = _gate_verdicts(spark, sf_dir)
-    gate_kept = gate.filter(F.col("kept") == 1).select("doc_id")
-    ek = _gated_exact_keepers(spark, sf_dir, gate_kept).withColumn(
-        "__ek", F.lit(1)
-    )
-    nd = (
-        _gated_neardup_drops(spark, sf_dir, gate)
-        .distinct()
-        .withColumn("__nd", F.lit(1))
-    )
+    stages_fx = _ledger_stage_fixtures(spark, sf_dir)
+    ek = stages_fx["ek"].withColumn("__ek", F.lit(1))
+    nd = stages_fx["nd"].withColumn("__nd", F.lit(1))
     xm = _xmatch(spark, sf_dir).withColumn("__xm", F.lit(1))
-    cd = _gated_containment_drops(spark, sf_dir, gate).withColumn(
-        "__cd", F.lit(1)
-    )
-    bk = (
-        _lm.perplexity_buckets(d, scored=_lm_scores(spark, sf_dir))
-        .filter(F.col("bucket") != "tail")
-        .select("doc_id")
-        .withColumn("__bk", F.lit(1))
-    )
-    gb = (
-        q_text_char_chisq_gibberish(spark, sf_dir)
-        .filter("is_gibberish")
-        .select("doc_id")
-        .withColumn("__gb", F.lit(1))
-    )
-    feat = d.select(
+    cd = stages_fx["cd"].withColumn("__cd", F.lit(1))
+    bk = stages_fx["bk"].select("doc_id").withColumn("__bk", F.lit(1))
+    gb = stages_fx["gb"].withColumn("__gb", F.lit(1))
+    feat = stages_fx["feat"].select(
         "doc_id",
-        TX.lang_id(t).alias("__lang"),
-        TX.word_count(t).alias("__nw"),
-        F.length(t).cast("bigint").alias("__nc"),
+        F.col("lang_pred").alias("__lang"),
+        F.col("n_words").alias("__nw"),
+        F.col("n_chars").alias("__nc"),
     )
     j = (
         feat.join(gate.select("doc_id", "kept"), "doc_id")

@@ -39,6 +39,7 @@ def _fresh_fixtures():
         QL._CURATION_V5,
         QL._XMATCH,
         QL.governance._GOV_GATE,
+        QL.governance._LEDGER_FIX,  # r14: shared v5-chain stage fixtures
     )
     for d in dicts:
         d.clear()
@@ -57,6 +58,7 @@ WORDS = (
 ).split()  # 31 distinct words
 
 
+@pytest.mark.slow
 def test_keeper_gated_reelects_surviving_mirror(spark, sf_dir, monkeypatch):
     """X253 planted groups:
     - group 41: blocked doc 83 has the MOST words (ungated keeper),
@@ -140,6 +142,7 @@ def _mirror_corpus(spark):
 
 
 @pytest.mark.sf001
+@pytest.mark.slow
 def test_curation_v5_restores_blocked_keepers_mirror(
     spark, sf_dir, monkeypatch
 ):
@@ -287,6 +290,7 @@ def _containment_corpus(spark):
 
 
 @pytest.mark.sf001
+@pytest.mark.slow
 def test_curation_v5_restores_contained_copy_of_blocked_container(
     spark, sf_dir, monkeypatch
 ):
@@ -326,6 +330,7 @@ def test_curation_v5_restores_contained_copy_of_blocked_container(
 
 
 @pytest.mark.sf001
+@pytest.mark.slow
 def test_pack_license_taint_flips_exactly_its_pack(spark, sf_dir, monkeypatch):
     """X260 planted fixture: ten cc-by helper docs (site1.org) pack
     into fully trainable cc-by packs; adding ONE proprietary doc
@@ -397,6 +402,7 @@ def test_pack_license_taint_flips_exactly_its_pack(spark, sf_dir, monkeypatch):
 
 
 @pytest.mark.sf001
+@pytest.mark.slow
 def test_drop_ledger_partitions_and_matches_v5(spark, sf_dir):
     """X261 lockstep theorems on the real corpus: every raw doc gets
     exactly one label, and the released slice equals the v5 manifest's
@@ -416,6 +422,7 @@ def test_drop_ledger_partitions_and_matches_v5(spark, sf_dir):
     assert released == v5
 
 
+@pytest.mark.slow
 def test_drop_ledger_labels_planted_mirrors(spark, sf_dir, monkeypatch):
     """X261 on the mirror corpus: the blocked representative reads
     'governance', the restored mirror reads 'released', the remaining
@@ -439,6 +446,7 @@ def test_drop_ledger_labels_planted_mirrors(spark, sf_dir, monkeypatch):
         assert led[d] == "quality", (d, led[d])
 
 
+@pytest.mark.slow
 def test_release_diff_global_invariants_random_frames(spark):
     """X255 conservation theorems over seeded-random release pairs:
     for ANY two frames, the per-shard rows must globally conserve —
