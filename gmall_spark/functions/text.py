@@ -482,22 +482,42 @@ def lcs_length(ta: Column, tb: Column) -> Column:
     hand whole batches to vectorized native code when the per-row
     expression path is the bottleneck). Intended for BLOCKED
     candidate pairs (prompts, titles) — never all-pairs, and never
-    megabyte documents. Empty sides score the mathematical 0."""
+    megabyte documents. Empty sides score the mathematical 0.
 
-    @F.pandas_udf("bigint")
-    def _lcs_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = np.zeros(len(a), dtype=np.int64)
-        for idx in range(len(a)):
-            xa, xb = a.iloc[idx], b.iloc[idx]
-            if xa is None or xb is None or len(xa) == 0 or len(xb) == 0:
-                continue
-            B = np.asarray(xb, dtype=object)
-            prev = np.zeros(len(xb) + 1, dtype=np.int64)
-            for tok in xa:
-                t = np.maximum(prev[1:], prev[:-1] + (B == tok))
-                np.maximum.accumulate(t, out=t)
-                prev[1:] = t
-            out[idx] = prev[-1]
-        return pd.Series(out)
+    Boundary note (ADVICE r13): this puts Python workers + Arrow
+    serialization of both token arrays on a previously JVM-only path
+    — a config surface (arrow.maxRecordsPerBatch, worker reuse) the
+    old fold did not have. Justified because the expression path was
+    the measured bottleneck and the pair sets are prefix-block-
+    bounded; re-measure if block sizes ever grow."""
+    global _LCS_BATCH_UDF
+    if _LCS_BATCH_UDF is None:
+        _LCS_BATCH_UDF = F.pandas_udf("bigint")(_lcs_batch)
+    return _LCS_BATCH_UDF(ta, tb)
 
-    return _lcs_batch(ta, tb)
+
+def _lcs_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = np.zeros(len(a), dtype=np.int64)
+    for idx in range(len(a)):
+        xa, xb = a.iloc[idx], b.iloc[idx]
+        if xa is None or xb is None or len(xa) == 0 or len(xb) == 0:
+            continue
+        B = np.asarray(xb, dtype=object)
+        prev = np.zeros(len(xb) + 1, dtype=np.int64)
+        for tok in xa:
+            t = np.maximum(prev[1:], prev[:-1] + (B == tok))
+            np.maximum.accumulate(t, out=t)
+            prev[1:] = t
+        out[idx] = prev[-1]
+    return pd.Series(out)
+
+
+# Process-wide UDF object (ADVICE r13): lcs_length is invoked from
+# batch AND streaming call sites — constructing a fresh pandas UDF
+# per call re-pickled the function and re-registered it per call.
+# Built LAZILY on first driver call (not at import: pandas_udf with a
+# DDL-string return type parses the type through the active session,
+# and executor Python workers import this module sessionless); the
+# plain module-level _lcs_batch body is what workers import by
+# reference (guide §4.5).
+_LCS_BATCH_UDF = None

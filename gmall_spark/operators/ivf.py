@@ -321,7 +321,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(cosine("qvec", "embedding"), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -266,6 +266,14 @@ def _bucket_pair_expr(max_bucket: int | None):
     )
 
 
+# Column memo (r14, guide §7.3 driver work): the banded explode
+# column is a pure function of (bands, k) but cost ~300 py4j calls
+# per build (bands × rows_per_band casts/lits/structs), 24 calls per
+# bench run. Immutable expression tree, memoized per (applicationId,
+# bands, k); no data cached.
+_BAND_COLS: dict[tuple[str, int, int], Column] = {}
+
+
 def band_signatures(
     signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
@@ -278,19 +286,33 @@ def band_signatures(
     the batch candidate generation and the incremental (streaming)
     signature store.
     """
-    rows_per_band = k // bands
-    band_cols = []
-    for bi in range(bands):
-        parts: list[Column] = []
-        for r in range(rows_per_band):
-            if r:
-                parts.append(F.lit(":"))
-            parts.append(F.col(f"sig_{bi * rows_per_band + r}").cast("string"))
-        band_cols.append(
-            F.struct(F.lit(bi).alias("band_idx"), F.concat(*parts).alias("band_hash"))
-        )
+    ckey = (
+        signatures.sparkSession.sparkContext.applicationId,
+        bands,
+        k,
+    )
+    ecol = _BAND_COLS.get(ckey)
+    if ecol is None:
+        rows_per_band = k // bands
+        band_cols = []
+        for bi in range(bands):
+            parts: list[Column] = []
+            for r in range(rows_per_band):
+                if r:
+                    parts.append(F.lit(":"))
+                parts.append(
+                    F.col(f"sig_{bi * rows_per_band + r}").cast("string")
+                )
+            band_cols.append(
+                F.struct(
+                    F.lit(bi).alias("band_idx"),
+                    F.concat(*parts).alias("band_hash"),
+                )
+            )
+        ecol = F.explode(F.array(*band_cols)).alias("b")
+        _BAND_COLS[ckey] = ecol
     return (
-        signatures.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+        signatures.select("doc_id", ecol)
         .select(
             "doc_id",
             F.col("b.band_idx").alias("band_idx"),

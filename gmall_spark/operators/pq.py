@@ -188,7 +188,7 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qu"), F.col("dq")), 6).alias("approx_sim"),
+            F.round(dot("qu", "dq"), 6).alias("approx_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -209,7 +209,7 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+            F.round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
         )
     )
     rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -292,7 +292,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot(F.col("qu"), F.col("dq")), 6).alias("approx_sim"),
+            F.round(dot("qu", "dq"), 6).alias("approx_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -313,7 +313,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+            F.round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
         )
     )
     rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -172,7 +172,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+            F.round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -256,7 +256,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+            F.round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -660,6 +660,12 @@ BITEXT_NN_K = 4
 # same margin fold) instead.
 BITEXT_MAX_PAIRS = 200_000_000
 
+# Persist ceiling for the scored pair relation (ADVICE r13): at ~24
+# narrow bytes/row, 20M rows is ~0.5 GB of executor storage — a cheap
+# trade for skipping two cross-join re-evaluations. Near the 200M
+# all-pairs guard it would be multiple GB, so larger pair sets stream.
+BITEXT_PERSIST_MAX_PAIRS = 20_000_000
+
 
 def bitext_margin_top1(
     src: DataFrame,
@@ -714,16 +720,22 @@ def bitext_margin_top1(
     t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tv"))
     # persisted (r13): the scored pair relation feeds THREE subtrees
     # (both topk_sum neighborhoods and the final margin join) — each
-    # re-ran the cross join + cosine without it
-    pairs = _persist.register(
-        s.crossJoin(F.broadcast(t))
-        .select(
-            "src_id",
-            "tgt_id",
-            F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos6"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # re-ran the cross join + cosine without it. r14 (ADVICE r13): the
+    # persist is sized off the known pair count — near the 200M guard
+    # it would materialize multiple GB of executor storage/disk where
+    # the pre-r13 shape streamed, so above BITEXT_PERSIST_MAX_PAIRS
+    # (or when the caller forced max_pairs=None and the count is
+    # unknown) the pair relation streams through each consumer again:
+    # 3x the compute, none of the storage.
+    scored = s.crossJoin(F.broadcast(t)).select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine("sv", "tv"), 6).alias("cos6"),
     )
+    if max_pairs is not None and n_src * n_tgt <= BITEXT_PERSIST_MAX_PAIRS:
+        pairs = _persist.register(scored.persist(StorageLevel.MEMORY_AND_DISK))
+    else:
+        pairs = scored
 
     def topk_sum(df, key, other):
         # deterministic order: (-cos, other-id) ascending, fold in order
@@ -858,7 +870,7 @@ def bitext_margin_top1_ann(
         scored = index.join(probes, "list_id").select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(cosine("qvec", "embedding"), 6).alias("cos_sim"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cos_sim"), F.asc("neighbor_id")

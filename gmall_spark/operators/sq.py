@@ -109,7 +109,7 @@ def sq_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qdq"), F.col("dq")), 6).alias("approx_sim"),
+            F.round(cosine("qdq", "dq"), 6).alias("approx_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -133,7 +133,7 @@ def sq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+            F.round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
         )
     )
     rw = Window.partitionBy("query_id").orderBy(

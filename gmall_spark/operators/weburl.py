@@ -79,10 +79,30 @@ def _tld_case_col(u: Column) -> Column:
 # --- synthesis ---------------------------------------------------------------
 
 
+# Column memos (r14, guide §7.3 driver work): synth_url builds ~100
+# Column ops and canonicalize ~150 (the PSL when-chain alone is ~40)
+# — ~110 ms of pure py4j time per call, 31 calls per bench run each
+# (measured in the sf0.001 cProfile: 13.7 s + 9.9 s cumulative). The
+# select lists are pure functions of their parameters, so the built
+# Column objects are memoized per (applicationId, params) — immutable
+# expression trees, the queries._T_PLANS argument at expression
+# grain; no data cached.
+_URL_COLS: dict[str, object] = {}
+_CANON_COLS: dict[tuple, list] = {}
+
+
+def _app_token(df: DataFrame) -> str:
+    return df.sparkSession.sparkContext.applicationId
+
+
 def synth_url(docs: DataFrame) -> DataFrame:
     """(doc_id, ...) → (doc_id, url): deterministic messy URL; pure
     per-row concat expressions. Identity from u = doc_id % 40, noise
     from doc_id (docstring table)."""
+    tok = _app_token(docs)
+    cached = _URL_COLS.get(tok)
+    if cached is not None:
+        return docs.select("*", cached)
     d = F.col("doc_id")
     u = d % 40
     sch_base = F.when(u % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
@@ -129,7 +149,8 @@ def synth_url(docs: DataFrame) -> DataFrame:
     url = F.concat(
         sch_raw, F.lit("://"), host_raw, port, path, F.lit("?"), query, frag
     )
-    return docs.select("*", url.alias("url"))
+    _URL_COLS[tok] = url.alias("url")
+    return docs.select("*", _URL_COLS[tok])
 
 
 def synth_url_oracle_expr(id_col: str = "doc_id") -> str:
@@ -231,6 +252,10 @@ def canonicalize(
     from synthesis. ``passthrough`` columns ride along unchanged (the
     rollups group provenance against document attributes without a
     join back)."""
+    ckey = (_app_token(urls), url_col, tuple(passthrough))
+    cached = _CANON_COLS.get(ckey)
+    if cached is not None:
+        return urls.select(*cached)
     url = F.col(url_col)
     proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
     # userinfo stripped before host/port extraction: 'User:pw@Host'
@@ -278,7 +303,7 @@ def canonicalize(
             qcanon != F.lit(""), F.concat(F.lit("?"), qcanon)
         ).otherwise(F.lit("")),
     )
-    return urls.select(
+    _CANON_COLS[ckey] = [
         "doc_id",
         F.length(url).cast("bigint").alias("n_raw_chars"),
         canonical.alias("url_canonical"),
@@ -297,4 +322,5 @@ def canonicalize(
         .alias("had_default_port"),
         F.md5(canonical).alias("url_md5"),
         *passthrough,
-    )
+    ]
+    return urls.select(*_CANON_COLS[ckey])

@@ -138,6 +138,14 @@ def clear_cache() -> None:
     queries_llm._CURATION_V5.clear()
     queries_llm._XMATCH.clear()
     queries_llm.governance._GOV_GATE.clear()
+    queries_llm.governance._LEDGER_FIX.clear()
+    queries_llm.ann_eval._JL_EXPRS.clear()
+    # r14 Column memos (expression objects only, no data)
+    from gmall_spark.operators import weburl as _weburl
+
+    _weburl._URL_COLS.clear()
+    _weburl._CANON_COLS.clear()
+    llm_dedup._BAND_COLS.clear()
     queries_llm._DSIR_WEIGHTS.clear()
     queries_llm._PQ_RESIDUAL_BOOKS.clear()
     queries_llm._SHOT_BOUNDS.clear()

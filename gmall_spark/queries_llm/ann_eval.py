@@ -204,6 +204,23 @@ def q_similarity_eval_dim_truncation(spark, sf_dir):
 JL_DIMS = (32, 16)
 
 
+# Column memo for the JL select list (r14, guide §7.3 driver work /
+# §1.2 step 1): building the d projected-coordinate folds Column-op by
+# Column-op cost ~2,500 py4j round-trips per call (d × dim F.lit sign
+# literals + HOF lambda machinery) — ~1.3 s of pure DRIVER time at any
+# scale, measured as the top single plan-builder in the sf0.001
+# cProfile (32 s cumulative / 6 calls under profile), paid once per
+# bench repeat by both JL queries. The sign rows are md5-derived
+# constants, so the select list is a pure function of (d, dim): each
+# coordinate is now ONE SQL string parsed server-side (F.expr — the
+# JVM parser costs microseconds where the same tree via py4j costs
+# milliseconds), and the built Column objects are memoized per
+# (applicationId, d, dim) — immutable expression trees, the _T_PLANS
+# argument at expression grain; no data cached. Cleared by
+# queries.clear_cache.
+_JL_EXPRS: dict[tuple[str, int, int], list] = {}
+
+
 def _jl_project_exprs(d: int, dim: int) -> list:
     """``d`` projected coordinates as sequential zip_with folds over
     md5-derived +/-1 sign rows (similarity._plane_coefs, salt 'jl:').
@@ -212,22 +229,29 @@ def _jl_project_exprs(d: int, dim: int) -> list:
     vs-sequential ulp drift reaches the rounded cosine ranking.
     (r13: an unrolled multiply-add-chain variant was measured and
     rejected — identical executor time, but the d·dim-node expression
-    trees blew up Catalyst analysis; see functions/vectors.py note.)"""
-    out = []
-    for j, row in enumerate(similarity._plane_coefs(d, dim, salt="jl:")):
-        plane = F.array(*[F.lit(c) for c in row])
-        out.append(
-            F.aggregate(
-                F.zip_with(
-                    F.transform("embedding", lambda x: x.cast("double")),
-                    plane,
-                    lambda x, c: x * c,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ).alias(f"p{j}")
-        )
-    return out
+    trees blew up Catalyst analysis; see functions/vectors.py note.
+    r14: the SAME fold is now built as one parsed SQL string per
+    coordinate and memoized — see _JL_EXPRS above. The parsed
+    expression is the identical sequential fold: same transform/
+    zip_with/aggregate, same casts, same fold order.)"""
+    from pyspark.sql import SparkSession
+
+    tok = SparkSession.getActiveSession().sparkContext.applicationId
+    key = (tok, d, dim)
+    cached = _JL_EXPRS.get(key)
+    if cached is None:
+        cached = []
+        for j, row in enumerate(similarity._plane_coefs(d, dim, salt="jl:")):
+            arr = "array(" + ", ".join(f"{float(c)!r}D" for c in row) + ")"
+            cached.append(
+                F.expr(
+                    "aggregate(zip_with(transform(embedding,"
+                    f" x -> CAST(x AS DOUBLE)), {arr}, (x, c) -> x * c),"
+                    " 0.0D, (a, x) -> a + x)"
+                ).alias(f"p{j}")
+            )
+        _JL_EXPRS[key] = cached
+    return cached
 
 
 def _jl_bf_oracle(d: int | None, dim: int, k: int = 10) -> str:
