@@ -47,15 +47,38 @@ def pagerank(
     this consumes give every node out-degree k, so no dangling-mass
     redistribution term is needed (and the oracle omits it too).
     """
+    spark = edges.sparkSession
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).persist()
-    nodes = (
+    # r14: the loop-reused caches are COMPILED with AQE off (the conf
+    # toggle wraps only the .persist() calls — CacheManager captures
+    # the physical plan there). With AQE on, the cached plan is an
+    # AdaptiveSparkPlan whose output partitioning is UNKNOWN until
+    # executed, so every iteration's join re-exchanged the cached
+    # relation anyway — the r14 loop-body plan capture
+    # (plans/r14/pagerank_loop_iteration_before.txt) showed Exchange
+    # hashpartitioning(src) ENSURE_REQUIREMENTS right above the
+    # InMemoryTableScan, i.e. the r13 "iterations reuse the cached
+    # layout" claim did NOT hold in the executed plan. AQE-off
+    # compilation pins the cache's reported partitioning
+    # (hashpartitioning(join key, shuffle.partitions)) so
+    # EnsureRequirements can actually reuse it. Trade-off, stated:
+    # the one-time cache-build joins lose AQE skew splitting — the
+    # right side of the trade when the alternative is re-shuffling
+    # the whole edge list once per iteration.
+    _AQE = "spark.sql.adaptive.enabled"
+    prev_aqe = spark.conf.get(_AQE, "true")
+    nodes_q = (
         e.select(F.col("src").alias("node_id"))
         .union(e.select(F.col("dst").alias("node_id")))
         .distinct()
-        .persist()
     )
+    spark.conf.set(_AQE, "false")
+    try:
+        nodes = nodes_q.persist()
+    finally:
+        spark.conf.set(_AQE, prev_aqe)
     try:
         n1 = nodes.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast below
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
@@ -70,7 +93,12 @@ def pagerank(
         # iteration's join then reads the cached layout instead of
         # re-exchanging the (corpus-sized) edge list — iterations
         # shuffle only the small (node, rank) side (guide §2.4)
-        e_od = e.join(outdeg, "src").repartition("src").persist()
+        eq = e.join(outdeg, "src").repartition("src")
+        spark.conf.set(_AQE, "false")
+        try:
+            e_od = eq.persist()
+        finally:
+            spark.conf.set(_AQE, prev_aqe)
         ranks = nodes.crossJoin(F.broadcast(n1)).select(
             "node_id", F.expr(f"{PR_SCALE} div n").alias("r")
         )
@@ -203,7 +231,18 @@ def label_propagation(
     # hash-partition by the join key before persisting (r13, the
     # pagerank discipline): every round's join then reads the cached
     # layout instead of re-exchanging the edge list — rounds shuffle
-    # only the small (node, label) side
+    # only the small (node, label) side.
+    #
+    # r14 finding (plans/r14/lpa_loop_round.txt): under AQE the
+    # cached plan reports UNKNOWN partitioning, so each round DOES
+    # re-exchange the cached dir_e — the r13 claim held only in
+    # intent. The pagerank fix (AQE-off cache compile, see above) was
+    # measured here too and REVERTED: paired min-of-7 at sf0.1 read
+    # 1.89 → 2.36 s (+25 %) because LPA's 3 window-heavy rounds gain
+    # more from AQE's in-cache partition coalescing than they lose to
+    # the (narrow, cached) re-exchange at this scale. At 100 TB the
+    # pagerank pattern applies verbatim if the edge re-exchange ever
+    # dominates a profile; the artifact documents both shapes.
     dir_e = und.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).union(und.select(F.col("b").alias("u"), F.col("a").alias("v"))).repartition(
