@@ -697,7 +697,13 @@ def q_customers_rfm_segments(spark, sf_dir):
         F.to_date("o_orderdate").alias("d"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    mx = o.agg(F.max("d").alias("dmax"))
+    # r14 (guide §2.4 "don't compute things twice"): the corpus max
+    # date used to be a SECOND full orders scan (`o.agg(max(d))`
+    # cross-joined back in); max over the per-customer rollup's dlast
+    # is the same value by max-associativity, and the rollup already
+    # flows into three unpartitioned ntile windows, so the global
+    # max-window rides the exchange those windows need anyway —
+    # one orders scan instead of two, zero new exchanges.
     rfm = (
         o.groupBy("c")
         .agg(
@@ -705,7 +711,7 @@ def q_customers_rfm_segments(spark, sf_dir):
             F.count(F.lit(1)).alias("frequency"),
             F.sum("cents").alias("monetary_cents"),
         )
-        .crossJoin(F.broadcast(mx))
+        .withColumn("dmax", F.max("dlast").over(Window.partitionBy()))
         .select(
             "c",
             F.datediff("dmax", "dlast").alias("recency_days"),

@@ -178,9 +178,11 @@ BUDGETS = [
     # token budget plan (X134): scan + lang agg + the single-partition
     # window over the handful of language rows
     ("llm_token_budget_plan", 3, 0),
-    # decontam audit (X133): the full LSH-clean composition + the
-    # exact-gram audit; drop set and reference grams must broadcast
-    ("llm_decontam_audit", 25, 8),
+    # decontam audit (X133): the exact-gram audit over the shared
+    # _xmatch drop-set fixture (r14: the cleaner's set is READ, not
+    # re-derived — 70 exchanges of LSH lineage left the plan); drop
+    # set and reference grams must broadcast
+    ("llm_decontam_audit", 8, 4),
     # z-order layout (X130): scan fan-out; both 256-row spread tables
     # must broadcast (a shuffle join here would shuffle the fact table
     # twice for a 256-row lookup)
@@ -485,8 +487,11 @@ BUDGETS = [
     # zone-map stats: layout join (broadcast spreads) + file rollup +
     # predicate grid agg
     ("layout_file_stats_pruning", 3, 2),
-    # RFM: customer agg + three ntile windows sharing one exchange
-    ("customers_rfm_segments", 5, 1),
+    # RFM: customer agg + the global-max/ntile windows sharing one
+    # single-partition exchange (r14: the corpus max date is a window
+    # over the rollup, so the second orders scan AND its broadcast
+    # are gone — min_broadcast is now structurally 0)
+    ("customers_rfm_segments", 4, 0),
     # EWMA: (type, day) rollup + type-keyed series agg
     ("events_ewma_forecast", 3, 0),
     # 8 contract arms, one pass per table each
@@ -634,10 +639,11 @@ BUDGETS = [
     # fixture's domain column + ONE pack-keyed aggregate
     ("llm_pack_license_audit", 1, 1),
     # r12: drop ledger — the nine stage sets attached to the corpus
-    # in one pass (six doc-keyed left joins; every right side is a
-    # fixture checkpoint or a bounded stage set whose own lineage the
-    # count re-prints); a once-per-release audit, not a hot path
-    ("llm_drop_ledger", 25, 8),
+    # in one pass (six doc-keyed left joins). r14: every stage set is
+    # a ledger_stages CHECKPOINT (VERDICT r13 item 4), so the stage
+    # lineages left the plan entirely: 72 -> 16 total exchanges
+    # (plans/r14/llm_drop_ledger_{before,after}.txt)
+    ("llm_drop_ledger", 6, 3),
     # r12: control-token scan — synth + length-diff counts are pure
     # per-row exprs; scan fan-out only
     ("sft_control_token_scan", 1, 0),
@@ -652,7 +658,34 @@ BUDGETS = [
 ]
 
 
-@pytest.mark.parametrize("name,max_shuffles,min_broadcast", BUDGETS)
+# r14 (VERDICT r13 item 2): the budget instances whose clear_cache
+# forces a multi-fixture rebuild (>=5 s each: the curation/governance
+# chains) carry `slow` so the default suite fits the driver's pytest
+# cap; the pins still exist and run via -m slow / the builder's full
+# suite. All other budget rows stay in the default run.
+SLOW_BUDGETS = {
+    "llm_release_diff",
+    "llm_curation_funnel",
+    "llm_corpus_curation_v5",
+    "llm_drop_ledger",
+    "llm_pack_license_audit",
+    "llm_corpus_curation_v4",
+    "llm_corpus_curation_v3",
+    "llm_curation_release_report",
+    "llm_sequence_packing_unigram",
+    "similarity_sq_topk",
+}
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles,min_broadcast",
+    [
+        pytest.param(*row, marks=pytest.mark.slow)
+        if row[0] in SLOW_BUDGETS
+        else row
+        for row in BUDGETS
+    ],
+)
 def test_shuffle_budget(spark, sf_dir, name, max_shuffles, min_broadcast):
     # Pin the deterministic COLD plan: earlier tests leave persisted
     # relations in the cache manager, whose statistics can legitimately
@@ -737,6 +770,7 @@ def test_approx_window_twins_accuracy(spark, sf_dir):
     assert abs(ta - te) / te <= 0.02, (te, ta)
 
 
+@pytest.mark.slow
 def test_lm_fixture_single_subtree(spark, sf_dir):
     """VERDICT r6 item 1: the bigram-LM scoring pipeline (explode +
     broadcast model join + per-doc reduce) must be evaluated ONCE per
@@ -774,6 +808,7 @@ def test_lm_fixture_single_subtree(spark, sf_dir):
         assert "Scan ExistingRDD" in plan or name == "text_bigram_lm_score", name
 
 
+@pytest.mark.slow
 def test_stage_fixture_build_plans(spark, sf_dir):
     """The registered boilerplate/containment/curation-v2 queries now
     read per-(session, sf_dir) stage-fixture checkpoints (their
