@@ -9,6 +9,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F  # noqa: F401
 
 from gmall_spark.operators import bpe
+import pytest
 
 
 def py_byte_units(word: str) -> list[str]:
@@ -55,6 +56,7 @@ words = st.text(
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
 @given(ws=st.lists(words, min_size=1, max_size=8))
+@pytest.mark.slow
 def test_bytebpe_matches_python_and_roundtrips(spark, ws):
     df = spark.createDataFrame(
         [(i, w) for i, w in enumerate(ws)], "i long, w string"

@@ -62,6 +62,7 @@ def test_ascii_behavior_unchanged(spark):
     ]
 
 
+@pytest.mark.slow
 def test_keyword_window_streaming_equals_batch(spark, tmpdir, cjk_page_log):
     """F1 streaming surface: the CJK-segmented keyword window over a
     watermarked stream must emit exactly the batch result (the

@@ -9,6 +9,7 @@ import pandas as pd
 
 from gmall_spark.queries import QUERIES
 from gmall_spark.queries_llm import incontext as IC
+import pytest
 
 
 def _planted_pdf():
@@ -62,6 +63,7 @@ def test_walk_next_fit_pack_and_offsets():
         assert max(ends) <= IC.SEQ_PACK_CAP  # cap is a theorem
 
 
+@pytest.mark.slow
 def test_chain_is_cluster_permutation(spark, sf_dir):
     rows = QUERIES["llm_semantic_packing"](spark, sf_dir).collect()
     by_cluster: dict[int, list] = {}
@@ -163,6 +165,7 @@ def test_needle_rows_theorems(spark, sf_dir):
         assert 0 <= r.needle_depth < 1
 
 
+@pytest.mark.slow
 def test_walk_oracle_is_deterministic_across_evaluations(sf_dir):
     """The X244 walk oracle must be STRUCTURALLY deterministic: the
     first formulation (correlated scalar subquery inside a lateral's

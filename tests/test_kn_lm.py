@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from gmall_spark.operators import lm
+import pytest
 
 
 def _py_kn_stats(train):
@@ -75,6 +76,7 @@ texts = st.text(alphabet="ab x", min_size=0, max_size=16)
     train=st.lists(st.tuples(st.sampled_from(["en", "de"]), texts), max_size=6),
     evals=st.lists(texts, min_size=1, max_size=5),
 )
+@pytest.mark.slow
 def test_kn_matches_python_reference(spark, train, evals):
     ev = [(i, ["en", "de", "fr"][i % 3], t) for i, t in enumerate(evals)]
     want = py_kn_scores(train, ev)

@@ -308,6 +308,7 @@ def test_all_pairs_baselines_refuse_oversized_corpus(spark, sf_dir):
     assert similarity.embedding_near_dup(emb, 0.4, max_vectors=None).count() > 0
 
 
+@pytest.mark.slow
 def test_capped_bucket_survives_isolated_verify_failure(spark):
     """VERDICT r4 item 5 planted case: a capped bucket whose ADJACENT
     chain pair fails exact-Jaccard verify must stay one connected
@@ -376,6 +377,7 @@ def test_pii_scan_planted(spark):
     assert got[4][:4] == (0, 0, 0, 0) and got[4][4] == rows[3][1]
 
 
+@pytest.mark.slow
 def test_semantic_dedup_subset_of_exact_and_catches_planted(spark):
     """SemDeDup invariants: every within-cluster pair is a true exact
     near-dup pair (verification forbids false positives), and a
@@ -508,6 +510,7 @@ def test_transitive_chain_one_survivor(spark):
     assert survivors == {1}
 
 
+@pytest.mark.slow
 def test_connected_components_consumes_mega_bucket_chain(spark):
     """The capped LSH path emits adjacent-id chains for mega-buckets;
     connected components over that output must still recover the full
@@ -1088,6 +1091,7 @@ def test_dsir_single_word_and_empty_docs(spark):
     assert counts == {1: 1, 2: 1, 3: 3}, counts  # a, '', [a, b, 'a b']
 
 
+@pytest.mark.slow
 def test_gemm_topk_equals_hof(spark, sf_dir):
     """The blocked-GEMM self-join top-k (X116's scorer and the kNN
     fixture build) must be ROW-IDENTICAL to the HOF brute-force
@@ -1109,6 +1113,7 @@ def test_gemm_topk_equals_hof(spark, sf_dir):
     assert banded and all(0.2 <= s < 0.4 for *_, s in banded)
 
 
+@pytest.mark.slow
 def test_ngram_novelty_planted(spark, sf_dir):
     """X121 semantics on the real corpus: a doc whose text is copied
     verbatim FROM a reference doc must score novelty 0; reference
@@ -1916,6 +1921,7 @@ def test_source_attribution_counts_spanning_groups(spark, sf_dir):
     assert got == want and want
 
 
+@pytest.mark.slow
 def test_unigram_encode_decode_planted(spark):
     """X194/X195 planted fixture: known words segment to the known
     Viterbi optimum, the decode audit reports a perfect round trip
@@ -2267,6 +2273,7 @@ def test_repeat_expanded_shards_conserves_budget(spark, sf_dir):
             assert r.shard == deal[(r.doc_id, r.repeat_idx)], r
 
 
+@pytest.mark.slow
 def test_final_sample_weights_compose_registered_stages(spark, sf_dir):
     """X263 composition theorems: weight is zero IFF the DSIR
     resample dropped the doc; members of one near-dup group share the

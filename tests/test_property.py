@@ -36,6 +36,7 @@ rows_strategy = st.lists(
 
 @given(rows=rows_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_dedup_last_matches_python(spark, rows):
     df = spark.createDataFrame(rows, "k int, ts int, v int")
     got = {
@@ -50,6 +51,7 @@ def test_dedup_last_matches_python(spark, rows):
 
 @given(rows=rows_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_dedup_first_matches_python(spark, rows):
     df = spark.createDataFrame(rows, "k int, ts int, v int")
     got = {
@@ -75,6 +77,7 @@ uv_strategy = st.lists(
 
 @given(rows=uv_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_first_of_day_flag_matches_python(spark, rows):
     # unique (mid, dt, ts) keys so 'first row of day' is well-defined
     uniq = sorted({(m, f"2024-01-0{d+1}", t) for m, d, t in rows})
@@ -114,6 +117,7 @@ def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[str]:
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_winnow_matches_python(spark, docs):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
@@ -147,6 +151,7 @@ def test_winnow_shared_substring_guarantee(spark):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_ivf_assignment_matches_python_argmin(spark, vecs):
     """The gemm nearest-centroid UDF must agree with a plain-Python
     L2 argmin on the unit sphere (ties -> lower centroid id)."""
@@ -212,6 +217,7 @@ edges_strategy = st.lists(
 @given(edges=edges_strategy)
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     """Large-star/small-star CC == a plain union-find on random edge
     lists (self-loops, duplicates, reversed pairs all allowed)."""
@@ -254,6 +260,7 @@ asof_strategy = st.tuples(
 
 @given(lr=asof_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_asof_join_matches_python(spark, lr):
     """asof_join_backward == brute force: per left row the right row
     with max ts <= left ts (ties: lexicographically greatest payload
@@ -282,6 +289,7 @@ def test_asof_join_matches_python(spark, lr):
     gap=st.integers(1, 10),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_sessionize_gap_matches_python(spark, rows, gap):
     """sessionize_gap == brute force islands: sort per key by
     (ts, tiebreak), split when diff >= gap."""
@@ -323,6 +331,7 @@ def _md5(s: str) -> str:
 
 @given(docs=docs_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_boilerplate_clean_matches_python(spark, docs):
     from gmall_spark.operators.llm_dedup import boilerplate_span_clean
 
@@ -353,6 +362,7 @@ def test_boilerplate_clean_matches_python(spark, docs):
 
 @given(docs=docs_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_containment_pairs_match_python(spark, docs):
     from gmall_spark.operators.llm_dedup import containment_pairs_rare_blocking
 
@@ -391,6 +401,7 @@ def test_containment_pairs_match_python(spark, docs):
 
 @given(docs=docs_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_bpe_merge_step_matches_python(spark, docs):
     from gmall_spark.operators import bpe
 
@@ -446,6 +457,7 @@ def test_bpe_merge_step_matches_python(spark, docs):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_perplexity_bucket_algebra_matches_python(spark, scores):
     """The histogram-cut bucketing algebra on adversarial tied inputs:
     feed (lang, score) pairs straight into the cut logic by building
@@ -539,6 +551,7 @@ def _dsir_python(raw, target, n_buckets):
 
 @given(docs=docs_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_dsir_weights_match_python(spark, docs):
     from gmall_spark.operators import dsir
 
@@ -592,6 +605,7 @@ def _py_bpe_encode(word, merges):
 
 @given(words=bpe_words_strategy, merges=bpe_merges_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_frozen_bpe_encode_matches_python(spark, words, merges):
     """The nested aggregate-HOF fold == a literal greedy
     left-to-right BPE apply, for RANDOM merge lists (including
@@ -625,6 +639,7 @@ img_strategy = st.lists(
 
 @given(imgs=img_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_image_hashes_match_python(spark, imgs):
     """aHash/dHash through the REAL BMP round trip == a plain-Python
     reference computed straight from the pixel grid, on random image
@@ -679,6 +694,7 @@ trans_events_strategy = st.lists(
 
 @given(rows=trans_events_strategy, cut=st.integers(0, 24))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_incremental_transitions_any_split_equals_batch(spark, tmpdir_factory, rows, cut):
     """For ANY corpus and ANY batch split point, the frontier-bridged
     streaming matrix equals the one-shot batch operator — including
@@ -712,6 +728,7 @@ weights_strategy = st.lists(st.integers(1, 50), min_size=1, max_size=30)
 
 @given(ws=weights_strategy, draws=st.integers(1, 500))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_systematic_resample_lattice_properties(spark, ws, draws):
     """For ANY integer weights and ANY budget: draw counts sum to the
     budget EXACTLY and each count is floor/ceil of its expectation —
@@ -785,6 +802,7 @@ def _reference_pack(lengths: dict[int, int], cap: int = 2048):
     lens=st.lists(st.integers(1, 2048), min_size=1, max_size=60),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_sequence_packing_matches_python_and_respects_cap(spark, lens):
     """X175 (VERDICT r7 item 5): the Spark closed-form assignment
     equals the Python reference packer doc for doc, and the 2048 cap
@@ -813,6 +831,7 @@ def test_sequence_packing_matches_python_and_respects_cap(spark, lens):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_frozen_bpe_decode_roundtrip(spark, words):
     """X176 (VERDICT r7 item 6): decode(encode(w)) == w for every
     alphabet word under the frozen merge list — the reverse replay
@@ -851,6 +870,7 @@ def test_frozen_bpe_decode_oov_marker(spark):
 
 @given(vals=st.lists(st.floats(0.01, 490.0, allow_nan=False), min_size=1, max_size=80))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_hist_quantiles_match_python(spark, vals):
     """X179 vs a plain-Python reference: identical bucket counts and,
     per probe quantile, the identical first bucket whose cumulative
@@ -894,6 +914,7 @@ def test_hist_quantiles_match_python(spark, vals):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_range_partition_assignment_matches_python(spark, rows):
     """X180 vs a plain-Python reference: identical sample, identical
     composite boundaries, identical per-row partition — and every
@@ -958,6 +979,7 @@ unigram_words_strategy = st.lists(
 
 @given(words=unigram_words_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_unigram_viterbi_matches_python(spark, words):
     """The key-string Viterbi fold is BIT-IDENTICAL across Spark SQL,
     DuckDB, and the Python reference on random alphabet words — and
@@ -1019,6 +1041,7 @@ def test_unigram_viterbi_is_globally_optimal():
 
 @given(words=unigram_words_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_unigram_leave_one_out_matches_python(spark, words):
     """X202's leave-one-out fold: excluding each word's own first
     multi-char piece reproduces the Python reference in BOTH engines,
@@ -1064,6 +1087,7 @@ def test_unigram_leave_one_out_matches_python(spark, words):
 
 @given(words=unigram_words_strategy)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_wordpiece_matches_python(spark, words):
     """The greedy longest-match fold is BIT-IDENTICAL across Spark
     SQL, DuckDB, and the Python reference on random alphabet words

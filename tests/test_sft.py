@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from gmall_spark.operators import sft
 from gmall_spark.queries import QUERIES
+import pytest
 
 _HYP = dict(
     max_examples=12,
@@ -39,6 +40,7 @@ _turns_strategy = st.lists(_turn_text, min_size=1, max_size=8)
 
 @given(texts=_turns_strategy)
 @settings(**_HYP)
+@pytest.mark.slow
 def test_fold_matches_python_reference_general_n(spark, texts):
     """The general-n fold vs a plain Python renderer: rendered string
     and every assistant [start, end) span agree for ANY turn count

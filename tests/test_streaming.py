@@ -306,6 +306,7 @@ def test_dirty_side_output_counts(spark, sf_dir):
     assert dirty.filter(~F.col("value").startswith("{broken")).count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_dws_pipeline_end_to_end(spark, sf_dir, tmpdir):
     """Full reference job shape in streaming mode (SURVEY §2.11):
     CDC topic stream -> foreachBatch DWD (order detail wide fact) ->
@@ -377,6 +378,7 @@ def test_streaming_dws_pipeline_end_to_end(spark, sf_dir, tmpdir):
     assert len(missing) < 25, f"{len(missing)} windows missing from append output"
 
 
+@pytest.mark.slow
 def test_streaming_login_window_end_to_end_two_batches(spark, sf_dir, tmpdir):
     """Streaming == batch for the stateful global-window login DWS
     job (VERDICT r5 item 6): the 8-day returning-user rule (A6,
@@ -592,6 +594,7 @@ def test_incremental_span_clean_equals_batch(spark, sf_dir, tmpdir):
     assert got2 == expected
 
 
+@pytest.mark.slow
 def test_incremental_dedup_equals_batch(spark, sf_dir, tmpdir):
     """Streaming twin of MinHash+LSH dedup (SURVEY X4 extension): the
     documents table split into two micro-batches, each signed and
@@ -640,6 +643,7 @@ def test_incremental_dedup_equals_batch(spark, sf_dir, tmpdir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_incremental_dedup_bucketed_store_equals_batch_and_plan(spark, sf_dir, tmpdir):
     """X16 composed into X19 (VERDICT r3 task 2): the band store
     bucketed by band_hash and the shingle store by doc_id. Asserts
@@ -704,6 +708,7 @@ def test_incremental_dedup_bucketed_store_equals_batch_and_plan(spark, sf_dir, t
         store.drop(spark)
 
 
+@pytest.mark.slow
 def test_streaming_dedup_ttl_read_refresh_equals_batch(spark, tmpdir):
     """OnReadAndWrite TTL parity (VERDICT r3 #6, ref
     DwsTradePaymentSucWindow.java:84-90): the read-refreshing 5 s TTL
@@ -821,6 +826,7 @@ def test_socket_json_source_end_to_end(spark, tmpdir):
         server.close()
 
 
+@pytest.mark.slow
 def test_windowed_sum_with_fallback_trigger_paths(spark, tmpdir):
     """W4/F3 custom-trigger twin (ref bean/MyTrigger.java): a window
     whose end the watermark passes fires as an on-time ('watermark')
@@ -1222,6 +1228,7 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, tmpdir):
     assert got == list(range(15)), got  # no b1 duplicates, b2 present
 
 
+@pytest.mark.slow
 def test_purge_doc_ids_removes_from_every_store(spark, sf_dir, tmpdir):
     """Takedown propagation: after purging a doc involved in verified
     pairs, NO store row references it (bands, shingles, or either
@@ -1266,6 +1273,7 @@ def test_purge_doc_ids_removes_from_every_store(spark, sf_dir, tmpdir):
     assert store.pairs(spark).count() == before["pairs"] - removed[f"{store_dir}/pairs"]
 
 
+@pytest.mark.slow
 def test_incremental_boilerplate_retroactive_repair(spark, tmpdir):
     """X106's streaming twin on a planted fixture where the
     doc-frequency threshold (K=3) is crossed only in batch 2: the
@@ -1343,6 +1351,7 @@ def test_incremental_boilerplate_equals_batch_on_corpus(spark, sf_dir, tmpdir):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_incremental_boilerplate_foreach_batch_e2e(spark, sf_dir, tmpdir):
     """End-to-end streaming form of the boilerplate twin: a real
     readStream file source (maxFilesPerTrigger=1 -> two micro-batches)
@@ -1384,6 +1393,7 @@ def test_incremental_boilerplate_foreach_batch_e2e(spark, sf_dir, tmpdir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_purge_boilerplate_store_removes_orphaned_span_text(spark, tmpdir):
     """VERDICT r6 gap 2: the content-addressed spans store holds
     VERBATIM text keyed only by hash — purging a doc's postings must
@@ -1444,6 +1454,7 @@ def test_purge_boilerplate_store_removes_orphaned_span_text(spark, tmpdir):
     assert removed2 == {"postings": 0, "docs": 0, "spans": 0}
 
 
+@pytest.mark.slow
 def test_incremental_ppl_buckets_equal_batch_and_rebucket(spark, tmpdir):
     """X108's streaming twin (VERDICT r6 item 5): scores are frozen
     at ingest (model trained once, CCNet-style) but bucket CUTS move
@@ -1510,6 +1521,7 @@ def test_incremental_ppl_buckets_equal_batch_and_rebucket(spark, tmpdir):
     assert got2 == got
 
 
+@pytest.mark.slow
 def test_incremental_dsir_selection_equals_batch_and_moves_cut(spark, tmpdir):
     """X114's streaming twin (incremental_dsir): weights frozen at
     ingest under the frozen (target, raw-sample) models, the
@@ -1611,6 +1623,7 @@ def test_incremental_ppl_foreach_batch_e2e(spark, sf_dir, tmpdir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_incremental_containment_equals_batch_and_retroactive(spark, tmpdir):
     """X107's streaming twin (incremental_containment): the pair set
     re-derives from the append-only postings store through the exact
@@ -1661,6 +1674,7 @@ def test_incremental_containment_equals_batch_and_retroactive(spark, tmpdir):
     } == {(1, 3)}
 
 
+@pytest.mark.slow
 def test_incremental_containment_foreach_batch_e2e(spark, sf_dir, tmpdir):
     """End-to-end streaming form of the containment twin: a real
     readStream file source (maxFilesPerTrigger=1 -> two micro-batches)
@@ -1700,6 +1714,7 @@ def test_incremental_containment_foreach_batch_e2e(spark, sf_dir, tmpdir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_incremental_image_dedup_equals_batch_and_retroactive(spark, tmpdir):
     """X136's streaming twin (incremental_image_dedup): fingerprints
     freeze at ingest (dHash is deterministic through the codec), the
@@ -1745,6 +1760,7 @@ def test_incremental_image_dedup_equals_batch_and_retroactive(spark, tmpdir):
     assert again == after2
 
 
+@pytest.mark.slow
 def test_incremental_image_dedup_foreach_batch_e2e(spark, tmpdir):
     """End-to-end streaming form of the image near-dup twin: a real
     readStream file source (maxFilesPerTrigger=1 -> two micro-batches)
@@ -1903,6 +1919,7 @@ def test_incremental_kmv_foreach_batch_e2e(spark, tmpdir):
     assert (ge.n_sketch, ge.est) == (we.n_sketch, we.est)
 
 
+@pytest.mark.slow
 def test_incremental_transitions_cross_batch_pairs_and_replay(spark, tmpdir):
     """X163's streaming twin — the family's ORDER-SENSITIVE member: a
     transition pair spans micro-batches when the user's previous event
@@ -1987,6 +2004,7 @@ def test_incremental_ewma_equals_batch_and_retroactive_smoothing(spark, tmpdir):
     assert f4["click"].ewma_forecast == 4.75
 
 
+@pytest.mark.slow
 def test_incremental_image_phash_equals_batch_and_retroactive(spark, tmpdir):
     """X177's streaming twin (incremental_image_phash, the X140
     shape): fingerprints freeze at ingest, groups re-derive from the
@@ -2199,6 +2217,7 @@ def test_incremental_value_hist_foreach_batch_e2e(spark, tmpdir):
     assert got == want and len(want) == 4
 
 
+@pytest.mark.slow
 def test_incremental_audio_fp_equals_batch_and_retroactive(spark, tmpdir):
     """X197's streaming twin (incremental_audio_fp, the X177/X140
     shape): landmark fingerprints freeze at ingest, groups re-derive
@@ -2238,6 +2257,7 @@ def test_incremental_audio_fp_equals_batch_and_retroactive(spark, tmpdir):
     assert again == after2
 
 
+@pytest.mark.slow
 def test_incremental_skipgram_exactly_equals_batch(spark, tmpdir):
     """X184's streaming twin: raw pair/unigram counts are
     SUM-mergeable (documents are atomic within a batch), the
@@ -2330,6 +2350,7 @@ def test_incremental_embedding_health_exactly_equals_batch(spark, tmpdir):
     assert again == got
 
 
+@pytest.mark.slow
 def test_incremental_range_plan_replans_exactly_once(spark, tmpdir):
     """X198's streaming twin (the X185 re-derive class): a balanced
     ingest freezes a plan that stays in band; a planted skewed batch
@@ -2445,6 +2466,7 @@ def test_incremental_capped_sample_retroactive_displacement(spark, tmpdir):
     assert again == s2
 
 
+@pytest.mark.slow
 def test_incremental_edit_verify_equals_batch(spark, sf_dir, tmpdir):
     """Streaming twin of the X207 edit-distance verify tier: the
     documents table split into two micro-batches, each banded
@@ -2491,6 +2513,7 @@ def test_incremental_edit_verify_equals_batch(spark, sf_dir, tmpdir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_incremental_group_split_equals_batch(spark, sf_dir, tmpdir):
     """Streaming twin of the X210 group-aware split: after ingesting
     the corpus in two batches (pairs via the proven incremental X4
@@ -2518,6 +2541,7 @@ def test_incremental_group_split_equals_batch(spark, sf_dir, tmpdir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_incremental_group_split_retroactive_move(spark, tmpdir):
     """The operational hazard the twin exists to surface: a later
     arrival BRIDGES two previously-separate docs (transitive chain —
@@ -2788,6 +2812,7 @@ def test_incremental_sft_keeper_equals_batch(spark, sf_dir, tmpdir):
     assert got_hashed == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_incremental_pagerank_equals_batch(spark, sf_dir, tmpdir):
     """Streaming twin of the X237 page centrality (RE-DERIVE class):
     pages-seen state appends; ranks re-derive over the merged edge
@@ -2828,6 +2853,7 @@ def test_incremental_pagerank_equals_batch(spark, sf_dir, tmpdir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_incremental_pagerank_rank_change_log(spark, tmpdir):
     """Planted retroactivity: batch 1 ranks a 2-page subgraph; batch
     2 adds a page linking INTO it — mass flows, previously-ranked
@@ -2856,6 +2882,7 @@ def test_incremental_pagerank_rank_change_log(spark, tmpdir):
     assert after[0] == m2[0].new_rank_micro
 
 
+@pytest.mark.slow
 def test_incremental_sft_keeper_displacement(spark, tmpdir):
     """Planted retroactivity: batch 1 establishes a keeper; batch 2
     ships a RICHER response to the same prompt — the displacement log
@@ -2884,6 +2911,7 @@ def test_incremental_sft_keeper_displacement(spark, tmpdir):
     assert snap == {"ask me this and": 102}
 
 
+@pytest.mark.slow
 def test_incremental_kn_rescore_equals_batch_and_is_retroactive(spark, tmpdir):
     """Streaming twin of X218 in the RE-DERIVE class: the training
     count table SUM-merges, but a training arrival retroactively
@@ -2975,6 +3003,7 @@ def test_incremental_decontam_equals_batch(spark, tmpdir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_incremental_kn_buckets_equal_batch(spark, tmpdir):
     """X243 twin equality: after two micro-batches the incremental
     bucket view (incremental_kn.bucketed_docs — re-derived KN scores
@@ -3066,6 +3095,7 @@ def test_incremental_optout_equals_batch_and_is_final(spark, sf_dir, tmpdir):
     assert gd == wd
 
 
+@pytest.mark.slow
 def test_incremental_sem_pack_equality_and_locality(spark, sf_dir, tmpdir):
     """X244 twin (re-derive class, cluster-scoped churn): after two
     micro-batches the re-derived chain table equals the batch query
@@ -3147,6 +3177,7 @@ def test_incremental_sem_pack_equality_and_locality(spark, sf_dir, tmpdir):
             assert churn[lid] == "stable", lid
 
 
+@pytest.mark.slow
 def test_incremental_gov_keeper_retroactive_restore(spark, sf_dir, tmpdir):
     """X253/X254 twin: (1) batch-equals-streaming — after two
     micro-batches the keeper view equals one batch election over the
@@ -3220,6 +3251,7 @@ def test_incremental_gov_keeper_retroactive_restore(spark, sf_dir, tmpdir):
     assert got2 == want2
 
 
+@pytest.mark.slow
 def test_incremental_novelty_retroactive_revocation(spark, sf_dir, tmpdir):
     """X257 twin: (1) batch-equals-streaming — candidates ingested in
     two batches against a seeded pool give the same verdict view as
